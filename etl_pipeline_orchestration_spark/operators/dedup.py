@@ -1,0 +1,204 @@
+"""Deduplication operators for large text corpora [EXT].
+
+All variants are pure built-in-function plans (no Python in the hot path):
+
+* exact dedup        — hash-groupBy on the normalized text (one shuffle).
+* MinHash + LSH      — word-shingle → k independent min-hashes (xxhash64
+  with per-hash salt) → band into b buckets → candidate pairs via a
+  self-join on (band_id, band_hash) → exact Jaccard verification on the
+  candidates only. The band join is the scale path: at 100 TB the
+  candidate set is tiny compared to the O(n²) naive pair space, and the
+  join shuffles on the band hash, which is uniformly distributed.
+* SimHash            — 64-bit fingerprint by majority vote over token-hash
+  bits; near-dups = equal fingerprints (or small Hamming distance via
+  band-rotation).
+
+xxhash64 is Spark's built-in 64-bit hash (deterministic across runs and
+cluster sizes), so every operator here is reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    return F.lower(F.trim(F.col(col)))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical normalized texts; keep the minimum id as canonical."""
+    return (
+        docs.groupBy(normalized_text(text_col).alias("norm_text"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_hash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Same, but grouping on a sha256 of the normalized text — the form
+    that scales when texts are long (shuffle 32-byte keys, not documents).
+    """
+    return (
+        docs.groupBy(F.sha2(normalized_text(text_col), 256).alias("text_sha"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _shingles(text_col: str, k: int) -> F.Column:
+    """Distinct word k-shingles as strings."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """id + array<long> of ``num_hashes`` min-hashes over word shingles.
+
+    Each hash family member is xxhash64 over (salt, shingle); the min over
+    the shingle set approximates a uniform permutation minimum.
+    """
+    sh = _shingles(text_col, shingle_k).alias("__sh__")
+
+    # NB: single-parameter lambdas only — PySpark passes (element, index)
+    # to two-parameter lambdas, so the usual `lambda s, _i=i:` capture
+    # trick silently binds the array index instead of the loop variable.
+    def _salted_hash(salt: str):
+        return lambda s: F.xxhash64(F.lit(salt), s)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("__sh__"), _salted_hash(f"mh{i}")))
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(id_col), sh).select(
+        F.col(id_col), sig.alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH.
+
+    rows = num_hashes // bands per band; a pair collides if any band's
+    sub-signature matches exactly. Returns (id_a, id_b, n_bands_matched),
+    id_a < id_b.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col("signature")[b * rows + r] for r in range(rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(
+        F.col(id_col),
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs only (the cheap final
+    filter after LSH pruning)."""
+    sh = docs.select(
+        F.col(id_col), _shingles(text_col, shingle_k).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: majority vote per bit over the token-hash set.
+
+    Vote counting stays inside one aggregate expression over the token
+    array (no explode/shuffle): for each bit, count tokens with that bit
+    set; bit is 1 iff count*2 > n_tokens.
+    """
+    toks = F.array_distinct(_tokens(text_col))
+    n = F.size(toks)
+
+    def _bit_set(b: int):
+        return lambda t: F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1
+
+    bit_votes = [F.size(F.filter(toks, _bit_set(b))) for b in range(bits)]
+    fingerprint = None
+    for b, votes in enumerate(bit_votes):
+        bit = F.when(votes * 2 > n, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return docs.select(F.col(id_col), fingerprint.alias("simhash"))

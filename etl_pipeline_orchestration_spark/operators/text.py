@@ -1,0 +1,120 @@
+"""Text-analysis operators for document corpora [EXT].
+
+All built-in-function expressions (JVM-side): token counting, quality
+scoring, n-gram language-ID heuristic, rolling-hash fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = (
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "be", "or", "are", "was", "this",
+)
+
+# Tiny per-language marker lexicons for the n-gram/keyword language-ID
+# heuristic (public-knowledge common words).
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": (),  # CJK detection is by script range, not keywords
+}
+
+
+def tokens(text_col: str = "text") -> F.Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_count(text_col: str = "text") -> F.Column:
+    return F.size(tokens(text_col))
+
+
+def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, n_chars_measured, avg token length, distinct-token ratio."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    return docs.withColumn("n_tokens", n_tok).withColumn(
+        "n_distinct_tokens", F.size(F.array_distinct(toks))
+    ).withColumn(
+        "distinct_ratio",
+        F.round(F.col("n_distinct_tokens") / F.col("n_tokens"), 6),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, token count, mean token length,
+    stopword ratio, punctuation density. Used as filters in training-data
+    pipelines (keep 50 < n_chars, stopword_ratio > 0.01, ...)."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_measured"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            (n_chars - (n_tok - 1)) / F.when(n_tok == 0, F.lit(None)).otherwise(n_tok),
+            6,
+        ).alias("mean_token_len"),
+        F.round(n_stop / F.when(n_tok == 0, F.lit(None)).otherwise(n_tok), 6).alias(
+            "stopword_ratio"
+        ),
+        F.round(n_punct / F.when(n_chars == 0, F.lit(None)).otherwise(n_chars), 6).alias(
+            "punct_ratio"
+        ),
+    )
+
+
+def detect_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keyword/script language-ID heuristic → lang_pred column.
+
+    CJK by Unicode block; otherwise argmax of marker-word hit counts with
+    'en' fallback. Pure built-ins: array_contains over the token array.
+    """
+    toks = F.transform(tokens(text_col), F.lower)
+
+    def _is_marker(marker_arr):
+        return lambda t: F.array_contains(marker_arr, t)
+
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        if not markers:
+            continue
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, _is_marker(marker_arr))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    has_cjk = F.col(text_col).rlike(r"[一-鿿]")
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best["score"] > 0, best["lang"])
+        .otherwise(F.lit("en"))
+    )
+    return docs.withColumn("lang_pred", pred)
+
+
+def rolling_hash_fingerprint(
+    docs: DataFrame, text_col: str = "text", window: int = 8, keep_every: int = 4
+) -> DataFrame:
+    """Winnowing-style document fingerprint: rolling window of ``window``
+    tokens hashed with xxhash64; keep hashes ≡ 0 (mod keep_every) as the
+    sketch. Deterministic, shuffle-free (per-row array expression)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    sketch = F.array_sort(
+        F.array_distinct(F.filter(grams, lambda h: F.pmod(h, F.lit(keep_every)) == 0))
+    )
+    return docs.select("doc_id", sketch.alias("fingerprint"))

@@ -1,0 +1,205 @@
+"""LLM-training-data pipeline queries [EXT]: dedup, similarity search,
+text analysis, multimodal plumbing (SURVEY.md §2.12), on the
+``documents`` / ``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_orchestration_spark.operators import dedup, multimodal, similarity, text
+from etl_pipeline_orchestration_spark.plans.registry import query
+from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+
+@query(
+    "dedup_exact_text",
+    oracle="""
+    SELECT lower(trim(text)) AS norm_text,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY lower(trim(text))
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS text_sha,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY sha256(lower(trim(text)))
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_hash(docs)
+
+
+@query("dedup_minhash_lsh_candidates")  # approx op — rows-only check
+def dedup_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(docs)
+
+
+@query("dedup_minhash_verified")  # approx op — rows-only check
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard ≥ 0.7."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.minhash_lsh_candidates(docs)
+    return dedup.jaccard_verify(docs, cands, threshold=0.7)
+
+
+@query("dedup_simhash")  # fingerprint op — rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_fingerprints(docs)
+
+
+@query(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INT)
+             AS n_distinct_tokens,
+           round(len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                 / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 6)
+             AS distinct_ratio
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_distinct_tokens", "distinct_ratio"
+    )
+
+
+@query(
+    "lang_distribution",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           round((length(text) - (len(string_split_regex(trim(text), '\\s+')) - 1))
+                 / CAST(nullif(len(string_split_regex(trim(text), '\\s+')), 0)
+                        AS DOUBLE), 6) AS mean_token_len,
+           round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                     t -> list_contains(['the','a','an','of','to','and','in','is',
+                                         'it','for','on','with','as','at','by',
+                                         'be','or','are','was','this'], lower(t))))
+                 / CAST(nullif(len(string_split_regex(trim(text), '\\s+')), 0)
+                        AS DOUBLE), 6) AS stopword_ratio,
+           round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                 / CAST(nullif(length(text), 0) AS DOUBLE), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs)
+
+
+@query("lang_id_confusion")  # heuristic classifier — rows-only check
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic scored against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.detect_language(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("doc_fingerprints")  # sketch op — rows-only check
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.rolling_hash_fingerprint(docs)
+
+
+@query(
+    "embedding_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dots AS (
+      SELECT e.vec_id,
+             sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE))
+               AS dot,
+             sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE)
+                      * CAST(e.embedding[t.i] AS DOUBLE))) AS norm_e,
+             sqrt(sum(CAST(q.qe[t.i] AS DOUBLE)
+                      * CAST(q.qe[t.i] AS DOUBLE))) AS norm_q
+      FROM embeddings e, q, (SELECT unnest(range(1, 65)) AS i) t
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, round(dot / (norm_e * norm_q), 6) AS cosine_sim
+    FROM dots
+    ORDER BY dot / (norm_e * norm_q) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 against the vec_id=0 embedding (the 1-row probe
+    fetch is a driver-side scalar lookup; the scan itself is distributed).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.brute_force_topk(emb, list(qvec), k=10)
+
+
+@query("embedding_topk_lsh")  # approx op — rows-only check
+def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.lsh_topk(emb, list(qvec), k=10)
+
+
+@query("embedding_near_dup_pairs")  # approx op — rows-only check
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.95)
+
+
+@query("multimodal_decode_stats")  # binary/UDF plumbing — rows-only check
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: encode → mapInPandas decode (deterministic
+    fake) → aggregate by media_type."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.encode_as_media(docs)
+    decoded = multimodal.decode_image_batch(media, fake=True)
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("height"), 4).alias("avg_height"),
+    )

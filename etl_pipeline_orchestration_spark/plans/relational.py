@@ -1,0 +1,392 @@
+"""Relational operator coverage [EXT]: joins, aggregates, windows, sorts,
+set ops, scalar functions (SURVEY.md §2.5-2.9).
+
+Scale discipline:
+* Fixed-size dims (region/nation) are always ``F.broadcast`` — no shuffle.
+* Fact-fact joins shuffle on their keys; AQE handles skew/coalescing.
+* Top-k is ``orderBy().limit(k)`` → Spark plans TakeOrderedAndProject
+  (no global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_pipeline_orchestration_spark.plans.registry import query
+from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "join_revenue_by_region",
+    oracle="""
+    SELECT r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact-fact shuffle joins on keys, fixed-size dims
+    broadcast (nation/region never exceed 25/5 rows at any SF)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "semi_join_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via ranking window — single shuffle on the
+    partition key; deterministic tiebreak on o_orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_lag_order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(datediff('day',
+             lag(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey),
+             o_orderdate) AS INT) AS gap_days
+    FROM orders
+    """,
+)
+def window_lag_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        ),
+    )
+
+
+@query(
+    "window_running_revenue",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(sum(l_extendedprice) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_price
+    FROM lineitem
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (rowsBetween) per supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("running_price"),
+    )
+
+
+@query(
+    "rollup_qty_by_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_qty_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "cube_orders_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_orders_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "distinct_part_supp_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_part_supp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy().limit() → TakeOrderedAndProject: per-partition top-k then
+    driver merge; no global sort at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "set_ops_customer_segments",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+)
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    negative = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return building.intersect(rich).union(negative).distinct()
+
+
+@query(
+    "string_functions_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           trim(p_type) AS type_trim,
+           substring(p_type, 1, 5) AS type_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           CAST(len(string_split(p_type, ' ')) AS INT) AS type_words
+    FROM part
+    """,
+)
+def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_type").alias("type_trim"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.size(F.split("p_type", " ")).alias("type_words"),
+    )
+
+
+@query(
+    "date_functions_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INT) AS days_since_95
+    FROM orders
+    """,
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(value), 4) AS avg_value,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string property extraction (events.props) — reference web-log
+    analogue with semi-structured payloads."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("int").cast("long")).alias(
+            "sum_k"
+        ),
+    )
+
+
+@query(
+    "pivot_qty_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return pv

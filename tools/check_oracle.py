@@ -1,0 +1,133 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given sf dir, then compares row count, column names, and
+order-insensitive values (exact match after normalization). Queries with
+no oracle get a rows-only check (runs + row count printed).
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from etl_pipeline_orchestration_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entrymod  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_val(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 and format to full precision
+        return repr(v + 0.0)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_val(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, bool):
+        return bool(v)
+    return v
+
+
+def norm_rows(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(norm_val(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        if sorted(scols) != sorted(dcols):
+            ok = False
+            msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            ok = False
+            msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if ok:
+            sn = norm_rows(srows, scols)
+            dn = norm_rows(drows, dcols)
+            if sn != dn:
+                ok = False
+                diff = [
+                    (a, b) for a, b in zip(sn, dn) if a != b
+                ][:3]
+                msgs.append(f"values differ; first diffs: {diff}")
+        if ok:
+            print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: " + " | ".join(msgs))
+            failures.append(name)
+            n_fail += 1
+    print(
+        f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail"
+        + (f" → {failures}" if failures else "")
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
