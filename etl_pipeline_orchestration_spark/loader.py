@@ -1,0 +1,52 @@
+"""Warehouse writers.
+
+The reference loads every table into SQLite via row-wise INSERTs
+(reference etl_pipeline.py:234-236). Here the warehouse is a parquet
+directory tree (columnar, splittable, predicate-pushdown-friendly) with
+the same replace/append semantics; at cluster scale the identical calls
+target a real catalog via ``saveAsTable`` or a JDBC sink.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MODES = {"replace": "overwrite", "append": "append"}
+
+
+class WarehouseLoader:
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.warehouse_dir, table)
+
+    def load(
+        self,
+        df: DataFrame,
+        table: str,
+        if_exists: str = "append",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Distributed write; ``partition_by`` produces a hive layout so
+        downstream reads get partition pruning (e.g. fact_sales by month).
+        """
+        writer = df.write.mode(_MODES[if_exists])
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table))
+
+    def table_count(self, table: str) -> int:
+        """Row-count read-back (reference etl_pipeline.py:238-242); missing
+        table → 0, matching the reference's lenient probe."""
+        try:
+            return self.read(table).count()
+        except Exception:
+            return 0
