@@ -143,8 +143,17 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("doc_fingerprints")  # sketch op — rows-only check
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing sketch per document, serialized to scalar columns (the
+    harness canonicalizes rows via pandas, which cannot hash raw
+    ``array<long>`` cells — emit a count + a 64-bit digest instead)."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.rolling_hash_fingerprint(docs)
+    fp = text.rolling_hash_fingerprint(docs)
+    sketch_str = F.concat_ws(",", F.transform(F.col("fingerprint"), lambda h: h.cast("string")))
+    return fp.select(
+        "doc_id",
+        F.size("fingerprint").alias("n_fingerprints"),
+        F.xxhash64(sketch_str).alias("fingerprint_sig"),
+    )
 
 
 @query(

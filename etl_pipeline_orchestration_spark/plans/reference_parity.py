@@ -92,7 +92,7 @@ def clean_dedup_nulldrop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN c_acctbal > 3000 AND c_acctbal <= 7000  THEN 'Medium'
                 WHEN c_acctbal > 7000 AND c_acctbal <= 10000 THEN 'High'
                 ELSE NULL END AS balance_label,
-           round(c_acctbal / 365 * 10) / 10 AS balance_rate
+           CAST(round(c_acctbal / 365 * 10) AS BIGINT) AS balance_rate_x10
     FROM customer
     """,
 )
@@ -100,6 +100,12 @@ def customer_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference customer transform's binning + scaled ratio
     (pd.cut left-open/right-closed semantics + round; reference
     etl_pipeline.py:204-207) on customer.c_acctbal.
+
+    The rate is emitted as an integer of tenths (``balance_rate_x10``):
+    dividing the rounded value back by 10 yields ``-0.0`` in engines that
+    round with sign-preserving ``std::round`` (DuckDB) but ``0.0`` in
+    Spark's BigDecimal HALF_UP — an integer column sidesteps the
+    negative-zero mismatch entirely.
     """
     cust = load_table(spark, sf_dir, "customer")
     return cust.select(
@@ -108,7 +114,7 @@ def customer_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         cut(F.col("c_acctbal"), [0.0, 3000.0, 7000.0, 10000.0], ["Low", "Medium", "High"]).alias(
             "balance_label"
         ),
-        (F.round(F.col("c_acctbal") / 365 * 10) / 10).alias("balance_rate"),
+        F.round(F.col("c_acctbal") / 365 * 10).cast("long").alias("balance_rate_x10"),
     )
 
 

@@ -16,7 +16,7 @@ from etl_pipeline_orchestration_spark.sources.tables import load_table
     "sessionize_events",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -26,7 +26,7 @@ from etl_pipeline_orchestration_spark.sources.tables import load_table
     sessions AS (
       SELECT user_id, ts,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       FROM gaps
     )
@@ -50,7 +50,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wsum = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sessions = marked.withColumn(
@@ -134,7 +134,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_events",
     oracle="""
     WITH gaps AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -144,7 +144,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions AS (
       SELECT user_id, ts, value,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       FROM gaps
     )

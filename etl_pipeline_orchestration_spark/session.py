@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The test corpus's events.ts is parquet TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; reading nanos as raw int64 is a session-
+        # wide reader policy (sources/tables.py converts back to timestamp).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

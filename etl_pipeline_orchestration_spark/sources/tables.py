@@ -43,7 +43,13 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects. Read it as raw nanos (legacy conf) and integer-divide
     to microseconds — `DIV 1000` keeps full int64 precision (a double
-    division would lose precision above 2^53)."""
+    division would lose precision above 2^53).
+
+    The conf is set in ``get_spark`` for sessions we build; it is re-set
+    here (idempotently) because the correctness driver constructs its own
+    session. It must stay true for the life of any plan reading events —
+    the read happens at action time, so set/restore would break laziness.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.withColumn(

@@ -36,8 +36,13 @@ def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 and format to full precision
-        return repr(v + 0.0)
+        # Full precision, sign-of-zero preserving: the driver's hash
+        # distinguishes -0.0 from 0.0 (round-1 lesson — customer_churn_labels
+        # failed there while a +0.0-collapsing mirror passed), so the mirror
+        # must be at least as strict.
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
+        return repr(v)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
