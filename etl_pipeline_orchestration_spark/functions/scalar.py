@@ -27,9 +27,21 @@ from pyspark.sql import functions as F
 
 
 def safe_divide(num: Column, den: Column, scale: int | None = 2) -> Column:
-    """num / den with NULL (not inf/error) when den = 0, rounded."""
+    """num / den with NULL (not inf/error) when den = 0, rounded to
+    ``scale`` decimals.
+
+    Rounding is scale-then-round-to-integer (``round(x*10^s)/10^s``), not
+    ``F.round(x, s)``: division results sit exactly on half-boundaries
+    where Spark's BigDecimal HALF_UP over the double's shortest decimal
+    repr and other engines' scaled ``std::round`` disagree; rounding at
+    integer boundaries is engine-agnostic (halves are exactly
+    representable doubles, both round away from zero).
+    """
     out = num / F.when(den == 0, F.lit(None)).otherwise(den)
-    return F.round(out, scale) if scale is not None else out
+    if scale is None:
+        return out
+    factor = F.lit(float(10**scale))
+    return F.round(out * factor) / factor
 
 
 def month_bucket(ts: Column) -> Column:
@@ -52,8 +64,10 @@ def cut(col: Column, bins: Sequence[float], labels: Sequence[str]) -> Column:
 
 
 def coerce_numeric(col: Column, fill: float = 0.0) -> Column:
-    """Cast to double; unparseable → NULL → ``fill`` (requires ANSI off)."""
-    return F.coalesce(col.cast("double"), F.lit(fill))
+    """Cast to double; unparseable → NULL → ``fill``. ``try_cast`` keeps
+    coerce-to-null semantics even under an ANSI-enabled session (the
+    correctness driver runs a vanilla Spark 4 session with ANSI on)."""
+    return F.coalesce(col.try_cast("double"), F.lit(fill))
 
 
 def with_global_quantile_flag(
@@ -61,18 +75,32 @@ def with_global_quantile_flag(
     value_col: str,
     flag_col: str,
     q: float = 0.9,
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Add ``flag_col`` = value > exact q-quantile of the whole table.
+    """Add ``flag_col`` = value > q-quantile of the whole table.
 
-    Two-phase at scale: a 1-row exact-percentile aggregate, broadcast back
-    over the table (one scan for the agg, one for the compare — Spark can't
-    do a scalar-agg-vs-every-row compare in a single pass). ``percentile``
-    (exact, linear interpolation) matches pandas ``Series.quantile``;
-    ``percentile_approx`` does NOT and would fail the oracle.
+    Two-phase: a 1-row percentile aggregate, broadcast back over the table
+    (one scan for the agg, one for the compare — Spark can't do a
+    scalar-agg-vs-every-row compare in a single pass).
+
+    ``exact=True`` uses SQL ``percentile`` (exact, linear interpolation —
+    matches pandas ``Series.quantile`` and the DuckDB oracle's
+    ``percentile_cont``) but buffers EVERY value of ``value_col`` in a
+    single aggregation buffer: executor-OOM territory at 100 TB. It is the
+    oracle-parity path only.
+
+    ``exact=False`` is the scale path: ``approx_percentile`` with a
+    Greenwald-Khanna sketch (bounded memory ≈ O(accuracy), mergeable
+    partials). ``accuracy=10_000`` bounds rank error at 1/10000 of the
+    rows — at most a sliver of rows near the threshold flip their flag
+    relative to exact.
     """
-    thresh = df.select(
-        F.expr(f"percentile({value_col}, {q})").alias("__q_thresh__")
-    )
+    if exact:
+        pct = F.expr(f"percentile({value_col}, {q})")
+    else:
+        pct = F.expr(f"approx_percentile({value_col}, {q}, {accuracy})")
+    thresh = df.select(pct.alias("__q_thresh__"))
     return (
         df.crossJoin(F.broadcast(thresh))
         .withColumn(flag_col, F.col(value_col) > F.col("__q_thresh__"))

@@ -34,7 +34,10 @@ def transform_sales(df: DataFrame) -> DataFrame:
         .withColumn(
             "revenue_per_unit", safe_divide(F.col("revenue"), F.col("units"), 2)
         )
-        .withColumn("date", F.to_timestamp(F.col("date")))
+        # try_to_timestamp = coerce-to-null date parse (reference
+        # etl_pipeline.py:196 pd.to_datetime(errors="coerce")) that holds
+        # even under an ANSI-enabled session.
+        .withColumn("date", F.try_to_timestamp(F.col("date")))
         .withColumn("month", month_bucket(F.col("date")))
     )
     return with_global_quantile_flag(out, "revenue", "high_value", q=0.9)
@@ -52,7 +55,9 @@ def transform_customers(df: DataFrame) -> DataFrame:
             "churn_label",
             cut(F.col("churn_risk"), [0.0, 0.3, 0.6, 1.0], ["Low", "Medium", "High"]),
         )
-        .withColumn("tenure_yrs", F.round(F.col("tenure_days") / 365, 1))
+        # round(x*10)/10, not F.round(x, 1): engine-agnostic at half
+        # boundaries (see functions/scalar.py safe_divide).
+        .withColumn("tenure_yrs", F.round(F.col("tenure_days") / 365 * 10) / 10)
     )
 
 
@@ -60,7 +65,7 @@ def transform_finance(df: DataFrame) -> DataFrame:
     """Parity: reference etl_pipeline.py:210-215."""
     return (
         df.withColumn("net_flow", F.col("credit") - F.col("debit"))
-        .withColumn("txn_date", F.to_timestamp(F.col("txn_date")))
+        .withColumn("txn_date", F.try_to_timestamp(F.col("txn_date")))
         .withColumn("is_deficit", F.col("net_flow") < 0)
     )
 
