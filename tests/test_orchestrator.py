@@ -1,0 +1,115 @@
+"""End-to-end orchestration tests: full six-source run, health-table
+arithmetic, append semantics, and per-source failure isolation
+(reference etl_pipeline.py:248-351)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_orchestration_spark.metrics import PipelineStatus
+from etl_pipeline_orchestration_spark.orchestrator import (
+    ETLOrchestrator,
+    SourceSpec,
+    default_sources,
+)
+from etl_pipeline_orchestration_spark.sources import landing
+
+EXPECTED_COUNTS = {
+    "fact_sales": 1000,
+    "dim_customers": 800,
+    "fact_finance": 600,
+    "dim_inventory": 400,
+    "dim_employees": 300,
+    "fact_web_events": 2000,
+}
+
+
+@pytest.fixture(scope="module")
+def landing_paths(tmp_path_factory):
+    return landing.ensure_landing(str(tmp_path_factory.mktemp("landing")))
+
+
+def test_full_run_e2e(spark, landing_paths, tmp_path):
+    orch = ETLOrchestrator(
+        spark, default_sources(landing_paths), str(tmp_path / "wh"), quiet=True
+    )
+    run = orch.run_pipeline()
+
+    assert run.status == PipelineStatus.SUCCESS.value
+    assert run.uptime_pct == 100.0
+    assert len(run.metrics) == 6
+    for m in run.metrics:
+        assert m.status == PipelineStatus.SUCCESS.value
+        assert m.records_in - m.records_out == m.records_dropped
+        assert m.records_out > 0
+        assert m.duration_seconds > 0
+
+    # warehouse tables landed with the generated row counts (no dirty rows
+    # in the deterministic corpus, so clean drops nothing)
+    for table, n in EXPECTED_COUNTS.items():
+        assert orch.loader.table_count(table) == n
+    assert run.total_records == sum(EXPECTED_COUNTS.values())
+
+    # health sink: one row per source, arithmetic consistent
+    health = orch.loader.read("pipeline_health").collect()
+    assert len(health) == 6
+    by_name = {r["source_name"]: r for r in health}
+    assert by_name["Sales CSV"]["records_in"] == 1000
+    assert all(r["status"] == "SUCCESS" for r in health)
+    assert all(r["run_id"] == run.run_id for r in health)
+
+
+def test_health_append_across_runs(spark, landing_paths, tmp_path):
+    orch = ETLOrchestrator(
+        spark, default_sources(landing_paths), str(tmp_path / "wh"), quiet=True
+    )
+    r1 = orch.run_pipeline()
+    r2 = orch.run_pipeline()
+    health = orch.loader.read("pipeline_health").collect()
+    assert len(health) == 12  # append, not replace (reference :317-333)
+    assert {r["run_id"] for r in health} == {r1.run_id, r2.run_id}
+    # warehouse tables use replace mode -> second run does not double rows
+    assert orch.loader.table_count("fact_sales") == 1000
+
+
+def test_failure_isolation(spark, landing_paths, tmp_path):
+    """A poisoned source records FAILED with its error, the run continues,
+    and uptime reflects the partial success (reference :286-292, :81-85)."""
+
+    def _boom(_spark):
+        raise RuntimeError("source exploded")
+
+    sources = default_sources(landing_paths)
+    sources[2] = SourceSpec(
+        "Finance DB", "sql_database", _boom, "fact_finance", "SQL_FINANCE"
+    )
+    orch = ETLOrchestrator(spark, sources, str(tmp_path / "wh"), quiet=True)
+    run = orch.run_pipeline()
+
+    assert run.status == PipelineStatus.FAILED.value
+    statuses = {m.source_name: m.status for m in run.metrics}
+    assert statuses["Finance DB"] == PipelineStatus.FAILED.value
+    assert sum(1 for s in statuses.values() if s == "SUCCESS") == 5
+    assert run.uptime_pct == 83.3  # round(5/6*100, 1)
+
+    failed = next(m for m in run.metrics if m.status == "FAILED")
+    assert "source exploded" in failed.error_message
+    assert failed.records_in == 0
+
+    health = orch.loader.read("pipeline_health").collect()
+    assert sum(1 for r in health if r["status"] == "FAILED") == 1
+
+
+def test_sequential_mode_matches_parallel(spark, landing_paths, tmp_path):
+    orch = ETLOrchestrator(
+        spark,
+        default_sources(landing_paths),
+        str(tmp_path / "wh"),
+        parallel=False,
+        quiet=True,
+    )
+    run = orch.run_pipeline()
+    assert run.uptime_pct == 100.0
+    assert [m.source_name for m in run.metrics] == [
+        s.display_name for s in default_sources(landing_paths)
+    ]

@@ -1,0 +1,66 @@
+"""Reader tests: native-format round-trips and dirty-input degradation."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_orchestration_spark.operators.cleaning import clean_common
+from etl_pipeline_orchestration_spark.sources import landing, readers
+
+
+@pytest.fixture(scope="module")
+def landing_paths(tmp_path_factory):
+    return landing.ensure_landing(str(tmp_path_factory.mktemp("landing_rd")))
+
+
+def test_all_readers_roundtrip(spark, landing_paths):
+    checks = [
+        (readers.read_sales_csv, "sales_csv", 1000, "sale_id"),
+        (readers.read_customers_json, "customers_json", 800, "customer_id"),
+        (readers.read_inventory_excel, "inventory_excel", 400, "sku"),
+        (readers.read_hr_flat_file, "hr_flat", 300, "emp_id"),
+        (readers.read_web_logs, "web_logs", 2000, "event_id"),
+    ]
+    for fn, key, n, idcol in checks:
+        df = fn(spark, landing_paths[key])
+        assert df.count() == n, key
+        assert df.filter(f"{idcol} IS NULL").count() == 0, key
+
+
+def test_sqlite_reader(spark, landing_paths):
+    df = readers.read_finance_sqlite(spark, landing_paths["finance_db"])
+    assert df.count() == 600
+    assert dict(df.dtypes)["debit"] == "double"
+
+
+def test_hr_boolean_parses(spark, landing_paths):
+    df = readers.read_hr_flat_file(spark, landing_paths["hr_flat"])
+    vals = {r["active"] for r in df.select("active").distinct().collect()}
+    assert vals == {True, False}  # pandas writes True/False; parser must cope
+
+
+def test_weblog_garbage_lines_null_then_cleaned(spark, tmp_path):
+    p = tmp_path / "bad.log"
+    p.write_text(
+        'EVT1 U1 [2026-01-01 10:00:00] "click" SES1 mobile\n'
+        "this line is garbage\n"
+        'EVT2 U2 [2026-01-01 10:01:00] "login" SES2 desktop\n'
+    )
+    raw = readers.read_web_logs(spark, str(p))
+    assert raw.count() == 3  # garbage parses to all-NULL fields
+    cleaned = clean_common(raw, null_exempt=())
+    assert sorted(r["event_id"] for r in cleaned.collect()) == ["EVT1", "EVT2"]
+
+
+def test_sales_csv_bad_numeric_degrades_to_null(spark, tmp_path):
+    p = tmp_path / "sales_bad.csv"
+    p.write_text(
+        "sale_id,date,region,product,revenue,units,source\n"
+        "S1,2026-01-01,North,A,100.5,3,CSV_SALES\n"
+        "S2,2026-01-02,South,B,not_a_number,xyz,CSV_SALES\n"
+    )
+    df = readers.read_sales_csv(spark, str(p))
+    rows = {r["sale_id"]: r for r in df.collect()}
+    assert rows["S1"]["revenue"] == 100.5
+    assert rows["S2"]["revenue"] is None  # PERMISSIVE coerce-to-null
+    assert rows["S2"]["units"] is None

@@ -1,0 +1,91 @@
+"""Unit tests for the scalar helpers, pinning the reference's pandas
+semantics (SURVEY.md §4 "semantic traps")."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_orchestration_spark.functions.scalar import (
+    coerce_numeric,
+    cut,
+    month_bucket,
+    safe_divide,
+    with_global_quantile_flag,
+)
+
+
+def _col_vals(spark, rows, schema, expr):
+    df = spark.createDataFrame(rows, schema)
+    return [r[0] for r in df.select(expr.alias("v")).collect()]
+
+
+def test_cut_pd_semantics(spark):
+    """pd.cut: left-open/right-closed intervals; exactly the first edge,
+    out-of-range, and NULL all map to NULL (reference etl_pipeline.py:204-206)."""
+    vals = [0.0, 0.15, 0.3, 0.45, 0.6, 0.9, 1.0, 1.1, -0.2, None]
+    rows = [(v,) for v in vals]
+    out = _col_vals(
+        spark, rows, "x double",
+        cut(F.col("x"), [0.0, 0.3, 0.6, 1.0], ["Low", "Medium", "High"]),
+    )
+    assert out == [None, "Low", "Low", "Medium", "Medium", "High", "High", None, None, None]
+
+
+def test_safe_divide_null_on_zero(spark):
+    rows = [(10.0, 4.0), (1.0, 0.0), (None, 2.0), (7.0, 3.0)]
+    out = _col_vals(
+        spark, rows, "a double, b double", safe_divide(F.col("a"), F.col("b"), 2)
+    )
+    assert out[0] == 2.5
+    assert out[1] is None  # division by zero -> NULL, not inf/error
+    assert out[2] is None
+    assert out[3] == 2.33  # round(7/3, 2dp)
+
+
+def test_coerce_numeric_bad_input(spark):
+    """pd.to_numeric(errors='coerce').fillna(0) parity — and it must hold
+    under ANSI sessions (try_cast), since the driver runs ANSI on."""
+    rows = [("1.5",), ("abc",), (None,), ("2",)]
+    out = _col_vals(spark, rows, "s string", coerce_numeric(F.col("s")))
+    assert out == [1.5, 0.0, 0.0, 2.0]
+
+
+def test_month_bucket_and_date_coerce(spark):
+    """month_bucket yields NULL for unparseable dates — deliberately
+    diverging from pandas .to_period('M').astype(str) which yields the
+    string 'NaT' (documented divergence: NULL is the sane engine value)."""
+    rows = [("2026-03-15",), ("garbage",), (None,)]
+    out = _col_vals(
+        spark, rows, "d string", month_bucket(F.try_to_timestamp(F.col("d")))
+    )
+    assert out == ["2026-03", None, None]
+
+
+def test_quantile_flag_exact_matches_manual(spark):
+    import numpy as np
+
+    vals = sorted(float(v) for v in np.random.RandomState(7).uniform(0, 100, 200))
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    flagged = with_global_quantile_flag(df, "x", "hi", q=0.9)
+    n_hi = flagged.filter("hi").count()
+    thresh = float(np.quantile(np.array(vals), 0.9))  # linear interpolation
+    expected = sum(1 for v in vals if v > thresh)
+    assert n_hi == expected
+
+
+def test_quantile_flag_approx_close_to_exact(spark):
+    """The scale path (approx_percentile sketch) must agree with exact on
+    all but a vanishing fraction of rows."""
+    import numpy as np
+
+    vals = [float(v) for v in np.random.RandomState(11).uniform(0, 1000, 5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    n_exact = with_global_quantile_flag(df, "x", "hi", q=0.9).filter("hi").count()
+    n_approx = (
+        with_global_quantile_flag(df, "x", "hi", q=0.9, exact=False)
+        .filter("hi")
+        .count()
+    )
+    assert math.isclose(n_exact, n_approx, rel_tol=0.01, abs_tol=5)
