@@ -1,0 +1,85 @@
+"""Headline benchmark: wall-clock per query at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is forced to full execution with the noop data-source write
+(runs the complete physical plan, materializes nothing on the driver),
+so timings measure scan + shuffle + compute, not collect serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative of every operator family: reference pipeline chain,
+# TPC-H-style agg, star join, window, as-of join, sessionization,
+# event-time windows, exact + LSH dedup, text analysis, similarity.
+HEADLINE = [
+    "sales_pipeline_monthly",
+    "tpch_q1_pricing_summary",
+    "join_revenue_by_region",
+    "window_top3_orders_per_customer",
+    "window_running_revenue",
+    "asof_join_events_orders",
+    "sessionize_events",
+    "tumbling_window_events",
+    "dedup_exact_hash",
+    "dedup_minhash_verified",
+    "token_stats",
+    "text_quality_scores",
+    "embedding_topk_bruteforce",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    from etl_pipeline_orchestration_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("bench")
+    qs = entrymod.queries()
+
+    # Warm the JVM/session so query 1 doesn't pay startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float | None] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            timings[name] = None
+            continue
+        try:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = None
+
+    ok = {k: v for k, v in timings.items() if v is not None}
+    out = {
+        "metric": "headline_queries_wallclock",
+        "value": round(sum(ok.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_failed": len(timings) - len(ok),
+    }
+    print(json.dumps(out))
+    return 0 if not out["n_failed"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
