@@ -373,6 +373,164 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "left_outer_join_customer_order_stats",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_spent
+    FROM customer c
+    LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def left_outer_join_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count 0, sum NULL)
+    — SURVEY §2.6 outer-join row. Shuffle join on the key; AQE may flip
+    to broadcast when the build side is small at runtime."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "right_outer_join_part_usage",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_uses
+    FROM lineitem l
+    RIGHT OUTER JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_brand
+    """,
+)
+def right_outer_join_part_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every part retained, zero-use parts included."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "right_outer")
+        .groupBy("p_partkey", "p_brand")
+        .agg(F.count("l_orderkey").alias("n_uses"))
+    )
+
+
+@query(
+    "full_outer_join_monthly_activity",
+    oracle="""
+    WITH om AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    sm AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             CAST(count(*) AS BIGINT) AS n_ships
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(om.month, sm.month) AS month, om.n_orders, sm.n_ships
+    FROM om FULL OUTER JOIN sm ON om.month = sm.month
+    """,
+)
+def full_outer_join_monthly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two monthly aggregates (ship months extend past
+    order months, so both null sides occur). Aggregate-then-join: the
+    join input is tiny regardless of fact size."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    om = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    sm = li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_ships")
+    )
+    return om.join(sm, om.month == sm.month, "full_outer").select(
+        F.coalesce(om.month, sm.month).alias("month"), "n_orders", "n_ships"
+    )
+
+
+@query(
+    "except_all_multi_order_customers",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT ALL
+    SELECT DISTINCT o_custkey FROM orders
+    """,
+)
+def except_all_multi_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll (multiset difference — SURVEY §2.8): all-orders minus
+    one-per-customer leaves one row per order beyond a customer's first,
+    duplicates preserved."""
+    orders = load_table(spark, sf_dir, "orders")
+    all_keys = orders.select("o_custkey")
+    return all_keys.exceptAll(all_keys.distinct())
+
+
+@query(
+    "math_functions_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - l_quantity * 1000) AS abs_diff,
+           sqrt(l_extendedprice) AS price_sqrt,
+           round(ln(l_extendedprice) * 10000) / 10000 AS price_ln,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
+           CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+           CAST(sign(l_extendedprice - 30000.0) AS BIGINT) AS above_30k,
+           CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+    FROM lineitem
+    """,
+)
+def math_functions_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function surface (SURVEY §2.9): abs/floor/ceil/sign/pmod are
+    exact; sqrt is IEEE-correctly-rounded in both engines; ln is libm
+    (last-ulp may differ between engines) so it alone is rounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000).alias("abs_diff"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.round(F.log("l_extendedprice") * 10000) / 10000).alias("price_ln"),
+        F.floor(F.col("l_discount") * 100).alias("disc_pct_floor"),
+        F.ceil(F.col("l_tax") * 100).alias("tax_pct_ceil"),
+        F.signum(F.col("l_extendedprice") - 30000.0).cast("long").alias("above_30k"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@query(
+    "map_functions_events",
+    oracle="""
+    SELECT event_id,
+           CAST(len(json_keys(props)) AS INT) AS n_prop_keys,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys_csv,
+           event_type AS type_from_map
+    FROM events
+    """,
+)
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface (SURVEY §2.9): parse props into a real
+    MapType, then map_keys/map_values/element_at/size; plus a constructed
+    create_map probed with element_at."""
+    ev = load_table(spark, sf_dir, "events")
+    props_map = F.from_json("props", "map<string,bigint>")
+    built = F.create_map(F.lit("type"), F.col("event_type"))
+    return ev.select(
+        "event_id",
+        F.size(props_map).alias("n_prop_keys"),
+        F.element_at(props_map, "k").alias("k_value"),
+        F.concat_ws(",", F.array_sort(F.map_keys(props_map))).alias("prop_keys_csv"),
+        F.element_at(built, "type").alias("type_from_map"),
+    )
+
+
+@query(
     "pivot_qty_by_status",
     oracle="""
     SELECT l_returnflag,
