@@ -19,7 +19,7 @@ cluster sizes), so every operator here is reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -108,12 +108,21 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    max_bucket: int = 1_000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH.
 
     rows = num_hashes // bands per band; a pair collides if any band's
     sub-signature matches exactly. Returns (id_a, id_b, n_bands_matched),
     id_a < id_b.
+
+    Mega-bucket guard: a band hash shared by k docs yields k² intra-bucket
+    pairs — shared boilerplate (license headers, templated pages) can put
+    10^5 docs in one bucket at corpus scale, i.e. 10^10 pairs from a
+    single key. Buckets over ``max_bucket`` are dropped before the
+    self-join (the window count shuffles on the same key the join needs,
+    so the guard adds no extra shuffle stage). Dense exact-duplicate
+    clusters belong to ``exact_dedup``, which should run first.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -136,6 +145,12 @@ def minhash_lsh_candidates(
         F.col(id_col),
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_hash").alias("band_hash"),
+    )
+    wb = W.partitionBy("band_id", "band_hash")
+    banded = (
+        banded.withColumn("__bn__", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bn__") <= max_bucket)
+        .drop("__bn__")
     )
     left = banded.alias("a")
     right = banded.alias("b")

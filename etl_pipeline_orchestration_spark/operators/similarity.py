@@ -6,17 +6,25 @@
   width match the DuckDB oracle); top-k is ``orderBy().limit(k)`` →
   TakeOrderedAndProject (per-partition heaps, driver merge — no global
   sort even at 10^9 vectors).
-* Random-hyperplane LSH — the scale path: h sign-bits from fixed
-  pseudo-random hyperplanes bucket the vectors; candidate search touches
-  only the probe's bucket (and optionally neighboring buckets by Hamming
-  distance). Hyperplanes are derived deterministically from xxhash64 so
-  the index is reproducible without storing planes.
+* Random-hyperplane LSH — the scale path. Sign-bucket assignment is dense
+  linear algebra (vectors × plane matrix), so it runs as an Arrow-batched
+  ``pandas_udf``: one BLAS matmul per batch instead of thousands of
+  Catalyst expression nodes per row (a 96-plane expression tree was ~100×
+  slower to plan AND execute than the matmul). Planes are generated from
+  a fixed seed, so the index is reproducible everywhere without storing
+  planes. Everything after bucket assignment (guard, self-join, verify)
+  stays JVM-side.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _as_double(arr: F.Column) -> F.Column:
@@ -58,39 +66,63 @@ def brute_force_topk(
     )
 
 
+# ---------------------------------------------------------------- LSH --
+
+
+def plane_matrix(dim: int, n_planes: int, seed: int = 0) -> np.ndarray:
+    """Deterministic (dim × n_planes) hyperplane matrix in [-1, 1)."""
+    return np.random.RandomState(seed).uniform(-1.0, 1.0, size=(dim, n_planes))
+
+
+def _pack_buckets(bits: np.ndarray, num_bands: int, planes_per_band: int) -> np.ndarray:
+    """(n, bands*planes) sign bits → (n, bands) integer bucket ids."""
+    weights = (1 << np.arange(planes_per_band)).astype(np.int64)
+    banded = bits.reshape(bits.shape[0], num_bands, planes_per_band)
+    return (banded * weights).sum(axis=2)
+
+
+def band_buckets_udf(num_bands: int, planes_per_band: int, dim: int, seed: int = 0):
+    """Vectorized bucket assignment: pandas_udf returning one bucket id
+    per band (``array<long>``). One (batch × dim) · (dim × planes) matmul
+    per Arrow batch — the whole index fits in a closure (dim·planes
+    doubles), broadcast to executors with the serialized udf."""
+    planes = plane_matrix(dim, num_bands * planes_per_band, seed)
+
+    @pandas_udf("array<long>")
+    def _buckets(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())[:, :dim].astype(np.float64)
+        bits = (mat @ planes) >= 0
+        vals = _pack_buckets(bits, num_bands, planes_per_band)
+        return pd.Series(list(vals))
+
+    return _buckets
+
+
+def query_buckets(
+    query_vec: list[float], num_bands: int, planes_per_band: int, seed: int = 0
+) -> list[int]:
+    """Driver-side bucket ids of a single probe vector (same planes)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    planes = plane_matrix(len(q), num_bands * planes_per_band, seed)
+    bits = (q @ planes >= 0).reshape(1, -1)
+    return [int(v) for v in _pack_buckets(bits, num_bands, planes_per_band)[0]]
+
+
 def hyperplane_lsh_buckets(
     vectors: DataFrame,
     num_planes: int = 16,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 0,
 ) -> DataFrame:
-    """Assign each vector a ``num_planes``-bit sign bucket.
-
-    Plane p's component j is a deterministic pseudo-random value in
-    [-1, 1): (xxhash64("plane", p, j) % 2^20) / 2^19 - 1. All JVM-side.
-    """
-    v = _as_double(F.col(vec_col))
-    bucket = None
-    for p in range(num_planes):
-        plane = F.array(
-            *[
-                (
-                    F.pmod(F.xxhash64(F.lit("plane"), F.lit(p), F.lit(j)), F.lit(2**20)).cast(
-                        "double"
-                    )
-                    / F.lit(float(2**19))
-                    - 1.0
-                )
-                for j in range(dim)
-            ]
-        )
-        bit = F.when(dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, p)
-        bucket = term if bucket is None else bucket.bitwiseOR(term)
-    return vectors.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    """Assign each vector a ``num_planes``-bit sign bucket (one family)."""
+    udf = band_buckets_udf(1, num_planes, dim, seed)
+    return vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        udf(F.col(vec_col))[0].alias("bucket"),
+    )
 
 
 def lsh_topk(
@@ -101,36 +133,18 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: exact cosine restricted to the query's LSH
-    bucket plus buckets at Hamming distance 1 (multi-probe)."""
-    bucketed = hyperplane_lsh_buckets(vectors, num_planes, dim, id_col, vec_col)
+    """Approximate top-k: exact cosine restricted to the probe's LSH
+    bucket plus buckets at Hamming distance 1 (multi-probe). The probe's
+    buckets are computed driver-side in numpy (1 row — no Spark job)."""
+    bucketed = hyperplane_lsh_buckets(vectors, num_planes, dim, id_col, vec_col, seed)
+    center = query_buckets(query_vec, 1, num_planes, seed)[0]
+    probes = [center] + [center ^ (1 << p) for p in range(num_planes)]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    qrow = bucketed.sparkSession.range(1).select(
-        F.lit(0).alias("__one__")
-    )
-    # Compute the query bucket with the same plane family (1-row plan).
-    qbucketed = hyperplane_lsh_buckets(
-        qrow.select(F.lit(0).alias(id_col), q.alias(vec_col)),
-        num_planes,
-        dim,
-        id_col,
-        vec_col,
-    )
-    probes = qbucketed.select(
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                    for p in range(num_planes)
-                ],
-            )
-        ).alias("bucket")
-    ).distinct()
     sim = cosine(F.col(vec_col), q)
     return (
-        bucketed.join(F.broadcast(probes), "bucket")
+        bucketed.filter(F.col("bucket").isin(probes))
         .select(F.col(id_col), sim.alias("__sim__"))
         .orderBy(F.col("__sim__").desc(), F.col(id_col))
         .limit(k)
@@ -138,32 +152,70 @@ def lsh_topk(
     )
 
 
+def recommended_planes(n_vectors: int, target_bucket_size: int = 64) -> int:
+    """Planes-per-band for an expected bucket occupancy: 2^planes buckets
+    should exceed n / target_bucket_size, i.e. planes ≈ log2(n/target).
+    At 10^9 vectors this gives ~24 planes (not a fixed 12) — bucket
+    population stays bounded as n grows, the round-1 scale flaw."""
+    if n_vectors <= target_bucket_size:
+        return 4
+    return max(4, math.ceil(math.log2(n_vectors / target_bucket_size)))
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,
-    num_planes: int = 12,
+    num_bands: int = 8,
+    planes_per_band: int = 12,
     dim: int = 64,
+    max_bucket: int = 1_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 0,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing: exact
-    cosine only within buckets (self-join on bucket — candidates shrink
-    exponentially with num_planes)."""
-    bucketed = hyperplane_lsh_buckets(vectors, num_planes, dim, id_col, vec_col)
-    a = bucketed.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+
+    Recall math: a pair at cosine θ-angle collides in one band with
+    p = (1 - θ/π)^planes_per_band; across bands 1-(1-p)^num_bands. The
+    defaults give ~0.93 recall at cosine 0.95 and ~1.0 at 0.99, while a
+    single 12-plane family (round-1 design) gave only ~0.28.
+
+    Scale shape:
+    * ONE scan + one Arrow-batched matmul computes all band buckets;
+    * the self-join shuffles on (band_id, bucket) — uniformly distributed
+      keys; ``planes_per_band`` should scale with log2(n) (see
+      ``recommended_planes``) so per-bucket population stays bounded;
+    * mega-bucket guard: buckets holding > ``max_bucket`` vectors are
+      dropped before the join (a bucket of k yields k² candidate pairs —
+      one degenerate bucket at 10^5 would emit 10^10 pairs). Vectors that
+      cluster that densely are exact-dup territory: run exact dedup
+      first; the guard makes the approximate pass robust to them.
+    """
+    udf = band_buckets_udf(num_bands, planes_per_band, dim, seed)
+    banded = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(udf(F.col(vec_col))).alias("band_id", "bucket"),
     )
-    b = bucketed.select(
-        F.col("bucket"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
+    wb = W.partitionBy("band_id", "bucket")
+    guarded = (
+        banded.withColumn("__bn__", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bn__") <= max_bucket)
+        .drop("__bn__")
     )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    a = guarded.select(
+        "band_id", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = guarded.select(
+        "band_id", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = (
+        a.join(b, ["band_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     sim = cosine(F.col("va"), F.col("vb"))
     return (
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
     )

@@ -195,8 +195,25 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_near_dup_pairs")  # approx op — rows-only check
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair mining with planted ground truth: the corpus is
+    augmented with perturbed copies of vec_id < 20 (deterministic ±0.005
+    per-component noise, cosine ≈ 0.999, new id = old + 10^9), so a
+    correct LSH+verify pass MUST return rows — the round-1 version
+    returned 0 rows on this corpus and asserted nothing."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.95)
+    noise = F.transform(
+        "embedding",
+        lambda x, i: (
+            x.cast("double")
+            + F.when(i % 2 == 0, F.lit(0.005)).otherwise(F.lit(-0.005))
+        ).cast("float"),
+    )
+    planted = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+        noise.alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return similarity.embedding_near_dup_pairs(corpus, threshold=0.95)
 
 
 @query("multimodal_decode_stats")  # binary/UDF plumbing — rows-only check

@@ -1,0 +1,73 @@
+"""LSH dedup/similarity tests: planted-pair recall and mega-bucket
+guards (the two round-1 scale flaws)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_pipeline_orchestration_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """200 random unit-ish vectors + near-copies of the first 10
+    (ids 1000+i, cosine ≈ 0.999)."""
+    rng = np.random.RandomState(42)
+    base = rng.normal(size=(200, 64)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    for i in range(10):
+        rows.append((1000 + i, [float(x + 0.01 * rng.rand()) for x in base[i]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_near_dup_planted_recall(vectors):
+    pairs = similarity.embedding_near_dup_pairs(vectors, threshold=0.95).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(i, 1000 + i) for i in range(10)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9  # banded LSH: ~1.0 expected at cosine 0.999
+    # random 64-dim pairs essentially never reach cosine 0.95
+    assert all(r["cosine_sim"] >= 0.95 for r in pairs)
+
+
+def test_near_dup_bucket_guard(spark):
+    """A degenerate cluster (many copies of one vector) must not explode
+    into k² pairs when it exceeds max_bucket."""
+    rng = np.random.RandomState(7)
+    v = [float(x) for x in rng.normal(size=64)]
+    w = [float(x) for x in rng.normal(size=64)]
+    rows = [(i, v) for i in range(50)]  # 50 identical -> mega bucket
+    rows += [(100, w), (101, [x + 0.001 for x in w])]  # one honest near-dup
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = similarity.embedding_near_dup_pairs(
+        df, threshold=0.95, max_bucket=10
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in ids  # guard must not kill normal buckets
+    assert not any(a < 50 and b < 50 for a, b in ids)  # cluster filtered
+
+
+def test_minhash_candidates_and_guard(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")
+    other = "completely different words about spark distributed query engines here"
+    rows = [(1, base), (2, near), (3, other)]
+    # boilerplate cluster: 40 identical docs
+    rows += [(100 + i, "license header boilerplate text repeated verbatim") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cands = dedup.minhash_lsh_candidates(df, max_bucket=10).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cands}
+    assert (1, 2) in pairs  # near-dup found
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)  # cluster guarded
+
+    verified = dedup.jaccard_verify(df, dedup.minhash_lsh_candidates(df, max_bucket=10))
+    vp = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (1, 2) in vp
+    assert (1, 3) not in vp
+
+
+def test_recommended_planes_scales_with_n():
+    assert similarity.recommended_planes(10**9) >= 20
+    assert similarity.recommended_planes(10**4) < similarity.recommended_planes(10**8)
