@@ -1,0 +1,103 @@
+"""UDF-surface coverage [EXT] (SURVEY.md §2.11): vectorized scalar
+``pandas_udf`` and grouped-map ``applyInPandas``, both oracle-checked.
+
+UDF discipline: built-ins first (everything else in this repo is JVM
+Column expressions); Python only where per-row/per-group logic genuinely
+wants NumPy/pandas — and then always Arrow-batched, never row-at-a-time.
+These two queries exist to pin the Arrow bridge semantics (batch shapes,
+NaN→NULL conversion, grouped-map schemas) with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from etl_pipeline_orchestration_spark.plans.registry import query
+from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+_WS = re.compile(r"\s+")
+
+
+def normalize_text_udf():
+    """Vectorized text normalization: trim, lowercase, collapse runs of
+    whitespace. One Arrow batch in, one out — no per-row Python calls
+    from the executor's perspective. Built lazily: decorating with
+    ``pandas_udf`` resolves the return type against the active session,
+    so it can't run at import time."""
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower().str.replace(_WS, " ", regex=True)
+
+    return _norm
+
+
+@query(
+    "pandas_udf_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
+           CAST(length(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                AS INT) AS norm_len
+    FROM documents
+    """,
+)
+def pandas_udf_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U1] pandas_udf scalar: the normalization the dedup pipeline would
+    run before hashing, checked value-for-value against SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text_udf()(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group z-score (sample std). Groups of one have no sample std:
+    emit None (Arrow from_pandas turns NaN into SQL NULL, matching the
+    oracle's NULL from stddev_samp of a single row)."""
+    x = pdf["o_totalprice"].to_numpy(dtype=np.float64)
+    mu = x.mean()
+    sd = x.std(ddof=1) if len(x) > 1 else np.nan
+    with np.errstate(invalid="ignore"):
+        z = (x - mu) / sd if sd and not np.isnan(sd) else np.full(len(x), np.nan)
+    return pd.DataFrame(
+        {
+            "o_custkey": pdf["o_custkey"],
+            "o_orderkey": pdf["o_orderkey"],
+            "price_z": np.round(z * 10_000) / 10_000,
+        }
+    )
+
+
+@query(
+    "apply_in_pandas_order_zscore",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round((o_totalprice - avg(o_totalprice) OVER w)
+                 / nullif(stddev_samp(o_totalprice) OVER w, 0) * 10000) / 10000
+             AS price_z
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey)
+    """,
+)
+def apply_in_pandas_order_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[U2] applyInPandas grouped-map: per-customer z-score of order
+    totals (the per-group model-scoring shape). One shuffle on the group
+    key; each group arrives as one pandas frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(
+            _zscore_group, "o_custkey long, o_orderkey long, price_z double"
+        )
+    )

@@ -1,0 +1,126 @@
+"""Structured Streaming runtime over the events stream [EXT]
+(SURVEY.md §2.10).
+
+File-source ``readStream`` → watermark → windowed aggregation →
+``foreachBatch`` sink. The window expressions are shared with the batch
+twins in ``plans/windows_streams.py`` — identical ``F.window`` /
+``F.session_window`` calls run under both engines, which is what lets
+the DuckDB oracle validate the aggregation logic while streaming runs
+validate the runtime (watermarks, state, triggers).
+
+Scale notes:
+* watermark bounds state: windows older than max(event-time) - delay are
+  finalized and evicted; without it, session/window state grows forever;
+* ``availableNow`` trigger processes a backlog as a finite series of
+  micro-batches (used by the tests); production runs drop the trigger;
+* foreachBatch receives an ordinary batch DataFrame per micro-batch, so
+  any batch sink (warehouse append, JDBC upsert) is reusable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream: new parquet files under ``path`` become
+    micro-batches. Schema is explicit — streaming sources cannot infer."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time windows per event_type; same aggregation as the
+    batch twin ``tumbling_window_events``. Late rows beyond ``watermark``
+    are dropped and their windows finalized."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_counts(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows (gap-based) per user; batch twin:
+    ``session_window_events``."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain the stream's current backlog into an in-memory table named
+    ``query_name`` (availableNow: finite micro-batch series, then stop).
+    ``complete`` mode emits every window on each trigger — right for
+    finite twin-checks; production append-mode emits only finalized
+    windows."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch_append(
+    agg: DataFrame, sink_fn, checkpoint_dir: str, output_mode: str = "update"
+) -> None:
+    """Drain the backlog through ``foreachBatch``: each micro-batch is an
+    ordinary DataFrame handed to ``sink_fn(batch_df, batch_id)`` — reuse
+    any batch writer (warehouse append, JDBC upsert). Checkpointing makes
+    the sink restartable/exactly-once per batch id."""
+    q = (
+        agg.writeStream.foreachBatch(sink_fn)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
