@@ -95,3 +95,89 @@ def decode_image_batch(
             )
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized_bytes", T.LongType(), False),
+    ]
+)
+
+
+def resize_batch(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing: mapInPandas batch transform to a fixed target
+    geometry (model-input shape). The pixel work is STUBBED (no image
+    libs in this container) — the fake emits the post-resize byte size a
+    real RGB resize would produce (w*h*3), so downstream sizing logic
+    (partition planning, batch memory budgets) is exercised for real."""
+    if not fake:
+        raise NotImplementedError("real resize requires image libraries")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": [target_w] * n,
+                    "height": [target_h] * n,
+                    "resized_bytes": [target_w * target_h * 3] * n,
+                }
+            )
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, fps_keep: int = 1, clip_secs: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per kept
+    frame. Frame *indices* are pure JVM (sequence + posexplode — no
+    Python); per-frame decode would chain ``decode_image_batch`` after.
+    Fake frame count is derived from payload size (1 'frame' per 64
+    bytes, capped at clip_secs * fps_keep)."""
+    n_frames = F.least(
+        (F.col("media_meta.n_bytes") / 64).cast("int") + 1,
+        F.lit(clip_secs * fps_keep),
+    )
+    return media.select(
+        "doc_id",
+        "media_meta",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no", "_i"),
+    ).select("doc_id", "media_meta", "frame_no")
+
+
+EMBED_DIM = 16
+
+
+def extract_embedding_batch(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Feature-extraction plumbing: binary payload → ``array<float>``
+    embedding via mapInPandas (the shape a real vision encoder would
+    have: Arrow batch in, fixed-dim vector column out, feeding the
+    similarity operators). The DETERMINISTIC FAKE hashes byte windows
+    into a 16-dim unit-normalized vector."""
+    if not fake:
+        raise NotImplementedError("real feature extraction requires a model runtime")
+
+    import numpy as np
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for p in pdf["payload"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
+                chunks = np.array_split(b, EMBED_DIM) if len(b) else []
+                v = np.array(
+                    [c.sum() % 997 for c in chunks] + [0.0] * (EMBED_DIM - len(chunks)),
+                    dtype=np.float64,
+                )[:EMBED_DIM]
+                norm = np.linalg.norm(v)
+                vecs.append([float(x) for x in (v / norm if norm else v)])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "embedding": vecs}
+            )
+
+    return media.mapInPandas(embed, schema="doc_id long, embedding array<float>")

@@ -216,7 +216,41 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(corpus, threshold=0.95)
 
 
-@query("multimodal_decode_stats")  # binary/UDF plumbing — rows-only check
+@query(
+    "multimodal_decoded_items",
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(16 + strlen(text) % 64 AS INT) AS width,
+           CAST(16 + strlen(text) % 48 AS INT) AS height,
+           round(strlen(text) % 1000 / 1000.0, 6) AS feature_norm
+    FROM documents
+    """,
+)
+def multimodal_decoded_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column round trip, value-checked per item: encode text as a
+    binary payload + metadata struct, decode via Arrow-batched
+    mapInPandas. The fake decoder is a deterministic function of the
+    payload byte length, so the oracle reproduces it in SQL — the
+    mapInPandas bridge (batch shapes, struct field access, schema) is
+    fully hash-verified even though the pixel decode is stubbed."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.encode_as_media(docs)
+    return multimodal.decode_image_batch(media, fake=True)
+
+
+@query(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT 'image/fake' AS media_type,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           round(avg(16 + strlen(text) % 64), 4) AS avg_width,
+           round(avg(16 + strlen(text) % 48), 4) AS avg_height
+    FROM documents
+    """,
+)
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: encode → mapInPandas decode (deterministic
     fake) → aggregate by media_type."""
@@ -228,4 +262,19 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.round(F.avg("width"), 4).alias("avg_width"),
         F.round(F.avg("height"), 4).alias("avg_height"),
+    )
+
+
+@query("multimodal_embed_topk")  # stubbed encoder — rows-only check
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal→similarity pipeline: binary payloads → fake vision
+    encoder (mapInPandas, unit vectors) → exact cosine top-10 against
+    doc_id 0's embedding. Exercises the media-to-ANN hand-off the
+    training-data pipeline needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.encode_as_media(docs)
+    emb = multimodal.extract_embedding_batch(media, fake=True)
+    probe = emb.filter(F.col("doc_id") == 0).select("embedding").head()[0]
+    return similarity.brute_force_topk(
+        emb, list(probe), k=10, id_col="doc_id", vec_col="embedding"
     )
