@@ -70,6 +70,63 @@ def coerce_numeric(col: Column, fill: float = 0.0) -> Column:
     return F.coalesce(col.try_cast("double"), F.lit(fill))
 
 
+def exact_quantile_distributed(
+    df: DataFrame, value_col: str, q: float, accuracy: int = 10_000
+) -> float | None:
+    """EXACT q-quantile (linear interpolation, pandas/percentile_cont
+    semantics) with bounded memory at any scale.
+
+    Spark's built-in exact ``percentile`` buffers every value in one
+    aggregation buffer — executor OOM at 100 TB. This computes the same
+    value in two bounded passes:
+
+    1. one scan: row count n + a deterministic GK-sketch bracket
+       [lo, hi] = approx_percentile at q ∓ 2/accuracy (GK rank error is
+       a hard ≤ n/accuracy bound, not probabilistic, so the true order
+       statistics at ranks ⌊r⌋, ⌈r⌉ lie inside the bracket);
+    2. one scan: exact count below lo + collect the ~4n/accuracy
+       in-bracket candidates (a few hundred values at any n), then read
+       the two order statistics off the sorted candidates and
+       interpolate on the driver.
+
+    Falls back to the buffered builtin in the (theoretically impossible,
+    defensively handled) case the bracket misses.
+    """
+    import math
+
+    eps = 2.0 / accuracy
+    qlo, qhi = max(0.0, q - eps), min(1.0, q + eps)
+    first = df.agg(
+        F.count(value_col).alias("n"),
+        F.expr(
+            f"approx_percentile({value_col}, array({qlo}, {qhi}), {accuracy})"
+        ).alias("bracket"),
+    ).head()
+    n = first["n"]
+    if not n:
+        return None
+    lo, hi = first["bracket"]
+    r = (n - 1) * q
+    k0, k1 = int(math.floor(r)), int(math.ceil(r))
+    c = F.col(value_col)
+    second = df.agg(
+        F.sum(F.when(c < lo, 1).otherwise(0)).alias("c_lo"),
+        F.sort_array(
+            F.collect_list(F.when(c.between(lo, hi), c))
+        ).alias("cands"),
+    ).head()
+    c_lo, cands = second["c_lo"] or 0, second["cands"]
+    if not (c_lo <= k0 and k1 - c_lo < len(cands)):
+        return df.agg(F.expr(f"percentile({value_col}, {q})")).head()[0]
+    x0, x1 = cands[k0 - c_lo], cands[k1 - c_lo]
+    if k0 == k1:
+        return x0
+    # Spark's Percentile aggregate interpolates in the weighted-average
+    # form, which rounds differently from the lerp form in the last ulp —
+    # replicate it exactly for bit-parity with the builtin.
+    return (k1 - r) * x0 + (r - k0) * x1
+
+
 def with_global_quantile_flag(
     df: DataFrame,
     value_col: str,
@@ -80,26 +137,21 @@ def with_global_quantile_flag(
 ) -> DataFrame:
     """Add ``flag_col`` = value > q-quantile of the whole table.
 
-    Two-phase: a 1-row percentile aggregate, broadcast back over the table
-    (one scan for the agg, one for the compare — Spark can't do a
-    scalar-agg-vs-every-row compare in a single pass).
+    ``exact=True`` (default): the distributed exact quantile above —
+    identical value to pandas ``Series.quantile`` / SQL ``percentile`` /
+    ``percentile_cont``, bounded memory at any scale. The threshold
+    enters the plan as a literal, so the compare pass is a plain
+    codegen'd filter scan.
 
-    ``exact=True`` uses SQL ``percentile`` (exact, linear interpolation —
-    matches pandas ``Series.quantile`` and the DuckDB oracle's
-    ``percentile_cont``) but buffers EVERY value of ``value_col`` in a
-    single aggregation buffer: executor-OOM territory at 100 TB. It is the
-    oracle-parity path only.
-
-    ``exact=False`` is the scale path: ``approx_percentile`` with a
-    Greenwald-Khanna sketch (bounded memory ≈ O(accuracy), mergeable
-    partials). ``accuracy=10_000`` bounds rank error at 1/10000 of the
-    rows — at most a sliver of rows near the threshold flip their flag
-    relative to exact.
+    ``exact=False``: single-pass ``approx_percentile`` threshold
+    (GK sketch, rank error ≤ n/accuracy) broadcast back over the table —
+    one fewer scan when a ±n/accuracy rank tolerance on the flag
+    boundary is acceptable.
     """
     if exact:
-        pct = F.expr(f"percentile({value_col}, {q})")
-    else:
-        pct = F.expr(f"approx_percentile({value_col}, {q}, {accuracy})")
+        thresh_val = exact_quantile_distributed(df, value_col, q, accuracy)
+        return df.withColumn(flag_col, F.col(value_col) > F.lit(thresh_val))
+    pct = F.expr(f"approx_percentile({value_col}, {q}, {accuracy})")
     thresh = df.select(pct.alias("__q_thresh__"))
     return (
         df.crossJoin(F.broadcast(thresh))

@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from etl_pipeline_orchestration_spark.operators.partitioning import (
+    ensure_min_partitions,
+)
+
 
 def normalized_text(col: str = "text") -> F.Column:
     return F.lower(F.trim(F.col(col)))
@@ -79,24 +83,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """id + array<long> of ``num_hashes`` min-hashes over word shingles.
 
-    Each hash family member is xxhash64 over (salt, shingle); the min over
-    the shingle set approximates a uniform permutation minimum.
+    Two-level construction: ONE xxhash64 pass turns each shingle *string*
+    into a base int64, then family member i re-hashes that fixed-width
+    long with a salt (``xxhash64(i, h)``). min over the shingle set
+    approximates a uniform permutation minimum. Hashing the
+    variable-length string once instead of ``num_hashes`` times removes
+    the dominant cost of the old plan; the salted re-hash works on 8-byte
+    inputs. (An affine ``a*h+b`` family would be cheaper still, but int64
+    overflow throws under ANSI sessions — the driver runs ANSI on.)
     """
     sh = _shingles(text_col, shingle_k).alias("__sh__")
+    base = F.transform(F.col("__sh__"), lambda s: F.xxhash64(s)).alias("__hs__")
 
-    # NB: single-parameter lambdas only — PySpark passes (element, index)
-    # to two-parameter lambdas, so the usual `lambda s, _i=i:` capture
-    # trick silently binds the array index instead of the loop variable.
-    def _salted_hash(salt: str):
-        return lambda s: F.xxhash64(F.lit(salt), s)
+    def _salted(i: int):
+        return lambda h: F.xxhash64(F.lit(i), h)
 
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col("__sh__"), _salted_hash(f"mh{i}")))
+            F.array_min(F.transform(F.col("__hs__"), _salted(i)))
             for i in range(num_hashes)
         ]
     )
-    return docs.select(F.col(id_col), sh).select(
+    # shingling+hashing is CPU-bound: spread small scans across cores
+    docs = ensure_min_partitions(docs)
+    return docs.select(F.col(id_col), sh).select(F.col(id_col), base).select(
         F.col(id_col), sig.alias("signature")
     )
 
@@ -178,7 +188,7 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidate pairs only (the cheap final
     filter after LSH pruning)."""
-    sh = docs.select(
+    sh = ensure_min_partitions(docs).select(
         F.col(id_col), _shingles(text_col, shingle_k).alias("sh")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -202,6 +212,7 @@ def simhash_fingerprints(
     array (no explode/shuffle): for each bit, count tokens with that bit
     set; bit is 1 iff count*2 > n_tokens.
     """
+    docs = ensure_min_partitions(docs)
     toks = F.array_distinct(_tokens(text_col))
     n = F.size(toks)
 

@@ -191,6 +191,11 @@ def embedding_near_dup_pairs(
       cluster that densely are exact-dup territory: run exact dedup
       first; the guard makes the approximate pass robust to them.
     """
+    from etl_pipeline_orchestration_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    vectors = ensure_min_partitions(vectors)
     udf = band_buckets_udf(num_bands, planes_per_band, dim, seed)
     banded = vectors.select(
         F.col(id_col),

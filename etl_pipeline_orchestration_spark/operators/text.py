@@ -110,6 +110,11 @@ def rolling_hash_fingerprint(
     """Winnowing-style document fingerprint: rolling window of ``window``
     tokens hashed with xxhash64; keep hashes ≡ 0 (mod keep_every) as the
     sketch. Deterministic, shuffle-free (per-row array expression)."""
+    from etl_pipeline_orchestration_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    docs = ensure_min_partitions(docs)
     toks = tokens(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))

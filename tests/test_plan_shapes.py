@@ -91,8 +91,10 @@ def test_range_join_broadcasts_tiny_dim(plans):
     assert "BroadcastNestedLoopJoin" in p  # 3-row dim: never shuffle the fact
 
 
-def test_global_quantile_broadcast_threshold(plans):
-    # the 1-row threshold must come back via broadcast, not a shuffled join
+def test_global_quantile_literal_threshold(plans):
+    # exact mode resolves the threshold up front (distributed exact
+    # quantile) and embeds it as a literal: the flag pass is a plain
+    # scan + single group-by shuffle, no join of any kind
     p = plans("sales_pipeline_monthly")
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
-    assert _shuffles(p) <= 2  # percentile agg + monthly group-by
+    assert "Join" not in p
+    assert _shuffles(p) == 1  # monthly group-by only

@@ -75,6 +75,20 @@ def test_quantile_flag_exact_matches_manual(spark):
     assert n_hi == expected
 
 
+def test_distributed_exact_quantile_equals_builtin(spark):
+    """The bracket-and-refine quantile must be BIT-identical to Spark's
+    buffered exact percentile (which it replaces for scale)."""
+    from etl_pipeline_orchestration_spark.functions.scalar import (
+        exact_quantile_distributed,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    for q in (0.1, 0.5, 0.9, 0.987):
+        v_dist = exact_quantile_distributed(df, "l_extendedprice", q)
+        v_builtin = df.selectExpr(f"percentile(l_extendedprice, {q})").head()[0]
+        assert v_dist == v_builtin, q
+
+
 def test_quantile_flag_approx_close_to_exact(spark):
     """The scale path (approx_percentile sketch) must agree with exact on
     all but a vanishing fraction of rows."""
