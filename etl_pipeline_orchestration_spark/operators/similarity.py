@@ -152,6 +152,104 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------- IVF --
+
+
+def ivf_train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    sample_mod: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> np.ndarray:
+    """Deterministic (k × dim) IVF centroids: hash-sample rows to the
+    driver (``sample_mod`` controls the fraction — xxhash64(id) % mod == 0,
+    so at 10^9 vectors pick mod ~ 2^14 for a ~60k sample), then run a few
+    Lloyd iterations in NumPy. Training is a driver-side O(sample · k)
+    problem; only assignment is distributed."""
+    sample = (
+        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+        .select(vec_col)
+        .collect()
+    )
+    mat = np.array([list(r[0]) for r in sample], dtype=np.float64)[:, :dim]
+    rng = np.random.RandomState(seed)
+    cents = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    for _ in range(iters):
+        # cosine assignment: normalize then argmax dot
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        nc = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = (nm @ nc.T).argmax(axis=1)
+        for j in range(len(cents)):
+            members = mat[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``cluster_id`` = nearest centroid by cosine. One Arrow-batched
+    matmul per batch against the (k × dim) centroid matrix shipped in the
+    udf closure — the IVF index build is a single narrow pass, usually
+    followed by a write partitioned/bucketed by cluster_id so queries
+    prune to their probed clusters at the file level."""
+    nc = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    dim = centroids.shape[1]
+
+    @pandas_udf("int")
+    def _nearest(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())[:, :dim].astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ nc.T).argmax(axis=1).astype("int32"))
+
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), _nearest(F.col(vec_col)).alias("cluster_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate top-k via IVF: exact cosine only inside the ``n_probe``
+    clusters nearest the query (probed centroids chosen driver-side in
+    NumPy). Scans ~n_probe/n_centroids of the data; with the index
+    written partitioned by cluster_id, partition pruning makes that a
+    file-level skip, not a filter."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            vectors, k=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    indexed = ivf_assign(vectors, centroids, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    nc = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probes = [int(i) for i in np.argsort(-(q / np.linalg.norm(q)) @ nc.T)[:n_probe]]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine(F.col(vec_col), qcol)
+    return (
+        indexed.filter(F.col("cluster_id").isin(probes))
+        .select(F.col(id_col), sim.alias("__sim__"))
+        .orderBy(F.col("__sim__").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("__sim__", 6).alias("cosine_sim"))
+    )
+
+
 def recommended_planes(n_vectors: int, target_bucket_size: int = 64) -> int:
     """Planes-per-band for an expected bucket occupancy: 2^planes buckets
     should exceed n / target_bucket_size, i.e. planes ≈ log2(n/target).

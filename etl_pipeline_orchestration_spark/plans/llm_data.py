@@ -193,6 +193,16 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, list(qvec), k=10)
 
 
+@query("embedding_topk_ivf")  # approx op — rows-only check
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: k-means centroids (driver-trained on a hash
+    sample), cluster assignment via one Arrow matmul pass, exact cosine
+    only inside the 3 probed clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_topk(emb, list(qvec), k=10, n_centroids=16, n_probe=3)
+
+
 @query("embedding_near_dup_pairs")  # approx op — rows-only check
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair mining with planted ground truth: the corpus is

@@ -68,6 +68,34 @@ def test_minhash_candidates_and_guard(spark):
     assert (1, 3) not in vp
 
 
+def test_ivf_topk_recall_vs_bruteforce(vectors):
+    """IVF with a healthy probe budget must recover most of the exact
+    top-k on clustered-ish data."""
+    probe = vectors.filter("vec_id = 0").head()["embedding"]
+    exact = {
+        r["vec_id"]
+        for r in similarity.brute_force_topk(vectors, list(probe), k=10).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            vectors, list(probe), k=10, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    assert len(exact & approx) >= 6
+    assert 0 in approx  # the probe vector itself is always found
+
+
+def test_ivf_assignment_partitions_corpus(spark, vectors):
+    cents = similarity.ivf_train_centroids(vectors, k=8)
+    assert cents.shape == (8, 64)
+    assigned = similarity.ivf_assign(vectors, cents)
+    clusters = assigned.groupBy("cluster_id").count().collect()
+    assert sum(r["count"] for r in clusters) == vectors.count()
+    assert all(0 <= r["cluster_id"] < 8 for r in clusters)
+    assert len(clusters) >= 2  # corpus actually spreads across clusters
+
+
 def test_recommended_planes_scales_with_n():
     assert similarity.recommended_planes(10**9) >= 20
     assert similarity.recommended_planes(10**4) < similarity.recommended_planes(10**8)

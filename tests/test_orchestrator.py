@@ -100,6 +100,31 @@ def test_failure_isolation(spark, landing_paths, tmp_path):
     assert sum(1 for r in health if r["status"] == "FAILED") == 1
 
 
+def test_sqlite_compat_coercion(spark, landing_paths, tmp_path):
+    """Load-time dtype-driven coercion behind the sqlite_compat flag
+    (reference etl_pipeline.py:270-274): timestamps → strings, bools →
+    ints, selected by schema dtype, all other columns untouched."""
+    orch = ETLOrchestrator(
+        spark,
+        default_sources(landing_paths),
+        str(tmp_path / "wh"),
+        sqlite_compat=True,
+        quiet=True,
+    )
+    run = orch.run_pipeline()
+    assert run.uptime_pct == 100.0
+
+    sales = dict(orch.loader.read("fact_sales").dtypes)
+    assert sales["date"] == "string"  # timestamp -> 'YYYY-MM-DD HH:MM:SS'
+    assert sales["high_value"] == "int"  # bool -> 0/1
+    assert sales["revenue"] == "double"  # untouched
+    row = orch.loader.read("fact_sales").select("date", "high_value").head()
+    assert len(row["date"]) == 19 and row["high_value"] in (0, 1)
+
+    hr = dict(orch.loader.read("dim_employees").dtypes)
+    assert hr["active"] == "int"
+
+
 def test_sequential_mode_matches_parallel(spark, landing_paths, tmp_path):
     orch = ETLOrchestrator(
         spark,
