@@ -228,3 +228,67 @@ def simhash_fingerprints(
         term = F.shiftleft(bit, b)
         fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
     return docs.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: split the 64-bit fingerprint into ``bands``
+    chunks; any pair within Hamming ``bands - 1`` (so ≤ 3 for 4 bands)
+    must match EXACTLY in at least one chunk — candidate generation is an
+    equi-self-join per band, never an all-pairs scan. Candidates are then
+    verified with ``bit_count(xor) <= max_hamming``. Same mega-bucket
+    guard as the other LSH joins.
+    """
+    if max_hamming >= bands:
+        raise ValueError("need max_hamming < bands for the pigeonhole guarantee")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    fps = simhash_fingerprints(docs, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fps.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select(
+        F.col(id_col),
+        "simhash",
+        F.col("c.band_id").alias("band_id"),
+        F.col("c.band_key").alias("band_key"),
+    )
+    wb = W.partitionBy("band_id", "band_key")
+    banded = (
+        banded.withColumn("__bn__", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bn__") <= max_bucket)
+        .drop("__bn__")
+    )
+    a = banded.select(
+        "band_id", "band_key", F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a")
+    )
+    b = banded.select(
+        "band_id", "band_key", F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b")
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -63,6 +63,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(docs)
 
 
+@query("dedup_simhash_pairs")  # hash-family op — rows-only check
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with planted ground truth: docs with
+    doc_id < 10 get a one-token-appended copy (id + 10^9) whose SimHash
+    differs in only a few bits, so the banded Hamming join must surface
+    them — non-vacuous like embedding_near_dup_pairs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    return dedup.simhash_near_dup_pairs(corpus, max_hamming=3, bands=4)
+
+
 @query(
     "token_stats",
     oracle="""
@@ -130,9 +145,44 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(docs)
 
 
-@query("lang_id_confusion")  # heuristic classifier — rows-only check
+@query(
+    "lang_id_confusion",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            t -> lower(t)) AS tk,
+             regexp_matches(text, '[一-鿿]') AS has_cjk
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang, has_cjk,
+        len(list_filter(tk, t -> list_contains(['the','and','of','to','is'], t))) AS s_en,
+        len(list_filter(tk, t -> list_contains(['el','la','de','que','los'], t))) AS s_es,
+        len(list_filter(tk, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de,
+        len(list_filter(tk, t -> list_contains(['le','la','les','des','est'], t))) AS s_fr
+      FROM toks
+    ),
+    pred AS (
+      SELECT lang,
+        CASE WHEN has_cjk THEN 'zh'
+             WHEN greatest(s_en, s_es, s_de, s_fr) > 0 THEN
+               -- argmax with Spark array_max tie-break: larger lang string wins
+               CASE WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                    WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                    ELSE 'de' END
+             ELSE 'en' END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic scored against the labeled lang column."""
+    """Language-ID heuristic scored against the labeled lang column. The
+    oracle replicates the marker-count argmax including array_max's
+    struct tie-break (equal scores → lexicographically larger lang)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         text.detect_language(docs)

@@ -531,6 +531,27 @@ def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_agg_order_revenue",
+    oracle="""
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS sum_totalprice
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def salted_agg_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase aggregation (operators/skew.py): salt spreads
+    each key over 16 sub-keys so no reduce task can receive a hot key's
+    full volume; the oracle proves the result equals a direct group-by."""
+    from etl_pipeline_orchestration_spark.operators.skew import salted_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = salted_sum(orders, ["o_custkey"], "o_totalprice", salt_factor=16)
+    return out.select(
+        "o_custkey", F.round("sum_o_totalprice", 2).alias("sum_totalprice")
+    )
+
+
+@query(
     "pivot_qty_by_status",
     oracle="""
     SELECT l_returnflag,

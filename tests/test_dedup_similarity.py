@@ -96,6 +96,39 @@ def test_ivf_assignment_partitions_corpus(spark, vectors):
     assert len(clusters) >= 2  # corpus actually spreads across clusters
 
 
+def test_simhash_pairs_find_planted_near_dups(spark):
+    rng_texts = [
+        f"document number {i} talks about topic {i % 7} with unique token u{i}x "
+        f"and some shared vocabulary about data pipelines and engines"
+        for i in range(60)
+    ]
+    rows = [(i, t) for i, t in enumerate(rng_texts)]
+    # planted: one-word variants of the first 5 docs
+    rows += [(1000 + i, rng_texts[i] + " tail") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_dup_pairs(df).collect()}
+    planted = {(i, 1000 + i) for i in range(5)}
+    assert len(pairs & planted) >= 4  # one-token edits stay within Hamming 3
+
+
+def test_salted_sum_equals_plain_groupby(spark):
+    from etl_pipeline_orchestration_spark.operators.skew import salted_sum
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plain = {
+        r["o_custkey"]: r["s"]
+        for r in orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("s"))
+        .collect()
+    }
+    salted = {
+        r["o_custkey"]: round(r["sum_o_totalprice"], 2)
+        for r in salted_sum(orders, ["o_custkey"], "o_totalprice", 16).collect()
+    }
+    assert plain == salted
+
+
 def test_recommended_planes_scales_with_n():
     assert similarity.recommended_planes(10**9) >= 20
     assert similarity.recommended_planes(10**4) < similarity.recommended_planes(10**8)
