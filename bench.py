@@ -23,8 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # event-time windows, exact + LSH dedup, text analysis, similarity.
 HEADLINE = [
     "sales_pipeline_monthly",
+    "pipeline_sales",
     "tpch_q1_pricing_summary",
     "join_revenue_by_region",
+    "left_outer_join_customer_order_stats",
+    "salted_agg_order_revenue",
     "window_top3_orders_per_customer",
     "window_running_revenue",
     "asof_join_events_orders",
@@ -32,9 +35,15 @@ HEADLINE = [
     "tumbling_window_events",
     "dedup_exact_hash",
     "dedup_minhash_verified",
+    "dedup_simhash_pairs",
+    "embedding_near_dup_pairs",
     "token_stats",
     "text_quality_scores",
+    "pandas_udf_normalize_text",
+    "apply_in_pandas_order_zscore",
     "embedding_topk_bruteforce",
+    "embedding_topk_ivf",
+    "multimodal_decoded_items",
 ]
 
 

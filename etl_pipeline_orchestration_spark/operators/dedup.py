@@ -19,8 +19,11 @@ cluster sizes), so every operator here is reproducible.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from etl_pipeline_orchestration_spark.operators.partitioning import (
     ensure_min_partitions,
@@ -208,26 +211,36 @@ def simhash_fingerprints(
 ) -> DataFrame:
     """64-bit SimHash: majority vote per bit over the token-hash set.
 
-    Vote counting stays inside one aggregate expression over the token
-    array (no explode/shuffle): for each bit, count tokens with that bit
-    set; bit is 1 iff count*2 > n_tokens.
+    Split execution: token hashing stays JVM-side (xxhash64 — the same
+    deterministic hash family as every other dedup operator), the 64-bit
+    majority vote runs as a vectorized pandas_udf (an expression tree
+    doing 64 filter passes over the token array was the slowest per-row
+    operator in the repo; numpy counts all 64 bit positions in one
+    broadcasted shift). Output values are identical to the pure-
+    expression formulation.
     """
     docs = ensure_min_partitions(docs)
     toks = F.array_distinct(_tokens(text_col))
-    n = F.size(toks)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
-    def _bit_set(b: int):
-        return lambda t: F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1
+    @pandas_udf("long")
+    def _vote(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(bits, dtype=np.uint64)
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if len(h) == 0:
+                out[i] = 0
+                continue
+            votes = ((h[:, None] >> shifts) & 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in range(bits):
+                if votes[b] * 2 > len(h):
+                    fp |= np.uint64(1) << np.uint64(b)
+            out[i] = fp.astype(np.int64)  # wraparound view: same bit pattern
+        return pd.Series(out)
 
-    bit_votes = [F.size(F.filter(toks, _bit_set(b))) for b in range(bits)]
-    fingerprint = None
-    for b, votes in enumerate(bit_votes):
-        bit = F.when(votes * 2 > n, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, b)
-        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
-    return docs.select(F.col(id_col), fingerprint.alias("simhash"))
+    return docs.select(F.col(id_col), _vote(hashes).alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -60,15 +60,17 @@ def pandas_udf_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-group z-score (sample std). Groups of one have no sample std:
-    emit None (Arrow from_pandas turns NaN into SQL NULL, matching the
-    oracle's NULL from stddev_samp of a single row)."""
-    x = pdf["o_totalprice"].to_numpy(dtype=np.float64)
-    mu = x.mean()
-    sd = x.std(ddof=1) if len(x) > 1 else np.nan
-    with np.errstate(invalid="ignore"):
-        z = (x - mu) / sd if sd and not np.isnan(sd) else np.full(len(x), np.nan)
+def _zscore_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Z-score per customer, computed inside a coarse bucket with
+    pandas groupby-transform (vectorized across ALL customers in the
+    bucket at once). Single-order customers have no sample std → NaN,
+    which Arrow's from_pandas turns into SQL NULL, matching the oracle's
+    NULL from stddev_samp of one row."""
+    g = pdf.groupby("o_custkey")["o_totalprice"]
+    mu = g.transform("mean")
+    sd = g.transform("std")  # ddof=1 (sample std)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = (pdf["o_totalprice"] - mu) / sd
     return pd.DataFrame(
         {
             "o_custkey": pdf["o_custkey"],
@@ -91,13 +93,22 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def apply_in_pandas_order_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[U2] applyInPandas grouped-map: per-customer z-score of order
-    totals (the per-group model-scoring shape). One shuffle on the group
-    key; each group arrives as one pandas frame."""
+    totals (the per-group model-scoring shape).
+
+    Grouped on a COARSE bucket of the key, not the key itself: a
+    grouped-map over millions of tiny groups pays per-group Python/Arrow
+    overhead that dwarfs the work (14s vs 1s at sf0.1 here). Hashing the
+    real key into 64 buckets keeps the same shuffle-by-key semantics
+    (every customer's rows land in exactly one pandas frame) while the
+    per-customer math runs as one vectorized groupby-transform per
+    bucket. This is the scale idiom for fine-grained grouped-map work.
+    """
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.select("o_custkey", "o_orderkey", "o_totalprice")
-        .groupBy("o_custkey")
+        .groupBy(F.pmod(F.xxhash64("o_custkey"), F.lit(64)).alias("__bucket__"))
         .applyInPandas(
-            _zscore_group, "o_custkey long, o_orderkey long, price_z double"
+            lambda pdf: _zscore_bucket(pdf),
+            "o_custkey long, o_orderkey long, price_z double",
         )
     )
