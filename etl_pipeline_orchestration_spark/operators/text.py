@@ -29,6 +29,17 @@ def tokens(text_col: str = "text") -> F.Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+# BPE-style pre-tokenizer classes: letter runs, digit runs, and
+# non-space symbol runs — the segmentation BPE vocabularies are trained
+# over (public GPT-2-style pre-tokenization, simplified).
+BPE_PRETOKEN_PATTERN = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def subword_pretokens(text_col: str = "text") -> F.Column:
+    """BPE-ish pre-token array (regexp_extract_all, codegen'd)."""
+    return F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
 def token_count(text_col: str = "text") -> F.Column:
     return F.size(tokens(text_col))
 

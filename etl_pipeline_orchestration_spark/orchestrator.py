@@ -54,6 +54,7 @@ class SourceSpec:
     target_table: str
     transform_key: str
     null_exempt: tuple[str, ...] = ()
+    partition_by: tuple[str, ...] = ()
 
 
 def default_sources(landing: dict[str, str]) -> list[SourceSpec]:
@@ -63,6 +64,9 @@ def default_sources(landing: dict[str, str]) -> list[SourceSpec]:
             "Sales CSV", "csv_file",
             lambda s: readers.read_sales_csv(s, landing["sales_csv"]),
             "fact_sales", "CSV_SALES",
+            # hive-partition the fact by the derived month bucket: monthly
+            # downstream reads prune to one directory (SURVEY §4 table)
+            partition_by=("month",),
         ),
         SourceSpec(
             "Customer API", "json_api",
@@ -145,7 +149,12 @@ class ETLOrchestrator:
             # The write is the single action; both Observation counters
             # (pre-clean, post-clean) ride it — no extra jobs, no
             # double-extract.
-            self.loader.load(transformed, spec.target_table, if_exists="replace")
+            self.loader.load(
+                transformed,
+                spec.target_table,
+                if_exists="replace",
+                partition_by=list(spec.partition_by) or None,
+            )
             metric.records_in = stats.records_in
             metric.records_out = stats.records_out
             metric.records_dropped = stats.records_dropped

@@ -99,6 +99,68 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_stats_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+'))
+                AS INT) AS n_pretokens,
+           CAST(len(regexp_extract_all(text, '\\p{L}+')) AS INT) AS n_word_runs,
+           CAST(len(regexp_extract_all(text, '\\p{N}+')) AS INT) AS n_digit_runs
+    FROM documents
+    """,
+)
+def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-token counting (letter / digit / symbol runs) — the
+    segmentation a subword tokenizer's vocabulary is trained over; used
+    for token-budget estimates in training-data pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(text.subword_pretokens()).alias("n_pretokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\p{L}+"), 0)).alias("n_word_runs"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\p{N}+"), 0)).alias("n_digit_runs"),
+    )
+
+
+@query(
+    "quality_filter_by_lang",
+    oracle="""
+    WITH m AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> list_contains(['the','a','an','of','to','and','in','is',
+                                     'it','for','on','with','as','at','by',
+                                     'be','or','are','was','this'], lower(t))))
+               AS n_stop
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_chars > 50 AND n_tok >= 10
+                          AND n_stop > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep
+    FROM m GROUP BY lang
+    """,
+)
+def quality_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gating as a training-data pipeline would apply it: keep
+    docs with enough length, enough tokens, and at least one stopword
+    (a cheap fluency proxy); report keep counts per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokens()
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in text.STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    keep = (F.length("text") > 50) & (n_tok >= 10) & (n_stop > 0)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_keep"),
+    )
+
+
+@query(
     "lang_distribution",
     oracle="""
     SELECT lang,

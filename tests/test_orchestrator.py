@@ -100,6 +100,30 @@ def test_failure_isolation(spark, landing_paths, tmp_path):
     assert sum(1 for r in health if r["status"] == "FAILED") == 1
 
 
+def test_fact_sales_partition_pruning(spark, landing_paths, tmp_path):
+    """fact_sales lands hive-partitioned by month; a month-filtered read
+    must prune at the directory level (PartitionFilters, not a post-scan
+    filter over all data)."""
+    import contextlib
+    import io
+
+    orch = ETLOrchestrator(
+        spark, default_sources(landing_paths), str(tmp_path / "wh"), quiet=True
+    )
+    orch.run_pipeline()
+    sales = orch.loader.read("fact_sales")
+    months = [r["month"] for r in sales.select("month").distinct().collect()]
+    one = sales.filter(sales.month == months[0])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    plan = buf.getvalue()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and any("month" in l for l in pf_lines)  # directory-level prune
+    n_one = one.count()
+    assert 0 < n_one < sales.count()
+
+
 def test_sqlite_compat_coercion(spark, landing_paths, tmp_path):
     """Load-time dtype-driven coercion behind the sqlite_compat flag
     (reference etl_pipeline.py:270-274): timestamps → strings, bools →
