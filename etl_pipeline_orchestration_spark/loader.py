@@ -40,6 +40,30 @@ class WarehouseLoader:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._path(table))
 
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        num_buckets: int = 16,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Catalog-managed bucketed table: rows are hash-clustered into
+        ``num_buckets`` files per partition on ``bucket_cols``. Two tables
+        bucketed the same way join WITHOUT a shuffle (each bucket pair
+        joins independently) — pre-paying the exchange once at write time
+        for facts that are joined repeatedly on the same key. Requires
+        ``saveAsTable`` (bucket metadata lives in the catalog, not the
+        parquet files)."""
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self._path(table))
 
