@@ -77,6 +77,46 @@ def test_session_stream_equals_batch_twin(spark, events_dir):
     assert _rows(spark.table("session_mem")) == _rows(batch)
 
 
+def test_stateful_running_totals_converge_to_batch(spark, events_dir):
+    """applyInPandasWithState: state persists across micro-batches, and
+    each user's LAST emitted update equals the batch group-by result."""
+    from etl_pipeline_orchestration_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # update mode appends one row per (user, batch-with-activity); the
+    # final state per user is the row with the max running count
+    emitted = spark.table("stateful_mem").collect()
+    final = {}
+    for r in emitted:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    )
+    assert len(final) == len(batch)
+    for r in batch:
+        n, t = final[r["user_id"]]
+        assert n == r["n"]
+        assert abs(t - r["t"]) < 1e-6
+
+
 def test_foreach_batch_drives_warehouse_sink(spark, events_dir, tmp_path):
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
     stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
