@@ -25,6 +25,8 @@ HEADLINE = [
     "sales_pipeline_monthly",
     "pipeline_sales",
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
     "join_revenue_by_region",
     "left_outer_join_customer_order_stats",
     "salted_agg_order_revenue",

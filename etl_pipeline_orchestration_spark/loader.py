@@ -55,6 +55,18 @@ class WarehouseLoader:
         for facts that are joined repeatedly on the same key. Requires
         ``saveAsTable`` (bucket metadata lives in the catalog, not the
         parquet files)."""
+        # idempotent replace: a previous session's managed-table directory
+        # survives in the warehouse dir even when the (in-memory) catalog
+        # forgot the table, and saveAsTable then refuses the location
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = self.spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        stale = os.path.join(warehouse, table.lower())
+        if os.path.isdir(stale):
+            import shutil
+
+            shutil.rmtree(stale)
         writer = (
             df.write.mode("overwrite")
             .format("parquet")
