@@ -62,8 +62,13 @@ def main() -> int:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # Warm the JVM/session so query 1 doesn't pay startup cost.
+    # Warm the JVM/session so query 1 doesn't pay startup cost: one
+    # codegen'd agg plus one parquet scan + noop write (initializes the
+    # datasource and write paths the timed queries use).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float | None] = {}
     for name in HEADLINE:
