@@ -76,6 +76,22 @@ class WarehouseLoader:
             writer = writer.sortBy(*sort_cols)
         writer.saveAsTable(table)
 
+    def compact(self, table: str, target_files: int) -> None:
+        """Rewrite a table to ``target_files`` parquet files. Streaming
+        appends and fine-grained partition writes accumulate small files
+        that tax the file index and starve scan vectorization; periodic
+        compaction is standard warehouse hygiene. Writes to a scratch
+        path first (Spark cannot overwrite a path it is lazily reading),
+        then swaps atomically-enough via rename."""
+        import shutil
+
+        src, tmp = self._path(table), self._path(f"__compact_{table}")
+        self.spark.read.parquet(src).repartition(target_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.rmtree(src)
+        os.rename(tmp, src)
+
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self._path(table))
 

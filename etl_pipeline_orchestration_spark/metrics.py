@@ -10,7 +10,7 @@ duration / drop-rate / uptime metrics the reference persists to its
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime
+from datetime import datetime, timezone
 from enum import Enum
 
 
@@ -61,7 +61,9 @@ class PipelineRun:
     run_id: str = field(
         default_factory=lambda: f"RUN_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
     )
-    start_time: datetime = field(default_factory=datetime.now)
+    # tz-aware UTC everywhere: the orchestrator stamps end times with
+    # timezone.utc, and naive/aware mixing cannot subtract
+    start_time: datetime = field(default_factory=lambda: datetime.now(timezone.utc))
     end_time: datetime | None = None
     metrics: list[PipelineMetric] = field(default_factory=list)
     total_records: int = 0

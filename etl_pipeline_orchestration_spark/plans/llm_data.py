@@ -161,6 +161,117 @@ def quality_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             (doc_id * 2654435761) % 4294967296 % 1000 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split from a pure function of doc_id
+    (operators/sampling.py) — identical membership on every run, any
+    partitioning, any engine; the oracle checks it row-for-row."""
+    from etl_pipeline_orchestration_spark.operators.sampling import with_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_split(docs)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (doc_id * 2654435761) % 4294967296 % 1000
+          < (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.5 END) * 1000
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified downsampling (rebalance an en-heavy
+    corpus): en kept at 25%, other languages at 50%, membership a stable
+    function of doc_id."""
+    from etl_pipeline_orchestration_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.25}, default_rate=0.5
+    ).select("doc_id", "lang")
+
+
+@query(
+    "training_prep_pipeline",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+      WHERE length(text) > 50
+        AND len(string_split_regex(trim(text), '\\s+')) >= 10
+    ),
+    d AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
+      FROM q
+    )
+    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 800
+                  THEN 'train'
+                WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900
+                  THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM d WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep chain, end to end: quality gate
+    (length + token floor) → exact dedup (keep lowest doc_id per
+    normalized text) → deterministic 80/10/10 split → per-(split, lang)
+    doc and token budget. One declarative plan: the gate pushes to the
+    scan, dedup is one hash shuffle, the split adds no shuffle at all."""
+    from pyspark.sql import Window as W
+
+    from etl_pipeline_orchestration_spark.operators.sampling import with_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    gated = docs.withColumn("n_tok", F.size(toks)).filter(
+        (F.length("text") > 50) & (F.col("n_tok") >= 10)
+    )
+    wdup = W.partitionBy(F.lower(F.trim(F.col("text")))).orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        with_split(kept)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
+@query(
     "lang_distribution",
     oracle="""
     SELECT lang,

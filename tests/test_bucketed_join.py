@@ -19,6 +19,22 @@ def no_broadcast(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    loader.load(orders.repartition(32), "orders_frag", if_exists="replace")
+    frag_files = glob.glob(str(tmp_path / "wh" / "orders_frag" / "*.parquet"))
+    assert len(frag_files) == 32
+    n_before = loader.table_count("orders_frag")
+
+    loader.compact("orders_frag", target_files=4)
+    compact_files = glob.glob(str(tmp_path / "wh" / "orders_frag" / "*.parquet"))
+    assert len(compact_files) == 4
+    assert loader.table_count("orders_frag") == n_before
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path, no_broadcast):
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
