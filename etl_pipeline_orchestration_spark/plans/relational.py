@@ -167,6 +167,51 @@ def join_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+    WHERE c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND l.l_suppkey = s.s_suppkey
+      AND c.c_nationkey = s.s_nationkey
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_regionkey = r.r_regionkey
+      AND r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join with the customer-nation =
+    supplier-nation locality condition; region filter prunes through two
+    broadcast dims before the fact joins."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
     "semi_join_customers_with_orders",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
