@@ -41,7 +41,11 @@ def safe_divide(num: Column, den: Column, scale: int | None = 2) -> Column:
     if scale is None:
         return out
     factor = F.lit(float(10**scale))
-    return F.round(out * factor) / factor
+    # |x| >= 2^52 has ulp >= 1: fractional rounding is the identity, and
+    # x*factor would overflow to inf near DBL_MAX — skip the scaling there
+    return F.when(
+        F.abs(out) < F.lit(float(2**52)), F.round(out * factor) / factor
+    ).otherwise(out)
 
 
 def month_bucket(ts: Column) -> Column:
