@@ -322,6 +322,81 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: double aggregation — orders per customer, then
+    the histogram of those counts (zero-order customers included via the
+    outer join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "scalar_subquery_above_avg_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    """,
+)
+def scalar_subquery_above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery through the SQL front door: Catalyst plans the
+    uncorrelated subquery as a one-row broadcast, exactly like the
+    hand-built two-phase quantile pattern."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part_sq
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part_sq)
+        """
+    )
+
+
+@query(
+    "window_ntile_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           round(percent_rank() OVER w * 1000000) / 1000000 AS pct_rank
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (ntile quartiles + percent_rank) over a
+    global ordering — the one legitimately single-partition window here
+    (ranking the whole table is inherently a total order; at scale,
+    rank within partitions or use approx quantiles instead)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        (F.round(F.percent_rank().over(w) * 1_000_000) / 1_000_000).alias(
+            "pct_rank"
+        ),
+    )
+
+
+@query(
     "rollup_qty_by_flag_status",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -60,6 +60,44 @@ def pandas_udf_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "udtf_tokenize_docs",
+    oracle="""
+    SELECT d.doc_id, t.tok AS token, CAST(t.i - 1 AS INT) AS pos
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(text), '\\s+') AS tk
+          FROM documents) d,
+         LATERAL (SELECT unnest(tk) AS tok,
+                         unnest(range(1, len(tk) + 1)) AS i) t
+    """,
+)
+def udtf_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[§2.11] Python UDTF: one input row → one row per token with its
+    position. Registered mainly to cover the table-function API surface —
+    the docstring-level guidance stands: ``posexplode(split(...))`` does
+    this JVM-side and is what the text operators actually use; a Python
+    UDTF is row-at-a-time and belongs only where the expansion logic
+    can't be expressed with builtins."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(text.strip().split()):
+                yield tok, i
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM docs_udtf d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
+
+
 def _zscore_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     """Z-score per customer, computed inside a coarse bucket with
     pandas groupby-transform (vectorized across ALL customers in the
