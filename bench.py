@@ -46,6 +46,9 @@ HEADLINE = [
     "embedding_topk_bruteforce",
     "embedding_topk_ivf",
     "multimodal_decoded_items",
+    "tpch_q5_local_supplier_volume",
+    "order_count_distribution",
+    "training_prep_pipeline",
 ]
 
 

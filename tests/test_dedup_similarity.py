@@ -68,6 +68,18 @@ def test_minhash_candidates_and_guard(spark):
     assert (1, 3) not in vp
 
 
+def test_lsh_topk_contains_near_neighbors(vectors):
+    """Multi-probe hyperplane LSH must find the probe itself and its
+    planted near-copy (cosine ~0.999 pairs share buckets w.h.p.)."""
+    probe = vectors.filter("vec_id = 0").head()["embedding"]
+    got = {
+        r["vec_id"]
+        for r in similarity.lsh_topk(vectors, list(probe), k=10, num_planes=8).collect()
+    }
+    assert 0 in got
+    assert 1000 in got  # the planted near-duplicate of vec 0
+
+
 def test_ivf_topk_recall_vs_bruteforce(vectors):
     """IVF with a healthy probe budget must recover most of the exact
     top-k on clustered-ish data."""
