@@ -134,3 +134,78 @@ def rolling_hash_fingerprint(
         F.array_distinct(F.filter(grams, lambda h: F.pmod(h, F.lit(keep_every)) == 0))
     )
     return docs.select("doc_id", sketch.alias("fingerprint"))
+
+
+def _norm_words(text_col: str = "text") -> F.Column:
+    """Whitespace-normalized lowercase word array (matches DuckDB
+    ``string_split(regexp_replace(lower(trim(x)), '\\s+', ' ', 'g'), ' ')``)."""
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: duplicate
+    word fraction and most-frequent-word mass.
+
+    Single pipeline, no self-join: explode words → partial-aggregated
+    count per (doc, word) → per-doc aggregate deriving ALL stats from
+    the word-count relation (n_words = Σc, n_distinct = #groups,
+    top_word_count = max c). Two shuffles on uniformly distributed keys;
+    nothing is quadratic in document length. Fractions are raw IEEE
+    divisions (exactly rounded, bit-identical across engines — no
+    rounding step needed).
+    """
+    wc = (
+        docs.select(F.col(id_col), F.explode(_norm_words(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        (1.0 - F.count(F.lit(1)).cast("double") / F.sum("c")).alias("dup_word_frac"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_word_frac"),
+    )
+
+
+def ngram_overlap_contamination(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    benchmark_mod: int = 97,
+) -> DataFrame:
+    """Benchmark decontamination: documents sharing a word k-gram with
+    the benchmark set (here: doc_id ≡ 0 mod ``benchmark_mod``, standing
+    in for an eval-suite corpus) and how many distinct k-grams overlap.
+
+    Scale shape: the benchmark side is tiny by construction (eval suites
+    are MBs; the corpus is TBs), so its distinct-gram set is BROADCAST —
+    the 100 TB probe side is never shuffled, just filtered by a broadcast
+    hash join after exploding its per-doc distinct grams. Per-doc
+    ``array_distinct`` caps explode output at the gram count, and the
+    final count aggregates map-side. At larger benchmark sizes, swap the
+    gram string for xxhash64(gram) to shuffle 8-byte keys.
+    """
+    toks = _norm_words(text_col)
+    n = F.size(toks)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+    with_grams = docs.filter(n >= k).select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    )
+    is_bench = (F.col(id_col) % benchmark_mod) == 0
+    bench = with_grams.filter(is_bench).select("gram").distinct()
+    probe = with_grams.filter(~is_bench)
+    return (
+        probe.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

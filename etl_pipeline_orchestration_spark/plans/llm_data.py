@@ -511,3 +511,61 @@ def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(
         emb, list(probe), k=10, id_col="doc_id", vec_col="embedding"
     )
+
+
+@query(
+    "doc_repetition_scores",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, count(*) AS c FROM ex GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_word_frac,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_word_frac
+    FROM wc GROUP BY doc_id
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-word fraction,
+    top-word mass) — the standard quality gate against boilerplate and
+    degenerate repetition in pretraining corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_scores(docs)
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    )
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 != 0) g
+    JOIN (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0) b USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via word 4-gram overlap against a
+    deterministic benchmark subset (doc_id ≡ 0 mod 97): returns
+    contaminated doc_ids with their distinct overlapping gram counts.
+    The benchmark gram set is broadcast — the corpus side never
+    shuffles (operators/text.py:ngram_overlap_contamination)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.ngram_overlap_contamination(docs, k=4, benchmark_mod=97)

@@ -219,3 +219,27 @@ def pipeline_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "records_dropped",
         "status",
     )
+
+
+@query(
+    "pii_scrub_customers",
+    oracle=f"""
+    SELECT customer_id,
+           regexp_replace(email, '^[^@]+@', '***@') AS masked_email,
+           regexp_extract(email, '@(.+)$', 1) AS email_domain
+    FROM read_parquet('{landing.oracle_path("customers")}')
+    WHERE email IS NOT NULL
+    """,
+)
+def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking on the customer feed: redact the email local-part,
+    keep the domain for analytics. Pure per-row regexp expressions
+    (JVM-side, no shuffle) — the shape a 100 TB PII-scrub pass takes:
+    narrow map over the scan, fully pushdown-compatible."""
+    paths = landing.ensure_landing()
+    df = readers.read_customers_json(spark, paths["customers_json"])
+    return df.filter(F.col("email").isNotNull()).select(
+        "customer_id",
+        F.regexp_replace("email", r"^[^@]+@", "***@").alias("masked_email"),
+        F.regexp_extract("email", r"@(.+)$", 1).alias("email_domain"),
+    )

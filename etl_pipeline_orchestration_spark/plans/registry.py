@@ -47,3 +47,4 @@ def load_all() -> None:
     import etl_pipeline_orchestration_spark.plans.windows_streams  # noqa: F401
     import etl_pipeline_orchestration_spark.plans.pipeline_sources  # noqa: F401
     import etl_pipeline_orchestration_spark.plans.udf_surface  # noqa: F401
+    import etl_pipeline_orchestration_spark.plans.warehouse_ops  # noqa: F401
