@@ -49,6 +49,12 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "order_count_distribution",
     "training_prep_pipeline",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customers",
+    "cdc_merge_orders",
+    "doc_repetition_scores",
+    "decontaminate_ngram_overlap",
+    "dedup_clusters_connected_components",
 ]
 
 

@@ -190,6 +190,10 @@ def ngram_overlap_contamination(
     final count aggregates map-side. At larger benchmark sizes, swap the
     gram string for xxhash64(gram) to shuffle 8-byte keys.
     """
+    from etl_pipeline_orchestration_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
     toks = _norm_words(text_col)
     n = F.size(toks)
     grams = F.array_distinct(
@@ -198,7 +202,9 @@ def ngram_overlap_contamination(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         )
     )
-    with_grams = docs.filter(n >= k).select(
+    # gram shingling is CPU-bound; single-file parquet at small SF gives
+    # 1-3 input splits, so spread the scan first (no-op at real scale)
+    with_grams = ensure_min_partitions(docs).filter(n >= k).select(
         F.col(id_col), F.explode(grams).alias("gram")
     )
     is_bench = (F.col(id_col) % benchmark_mod) == 0

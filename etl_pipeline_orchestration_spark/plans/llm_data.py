@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_orchestration_spark.operators import dedup, multimodal, similarity, text
+from etl_pipeline_orchestration_spark.operators import (
+    dedup,
+    graph,
+    multimodal,
+    similarity,
+    text,
+)
 from etl_pipeline_orchestration_spark.plans.registry import query
 from etl_pipeline_orchestration_spark.sources.tables import load_table
 
@@ -569,3 +575,80 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (operators/text.py:ngram_overlap_contamination)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.ngram_overlap_contamination(docs, k=4, benchmark_mod=97)
+
+
+@query(
+    "dedup_clusters_connected_components",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    ok_grams AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) BETWEEN 2 AND 10
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+      FROM grams a JOIN ok_grams USING (gram) JOIN grams b USING (gram)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    nodes AS (SELECT DISTINCT s AS n FROM edges),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.n
+    )
+    SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY n
+    """,
+)
+def dedup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: docs sharing any word 4-gram (with a
+    2..10-doc frequency guard dropping unique AND boilerplate grams —
+    the mega-bucket cap that keeps the self-join linear at scale) form
+    edges; connected components via pointer-jumping min-label
+    propagation (operators/graph.py) yield the cluster each doc
+    belongs to. The oracle states reachability declaratively with a
+    recursive CTE — the Spark side is the O(log diameter) iterative
+    plan a 100 TB corpus needs."""
+    from etl_pipeline_orchestration_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    toks = text._norm_words("text")
+    n = F.size(toks)
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 4),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)),
+        )
+    )
+    grams = (
+        docs.filter(n >= 4)
+        .select(F.col("doc_id"), F.explode(gram_arr).alias("gram"))
+        .distinct()
+    )
+    ok = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gf"))
+        .filter((F.col("gf") >= 2) & (F.col("gf") <= 10))
+        .select("gram")
+    )
+    g2 = grams.withColumnRenamed("doc_id", "doc_b")
+    pairs = (
+        grams.join(ok, "gram")
+        .join(g2, "gram")
+        .filter(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("src"), F.col("doc_b").alias("dst"))
+        .distinct()
+    )
+    return graph.connected_components(pairs).withColumnRenamed("node", "doc_id")

@@ -765,3 +765,56 @@ def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity"), 2))
     )
     return pv
+
+
+@query(
+    "window_first_last_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           round(cume_dist() OVER w, 6) AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value (explicit full frame — last_value under
+    the default frame is a famous footgun) / cume_dist, one shuffle on
+    custkey shared by all three window functions (same partitioning +
+    ordering → single Window physical operator)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )
+
+
+@query("approx_distinct_sketch")  # HLL estimate — engine-specific, rows-only
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch per returnflag: the O(1)-memory
+    path for COUNT(DISTINCT) at 100 TB (exact distinct shuffles every
+    distinct value; the sketch merges 16 KB registers commutatively, so
+    the result is deterministic under any partitioning). Estimates are
+    engine-specific — DuckDB's HLL gives different values — so this is a
+    rows-only entry; tests/test_sketches.py pins the ≤2 % relative error
+    against the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias(
+                "approx_distinct_orders"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
