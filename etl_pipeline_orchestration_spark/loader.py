@@ -76,6 +76,29 @@ class WarehouseLoader:
             writer = writer.sortBy(*sort_cols)
         writer.saveAsTable(table)
 
+    def write_range_clustered(
+        self,
+        df: DataFrame,
+        table: str,
+        cluster_cols: list[str],
+        target_files: int,
+    ) -> None:
+        """Z-order-lite layout: range-partition on the cluster key so each
+        output file owns a disjoint key range, then sort within files so
+        parquet row-group min/max stats are tight. A later scan filtered
+        on the cluster key skips whole files/row-groups via footer stats —
+        at 100 TB this is the difference between reading one file and
+        reading the table (hot filter columns: dates, tenant ids).
+        ``repartitionByRange`` samples the key distribution, so skew
+        produces balanced files, unlike hash-bucketing on a skewed key.
+        """
+        (
+            df.repartitionByRange(target_files, *cluster_cols)
+            .sortWithinPartitions(*cluster_cols)
+            .write.mode("overwrite")
+            .parquet(self._path(table))
+        )
+
     def compact(self, table: str, target_files: int) -> None:
         """Rewrite a table to ``target_files`` parquet files. Streaming
         appends and fine-grained partition writes accumulate small files

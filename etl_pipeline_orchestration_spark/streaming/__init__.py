@@ -8,3 +8,7 @@ from etl_pipeline_orchestration_spark.streaming.events_stream import (  # noqa: 
     session_counts,
     tumbling_counts,
 )
+from etl_pipeline_orchestration_spark.streaming.upsert import (  # noqa: F401
+    stream_upsert_to_warehouse,
+    upsert_batch,
+)

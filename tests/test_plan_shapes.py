@@ -98,3 +98,49 @@ def test_global_quantile_literal_threshold(plans):
     p = plans("sales_pipeline_monthly")
     assert "Join" not in p
     assert _shuffles(p) == 1  # monthly group-by only
+
+
+def test_q10_broadcasts_nation_and_takeordered(plans):
+    p = plans("tpch_q10_returned_items")
+    assert "TakeOrderedAndProject" in p  # top-20, no global sort
+    assert "BroadcastHashJoin" in p  # 25-row nation broadcast
+    # both selective filters reached their scans
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q18_aggregates_before_join(plans):
+    p = plans("tpch_q18_large_volume_customers")
+    # the HAVING-filtered lineitem aggregate must run below the joins,
+    # with map-side partial sums
+    assert "partial_sum" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q4_exists_compiles_to_semi_join(plans):
+    p = plans("tpch_q4_order_priority_exists")
+    assert "LeftSemi" in p
+    # lineitem-side filter pushed to the scan, not evaluated post-join
+    assert "GreaterThanOrEqual(l_discount,0.06)" in p
+
+
+def test_cdc_merge_is_single_join(plans):
+    p = plans("cdc_merge_orders")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p
+
+
+def test_decontamination_broadcasts_benchmark_side(plans):
+    p = plans("decontaminate_ngram_overlap")
+    assert "BroadcastHashJoin" in p  # corpus side never shuffles for the join
+
+
+def test_unpivot_no_shuffle(plans):
+    p = plans("unpivot_part_measures")
+    assert "Exchange" not in p
+
+
+def test_window_trio_single_shuffle(plans):
+    p = plans("window_first_last_cume_dist")
+    # same partitioning+ordering → one Window exchange only
+    assert p.count("Exchange hashpartitioning") == 1

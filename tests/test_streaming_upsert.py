@@ -1,0 +1,78 @@
+"""Streaming upsert and range-clustered layout tests."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_orchestration_spark.loader import WarehouseLoader
+from etl_pipeline_orchestration_spark.sources.tables import load_table
+from etl_pipeline_orchestration_spark.streaming import read_events_stream
+from etl_pipeline_orchestration_spark.streaming.upsert import (
+    stream_upsert_to_warehouse,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("upsert_events"))
+    load_table(spark, SF, "events").repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_upsert_equals_batch_latest(spark, events_dir, tmp_path):
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    stream_upsert_to_warehouse(
+        stream.select("user_id", "event_id", "ts", "value"),
+        loader,
+        table="user_latest",
+        key="user_id",
+        seq_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # batch twin: latest event per user over ALL the data, by the same
+    # (event_id) sequence order the incremental merge used
+    ev = spark.read.parquet(events_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    expected = (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    got = sorted(tuple(r) for r in loader.read("user_latest").collect())
+    want = sorted(tuple(r) for r in expected.collect())
+    assert got == want
+
+
+def test_range_clustered_files_have_disjoint_key_ranges(spark, tmp_path):
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, SF, "orders")
+    loader.write_range_clustered(
+        orders, "orders_by_date", cluster_cols=["o_orderdate"], target_files=4
+    )
+    files = sorted(glob.glob(str(tmp_path / "wh" / "orders_by_date" / "*.parquet")))
+    assert len(files) >= 3  # range partitioner may merge tiny tails
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("o_orderdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # each file owns a disjoint key range -> stats-based file skipping works
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
