@@ -115,6 +115,32 @@ class WarehouseLoader:
         shutil.rmtree(src)
         os.rename(tmp, src)
 
+    def load_sqlite(
+        self,
+        df: DataFrame,
+        table: str,
+        db_path: str,
+        if_exists: str = "append",
+    ) -> int:
+        """SQLite-compat sink — byte-for-byte parity with the reference's
+        warehouse (reference etl_pipeline.py:234-236 loads via pandas
+        ``to_sql``). SQLite is single-writer, so this is a driver-side
+        bridge for reference-sized loads (~5k rows/run) and dims ONLY;
+        the distributed warehouse path is ``load`` (parquet) or a
+        partitioned JDBC sink against a server database. Returns rows
+        written."""
+        import sqlite3
+
+        pdf = df.toPandas()
+        with sqlite3.connect(db_path) as conn:
+            pdf.to_sql(
+                table,
+                conn,
+                if_exists={"replace": "replace", "append": "append"}[if_exists],
+                index=False,
+            )
+        return len(pdf)
+
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self._path(table))
 

@@ -652,3 +652,57 @@ def dedup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> Dat
         .distinct()
     )
     return graph.connected_components(pairs).withColumnRenamed("node", "doc_id")
+
+
+@query(
+    "dedup_apply_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+      FROM toks, UNNEST(range(1, len(w) - 2)) AS t(i)
+      WHERE len(w) >= 4
+    ),
+    ok_grams AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) BETWEEN 2 AND 10
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+      FROM grams a JOIN ok_grams USING (gram) JOIN grams b USING (gram)
+      WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    nodes AS (SELECT DISTINCT s AS n FROM edges),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.n
+    ),
+    comp AS (SELECT n AS doc_id, min(r) AS component FROM reach GROUP BY n),
+    survivors AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id != component)
+    )
+    SELECT s.doc_id, d.lang, d.n_chars
+    FROM survivors s JOIN documents d USING (doc_id)
+    """,
+)
+def dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: gram-share graph → connected components →
+    keep ONE canonical doc per cluster (the min doc_id = the component
+    label) plus all unclustered docs. This is the actual corpus-level
+    dedup deliverable; the cluster stage is
+    ``dedup_clusters_connected_components``. The removal join is a
+    broadcast ANTI join against the (tiny) non-canonical id set — the
+    100 TB corpus is filtered, never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters_connected_components(spark, sf_dir)
+    losers = clusters.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(
+        F.broadcast(losers), "doc_id", "left_anti"
+    ).select("doc_id", "lang", "n_chars")

@@ -162,3 +162,32 @@ def test_sequential_mode_matches_parallel(spark, landing_paths, tmp_path):
     assert [m.source_name for m in run.metrics] == [
         s.display_name for s in default_sources(landing_paths)
     ]
+
+
+def test_sqlite_sink_round_trip(spark, landing_paths, tmp_path):
+    """The SQLite-compat warehouse sink writes the same rows the
+    reference's pandas to_sql path does, and a sqlite3 read-back agrees
+    with the DataFrame (reference etl_pipeline.py:234-236)."""
+    import sqlite3
+
+    from etl_pipeline_orchestration_spark.loader import WarehouseLoader
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    nat = load_table(spark, "/root/testdata/sf0.001", "nation")
+    db = str(tmp_path / "wh.db")
+    n = loader.load_sqlite(nat, "nation", db, if_exists="replace")
+    assert n == nat.count()
+    with sqlite3.connect(db) as conn:
+        rows = conn.execute(
+            "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+        ).fetchall()
+    want = [
+        (r["n_nationkey"], r["n_name"])
+        for r in nat.orderBy("n_nationkey").select("n_nationkey", "n_name").collect()
+    ]
+    assert rows == want
+    # append mode accumulates
+    loader.load_sqlite(nat, "nation", db, if_exists="append")
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT count(*) FROM nation").fetchone()[0] == 2 * n
