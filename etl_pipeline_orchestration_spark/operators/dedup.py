@@ -225,19 +225,23 @@ def simhash_fingerprints(
 
     @pandas_udf("long")
     def _vote(hs: pd.Series) -> pd.Series:
+        # one batch = one numpy program: concatenate every row's hash
+        # array, expand to an (N, 64) bit matrix, and segment-sum per row
+        # with add.reduceat — no per-row or per-bit Python loops
         shifts = np.arange(bits, dtype=np.uint64)
-        out = np.empty(len(hs), dtype=np.int64)
-        for i, arr in enumerate(hs):
-            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            if len(h) == 0:
-                out[i] = 0
-                continue
-            votes = ((h[:, None] >> shifts) & 1).sum(axis=0)
-            fp = np.uint64(0)
-            for b in range(bits):
-                if votes[b] * 2 > len(h):
-                    fp |= np.uint64(1) << np.uint64(b)
-            out[i] = fp.astype(np.int64)  # wraparound view: same bit pattern
+        lens = np.fromiter((len(a) for a in hs), dtype=np.int64, count=len(hs))
+        out = np.zeros(len(hs), dtype=np.int64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hs[nz]]
+            ).view(np.uint64)
+            bits_mat = (flat[:, None] >> shifts) & np.uint64(1)
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            starts[1:] = np.cumsum(lens[nz])[:-1]
+            votes = np.add.reduceat(bits_mat, starts, axis=0)
+            maj = (votes * 2 > lens[nz, None]).astype(np.uint64)
+            out[nz] = (maj << shifts).sum(axis=1).view(np.int64)
         return pd.Series(out)
 
     return docs.select(F.col(id_col), _vote(hashes).alias("simhash"))

