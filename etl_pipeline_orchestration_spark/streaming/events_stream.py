@@ -124,3 +124,27 @@ def run_foreach_batch_append(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeat (event_id) arrivals, holding
+    state only for the watermark horizon — the unbounded-state-safe form
+    of ``dropDuplicates`` (state for keys older than the watermark is
+    evicted, so 100 TB/day of events needs state ∝ watermark window, not
+    ∝ history). At-least-once upstream delivery + this = effectively-once
+    downstream."""
+    keys = keys or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins the (small) static
+    dimension — Spark plans a broadcast hash join per batch, no stream
+    state at all. The standard enrichment shape (events × user dim)."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, "left")

@@ -132,3 +132,58 @@ def test_foreach_batch_drives_warehouse_sink(spark, events_dir, tmp_path):
     )
     n_src = spark.read.parquet(events_dir).count()
     assert loader.table_count("stream_events") == n_src
+
+
+def test_streaming_dedup_within_watermark(spark, events_dir):
+    """Duplicate the input files → the deduped stream must equal the
+    distinct batch twin (every event appears exactly twice across the
+    directory, so state-based dedup has real work to do)."""
+    import tempfile
+
+    from etl_pipeline_orchestration_spark.streaming.events_stream import (
+        dedup_within_watermark,
+    )
+
+    with tempfile.TemporaryDirectory() as dup_dir:
+        ev = spark.read.parquet(events_dir)
+        ev.write.mode("overwrite").parquet(dup_dir)
+        ev.write.mode("append").parquet(dup_dir)
+
+        stream = read_events_stream(spark, dup_dir)
+        deduped = dedup_within_watermark(stream)
+        run_to_memory(
+            deduped.select("event_id", "user_id", "value"),
+            "dedup_mem",
+            output_mode="append",
+        )
+        got = _rows(spark.table("dedup_mem"))
+        want = _rows(
+            spark.read.parquet(dup_dir)
+            .select("event_id", "user_id", "value")
+            .distinct()
+        )
+        assert got == want
+
+
+def test_stream_static_join_equals_batch(spark, events_dir):
+    from etl_pipeline_orchestration_spark.streaming.events_stream import (
+        enrich_stream_static,
+    )
+
+    dim = spark.createDataFrame(
+        [(i, f"tier_{i % 3}") for i in range(200)], ["user_id", "tier"]
+    )
+    stream = read_events_stream(spark, events_dir)
+    run_to_memory(
+        enrich_stream_static(stream, dim, "user_id").select(
+            "event_id", "user_id", "tier"
+        ),
+        "enrich_mem",
+        output_mode="append",
+    )
+    want = _rows(
+        spark.read.parquet(events_dir)
+        .join(dim, "user_id", "left")
+        .select("event_id", "user_id", "tier")
+    )
+    assert _rows(spark.table("enrich_mem")) == want
