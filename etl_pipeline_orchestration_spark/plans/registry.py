@@ -48,3 +48,5 @@ def load_all() -> None:
     import etl_pipeline_orchestration_spark.plans.pipeline_sources  # noqa: F401
     import etl_pipeline_orchestration_spark.plans.udf_surface  # noqa: F401
     import etl_pipeline_orchestration_spark.plans.warehouse_ops  # noqa: F401
+    import etl_pipeline_orchestration_spark.plans.tpch_extra  # noqa: F401
+    import etl_pipeline_orchestration_spark.plans.analytics_ext  # noqa: F401
