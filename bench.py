@@ -60,6 +60,9 @@ HEADLINE = [
     "pivot_revenue_by_priority",
     "stats_moments_quantity",
     "daily_revenue_gapfill",
+    "rolling_7day_revenue",
+    "unigram_logprob_scores",
+    "salted_join_event_segment_value",
 ]
 
 

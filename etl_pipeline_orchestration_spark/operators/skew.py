@@ -37,3 +37,37 @@ def salted_sum(
         .agg(F.sum(value_col).alias("__partial__"))
     )
     return partial.groupBy(*key_cols).agg(F.sum("__partial__").alias(out_col))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_factor: int = 8,
+) -> DataFrame:
+    """Skew-proof shuffle join: when one fact key holds a pathological
+    share of the rows AND the dim side is too big to broadcast, a plain
+    hash join puts that key's entire volume in one reduce task. Salting
+    splits it: the fact side gets a uniform salt in [0, salt_factor)
+    (hashed from a per-row column, so no RNG nondeterminism), the dim
+    side is REPLICATED once per salt value via a tiny literal-array
+    explode, and the join runs on (key, salt) — every reduce task gets
+    at most 1/salt_factor of the hot key. Join semantics are identical
+    to ``fact.join(dim, fact_key == dim_key)`` (inner); cost is
+    dim × salt_factor rows through the shuffle, which is why AQE's
+    skew splitting is preferred when it can see the skew — this is the
+    explicit form for when it can't (e.g. the skew appears only after
+    upstream filters).
+    """
+    f = fact.withColumn(
+        "__fsalt__", F.pmod(F.abs(F.xxhash64(*fact.columns)), F.lit(salt_factor))
+    )
+    d = dim.withColumn(
+        "__dsalt__",
+        F.explode(F.array([F.lit(i) for i in range(salt_factor)])),
+    )
+    return f.join(
+        d,
+        (F.col(fact_key) == F.col(dim_key)) & (F.col("__fsalt__") == F.col("__dsalt__")),
+    ).drop("__fsalt__", "__dsalt__")

@@ -180,3 +180,160 @@ def daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
     )
+
+
+@query(
+    "rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           round(sum(rev) OVER (
+             ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) * 100) / 100 AS rolling_rev
+    FROM daily
+    """,
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue: a RANGE-frame window over event time —
+    the frame is bounded by a TIME interval, not a row count, so days
+    missing from the data shorten the window (the semantic difference
+    vs rowsBetween).
+
+    Plan: the 100 TB fact is reduced to a per-day aggregate first
+    (distributed scan + one shuffle), then the range window runs over
+    the day-cardinality series — a single partition holding a few
+    thousand rows, which is the CORRECT plan: windowing the raw fact
+    would sort terabytes to produce the same series. Spark's range
+    frame needs a numeric ordering key, so days are ordered on epoch
+    seconds with a ±6-day second range; sums are rounded with the
+    scale-then-round guard on both engines (7-value float sums can sit
+    on representable half-boundaries).
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    epoch = F.col("day").cast("timestamp").cast("long")
+    w = Window.orderBy(epoch).rangeBetween(-6 * 86400, 0)
+    return daily.select(
+        F.col("day").cast("timestamp").alias("day"),
+        (F.round(F.sum("rev").over(w) * 100) / 100).alias("rolling_rev"),
+    )
+
+
+@query(
+    "histogram_order_totalprice",
+    oracle="""
+    SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY bucket
+    """,
+)
+def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (25k buckets, top-capped):
+    the profiling primitive behind every data-quality dashboard.
+
+    Plan: pure per-row arithmetic + one low-cardinality hash aggregate
+    (≤20 groups) — map-side combine reduces each partition to ≤20
+    rows before the shuffle, so the aggregate costs one scan
+    regardless of input size. Fixed literal bounds keep it one-pass
+    (a min/max-derived binning would need a second scan; when bounds
+    are unknown, compute them once and cache, or use approx_percentile
+    clipping). Bucket arithmetic is a constant division on identical
+    inputs — floor is deterministic on both engines.
+    """
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(19))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS block FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: near-identical name pairs by edit
+    distance, BLOCKED so the quadratic comparison never touches the
+    full cross product — the entity-resolution primitive.
+
+    Plan: dedupe to the distinct-name domain first (the 100 TB fact
+    collapses to its vocabulary), block on the name's head noun (an
+    equi-join key), compare only within blocks, and keep pairs with
+    levenshtein ≤ 4. Comparisons per block are |block|², so blocking
+    quality — not corpus size — bounds the cost; a skewed block would
+    get the salted-join treatment. levenshtein is the same classic
+    edit distance in Spark and DuckDB — integer, no parity risk.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    b = names.select(F.col("p_name").alias("name_b"), F.col("block").alias("block_b"))
+    return (
+        names.join(
+            b,
+            (F.col("block") == F.col("block_b")) & (F.col("p_name") < F.col("name_b")),
+        )
+        .filter(F.levenshtein("p_name", "name_b") <= 4)
+        .select(
+            F.col("p_name").alias("name_a"),
+            "name_b",
+            F.levenshtein("p_name", "name_b").cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+@query(
+    "salted_join_event_segment_value",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_join_event_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event value by customer segment through an EXPLICITLY SALTED
+    join (operators/skew.py:salted_join): the fact side is spread over
+    8 sub-keys, the dim side replicated ×8, the join runs on
+    (key, salt). The oracle is the PLAIN join — salting must be
+    invisible in the result, which is exactly what the driver check
+    proves. Use when one key dominates the fact and the dim is too big
+    to broadcast; AQE skew-splitting is the implicit alternative.
+    """
+    from etl_pipeline_orchestration_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        salted_join(ev, cust, "user_id", "c_custkey", salt_factor=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -711,3 +711,59 @@ def dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         F.broadcast(losers), "doc_id", "left_anti"
     ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "unigram_logprob_scores",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                 ' ')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS wf FROM toks GROUP BY word
+    ),
+    total AS (SELECT CAST(sum(wf) AS BIGINT) AS tot FROM vocab)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(wf / tot)) * 1e6) / 1e6 AS avg_logprob
+    FROM toks, vocab, total
+    WHERE toks.word = vocab.word
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram LM scoring: each document's mean token
+    log-probability under the corpus's own unigram distribution — the
+    classic cheap fluency/quality signal (CCNet-style) for filtering
+    pretraining data; outlier-low scores mark gibberish and
+    boilerplate, outlier-high mark degenerate repetition.
+
+    Plan: two passes over the token relation (one shuffle to count the
+    vocabulary, one to score docs) with the token relation a common
+    subplan — Catalyst reuses the exchange. The corpus total is a
+    1-row agg broadcast into the probability expression; the
+    token→vocab join shuffles on word (vocabulary-sized right side —
+    at web scale, millions of rows, never broadcast). avg(ln p) sums
+    per-doc floats whose order varies with partitioning, so the score
+    is rounded at 1e-6 on both engines (ulp drift is ~1e-12).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text._norm_words("text")).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("wf"))
+    total = vocab.agg(F.sum("wf").alias("tot"))
+    return (
+        toks.join(vocab, "word")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (F.round(F.avg(F.log(F.col("wf") / F.col("tot"))) * 1e6) / 1e6).alias(
+                "avg_logprob"
+            ),
+        )
+    )
