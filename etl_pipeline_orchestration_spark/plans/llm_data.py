@@ -767,3 +767,162 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("embedding_kmeans_clusters")  # iterative; not SQL-expressible
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus
+    (operators/clustering.py): 8 full rounds — Arrow-matmul assignment
+    (narrow) + model-sized partial-sum shuffle per round — then cluster
+    sizes and within-cluster scatter under the final centroids. The
+    ground-truth recovery test (tests/test_clustering.py) checks the
+    planted label structure is found; this entry records the
+    distributed path end-to-end."""
+    from etl_pipeline_orchestration_spark.operators.clustering import (
+        kmeans_fit_assign,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit_assign(vecs, k=10, iters=8, dim=64)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (F.round(F.avg("sq_dist") * 1000) / 1000).alias("mean_sq_dist"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@query(
+    "doc_chunks_fixed_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(t.i // 48 AS BIGINT) AS chunk_idx,
+           array_to_string(w[t.i + 1 : t.i + 64], ' ') AS chunk_text,
+           CAST(len(w[t.i + 1 : t.i + 64]) AS BIGINT) AS n_tokens
+    FROM toks, unnest(range(0, greatest(len(w), 1), 48)) AS t(i)
+    """,
+)
+def doc_chunks_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token chunks on a 48-token stride
+    (16-token overlap) — how long documents become context-window-sized
+    training examples without losing cross-boundary text.
+
+    Plan: pure per-row compute — tokenize once, generate the stride
+    offsets with ``sequence`` (rows ∝ ceil(tokens/stride)), and
+    ``posexplode`` so the chunk index falls out of the generator; the
+    only data movement is the explode's row amplification (~1.3× at
+    this overlap), no shuffle at all. Chunk extraction is ``slice`` on
+    the already-tokenized array — the text is not re-scanned per chunk.
+    """
+    w = text._norm_words("text")
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", w.alias("w")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(48)
+    )
+    chunk = F.slice("w", F.col("start") + 1, 64)
+    return base.select(
+        "doc_id", F.posexplode(starts).alias("chunk_idx", "start"), "w"
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )
+
+
+@query(
+    "pack_sequences_greedy",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(regexp_replace(lower(trim(text)),
+                                                  '\\s+', ' ', 'g'), ' '))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_tokens) // 2048
+               AS bin_id
+      FROM counts
+    )
+    SELECT lang, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_in_bin
+    FROM packed GROUP BY lang, bin_id
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (in stable doc_id order)
+    into ~2048-token training bins, per language shard — the step that
+    turns a chunked corpus into fixed-budget context windows with
+    minimal padding. A doc's bin is where its RUNNING-SUM start offset
+    lands, so bins can overflow by at most one document (greedy
+    concat-and-cut, the standard pretraining packer).
+
+    Plan: one narrow tokenize pass, then a running sum windowed BY
+    LANGUAGE — the partition key is what makes this scale: each shard's
+    window sorts only its own rows (at 100 TB you'd sub-shard hot
+    languages by a hash prefix the same way). Integer arithmetic
+    end-to-end — exact on any engine.
+    """
+    from pyspark.sql import Window
+
+    counts = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(text._norm_words("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = counts.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048),
+    )
+    return packed.groupBy("lang", F.col("bin_id").cast("bigint").alias("bin_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_in_bin"),
+    )
+
+
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ((doc_id * 2654435761) % 4294967296) % 1000
+          < least(n_chars / 4000.0, 1.0) * 1000
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with a PER-ROW rate: longer documents are
+    kept with probability ∝ length (capped at 1) — the shape behind
+    quality-weighted and dedup-count-weighted corpus sampling.
+    Membership is a pure function of (doc_id, weight) via the Knuth
+    multiplicative bucket (operators/sampling.py) — reproducible
+    across runs, engines, and cluster layouts; never rand().
+
+    Plan: a scan-level filter — no shuffle, no state; at 100 TB this
+    is exactly as expensive as reading the id+weight columns.
+    """
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    rate = F.least(F.col("n_chars") / 4000.0, F.lit(1.0))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(bucket_of(F.col("doc_id")) < rate * 1000)
+        .select("doc_id", "lang", "n_chars")
+    )
