@@ -31,14 +31,18 @@ class WarehouseLoader:
         table: str,
         if_exists: str = "append",
         partition_by: list[str] | None = None,
+        fmt: str = "parquet",
     ) -> None:
         """Distributed write; ``partition_by`` produces a hive layout so
         downstream reads get partition pruning (e.g. fact_sales by month).
+        ``fmt`` selects the storage format — parquet (default) or orc,
+        both columnar with predicate pushdown and stats-based skipping;
+        orc interops with Hive-era warehouses.
         """
         writer = df.write.mode(_MODES[if_exists])
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._path(table))
+        writer.format(fmt).save(self._path(table))
 
     def save_bucketed(
         self,
@@ -141,8 +145,8 @@ class WarehouseLoader:
             )
         return len(pdf)
 
-    def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(table))
+    def read(self, table: str, fmt: str = "parquet") -> DataFrame:
+        return self.spark.read.format(fmt).load(self._path(table))
 
     def table_count(self, table: str) -> int:
         """Row-count read-back (reference etl_pipeline.py:238-242); missing

@@ -337,3 +337,95 @@ def salted_join_event_segment_value(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "revenue_share_by_nation",
+    oracle="""
+    WITH nat_rev AS (
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           CAST(round(revenue * 10000 / sum(revenue) OVER ()) AS BIGINT)
+             AS share_bp
+    FROM nat_rev
+    """,
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: each nation's share of global revenue — the
+    ratio-to-report window shape (an aggregate window over an empty
+    partition spec).
+
+    Plan: the expensive part is the star aggregate (facts shuffle on
+    their join keys, 25-row nation broadcasts); the unpartitioned
+    window then runs over the 25-row AGGREGATE — windowing a
+    pre-aggregated frame is what makes a global-total window safe at
+    any scale. Share emitted as integer basis points (division +
+    fractional rounding is the classic cross-engine half-boundary
+    trap).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    from pyspark.sql import Window
+
+    nat_rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    total = F.sum("revenue").over(Window.partitionBy())
+    return nat_rev.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") * 10000 / total).cast("bigint").alias("share_bp"),
+    )
+
+
+@query(
+    "order_lineitems_collected",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           array_to_string(list(l_linenumber ORDER BY l_linenumber), ',')
+             AS line_numbers
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def order_lineitems_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-to-array collection: each order's line numbers as one
+    ordered, serialized value — the denormalization step before
+    feeding nested records to a document store or a feature pipeline.
+
+    Plan: ``collect_list`` inside the hash aggregate (one shuffle);
+    ``sort_array`` pins the intra-group order (collection order is
+    partition-dependent, so an unsorted list is nondeterministic —
+    the same trap as any order-sensitive aggregate), and the array is
+    SERIALIZED with concat_ws because array cells are unhashable for
+    the driver's canonicalizer. The %100 predicate keeps the sample
+    deterministic and scan-prunable.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias(
+            "line_numbers"
+        ),
+    )

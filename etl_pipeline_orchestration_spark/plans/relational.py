@@ -818,3 +818,29 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query("approx_quantile_sketch")  # GK/KLL-style estimate — engine-specific, rows-only
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: p50/p90/p99 of order value via
+    ``approx_percentile`` (Spark's Greenwald-Khanna variant, accuracy
+    1/10000). Like the HLL entry, the estimate is engine-specific —
+    no DuckDB oracle; tests/test_sketches.py bounds the error against
+    the exact distributed quantile. The sketch aggregates with
+    map-side partial merge: constant memory per executor at any scale
+    — the 100 TB replacement for the exact percentile's
+    buffer-everything behavior."""
+    q = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("qs")
+        )
+        .select(
+            F.col("qs")[0].alias("p50"),
+            F.col("qs")[1].alias("p90"),
+            F.col("qs")[2].alias("p99"),
+        )
+    )
+    return q

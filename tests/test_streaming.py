@@ -187,3 +187,29 @@ def test_stream_static_join_equals_batch(spark, events_dir):
         .select("event_id", "user_id", "tier")
     )
     assert _rows(spark.table("enrich_mem")) == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Attribution join (clicks x purchases within 5 min, same user):
+    the streaming result over the file backlog must equal the same
+    join on the static frames — interval-bounded state eviction must
+    not drop any pair that the batch semantics include."""
+    from etl_pipeline_orchestration_spark.streaming.events_stream import (
+        stream_stream_interval_join,
+    )
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purch = split(read_events_stream(spark, events_dir))
+    joined = stream_stream_interval_join(s_clicks, s_purch)
+    run_to_memory(joined, "ssj_mem", output_mode="append")
+    got = _rows(spark.table("ssj_mem"))
+
+    b_clicks, b_purch = split(spark.read.parquet(events_dir))
+    want = _rows(stream_stream_interval_join(b_clicks, b_purch))
+    assert len(want) > 0, "vacuous: no click->purchase pairs in fixture"
+    assert got == want
