@@ -102,6 +102,12 @@ def stats_moments_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment formulas run once per group as an identical double
     expression tree on both sides — bit-equal results, no rounding
     needed. One map-side-combined shuffle on a 3-value key.
+
+    Scale bound: the n·Σx² product stays exact while it fits 2^63 —
+    safe to ~10^14 rows per group at these value magnitudes; beyond
+    that, cast the sums to DECIMAL(38,0) before the products (both
+    engines carry exact 128-bit decimals) and only the final division
+    drops to double.
     """
     x = F.col("l_quantity").cast("bigint")
     y = F.col("l_linenumber").cast("bigint")

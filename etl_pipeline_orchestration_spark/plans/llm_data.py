@@ -741,12 +741,13 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining data; outlier-low scores mark gibberish and
     boilerplate, outlier-high mark degenerate repetition.
 
-    Plan: two passes over the token relation (one shuffle to count the
-    vocabulary, one to score docs) with the token relation a common
-    subplan — Catalyst reuses the exchange. The corpus total is a
-    1-row agg broadcast into the probability expression; the
-    token→vocab join shuffles on word (vocabulary-sized right side —
-    at web scale, millions of rows, never broadcast). avg(ln p) sums
+    Plan: the token relation (scan + explode, narrow) is evaluated
+    twice — once to count the vocabulary, once to score docs; an extra
+    narrow pass is cheaper than materializing the exploded relation.
+    The corpus total is a 1-row agg broadcast into the probability
+    expression; the token→vocab join shuffles on word at scale
+    (vocabulary-sized right side; AQE broadcasts it while it fits, as
+    it does at test SF). avg(ln p) sums
     per-doc floats whose order varies with partitioning, so the score
     is rounded at 1e-6 on both engines (ulp drift is ~1e-12).
     """
