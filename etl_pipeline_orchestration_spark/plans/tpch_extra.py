@@ -292,3 +292,208 @@ def tpch_q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(round(
+             sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             * 10000 / sum(volume)
+           ) AS BIGINT) AS mkt_share_bp
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part, lineitem, orders, customer, nation n1, region,
+           supplier, nation n2
+      WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        AND s_suppkey = l_suppkey AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of ECONOMY-part volume
+    sold into Europe, by year — the deepest star in the suite that
+    this schema supports (7 joins, two roles for nation).
+
+    Plan: part is filtered to one type BEFORE joining (the most
+    selective predicate drives the join order); customer→nation→region
+    restricts the demand side; all four dims (part after filter,
+    nation ×2, region, supplier at test SF) broadcast, so the only
+    shuffles are lineitem⋈orders and the final year aggregate. Share
+    emitted as integer basis points (division + fractional rounding is
+    the cross-engine half-boundary trap).
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    ).select("r_regionkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.when(F.col("nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(F.sum(nat_vol) * 10000 / F.sum(vol))
+            .cast("bigint")
+            .alias("mkt_share_bp")
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue — an
+    aggregate reused by both a scalar-max subquery and the main query.
+
+    Plan: the revenue aggregate is built once; its max is a 1-row agg
+    cross-joined (broadcast) back as the filter threshold — Spark
+    reuses the shuffle for both consumers (ReusedExchange), so
+    lineitem is scanned once. Equality on the rounded revenue is safe:
+    both consumers read the SAME rounded values. Returns all ties,
+    like the reference query.
+    """
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0 * 100) / 100 AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost if below-fifth-of-average orders were
+    dropped — the correlated-scalar-average shape.
+
+    Plan: the correlation decorrelates to a per-part average aggregate
+    (one shuffle on partkey over the UNFILTERED lineitem — the inner
+    query sees all lines for the part) joined back on the same key;
+    the brand filter prunes the part side before its join. The
+    threshold 0.2·avg is identical IEEE arithmetic on both engines
+    (integer-valued quantity sums divide exactly the same), so the
+    comparison cannot flip. Output rounded with the scale-then-round
+    guard (a /7 division result can sit on a half-boundary).
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_q = (
+        li.groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("threshold"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, li.l_partkey == avg_q.ap_key)
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.round(F.sum("l_extendedprice") / 7.0 * 100) / 100).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "intersect_all_priorities",
+    oracle="""
+    SELECT o_orderpriority FROM orders, customer
+    WHERE o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+    INTERSECT ALL
+    SELECT o_orderpriority FROM orders, customer
+    WHERE o_custkey = c_custkey AND c_mktsegment = 'MACHINERY'
+    """,
+)
+def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (INTERSECT ALL): priority values with
+    their common multiplicity across two customer segments —
+    completes the set-operator family next to union/intersect/
+    except/exceptAll.
+
+    Plan: Catalyst rewrites intersectAll as a count-compare aggregate
+    + generator (min of per-side counts, re-expanded) — two shuffles
+    on the value, never a pairwise join.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def side(segment: str) -> DataFrame:
+        return (
+            orders.join(
+                F.broadcast(cust.filter(F.col("c_mktsegment") == segment)),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderpriority")
+        )
+
+    return side("BUILDING").intersectAll(side("MACHINERY"))
