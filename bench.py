@@ -63,6 +63,8 @@ HEADLINE = [
     "rolling_7day_revenue",
     "unigram_logprob_scores",
     "salted_join_event_segment_value",
+    "tpch_q8_market_share",
+    "data_quality_report",
 ]
 
 

@@ -435,3 +435,113 @@ def order_lineitems_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
             "line_numbers"
         ),
     )
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'o_totalprice_nonpositive' AS rule,
+           CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_null',
+           CAST(count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate_future',
+           CAST(count(CASE WHEN o_orderdate >= TIMESTAMP '2002-01-01'
+                      THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(count(*) AS BIGINT)
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation checking: a (rule, violation-count) report over
+    range, null, freshness, and referential-integrity rules — the
+    validation gate an ETL runs before publishing a load.
+
+    Plan: all single-table rules evaluate in ONE scan (conditional
+    counts in a single aggregate, then unpivoted to rows); the FK rule
+    is a left-anti join against the parent keys (shuffle on custkey;
+    broadcast when the parent is dim-sized, as here). Violation counts
+    rather than violating rows: at 100 TB you page the report, then
+    drill into a specific rule with a filter — you never collect the
+    violations themselves.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust_keys = load_table(spark, sf_dir, "customer").select("c_custkey")
+    single = orders.agg(
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).cast("bigint").alias(
+            "o_totalprice_nonpositive"
+        ),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).cast("bigint").alias(
+            "o_orderdate_null"
+        ),
+        F.count(
+            F.when(
+                F.col("o_orderdate") >= F.lit("2002-01-01").cast("timestamp"), 1
+            )
+        ).cast("bigint").alias("o_orderdate_future"),
+    )
+    melted = single.unpivot([], single.columns, "rule", "n_violations")
+    orphans = (
+        orders.join(
+            F.broadcast(cust_keys),
+            orders.o_custkey == cust_keys.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(F.lit("orders_orphan_custkey").alias("rule"), "n_violations")
+    )
+    return melted.unionAll(orphans)
+
+
+@query(
+    "consistent_sample_orders_lineitems",
+    oracle="""
+    WITH sampled AS (
+      SELECT o_orderkey FROM orders
+      WHERE ((o_orderkey * 2654435761) % 4294967296) % 1000 < 50
+    )
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN sampled ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey
+    """,
+)
+def consistent_sample_orders_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referentially-consistent subsetting: a deterministic 5% sample
+    of PARENT orders, with each sampled order's COMPLETE lineitem set
+    — how you build a dev-sized copy of a warehouse that still joins
+    correctly (sampling each table independently would orphan ~95% of
+    child rows).
+
+    Plan: the parent sample is a scan-level Knuth-bucket filter; the
+    child table is restricted by a left-semi join on the parent key —
+    one shuffle (or broadcast while the sampled key set fits, as at
+    test SF). Child completeness is structural: membership is decided
+    only by the parent key.
+    """
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    sampled = (
+        load_table(spark, sf_dir, "orders")
+        .filter(bucket_of(F.col("o_orderkey")) < 50)
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(sampled), li.l_orderkey == sampled.o_orderkey, "left_semi"
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )

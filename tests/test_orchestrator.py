@@ -5,6 +5,7 @@ arithmetic, append semantics, and per-source failure isolation
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_pipeline_orchestration_spark.metrics import PipelineStatus
 from etl_pipeline_orchestration_spark.orchestrator import (
@@ -206,3 +207,59 @@ def test_orc_round_trip(spark, tmp_path):
     back = loader.read("orc_t", fmt="orc")
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """Landing files whose schema grew a column: reading with
+    mergeSchema unifies old and new footers; the old files' missing
+    column reads as NULL — the standard forward-compatible evolution
+    path for an append-only landing zone."""
+    d = str(tmp_path / "land")
+    spark.createDataFrame([(1, "a")], ["id", "s"]).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "s", "score"]
+    ).write.mode("append").parquet(d)
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "s", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_high_watermark_incremental_load(spark, tmp_path):
+    """High-watermark ingestion: the second run must pick up ONLY rows
+    newer than the warehouse's max(ts) — the incremental-extract
+    pattern every periodic batch load uses (a 100 TB source is read
+    through a ts >= watermark scan predicate, never fully)."""
+    from datetime import datetime
+
+    from etl_pipeline_orchestration_spark.loader import WarehouseLoader
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    src = str(tmp_path / "src")
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "id BIGINT, ts TIMESTAMP").write.mode(
+            "append"
+        ).parquet(src)
+
+    def incremental_load():
+        from pyspark.errors import AnalysisException
+
+        try:
+            wm = loader.read("inc_t").agg(F.max("ts")).head()[0]
+        except AnalysisException:  # first run: table not yet created
+            wm = None
+        new = spark.read.parquet(src)
+        if wm is not None:
+            new = new.filter(F.col("ts") > F.lit(wm))
+        loader.load(new, "inc_t", if_exists="append")
+
+    t = datetime(2026, 1, 1)
+    write_batch([(1, t), (2, datetime(2026, 1, 2))])
+    incremental_load()
+    assert loader.table_count("inc_t") == 2
+
+    write_batch([(3, datetime(2026, 1, 3))])
+    incremental_load()
+    got = sorted(r["id"] for r in loader.read("inc_t").collect())
+    assert got == [1, 2, 3], got  # no duplicates of 1/2, 3 picked up
