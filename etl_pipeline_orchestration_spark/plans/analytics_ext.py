@@ -545,3 +545,151 @@ def consistent_sample_orders_lineitems(spark: SparkSession, sf_dir: str) -> Data
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS n_viewed,
+           CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+             AS n_clicked_after_view,
+           CAST(count(CASE WHEN t_purchase > t_click AND t_click > t_view
+                      THEN 1 END) AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users whose FIRST view precedes their
+    first click precedes their first purchase — the product-analytics
+    staple.
+
+    Plan: one shuffle on user_id computing three conditional
+    first-touch timestamps in a single aggregate (no per-stage scans,
+    no self-joins — the naive 3-way self-join on a 100 TB event log is
+    the classic anti-pattern this replaces), then a 1-row conditional
+    count over the per-user frame. Timestamp comparisons are exact —
+    no float discipline needed.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_of(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    after = F.col("t_click") > F.col("t_view")
+    full = (F.col("t_purchase") > F.col("t_click")) & after
+    return firsts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t_view").cast("bigint").alias("n_viewed"),
+        F.count(F.when(after, 1)).cast("bigint").alias("n_clicked_after_view"),
+        F.count(F.when(full, 1)).cast("bigint").alias("n_full_funnel"),
+    )
+
+
+@query(
+    "weekly_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, c.cohort_week,
+             date_diff('day', c.cohort_week,
+                       date_trunc('week', e.ts)) // 7 AS week_offset
+      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    each later week they were active — the retention-curve input.
+
+    Plan: two shuffles on user_id (cohort assignment, then the
+    activity join — co-partitioned, so AQE keeps them on one
+    exchange where sizes allow) and a distinct + count on the
+    (cohort, offset) pair. Weeks via date_trunc on BOTH engines
+    (both truncate to Monday); the offset is integer day arithmetic —
+    exact everywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_users")
+    ).select(
+        F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+        F.col("week_offset").cast("bigint").alias("week_offset"),
+        "n_active_users",
+    )
+
+
+@query(
+    "robust_stats_quantity",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS med_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, m.med_qty,
+           median(abs(l.l_quantity - m.med_qty)) AS mad_qty
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.med_qty
+    """,
+)
+def robust_stats_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: per-group median and median absolute
+    deviation — the outlier-resistant center/spread pair used for
+    anomaly thresholds where mean/stddev would chase the outliers.
+
+    Two grouped exact percentiles (median, then median of absolute
+    deviations from it) — cross-engine exact HERE because l_quantity
+    is integral: medians land on integers or exact halves, where
+    Spark's weighted-average interpolation and DuckDB's lerp agree to
+    the bit. At 100 TB swap ``percentile`` for ``approx_percentile``
+    (the exact grouped percentile buffers each group in one
+    aggregation buffer — the same scale cliff the P6 quantile flag
+    documents).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("mf")).agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty")
+    )
+    return (
+        li.join(F.broadcast(med), li.l_returnflag == med.mf)
+        .groupBy("l_returnflag", "med_qty")
+        .agg(
+            F.expr("percentile(abs(l_quantity - med_qty), 0.5)").alias("mad_qty")
+        )
+        .select("l_returnflag", "med_qty", "mad_qty")
+    )
