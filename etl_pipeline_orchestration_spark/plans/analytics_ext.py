@@ -693,3 +693,88 @@ def robust_stats_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "med_qty", "mad_qty")
     )
+
+
+@query(
+    "scd2_user_event_intervals",
+    oracle="""
+    SELECT user_id,
+           event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) IS NULL
+                THEN TRUE ELSE FALSE END AS is_current
+    FROM events
+    WHERE user_id % 50 = 0
+    """,
+)
+def scd2_user_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 interval construction: each state row gets
+    [valid_from, valid_to) from its own and its successor's timestamp,
+    open-ended (is_current) on the latest — how a mutable dimension
+    becomes a full-history table you can as-of join against.
+
+    Plan: one window shuffle on the dimension's natural key; ``lead``
+    with an (ts, event_id) tiebreak so duplicate timestamps can't flip
+    interval boundaries between runs (the same determinism rule as
+    sessionization). The %50 predicate keeps the driver-compared
+    sample small; semantics are per-key, so it changes nothing else.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY month
+    )
+    SELECT month, revenue,
+           CAST(round(
+             (revenue - lag(revenue) OVER (ORDER BY month)) * 10000
+             / lag(revenue) OVER (ORDER BY month)
+           ) AS BIGINT) AS growth_bp
+    FROM monthly
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period: month-over-month revenue growth in basis
+    points — the lag-ratio shape behind every trend dashboard.
+
+    Plan: the fact reduces to a month-cardinality aggregate first; the
+    unpartitioned lag window then runs over dozens of rows (windowing
+    the pre-aggregate, same scale rule as the rolling and
+    ratio-to-report entries). First month's growth is NULL (lag over
+    nothing) on both engines; the ratio is emitted as integer basis
+    points.
+    """
+    from pyspark.sql import Window
+
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    prev = F.lag("revenue").over(Window.orderBy("month"))
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) * 10000 / prev)
+        .cast("bigint")
+        .alias("growth_bp"),
+    )

@@ -144,3 +144,37 @@ def test_window_trio_single_shuffle(plans):
     p = plans("window_first_last_cume_dist")
     # same partitioning+ordering → one Window exchange only
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_join_strategy_hints_respected(spark):
+    """The hint surface: MERGE forces sort-merge (Exchange+Sort), while
+    the same join unhinted broadcasts at this size — users tuning a
+    100 TB join rely on hints overriding the size heuristics."""
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+    import io, contextlib
+
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        return buf.getvalue()
+
+    hinted = orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    assert "SortMergeJoin" in plan_of(hinted)
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    assert "BroadcastHashJoin" in plan_of(plain)
+
+
+def test_pre_aggregated_window_queries_window_tiny_frame(plans):
+    """rolling/growth/ratio windows must sit ABOVE the aggregate in the
+    plan (window over day/month/nation cardinality), never over the
+    raw fact — the difference between sorting KBs and sorting TBs."""
+    for q in ("rolling_7day_revenue", "monthly_revenue_growth"):
+        p = plans(q)
+        # the Window's child chain must contain the HashAggregate
+        w_pos = p.index("Window")
+        agg_pos = p.index("HashAggregate")
+        assert agg_pos > w_pos, q  # explain prints top-down: agg below window
