@@ -778,3 +778,60 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("growth_bp"),
     )
+
+
+@query(
+    "daily_revenue_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY day
+    ),
+    stats AS (
+      SELECT median(revenue) AS med FROM daily
+    ),
+    dev AS (
+      SELECT d.day, d.revenue, s.med,
+             median(abs(d.revenue - s.med)) OVER () AS mad
+      FROM daily d, stats s
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, revenue,
+           round(med * 100) / 100 AS med_revenue
+    FROM dev
+    WHERE abs(revenue - med) > 5 * mad
+    """,
+)
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: days whose revenue deviates from the
+    median by more than 5 median-absolute-deviations — the
+    outlier-resistant alert rule (mean/stddev thresholds move with the
+    very outliers they should flag).
+
+    Plan: composition of the gap-fill aggregate and the robust-stats
+    pattern — the fact reduces to day cardinality first; median and
+    MAD are computed over that small frame (exact percentile is fine
+    at day scale; it is the 100 TB raw fact where you'd switch to
+    approx_percentile). The 5·MAD comparison runs on identical floats
+    both sides — medians select/average existing 2dp values, so no
+    rounding discipline is needed on the threshold itself.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    med = daily.agg(F.expr("percentile(revenue, 0.5)").alias("med"))
+    dev = daily.join(F.broadcast(med))
+    mad = dev.agg(
+        F.expr("percentile(abs(revenue - med), 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad))
+        .filter(F.abs(F.col("revenue") - F.col("med")) > 5 * F.col("mad"))
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "revenue",
+            (F.round(F.col("med") * 100) / 100).alias("med_revenue"),
+        )
+    )

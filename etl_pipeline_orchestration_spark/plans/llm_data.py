@@ -927,3 +927,73 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket_of(F.col("doc_id")) < rate * 1000)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                 ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY term
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf * ln(n.n_docs / df.df) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(n.n_docs / df.df) DESC, tf.term
+             ) AS rk
+      FROM tf, df, n WHERE tf.term = df.term
+    )
+    SELECT doc_id, term, round(tfidf * 1e6) / 1e6 AS tfidf, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: each document's top-3 terms by
+    tf·ln(N/df) — the classic retrieval/topic signal.
+
+    Plan: term frequencies and document frequencies are two aggregates
+    over the token relation (shuffles on (doc, term) and term); the
+    64-bit N is a 1-row broadcast; scoring joins tf→df on term and the
+    per-doc top-3 is a ranking window on doc_id — shuffle-aligned with
+    tf's grouping. Scores are IDENTICAL floats on both engines (integer
+    tf, per-term idf from the same ln), so the (score DESC, term ASC)
+    ranking cannot diverge; the score column itself is rounded at 1e-6
+    purely for display-hash stability.
+    """
+    from pyspark.sql import Window
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(text._norm_words("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", score)
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            (F.round(F.col("tfidf") * 1e6) / 1e6).alias("tfidf"),
+            "rk",
+        )
+    )

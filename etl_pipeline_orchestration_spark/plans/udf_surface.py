@@ -185,3 +185,46 @@ def udaf_median_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         _median("o_totalprice").alias("median_price"),
         _n("o_totalprice").alias("n_orders"),
     )
+
+
+@query(
+    "arrow_vector_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                                              x -> CAST(x AS DOUBLE)
+                                                   * CAST(x AS DOUBLE))))
+                 * 1e6) / 1e6 AS l2_norm
+    FROM embeddings
+    """,
+)
+def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms via ``mapInArrow`` — the zero-copy Arrow batch surface
+    (SURVEY §2.11's fourth UDF shape, below pandas_udf/applyInPandas/
+    mapInPandas): the function sees raw ``pyarrow.RecordBatch``es, so
+    there is no pandas conversion at all — the right tier for pure
+    numeric kernels over columnar data at 100 TB.
+
+    numpy sums pairwise while the oracle's list_sum is sequential —
+    same-magnitude positive values differ in last ulps, hence the 1e-6
+    rounding (the established discipline for order-varying float
+    reductions).
+    """
+    import pyarrow as pa
+
+    def norms(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            embs = batch.column(1)
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in embs.to_pylist()]
+            )
+            out = np.sqrt((mat * mat).sum(axis=1))
+            out = np.round(out * 1e6) / 1e6
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, type=pa.float64())],
+                names=["vec_id", "l2_norm"],
+            )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return vecs.mapInArrow(norms, "vec_id bigint, l2_norm double")

@@ -213,3 +213,44 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     want = _rows(stream_stream_interval_join(b_clicks, b_purch))
     assert len(want) > 0, "vacuous: no click->purchase pairs in fixture"
     assert got == want
+
+
+def test_checkpoint_recovery_no_duplicates(spark, events_dir, tmp_path):
+    """Restartability: run the checkpointed foreachBatch sink over a
+    backlog, then ADD files and run again with the SAME checkpoint —
+    the second run must process only the new files (offsets persisted),
+    so the sink sees each source row exactly once across restarts."""
+    import tempfile
+
+    from etl_pipeline_orchestration_spark.streaming.events_stream import (
+        run_foreach_batch_append,
+    )
+
+    with tempfile.TemporaryDirectory() as src:
+        ev = spark.read.parquet(events_dir)
+        first = ev.limit(300)
+        first.write.mode("overwrite").parquet(src)
+
+        ckpt = str(tmp_path / "ckpt")
+        seen: list[int] = []
+
+        def sink(batch_df, batch_id):
+            seen.append(batch_df.count())
+
+        def run():
+            run_foreach_batch_append(
+                read_events_stream(spark, src).select("event_id"),
+                sink,
+                ckpt,
+                output_mode="append",
+            )
+
+        run()
+        n_first = sum(seen)
+        assert n_first == 300
+
+        ev.write.mode("append").parquet(src)  # full set lands on top
+        run()
+        total_rows = spark.read.parquet(src).count()
+        # second run processed exactly the delta, not the old files again
+        assert sum(seen) == total_rows
