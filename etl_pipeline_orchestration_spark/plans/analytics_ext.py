@@ -835,3 +835,43 @@ def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col("med") * 100) / 100).alias("med_revenue"),
         )
     )
+
+
+_SQL_TOP_CUSTOMERS = """
+    WITH cust_rev AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             round(sum(o_totalprice), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM {orders} JOIN {customer} ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name, c_mktsegment
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY revenue DESC, c_custkey
+             ) AS rk
+      FROM cust_rev
+    )
+    SELECT c_mktsegment, CAST(rk AS BIGINT) AS rk, c_custkey, c_name,
+           revenue, n_orders
+    FROM ranked WHERE rk <= 3
+"""
+
+
+@query(
+    "sql_cte_top_customers",
+    oracle=_SQL_TOP_CUSTOMERS.format(orders="orders", customer="customer"),
+)
+def sql_cte_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by revenue per segment, written as ONE SQL
+    string with CTEs and executed via ``spark.sql`` over temp views —
+    the SQL-first authoring path. The oracle is the IDENTICAL text run
+    on DuckDB: ANSI SQL is the portability layer, Catalyst compiles it
+    to the same ranked-window plan the DataFrame API would produce
+    (deterministic (revenue DESC, custkey) tiebreak, rank filter
+    pushed into the window as a top-k)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        _SQL_TOP_CUSTOMERS.format(orders="orders_v", customer="customer_v")
+    )
