@@ -875,3 +875,55 @@ def sql_cte_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _SQL_TOP_CUSTOMERS.format(orders="orders_v", customer="customer_v")
     )
+
+
+@query(
+    "union_harmonized_flows",
+    oracle="""
+    SELECT flow, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(amount) AS BIGINT) AS n_with_amount,
+           CAST(count(segment) AS BIGINT) AS n_with_segment
+    FROM (
+      SELECT 'orders' AS flow, o_totalprice AS amount,
+             NULL::VARCHAR AS segment FROM orders
+      UNION ALL BY NAME
+      SELECT 'customers' AS flow, NULL::DOUBLE AS amount,
+             c_mktsegment AS segment FROM customer
+    )
+    GROUP BY flow
+    """,
+)
+def union_harmonized_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-harmonizing union: two flows with DIFFERENT columns
+    stacked by NAME, absent columns null-filled
+    (``unionByName(allowMissingColumns=True)``) — how heterogeneous
+    source extracts merge into one conformed stream without positional
+    accidents (plain UNION matches by position and silently pairs
+    unrelated columns).
+
+    Plan: narrow per-source projections + a zero-shuffle union; the
+    count aggregate is the only exchange.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.lit("orders").alias("flow"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.lit("customers").alias("flow"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        orders.unionByName(cust, allowMissingColumns=True)
+        .groupBy("flow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("amount").cast("bigint").alias("n_with_amount"),
+            F.count("segment").cast("bigint").alias("n_with_segment"),
+        )
+    )

@@ -254,3 +254,55 @@ def test_checkpoint_recovery_no_duplicates(spark, events_dir, tmp_path):
         total_rows = spark.read.parquet(src).count()
         # second run processed exactly the delta, not the old files again
         assert sum(seen) == total_rows
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Real late-data semantics: with maxFilesPerTrigger=1 the first
+    file advances the watermark far ahead; the second file's rows are
+    older than (max event time - delay) and must be DROPPED from the
+    aggregate — the state-eviction behavior that bounds memory on an
+    unbounded stream. (The batch twin would count them; streaming
+    correctly does not.)"""
+    from datetime import datetime
+
+    from etl_pipeline_orchestration_spark.streaming.events_stream import (
+        EVENTS_STREAM_SCHEMA,
+        tumbling_counts,
+    )
+
+    src = str(tmp_path / "late_src")
+
+    def write_file(rows, mode):
+        spark.createDataFrame(rows, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+            mode
+        ).parquet(src)
+
+    def ev(i, ts, typ="click"):
+        return (i, ts, 1, typ, 1.0, "{}")
+
+    # file 1: one early row + one far-future row (advances watermark)
+    write_file(
+        [ev(1, datetime(2026, 1, 1, 0, 0)), ev(2, datetime(2026, 1, 1, 12, 0))],
+        "overwrite",
+    )
+    # file 2: a row 12h older than max event time, beyond the 10-min delay
+    write_file([ev(3, datetime(2026, 1, 1, 0, 1))], "append")
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = tumbling_counts(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = sum(r["n_events"] for r in spark.table("late_mem").collect())
+    batch_total = spark.read.parquet(src).count()
+    assert batch_total == 3
+    assert total == 2, f"late row should be dropped, counted {total}"
