@@ -65,6 +65,8 @@ HEADLINE = [
     "salted_join_event_segment_value",
     "tpch_q8_market_share",
     "data_quality_report",
+    "training_prep_chunked_pipeline",
+    "tfidf_top_terms",
 ]
 
 

@@ -997,3 +997,91 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "training_prep_chunked_pipeline",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text
+      FROM documents WHERE length(text) > 50
+    ),
+    survivors AS (
+      SELECT min(doc_id) AS doc_id FROM norm GROUP BY norm_text
+    ),
+    kept AS (
+      SELECT n.doc_id, n.lang, n.w FROM norm n
+      JOIN survivors s ON n.doc_id = s.doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, lang,
+             CAST(t.i // 48 AS BIGINT) AS chunk_idx,
+             CAST(len(w[t.i + 1 : t.i + 64]) AS BIGINT) AS n_tokens
+      FROM kept, unnest(range(0, greatest(len(w), 1), 48)) AS t(i)
+    ),
+    packed AS (
+      SELECT lang, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY doc_id, chunk_idx
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n_tokens) // 2048
+               AS bin_id
+      FROM chunks
+    )
+    SELECT lang, CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_in_bin
+    FROM packed GROUP BY lang, bin_id
+    """,
+)
+def training_prep_chunked_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus→training-examples deliverable as ONE plan:
+    length gate → exact dedup (canonical survivor per normalized
+    text) → 64/48 sliding-window chunking → greedy packing into
+    2048-token bins per language shard.
+
+    Plan: gate is a scan filter; dedup is one shuffle on the
+    normalized text (sha-group at real scale — see dedup_exact_hash);
+    chunking is the shuffle-free explode; packing is the per-lang
+    running-sum window over (doc, chunk) order. Four stages, three
+    shuffles, every one keyed — the whole pretraining prep pass is a
+    single Catalyst plan, no intermediate materialization.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 50)
+    norm_text = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = docs.select("doc_id", "lang", text._norm_words("text").alias("w"), norm_text.alias("norm_text"))
+    survivors = norm.groupBy("norm_text").agg(F.min("doc_id").alias("doc_id"))
+    kept = norm.join(survivors.select("doc_id"), "doc_id")
+    starts = F.sequence(F.lit(0), F.greatest(F.size("w") - 1, F.lit(0)), F.lit(48))
+    chunk = F.slice("w", F.col("start") + 1, 64)
+    chunks = kept.select(
+        "doc_id",
+        "lang",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+        "w",
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = chunks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048),
+    )
+    return packed.groupBy(
+        "lang", F.col("bin_id").cast("bigint").alias("bin_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_in_bin"),
+    )
