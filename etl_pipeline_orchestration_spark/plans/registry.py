@@ -50,3 +50,4 @@ def load_all() -> None:
     import etl_pipeline_orchestration_spark.plans.warehouse_ops  # noqa: F401
     import etl_pipeline_orchestration_spark.plans.tpch_extra  # noqa: F401
     import etl_pipeline_orchestration_spark.plans.analytics_ext  # noqa: F401
+    import etl_pipeline_orchestration_spark.plans.tpch_partsupp  # noqa: F401
