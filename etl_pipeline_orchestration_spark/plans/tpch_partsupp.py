@@ -357,3 +357,78 @@ def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     return supp.join(
         qualified, supp.s_suppkey == qualified.ps_suppkey, "left_semi"
     )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      WHERE (l_orderkey * 31 + l_linenumber) % 7 = 0
+    ),
+    all_supp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN late l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND s_nationkey % 5 = 1
+      AND EXISTS (SELECT 1 FROM all_supp l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order — the exists + not-exists double
+    self-correlation, the hardest subquery shape in the suite. The
+    schema has no receipt/commit dates, so lateness is a deterministic
+    modular flag (same derivation discipline as partsupp).
+
+    Plan: the correlations decorrelate to one LEFT SEMI join (another
+    supplier exists on the order) and one LEFT ANTI join (no OTHER
+    late supplier) against the late/all (order, supp) key sets — each
+    deduplicated BEFORE joining so multiplicity can't inflate counts;
+    both join on orderkey. No nested-loop anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.filter((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 7 == 0)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_supp = li.select("l_orderkey", "l_suppkey").distinct()
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") % 5 == 1
+    ).select("s_suppkey", "s_name")
+
+    l1 = late
+    others = all_supp.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    return (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .join(
+            others,
+            (l1.l_orderkey == others.o2_key) & (l1.l_suppkey != others.s2_key),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (l1.l_orderkey == late_others.o3_key)
+            & (l1.l_suppkey != late_others.s3_key),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
