@@ -927,3 +927,40 @@ def union_harmonized_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("segment").cast("bigint").alias("n_with_segment"),
         )
     )
+
+
+@query(
+    "hour_band_counts",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN hour(ts) < 6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS night,
+           CAST(sum(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 ELSE 0 END)
+                AS BIGINT) AS morning,
+           CAST(sum(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN 1 ELSE 0 END)
+                AS BIGINT) AS afternoon,
+           CAST(sum(CASE WHEN hour(ts) >= 18 THEN 1 ELSE 0 END) AS BIGINT)
+             AS evening,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    """,
+)
+def hour_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band profiling in ONE scan: four time-of-day conditional
+    counts plus a distinct-user count from a single pass over the
+    events fact — the TPC-DS-Q88 shape. The naive form is one scan per
+    band (4× the I/O at 100 TB); conditional aggregation folds them
+    into one map-side-combined aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+
+    def band(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    return ev.agg(
+        band(h < 6).alias("night"),
+        band(h.between(6, 11)).alias("morning"),
+        band(h.between(12, 17)).alias("afternoon"),
+        band(h >= 18).alias("evening"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

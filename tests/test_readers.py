@@ -64,3 +64,49 @@ def test_sales_csv_bad_numeric_degrades_to_null(spark, tmp_path):
     assert rows["S1"]["revenue"] == 100.5
     assert rows["S2"]["revenue"] is None  # PERMISSIVE coerce-to-null
     assert rows["S2"]["units"] is None
+
+
+def test_json_corrupt_record_handling(spark, tmp_path):
+    """Dirty-input robustness on the JSON path: PERMISSIVE mode routes
+    malformed lines into _corrupt_record (the dead-letter column) and
+    keeps good rows; DROPMALFORMED silently drops them — the ETL
+    chooses per source how strict to be."""
+    p = str(tmp_path / "dirty.json")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "v": "ok"}\n')
+        f.write('{"id": 2, "v": BROKEN\n')
+        f.write('{"id": 3, "v": "fine"}\n')
+
+    permissive = (
+        spark.read.schema("id BIGINT, v STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(p)
+    )
+    rows = permissive.collect()
+    assert len(rows) == 3
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 1 and "BROKEN" in corrupt[0]["_corrupt_record"]
+
+    dropped = (
+        spark.read.schema("id BIGINT, v STRING")
+        .option("mode", "DROPMALFORMED")
+        .json(p)
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+
+def test_file_metadata_columns(spark, tmp_path):
+    """The hidden _metadata struct gives per-row file lineage (path,
+    name, size, modification time) with no extra scan cost — the
+    provenance column an audit pipeline selects alongside the data."""
+    d = str(tmp_path / "meta_src")
+    spark.range(5).write.parquet(d)
+    rows = (
+        spark.read.parquet(d)
+        .select("id", "_metadata.file_name", "_metadata.file_size")
+        .collect()
+    )
+    assert len(rows) == 5
+    assert all(r["file_name"].endswith(".parquet") for r in rows)
+    assert all(r["file_size"] > 0 for r in rows)
