@@ -263,3 +263,26 @@ def test_high_watermark_incremental_load(spark, tmp_path):
     incremental_load()
     got = sorted(r["id"] for r in loader.read("inc_t").collect())
     assert got == [1, 2, 3], got  # no duplicates of 1/2, 3 picked up
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Backfill semantics: with partitionOverwriteMode=dynamic, an
+    overwrite write touching only month B replaces ONLY month B's
+    partition — month A survives. Static mode (the default) would
+    clobber the whole table; this is the correction-run pattern for a
+    month-partitioned 100 TB fact."""
+    d = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [("2026-01", 1, 10.0), ("2026-02", 2, 20.0)], ["month", "id", "v"]
+    )
+    df.write.partitionBy("month").parquet(d)
+
+    fixed = spark.createDataFrame([("2026-02", 2, 99.0)], ["month", "id", "v"])
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month")
+        .parquet(d)
+    )
+    got = {r["month"]: r["v"] for r in spark.read.parquet(d).collect()}
+    assert got == {"2026-01": 10.0, "2026-02": 99.0}

@@ -306,3 +306,35 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     batch_total = spark.read.parquet(src).count()
     assert batch_total == 3
     assert total == 2, f"late row should be dropped, counted {total}"
+
+
+def test_rate_source_smoke(spark):
+    """The built-in rate source (self-generating benchmark stream):
+    rows carry monotone (timestamp, value) — the standard way to
+    load-test a streaming topology with zero external dependencies."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .option("numPartitions", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("rate_mem").count() >= 10:
+                break
+            time.sleep(0.5)
+        rows = spark.table("rate_mem").collect()
+        assert len(rows) >= 10
+        vals = sorted(r["value"] for r in rows)
+        assert vals == list(range(vals[0], vals[0] + len(vals)))
+    finally:
+        q.stop()
