@@ -964,3 +964,95 @@ def hour_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(h >= 18).alias("evening"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    diff AS (
+      SELECT coalesce(a.o_orderkey, b.o_orderkey) AS key,
+             CASE
+               WHEN a.o_orderkey IS NULL THEN 'added'
+               WHEN b.o_orderkey IS NULL THEN 'removed'
+               WHEN a.o_totalprice <> b.o_totalprice
+                 OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+               ELSE 'unchanged'
+             END AS change_type
+      FROM orders a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows
+    FROM diff GROUP BY change_type
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed /
+    unchanged between two table versions — the data-versioning
+    primitive behind reconciliation, CDC validation, and "what did
+    this backfill actually touch" audits. (Version B is derived
+    deterministically here: some prices bumped, some keys deleted —
+    both engines construct the identical snapshot.)
+
+    Plan: ONE full-outer shuffle join on the key (same single-shuffle
+    discipline as the CDC merge), change classification as a per-row
+    CASE, then a 4-group aggregate. At 100 TB both sides shuffle once
+    on the key; nothing driver-side.
+    """
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionAll(
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 101 == 0)
+            .select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    a2 = a.select(
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_totalprice").alias("pa"),
+        F.col("o_orderstatus").alias("sa"),
+    )
+    b2 = b.select(
+        F.col("o_orderkey").alias("kb"),
+        F.col("o_totalprice").alias("pb"),
+        F.col("o_orderstatus").alias("sb"),
+    )
+    change = (
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(
+            (F.col("pa") != F.col("pb")) | (F.col("sa") != F.col("sb")), "changed"
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        a2.join(b2, a2.ka == b2.kb, "full_outer")
+        .select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
