@@ -309,3 +309,88 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def lsh_band_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band_id, band_hash): the persistable LSH INDEX of a corpus —
+    what a production pipeline stores (bucketed by band_hash) so
+    tomorrow's batch dedups against years of history without
+    re-signaturing it. Identical banding to minhash_lsh_candidates."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col("signature")[b * rows + r] for r in range(rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(
+        F.col(id_col),
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_hash").alias("band_hash"),
+    )
+
+
+def minhash_incremental_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 1_000,
+) -> DataFrame:
+    """Incremental dedup: candidate pairs touching the NEW batch only —
+    (new × index) cross-corpus pairs plus (new × new) within-batch
+    pairs. The historical corpus is joined through its PRE-BUILT band
+    index (``lsh_band_table``), never re-read or re-signatured: daily
+    cost scales with the batch, not the archive. The mega-bucket guard
+    counts over the COMBINED table, so guarded output equals exactly
+    what a full-corpus run would emit for these pairs (equivalence is
+    pinned by tests/test_dedup_similarity.py)."""
+    new_bands = lsh_band_table(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k
+    ).withColumn("__new__", F.lit(True))
+    combined = index.withColumn("__new__", F.lit(False)).unionByName(new_bands)
+    wb = W.partitionBy("band_id", "band_hash")
+    combined = (
+        combined.withColumn("__bn__", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bn__") <= max_bucket)
+        .drop("__bn__")
+    )
+    a = combined.filter("__new__").alias("a")
+    b = combined.alias("b")
+    pair_a = F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+    pair_b = F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (
+                # new×old in any order, new×new counted once
+                (~F.col("b.__new__") )
+                | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            )
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(pair_a.alias("id_a"), pair_b.alias("id_b"))
+        .agg(F.countDistinct("a.band_id").alias("n_bands_matched"))
+    )

@@ -1085,3 +1085,76 @@ def training_prep_chunked_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
         F.sum("n_tokens").cast("bigint").alias("tokens_in_bin"),
     )
+
+
+@query(
+    "corpus_report_by_lang",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang, n_chars,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+             len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                              ' ')) AS n_tokens
+      FROM documents
+    ),
+    dup AS (
+      SELECT norm_text, count(*) AS copies FROM norm GROUP BY norm_text
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN d.copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM norm n JOIN dup d USING (norm_text)
+    GROUP BY lang
+    """,
+)
+def corpus_report_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus health report: per language — document count, token
+    volume, exact-duplicate exposure, and length bounds. The first
+    query a data curator runs on a new crawl snapshot.
+
+    Plan: one tokenize pass feeding a duplicate-count aggregate
+    (shuffle on normalized text — sha-hash it at real scale, as
+    dedup_exact_hash does) joined back to classify each doc, then the
+    per-language rollup. Integer outputs end to end.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm_text = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        norm_text.alias("norm_text"),
+        F.size(text._norm_words("text")).alias("n_tokens"),
+    )
+    dup = norm.groupBy("norm_text").agg(F.count(F.lit(1)).alias("copies"))
+    return (
+        norm.join(dup, "norm_text")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("copies") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+@query("dedup_incremental_candidates")  # hash-family op — rows-only check
+def dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup: odd-id docs as today's batch,
+    even-id docs as the persisted LSH band index — candidates touching
+    the batch only, daily cost ∝ batch not archive. Equivalence with a
+    full-corpus run is pinned by
+    tests/test_dedup_similarity.py::test_incremental_lsh_equals_full_corpus_restriction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    index = dedup.lsh_band_table(old)
+    return dedup.minhash_incremental_candidates(new, index)

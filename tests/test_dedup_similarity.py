@@ -6,7 +6,12 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from etl_pipeline_orchestration_spark.operators import dedup, similarity
+from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
@@ -144,3 +149,37 @@ def test_salted_sum_equals_plain_groupby(spark):
 def test_recommended_planes_scales_with_n():
     assert similarity.recommended_planes(10**9) >= 20
     assert similarity.recommended_planes(10**4) < similarity.recommended_planes(10**8)
+
+
+def test_incremental_lsh_equals_full_corpus_restriction(spark):
+    """Incremental dedup (new batch vs pre-built index) must emit
+    EXACTLY the full-corpus candidate pairs that touch the new batch —
+    no pair lost at the index boundary, none invented, band counts
+    identical."""
+    from etl_pipeline_orchestration_spark.operators.dedup import (
+        lsh_band_table,
+        minhash_lsh_candidates,
+        minhash_incremental_candidates,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    full = {
+        (r["id_a"], r["id_b"]): r["n_bands_matched"]
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {
+        k: v
+        for k, v in full.items()
+        if k[0] in new_ids or k[1] in new_ids
+    }
+
+    index = lsh_band_table(old)
+    got = {
+        (r["id_a"], r["id_b"]): r["n_bands_matched"]
+        for r in minhash_incremental_candidates(new, index).collect()
+    }
+    assert got == want
