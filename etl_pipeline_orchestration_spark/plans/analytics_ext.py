@@ -1056,3 +1056,70 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+
+
+@query(
+    "variant_props_stats",
+    oracle="""
+    SELECT CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT) > 50 THEN 1 END)
+                AS BIGINT) AS n_high
+    FROM events
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing through the VARIANT type (Spark 4):
+    ``parse_json`` once into a binary variant, then typed
+    ``variant_get`` extractions — the modern replacement for repeated
+    ``get_json_object`` string re-parsing (variant decodes the JSON
+    ONCE per row into a traversable binary, so N extractions cost one
+    parse, and the column can be stored parsed in parquet).
+
+    The oracle extracts the same field with DuckDB's JSON functions —
+    same values, engine-appropriate mechanism on each side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return ev.agg(
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+        F.count(F.when(k > 50, 1)).cast("bigint").alias("n_high"),
+    )
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM {customer} c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM {orders} o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 1
+    ) t
+    WHERE c.c_custkey % 200 = 0
+"""
+
+
+@query(
+    "lateral_top_order_per_customer",
+    oracle=_LATERAL_SQL.format(customer="customer", orders="orders"),
+)
+def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's single largest
+    order via a per-row derived table — the SQL-standard spelling of
+    top-1-per-group (identical text runs on both engines; Catalyst
+    decorrelates it to the same ranked-window/aggregate plan the
+    DataFrame API produces, NOT a per-row re-execution). Deterministic
+    inner ordering (price DESC, orderkey) so ties can't flip the
+    selected row.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    return spark.sql(
+        _LATERAL_SQL.format(customer="customer_lv", orders="orders_lv")
+    )

@@ -60,3 +60,30 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# Confs for a real multi-executor deployment at the ~100 TB design
+# point. Not applied in local mode (the defaults above are tuned for
+# the test harness); pass via get_spark(extra_conf=CLUSTER_PROFILE) or
+# spark-submit --conf when running on a cluster.
+CLUSTER_PROFILE: dict[str, str] = {
+    # ~128 MB input splits and shuffle targets: big enough to amortize
+    # task overhead, small enough that a partition (plus hash tables)
+    # fits executor memory with room for two concurrent tasks per core.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "134217728",
+    # Start high and let AQE coalesce DOWN — the reverse (too few
+    # partitions, giant spilling tasks) is not runtime-fixable.
+    "spark.sql.shuffle.partitions": "4000",
+    # AQE handles skew splitting and empty-partition pruning at runtime.
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "268435456",
+    # Broadcast only true dims; a 100 TB fact's "small" side can still
+    # be tens of GB, and a misjudged broadcast OOMs the driver.
+    "spark.sql.autoBroadcastJoinThreshold": "67108864",
+    # Off-heap shuffle/state pressure relief on large executors.
+    "spark.memory.offHeap.enabled": "true",
+    "spark.memory.offHeap.size": "8g",
+    # Arrow batches sized for the pandas-UDF matmul kernels.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+}
