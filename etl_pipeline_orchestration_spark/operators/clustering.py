@@ -47,6 +47,8 @@ def _assign_udf(centroids: np.ndarray):
 
     @pandas_udf("int")
     def _nearest(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # empty Arrow batch (empty partition at scale)
+            return pd.Series([], dtype="int32")
         mat = np.stack(emb.to_numpy())[:, :dim].astype(np.float64)
         d = c_sq - 2.0 * (mat @ c.T)
         return pd.Series(d.argmin(axis=1).astype("int32"))
@@ -96,6 +98,9 @@ def kmeans_fit_assign(
 
     @pandas_udf("cluster_id int, sq_dist double")
     def _final(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame({"cluster_id": pd.Series([], dtype="int32"),
+                                 "sq_dist": pd.Series([], dtype="float64")})
         mat = np.stack(emb.to_numpy())[:, : c.shape[1]].astype(np.float64)
         d = (mat * mat).sum(axis=1, keepdims=True) - 2.0 * (mat @ c.T) + c_sq
         return pd.DataFrame(

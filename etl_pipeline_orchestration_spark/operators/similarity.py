@@ -90,6 +90,8 @@ def band_buckets_udf(num_bands: int, planes_per_band: int, dim: int, seed: int =
 
     @pandas_udf("array<long>")
     def _buckets(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:  # empty Arrow batch (empty partition at scale)
+            return pd.Series([], dtype="object")
         mat = np.stack(emb.to_numpy())[:, :dim].astype(np.float64)
         bits = (mat @ planes) >= 0
         vals = _pack_buckets(bits, num_bands, planes_per_band)
@@ -206,6 +208,8 @@ def ivf_assign(
 
     @pandas_udf("int")
     def _nearest(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
         mat = np.stack(emb.to_numpy())[:, :dim].astype(np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pd.Series((mat @ nc.T).argmax(axis=1).astype("int32"))

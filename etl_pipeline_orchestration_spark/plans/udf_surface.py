@@ -214,6 +214,8 @@ def arrow_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def norms(batches):
         for batch in batches:
+            if batch.num_rows == 0:  # empty Arrow batch
+                continue
             ids = batch.column(0)
             embs = batch.column(1)
             mat = np.stack(
