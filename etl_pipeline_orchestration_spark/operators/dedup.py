@@ -394,3 +394,102 @@ def minhash_incremental_candidates(
         .groupBy(pair_a.alias("id_a"), pair_b.alias("id_b"))
         .agg(F.countDistinct("a.band_id").alias("n_bands_matched"))
     )
+
+
+def jaccard_all_pairs_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard similarity join via prefix filtering (PPJoin-lite).
+
+    Unlike MinHash-LSH (probabilistic recall), this returns *every* pair
+    with shingle-Jaccard >= threshold, yet never materializes the O(n²)
+    pair space. The prefix-filter principle: order every document's
+    shingle set by one global total order (ascending document frequency,
+    rarest first); two sets with Jaccard >= t MUST share at least one
+    shingle among each one's first ``n - ceil(t*n) + 1`` elements. So the
+    candidate self-join runs on prefix tokens only — and because prefixes
+    are the RAREST shingles, bucket sizes in that join are tiny (the
+    common-shingle mega-buckets that plague naive token joins are pruned
+    away by construction).
+
+    Plan shape (one pass over the corpus, three shuffles):
+      1. shingle sets (per-row expression, no shuffle)
+      2. global shingle document-frequency (shuffle on shingle)
+      3. per-doc frequency rank -> prefix (shuffle on doc id)
+      4. candidate pairs = prefix self-join on shingle (shuffle on the
+         rare prefix shingles), distinct
+      5. exact verify: rejoin the full sorted sets by id, Jaccard from
+         array_intersect — candidate count << pair space, so the array
+         shuffle is proportional to matches, not to n².
+
+    The prefix length uses exact integer arithmetic (ceil(a*n/b) =
+    (a*n + b - 1) div b) — a float ceil could round UP on values like
+    0.4*5 = 2.0000000000000004 and silently shorten the prefix, which
+    would break the exactness guarantee.
+
+    Scale note: step 5 shuffles the shingle arrays of candidate docs
+    only. Against adversarial corpora where everything matches
+    everything, cap candidates per doc upstream (quality-gate first);
+    for typical web corpora the prefix join output is ~O(matches).
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    t_num, t_den = frac.numerator, frac.denominator
+
+    base = ensure_min_partitions(docs).filter(
+        F.size(_tokens(text_col)) >= F.lit(shingle_k)
+    )
+    sets = base.select(
+        F.col(id_col).alias("id"), _shingles(text_col, shingle_k).alias("sh")
+    )
+    tok = sets.select("id", F.explode("sh").alias("s"))
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = W.partitionBy("id").orderBy("df", "s")
+    ranked = (
+        tok.join(freq, "s")
+        .withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("id")))
+    )
+    # prefix length = n - ceil(t*n) + 1, exact in integers
+    ceil_tn = (F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / F.lit(t_den)
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.floor(ceil_tn).cast("long") + F.lit(1)
+    ).select("id", "s")
+
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+        F.size("sh").cast("long").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+        F.size("sh").cast("long").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    jacc = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            inter.alias("intersect_size"),
+            jacc.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )

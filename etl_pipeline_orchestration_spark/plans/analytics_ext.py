@@ -1123,3 +1123,230 @@ def lateral_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.sql(
         _LATERAL_SQL.format(customer="customer_lv", orders="orders_lv")
     )
+
+
+@query(
+    "interval_overlap_join",
+    oracle="""
+    WITH act AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS wday,
+             min(ts) AS ws, min(ts) + INTERVAL 2 HOUR AS we
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT a.user_id, a.day, w.wday,
+           epoch_us(least(a.e, w.we)) - epoch_us(greatest(a.s, w.ws))
+             AS overlap_us
+    FROM act a JOIN win w ON a.s < w.we AND w.ws < a.e
+    """,
+)
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (two interval sets, overlap predicate) via
+    BIN BUCKETING — the scale pattern behind range-join optimization:
+    a bare ``a.s < b.e AND b.s < a.e`` join has no equi-key, so Spark
+    plans broadcast-nested-loop (O(n·m) compares). Instead each interval
+    explodes into the fixed-width time bins it spans (here 1 h; pick
+    ~median interval width at scale), the join becomes an EQUI-join on
+    bin id, `distinct` collapses multi-bin matches, and the exact
+    predicate runs as a residual filter. Cost: |rows| × avg-bins-spanned
+    shuffled hash-join rows instead of a quadratic loop; at 100 TB the
+    bin join shuffles on uniformly distributed bin ids.
+
+    Demo intervals: per-user-per-day activity spans [first,last event]
+    vs per-day incident windows [first error, +2 h]. overlap_us is an
+    exact integer (microsecond epochs) — no float parity risk.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    win = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("day", "ts").alias("wday"))
+        .agg(F.min("ts").alias("ws"))
+        .withColumn("we", F.col("ws") + F.expr("INTERVAL 2 HOURS"))
+    )
+    hour_us = 3_600_000_000
+    act_b = act.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("s") / hour_us),
+                F.floor(F.unix_micros("e") / hour_us),
+            )
+        ),
+    )
+    win_b = win.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("ws") / hour_us),
+                F.floor(F.unix_micros("we") / hour_us),
+            )
+        ),
+    )
+    return (
+        act_b.join(win_b, "bkt")
+        .filter((F.col("s") < F.col("we")) & (F.col("ws") < F.col("e")))
+        .select("user_id", "day", "wday", "s", "e", "ws", "we")
+        .distinct()
+        .select(
+            "user_id",
+            "day",
+            "wday",
+            (
+                F.unix_micros(F.least("e", "we"))
+                - F.unix_micros(F.greatest("s", "ws"))
+            ).alias("overlap_us"),
+        )
+    )
+
+
+@query(
+    "interpolate_missing_daily_counts",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ), masked AS (
+      SELECT day,
+             CASE WHEN date_part('day', day) % 5 <> 0 THEN n END AS n_obs
+      FROM daily
+    ), w AS (
+      SELECT day, n_obs,
+        last_value(n_obs IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS prev,
+        last_value(CASE WHEN n_obs IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS prev_day,
+        first_value(n_obs IGNORE NULLS) OVER
+          (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS nxt,
+        first_value(CASE WHEN n_obs IS NOT NULL THEN day END IGNORE NULLS)
+          OVER (ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS nxt_day
+      FROM masked
+    )
+    SELECT day, CAST(n_obs AS BIGINT) AS n_obs,
+      CASE WHEN n_obs IS NOT NULL THEN CAST(n_obs AS DOUBLE)
+           WHEN prev IS NULL THEN CAST(nxt AS DOUBLE)
+           WHEN nxt IS NULL THEN CAST(prev AS DOUBLE)
+           ELSE CAST(prev AS DOUBLE)
+                + (CAST(nxt AS DOUBLE) - CAST(prev AS DOUBLE))
+                  * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                     / CAST(date_diff('day', prev_day, nxt_day) AS DOUBLE))
+      END AS n_filled
+    FROM w
+    """,
+)
+def interpolate_missing_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-series imputation: daily order counts with a
+    deterministic mask (every 5th day-of-month nulled), missing points
+    reconstructed by linear interpolation between the nearest observed
+    neighbors (``last/first ignorenulls`` windows); series edges fall
+    back to nearest-neighbor.
+
+    Scale shape: the windows run over the DAILY AGGREGATE (rows ∝ days,
+    not input rows), so the unpartitioned global sort is over thousands
+    of rows even at 100 TB of raw orders — aggregate first, window
+    second. Interpolated values derive from exact integer counts and
+    day offsets with the identical expression tree on both engines, so
+    the doubles are bit-identical without rounding.
+    """
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    masked = daily.select(
+        "day",
+        F.when(F.dayofmonth("day") % 5 != 0, F.col("n")).alias("n_obs"),
+    )
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("n_obs").isNotNull(), F.col("day"))
+    w = masked.select(
+        "day",
+        "n_obs",
+        F.last("n_obs", ignorenulls=True).over(w_prev).alias("prev"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.first("n_obs", ignorenulls=True).over(w_next).alias("nxt"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nxt_day"),
+    )
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "nxt_day", "prev_day"
+    ).cast("double")
+    filled = (
+        F.when(F.col("n_obs").isNotNull(), F.col("n_obs").cast("double"))
+        .when(F.col("prev").isNull(), F.col("nxt").cast("double"))
+        .when(F.col("nxt").isNull(), F.col("prev").cast("double"))
+        .otherwise(
+            F.col("prev").cast("double")
+            + (F.col("nxt").cast("double") - F.col("prev").cast("double")) * frac
+        )
+    )
+    return w.select("day", "n_obs", filled.alias("n_filled"))
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type)
+                                    AS DOUBLE) AS prob
+    FROM pairs
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | previous event type). One lag window
+    partitioned by user (single shuffle on user_id, arbitrarily
+    parallel), then a hash aggregate down to |types|² rows; the
+    normalizing row-sum window runs on that tiny aggregate, not the
+    fact table. Deterministic ordering via the (ts, event_id) tiebreak
+    — duplicate timestamps must not flake the hash compare. prob is an
+    exact-int division, bit-identical cross-engine.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_tot).cast("double")).alias(
+            "prob"
+        ),
+    )

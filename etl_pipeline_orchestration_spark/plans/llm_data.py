@@ -1158,3 +1158,51 @@ def dedup_incremental_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 2 == 1)
     index = dedup.lsh_band_table(old)
     return dedup.minhash_incremental_candidates(new, index)
+
+
+@query(
+    "dedup_jaccard_exact_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), ok AS (
+      SELECT doc_id, ws FROM toks WHERE len(ws) >= 3
+    ), sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+               AS sh
+      FROM ok
+    ), tok AS (
+      SELECT doc_id, unnest(sh) AS s FROM sets
+    ), sz AS (
+      SELECT doc_id, len(sh) AS n FROM sets
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) AS intersect_size
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(p.intersect_size AS BIGINT) AS intersect_size,
+           CAST(p.intersect_size AS DOUBLE)
+             / (sa.n + sb.n - p.intersect_size) AS jaccard
+    FROM pairs p
+    JOIN sz sa ON p.id_a = sa.doc_id
+    JOIN sz sb ON p.id_b = sb.doc_id
+    WHERE CAST(p.intersect_size AS DOUBLE)
+            / (sa.n + sb.n - p.intersect_size) >= 0.4
+    """,
+)
+def dedup_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram-Jaccard similarity join (threshold 0.4) via prefix
+    filtering — the deterministic complement to MinHash-LSH: full recall,
+    no probabilistic misses, still no O(n²) pair scan. The oracle computes
+    the same answer the brute-force way (full token self-join); parity
+    proves the prefix filter drops no qualifying pair. jaccard is a single
+    int/int division — bit-identical across engines, no rounding needed.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.jaccard_all_pairs_prefix(docs, threshold=0.4)

@@ -183,3 +183,55 @@ def test_incremental_lsh_equals_full_corpus_restriction(spark):
         for r in minhash_incremental_candidates(new, index).collect()
     }
     assert got == want
+
+
+def test_jaccard_prefix_filter_equals_bruteforce(spark):
+    """The prefix filter must drop NO qualifying pair (exactness
+    guarantee), including boundary cases: jaccard exactly at the
+    threshold, identical docs, docs shorter than the shingle width."""
+    from itertools import combinations
+
+    from etl_pipeline_orchestration_spark.operators.dedup import (
+        jaccard_all_pairs_prefix,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different content with no overlap at all"),
+        (5, "short doc"),  # < 3 tokens: excluded by construction
+        (6, "alpha beta gamma delta epsilon zeta"),
+        (7, "alpha beta gamma delta other words"),  # partial overlap with 6
+        (8, "the quick brown fox sleeps under the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    threshold = 0.4
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["intersect_size"], r["jaccard"])
+        for r in jaccard_all_pairs_prefix(docs, threshold=threshold).collect()
+    }
+
+    # brute force in Python
+    def shingles(text):
+        toks = text.strip().split()
+        if len(toks) < 3:
+            return set()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        j = inter / union
+        if j >= threshold:
+            want[(a, b)] = (inter, j)
+
+    assert got == want
+    assert (3 not in {k for p in got for k in p}) is False  # exact dup found
+    assert all(5 not in p for p in got)  # short doc excluded
