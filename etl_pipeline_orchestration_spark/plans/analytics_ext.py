@@ -1350,3 +1350,85 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob"
         ),
     )
+
+
+@query(
+    "winsorized_price_stats",
+    oracle="""
+    WITH s AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), b AS (
+      SELECT
+        max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.05 AS DOUBLE)) AS BIGINT) THEN v END)
+          AS lo0,
+        max(CASE WHEN rn = CAST(ceil((n-1)*CAST(0.05 AS DOUBLE)) AS BIGINT) THEN v END)
+          AS lo1,
+        max(CASE WHEN rn = CAST(floor((n-1)*CAST(0.95 AS DOUBLE)) AS BIGINT) THEN v END)
+          AS hi0,
+        max(CASE WHEN rn = CAST(ceil((n-1)*CAST(0.95 AS DOUBLE)) AS BIGINT) THEN v END)
+          AS hi1,
+        any_value(n) AS n
+      FROM s
+    ), bounds AS (
+      SELECT
+        CASE WHEN floor((n-1)*CAST(0.05 AS DOUBLE)) = ceil((n-1)*CAST(0.05 AS DOUBLE)) THEN lo0
+             ELSE (ceil((n-1)*CAST(0.05 AS DOUBLE)) - (n-1)*CAST(0.05 AS DOUBLE)) * lo0
+                  + ((n-1)*CAST(0.05 AS DOUBLE) - floor((n-1)*CAST(0.05 AS DOUBLE))) * lo1 END AS p05,
+        CASE WHEN floor((n-1)*CAST(0.95 AS DOUBLE)) = ceil((n-1)*CAST(0.95 AS DOUBLE)) THEN hi0
+             ELSE (ceil((n-1)*CAST(0.95 AS DOUBLE)) - (n-1)*CAST(0.95 AS DOUBLE)) * hi0
+                  + ((n-1)*CAST(0.95 AS DOUBLE) - floor((n-1)*CAST(0.95 AS DOUBLE))) * hi1 END AS p95
+      FROM b
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l_extendedprice < p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_low,
+           CAST(sum(CASE WHEN l_extendedprice > p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_high,
+           min(least(greatest(l_extendedprice, p05), p95)) AS min_w,
+           max(least(greatest(l_extendedprice, p05), p95)) AS max_w,
+           round(sum(least(greatest(l_extendedprice, p05), p95)) * 100)
+             / 100 AS sum_w_2dp
+    FROM lineitem, bounds
+    GROUP BY l_returnflag, p05, p95
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clamping, the standard outlier-robust
+    feature-engineering step): clamp l_extendedprice to its global
+    [p05, p95], then per-flag stats on the clamped values.
+
+    Scale path: the two bounds come from
+    ``scalar.exact_quantile_distributed`` — bounded memory at any n
+    (GK-sketch bracket + in-bracket candidates; never the builtin
+    ``percentile`` whose single buffer OOMs at 100 TB) — and enter the
+    plan as LITERALS, so the stats pass is one codegen'd scan + hash
+    aggregate. The oracle reproduces Spark's weighted-average
+    interpolation form ``(k1-r)*x0 + (r-k0)*x1`` explicitly (DuckDB's
+    quantile_cont lerps — differs in the last ulp, and the bound itself
+    appears in min_w/max_w, so the form must match bit-for-bit).
+    """
+    from etl_pipeline_orchestration_spark.functions.scalar import (
+        exact_quantile_distributed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p05 = exact_quantile_distributed(li, "l_extendedprice", 0.05)
+    p95 = exact_quantile_distributed(li, "l_extendedprice", 0.95)
+    c = F.col("l_extendedprice")
+    w = F.least(F.greatest(c, F.lit(p05)), F.lit(p95))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(c < p05, 1).otherwise(0)).cast("bigint").alias(
+            "n_clamped_low"
+        ),
+        F.sum(F.when(c > p95, 1).otherwise(0)).cast("bigint").alias(
+            "n_clamped_high"
+        ),
+        F.min(w).alias("min_w"),
+        F.max(w).alias("max_w"),
+        (F.round(F.sum(w) * 100) / 100).alias("sum_w_2dp"),
+    )
