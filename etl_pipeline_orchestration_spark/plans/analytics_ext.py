@@ -1432,3 +1432,96 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(w).alias("max_w"),
         (F.round(F.sum(w) * 100) / 100).alias("sum_w_2dp"),
     )
+
+
+@query(
+    "entity_resolution_parts",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT p_name, min(p_partkey) AS nid, count(*) AS n_parts
+      FROM part GROUP BY p_name
+    ), blocked AS (
+      SELECT p_name, nid, n_parts, split_part(p_name, ' ', 2) AS block
+      FROM names
+    ), pairs AS (
+      SELECT a.nid AS s, b.nid AS d
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ), edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    nodes AS (SELECT DISTINCT s AS n FROM edges),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.n
+    ), comp AS (
+      SELECT n AS nid, min(r) AS component FROM reach GROUP BY n
+    ), labeled AS (
+      SELECT b.p_name, b.nid, b.n_parts,
+             coalesce(c.component, b.nid) AS component
+      FROM blocked b LEFT JOIN comp c ON b.nid = c.nid
+    )
+    SELECT CAST(component AS BIGINT) AS cluster_id,
+           min_by(p_name, nid) AS canonical_name,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(n_parts) AS BIGINT) AS n_parts
+    FROM labeled GROUP BY component
+    """,
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocking → pairwise similarity →
+    transitive clustering → survivorship, in one plan.
+
+    1. Collapse the fact to its entity domain (distinct p_name, with a
+       deterministic numeric id = min p_partkey and a part count).
+    2. Blocked fuzzy match (head-noun block, levenshtein ≤ 4) — the
+       quadratic compare is bounded per block, never corpus-wide.
+    3. Transitive closure via connected components
+       (operators/graph.py: pointer-jumping min-label, driver
+       union-find below the edge threshold) — fuzzy matching is not
+       transitive, so clusters need a real CC, not a groupBy.
+    4. Survivorship: canonical record per cluster = min_by(name, id) —
+       a selection, not a sum, so cross-engine exact.
+
+    The oracle states the same closure declaratively (recursive CTE).
+    Scale: entity domain ∝ vocabulary, not corpus; CC runs on the
+    match edges only; singleton entities never enter the closure.
+    """
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        connected_components,
+    )
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(
+            F.min("p_partkey").alias("nid"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .withColumn("block", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("nid").alias("nid_b"),
+        F.col("block").alias("block_b"),
+    )
+    edges = (
+        names.join(
+            b,
+            (F.col("block") == F.col("block_b"))
+            & (F.col("p_name") < F.col("name_b")),
+        )
+        .filter(F.levenshtein("p_name", "name_b") <= 4)
+        .select(F.col("nid").alias("s"), F.col("nid_b").alias("d"))
+    )
+    cc = connected_components(edges, "s", "d")
+    labeled = names.join(
+        cc.withColumnRenamed("node", "nid"), "nid", "left"
+    ).withColumn("component", F.coalesce("component", "nid"))
+    return labeled.groupBy(
+        F.col("component").cast("bigint").alias("cluster_id")
+    ).agg(
+        F.min_by("p_name", "nid").alias("canonical_name"),
+        F.count(F.lit(1)).alias("n_names"),
+        F.sum("n_parts").cast("bigint").alias("n_parts"),
+    )
