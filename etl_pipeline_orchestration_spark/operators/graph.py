@@ -124,3 +124,76 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 15,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """(node, rank) by power iteration over a DIRECTED edge list;
+    dangling nodes (no out-edges) redistribute uniformly, so ranks sum
+    to 1 every iteration.
+
+    Distributed shape per iteration: one shuffle — contributions =
+    edges ⋈ ranks grouped by destination; the degree table and the
+    dangling-mass scalar are computed once / per-iteration aggregates.
+    ``localCheckpoint`` every iteration truncates the lineage (the plan
+    would otherwise grow linearly and re-execute the whole history each
+    pass). Convergence check (L1 delta) costs one small join per
+    iteration over |V| rows — exits early on stable graphs.
+
+    Float note: ranks are shuffle-order-dependent in the last ulps —
+    callers compare with tolerance, never exactly (this is why the
+    registered query is a rows-only check).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        with_deg = ranks.join(deg, ranks["node"] == deg["s"], "left")
+        dangling = (
+            with_deg.filter(F.col("out_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .head()[0]
+        )
+        contribs = (
+            e.join(ranks, e["s"] == ranks["node"])
+            .join(deg, "s")
+            .select(F.col("d").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            ranks.withColumnRenamed("rank", "old")
+            .join(new_ranks, "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+            .head()[0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks

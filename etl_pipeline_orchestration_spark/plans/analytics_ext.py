@@ -1525,3 +1525,40 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_names"),
         F.sum("n_parts").cast("bigint").alias("n_parts"),
     )
+
+
+@query("graph_pagerank_part_supplier")  # iterative; not SQL-expressible
+def graph_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part↔supplier bipartite graph (distinct
+    lineitem (part, supplier) edges, both directions so the walk
+    mixes): the standard importance score for catalog/link analysis.
+    Power iteration with dangling-mass redistribution
+    (operators/graph.py:pagerank) — one shuffle per iteration,
+    lineage checkpointed. Ranks are float-summation-order dependent in
+    the last ulps, so this is a rows-only entry; exactness is pinned
+    by tests/test_graph.py against a dense numpy power iteration.
+    Returns the top-25 nodes (node_type disambiguates the id spaces).
+    """
+    from etl_pipeline_orchestration_spark.operators.graph import pagerank
+
+    off = 1_000_000_000
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_suppkey") + off).alias("supp_node")
+    )
+    fwd = li.select(F.col("l_partkey").alias("src"), F.col("supp_node").alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, max_iter=10)
+    return (
+        ranks.select(
+            F.when(F.col("node") >= off, F.lit("supplier"))
+            .otherwise(F.lit("part"))
+            .alias("node_type"),
+            F.when(F.col("node") >= off, F.col("node") - off)
+            .otherwise(F.col("node"))
+            .cast("bigint")
+            .alias("entity_id"),
+            "rank",
+        )
+        .orderBy(F.desc("rank"), "node_type", "entity_id")
+        .limit(25)
+    )
