@@ -81,6 +81,11 @@ CLUSTER_PROFILE: dict[str, str] = {
     # Broadcast only true dims; a 100 TB fact's "small" side can still
     # be tens of GB, and a misjudged broadcast OOMs the driver.
     "spark.sql.autoBroadcastJoinThreshold": "67108864",
+    # Runtime bloom filters (on by default) prune the fact-side scan of
+    # shuffle joins with a selective build side. Default creation-side
+    # cap is 10 MB; against a 100 TB application side a larger build
+    # side still pays for itself, so widen it.
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "268435456",
     # Off-heap shuffle/state pressure relief on large executors.
     "spark.memory.offHeap.enabled": "true",
     "spark.memory.offHeap.size": "8g",

@@ -178,3 +178,43 @@ def test_pre_aggregated_window_queries_window_tiny_frame(plans):
         w_pos = p.index("Window")
         agg_pos = p.index("HashAggregate")
         assert agg_pos > w_pos, q  # explain prints top-down: agg below window
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Spark's runtime row-level filter must inject a bloom filter on
+    the FACT side of a shuffle join against a selectively-filtered
+    build side: at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling only rows that can possibly match.
+    The rule is on by default in Spark 4; local test data sits outside
+    the default creation/application size thresholds, so the test pins
+    the behavior with thresholds adjusted (CLUSTER_PROFILE widens the
+    creation-side threshold for the real deployment instead).
+    """
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_totalprice") > 99000
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "no runtime bloom filter on fact side"
+        assert "bloom_filter_agg" in plan, "no bloom filter built from dim side"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
