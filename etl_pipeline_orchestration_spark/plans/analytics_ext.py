@@ -1562,3 +1562,62 @@ def graph_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node_type", "entity_id")
         .limit(25)
     )
+
+
+@query(
+    "null_safe_join_cohorts",
+    oracle="""
+    WITH base AS (
+      SELECT nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10,
+                    0) AS cohort,
+             event_type
+      FROM events
+    ), clicks AS (
+      SELECT cohort, count(*) AS n_clicks FROM base
+      WHERE event_type = 'click' GROUP BY cohort
+    ), purchases AS (
+      SELECT cohort, count(*) AS n_purchases FROM base
+      WHERE event_type = 'purchase' GROUP BY cohort
+    )
+    SELECT coalesce(c.cohort, p.cohort) AS cohort,
+           CAST(coalesce(c.n_clicks, 0) AS BIGINT) AS n_clicks,
+           CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases
+    FROM clicks c FULL JOIN purchases p
+      ON c.cohort IS NOT DISTINCT FROM p.cohort
+    """,
+)
+def null_safe_join_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): cohort
+    keys parsed from semi-structured props, with one cohort mapped to
+    NULL (unknown). A plain equi-join silently DROPS the unknown cohort
+    from both sides (NULL = NULL is never true); the null-safe operator
+    aligns them — the correct semantics for joining on nullable
+    dimension keys. Planned as a regular hash join (null-safe equality
+    is still an equi-key: NULL hashes to a regular bucket), so the
+    scale profile matches any other shuffle join — no nested-loop
+    penalty for the nullable key.
+    """
+    base = load_table(spark, sf_dir, "events").select(
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("bigint") % 10, F.lit(0)
+        ).alias("cohort"),
+        "event_type",
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    c, p = clicks.alias("c"), purchases.alias("p")
+    return c.join(
+        p, F.col("c.cohort").eqNullSafe(F.col("p.cohort")), "full_outer"
+    ).select(
+        F.coalesce("c.cohort", "p.cohort").alias("cohort"),
+        F.coalesce("c.n_clicks", F.lit(0)).cast("bigint").alias("n_clicks"),
+        F.coalesce("p.n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
+    )
