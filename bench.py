@@ -67,6 +67,12 @@ HEADLINE = [
     "data_quality_report",
     "training_prep_chunked_pipeline",
     "tfidf_top_terms",
+    "dedup_jaccard_exact_pairs",
+    "entity_resolution_parts",
+    "winsorized_price_stats",
+    "interval_overlap_join",
+    "event_transition_matrix",
+    "null_safe_join_cohorts",
 ]
 
 

@@ -459,12 +459,28 @@ def jaccard_all_pairs_prefix(
     ceil_tn = (F.lit(t_num) * F.col("n") + F.lit(t_den - 1)) / F.lit(t_den)
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.floor(ceil_tn).cast("long") + F.lit(1)
-    ).select("id", "s")
+    ).select("id", "s", "pos", "n")
 
+    # Two further exact prunes at candidate time (both integer
+    # arithmetic, neither can drop a qualifying pair):
+    #  * size-ratio: J >= t  =>  t * max(n_a, n_b) <= min(n_a, n_b)
+    #  * positional (PPJoin): a shared prefix token at positions
+    #    (pa, pb) bounds the overlap by min(n_a - pa, n_b - pb) + 1,
+    #    which must reach ceil(t/(1+t) * (n_a + n_b)); a qualifying
+    #    pair always passes on at least one shared prefix token.
+    na, nb = F.col("a.n"), F.col("b.n")
+    size_ok = F.lit(t_num) * F.greatest(na, nb) <= F.lit(t_den) * F.least(na, nb)
+    need = F.floor(
+        (F.lit(t_num) * (na + nb) + F.lit(t_num + t_den - 1))
+        / F.lit(t_num + t_den)
+    ).cast("long")
+    bound = (
+        F.least(na - F.col("a.pos"), nb - F.col("b.pos")) + F.lit(1)
+    ).cast("long")
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "s")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter((F.col("a.id") < F.col("b.id")) & size_ok & (bound >= need))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
