@@ -1621,3 +1621,78 @@ def null_safe_join_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c.n_clicks", F.lit(0)).cast("bigint").alias("n_clicks"),
         F.coalesce("p.n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
     )
+
+
+@query(
+    "decimal_exact_revenue_by_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+             AS revenue_dec,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_year
+    """,
+)
+def decimal_exact_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal money aggregation: cast once at the scan, sum in
+    DECIMAL. Unlike double sums, decimal addition is associative — the
+    result is IDENTICAL for any partial-aggregation order, so there is
+    no rounding guard, no ulp drift between 32 partitions and 32,000.
+    This is the correct type discipline for financial columns at scale;
+    the float-parity gymnastics elsewhere in this repo exist only
+    because the source parquet stores money as double. Spark widens
+    sum(DECIMAL(18,2)) to DECIMAL(28,2); the oracle casts to match.
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "revenue_dec"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "event_trigram_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type, 2) OVER w AS p1,
+             lag(event_type, 1) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT p1 || '>' || p2 || '>' || event_type AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE p1 IS NOT NULL
+    GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths (behavioral 3-grams): the sequence-mining
+    counterpart of the transition matrix. One lag window per user
+    (single shuffle), hash aggregate over |types|³ paths, then a
+    deterministic top-10 (count desc, path tiebreak) planned as
+    TakeOrderedAndProject — no global sort of the aggregate.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("p1"),
+        F.lag("event_type", 1).over(w).alias("p2"),
+    )
+    return (
+        seq.filter(F.col("p1").isNotNull())
+        .select(
+            F.concat_ws(">", "p1", "p2", "event_type").alias("path"),
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
