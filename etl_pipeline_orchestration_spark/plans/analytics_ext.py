@@ -1696,3 +1696,102 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@query(
+    "scd2_point_in_time_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, ts, event_id, event_type AS state FROM events
+      WHERE user_id % 50 = 0 AND event_type <> 'purchase'
+    ), iv AS (
+      SELECT user_id, state, ts AS vfrom,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS vto
+      FROM dim
+    ), fact AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE user_id % 50 = 0 AND event_type = 'purchase'
+    )
+    SELECT f.user_id, f.event_id, f.ts, i.state
+    FROM fact f LEFT JOIN iv i
+      ON f.user_id = i.user_id AND f.ts >= i.vfrom
+         AND (i.vto IS NULL OR f.ts < i.vto)
+    """,
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) dimension lookup: each fact row joined
+    to the SCD2 state valid AT its timestamp — the query every
+    full-history warehouse runs constantly.
+
+    Scale plan: NOT a range join (per-fact interval probing shuffles
+    and compares quadratically within hot keys). Because SCD2 intervals
+    per key are non-overlapping and contiguous, the lookup is an AS-OF
+    problem: union state-change rows and fact rows, one window sorted
+    on (ts, is_fact, change_id) per key, ``last(state, ignorenulls)``
+    — each fact picks up the latest state at-or-before it in a single
+    shuffle, ties resolved state-first so a change at exactly fact-time
+    wins (matching interval semantics [from, to)). The oracle spells
+    the same thing as an explicit interval BETWEEN join.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    dim = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.lit(0).alias("is_fact"),
+    )
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        F.lit(1).alias("is_fact"),
+    )
+    u = dim.unionByName(fact)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_fact", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("cur_state", F.last("state", ignorenulls=True).over(w))
+        .filter(F.col("is_fact") == 1)
+        .select("user_id", "event_id", "ts", F.col("cur_state").alias("state"))
+    )
+
+
+@query(
+    "k_anonymity_risk_report",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 500) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, bal_band
+    HAVING count(*) < 5
+    """,
+)
+def k_anonymity_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance k-anonymity audit: quasi-identifier groups
+    (nation × segment × balance band) with fewer than k=5 members —
+    the rows a privacy-preserving release must suppress or generalize.
+    One hash aggregate over the quasi-identifier tuple (map-side
+    partial combine), HAVING filter on the aggregate; at 100 TB the
+    report size ∝ distinct quasi-id tuples, not input rows. The band
+    uses floor(x/500) on exact-2dp doubles — identical on both
+    engines, no half-boundary rounding involved.
+    """
+    cu = load_table(spark, sf_dir, "customer")
+    return (
+        cu.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 500).cast("bigint").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < 5)
+    )
