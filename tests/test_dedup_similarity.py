@@ -235,3 +235,34 @@ def test_jaccard_prefix_filter_equals_bruteforce(spark):
     assert got == want
     assert (3 not in {k for p in got for k in p}) is False  # exact dup found
     assert all(5 not in p for p in got)  # short doc excluded
+
+
+def test_winnowing_fingerprint_containment_and_determinism(spark):
+    """Pin the winnowing sketch semantics: (a) a document containing
+    another's full token run carries a SUPERSET of its fingerprints
+    (the property plagiarism/near-dup detection relies on); (b) the
+    sketch is deterministic across evaluations; (c) token-disjoint
+    documents share no fingerprints."""
+    from etl_pipeline_orchestration_spark.operators.text import (
+        rolling_hash_fingerprint,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base + " " + " ".join(f"extra{i}" for i in range(20))),
+        (3, " ".join(f"other{i}" for i in range(40))),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def sketches():
+        return {
+            r["doc_id"]: set(r["fingerprint"])
+            for r in rolling_hash_fingerprint(docs).collect()
+        }
+
+    s1, s2 = sketches(), sketches()
+    assert s1 == s2  # deterministic
+    assert s1[1], "base doc must produce a non-empty sketch"
+    assert s1[1] <= s1[2], "containment must imply sketch subset"
+    assert not (s1[1] & s1[3]), "disjoint docs must not share fingerprints"
