@@ -50,3 +50,58 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TWS_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Same running per-user totals on Spark 4's ``transformWithState``
+    API (StatefulProcessor + typed ValueState) — the successor to
+    applyInPandasWithState: composable state variables (value/list/map),
+    timers, and TTL instead of a single state tuple. Requires the
+    RocksDB state-store provider (set in the caller/test) AND the
+    ``protobuf`` package (the TWS state protocol is protobuf-framed;
+    absent in this container, so the op raises ImportError eagerly and
+    its test skips — the applyInPandasWithState twin above covers the
+    semantics here). State scales out per grouping key exactly like any
+    keyed aggregation.
+    """
+    import importlib.util
+
+    if importlib.util.find_spec("google.protobuf") is None:
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark's TWS state protocol); install protobuf to use "
+            "this operator. running_user_totals (applyInPandasWithState) "
+            "provides the same semantics without it."
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._agg.get() if self._agg.exists() else (0, 0.0)
+            n, total = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -338,3 +338,55 @@ def test_rate_source_smoke(spark):
         assert vals == list(range(vals[0], vals[0] + len(vals)))
     finally:
         q.stop()
+
+
+def test_transform_with_state_converges_to_batch(spark, events_dir):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor): running
+    totals under the new typed-state API must converge to the batch
+    group-by, same contract as the applyInPandasWithState twin.
+    Skips where protobuf (the TWS wire protocol) is unavailable."""
+    pytest.importorskip("google.protobuf")
+    from etl_pipeline_orchestration_spark.streaming.stateful import (
+        running_user_totals_tws,
+    )
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        q = (
+            running_user_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_mem")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table("tws_mem").collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+    final = {}
+    for r in emitted:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    )
+    assert len(final) == len(batch)
+    for r in batch:
+        n, t = final[r["user_id"]]
+        assert n == r["n"]
+        assert abs(t - r["t"]) < 1e-6
