@@ -1795,3 +1795,103 @@ def k_anonymity_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") < 5)
     )
+
+
+@query(
+    "market_basket_part_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """,
+)
+def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: the top part pairs bought
+    together, from a within-order self-join.
+
+    Scale shape: dedupe to distinct (order, part) FIRST (collapses
+    multi-line repeats), self-join on the order key — pair volume is
+    Σ|basket|², bounded by basket size, not corpus size; a pathological
+    mega-basket would get the same cap-or-salt treatment as LSH
+    mega-buckets. The aggregate shuffles on the pair key (uniform), and
+    the deterministic top-20 (count desc, pair tiebreak) plans as
+    TakeOrderedAndProject, not a global sort.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        op.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("part_b")),
+        )
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "activity_islands_per_user",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+               AS day
+      FROM events
+    ), numbered AS (
+      SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM days
+    ), islands AS (
+      SELECT user_id, day,
+             day - to_days(CAST(rn AS INTEGER)) AS grp
+      FROM numbered
+    ), runs AS (
+      SELECT user_id, grp, count(*) AS run_len
+      FROM islands GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(max(run_len) AS BIGINT) AS longest_streak,
+           CAST(sum(run_len) AS BIGINT) AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+)
+def activity_islands_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user activity streaks. The classic trick —
+    for consecutive days, (day − row_number) is constant, so runs fall
+    out of one GROUP BY instead of a self-join chain. Two window/agg
+    shuffles on user_id total; per-user day counts are small even at
+    100 TB (bounded by calendar days), so no skew risk. All outputs are
+    integer counts — zero float parity surface.
+    """
+    from pyspark.sql import Window
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "grp", F.date_sub(F.col("day").cast("date"), F.row_number().over(w))
+    )
+    runs = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").cast("bigint").alias("longest_streak"),
+        F.sum("run_len").cast("bigint").alias("n_active_days"),
+    )
