@@ -1895,3 +1895,66 @@ def activity_islands_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("bigint").alias("longest_streak"),
         F.sum("run_len").cast("bigint").alias("n_active_days"),
     )
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH ev AS (
+      SELECT count(*) AS c FROM events GROUP BY user_id
+    ), li AS (
+      SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT 'events.user_id' AS key_source,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS total_rows,
+           CAST(max(c) AS BIGINT) AS max_count,
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS max_share,
+           quantile_cont(c, 0.5) AS median_count
+    FROM ev
+    UNION ALL
+    SELECT 'lineitem.l_orderkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(c) AS BIGINT),
+           CAST(max(c) AS BIGINT),
+           CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE),
+           quantile_cont(c, 0.5)
+    FROM li
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the report you run BEFORE deciding
+    between a plain shuffle join, a broadcast, or the salted-join path:
+    per candidate key, its cardinality, hottest-key share, and median
+    rows-per-key. Two hash aggregates (key → count, then count →
+    stats). The median comes from the bounded-memory distributed
+    exact quantile, NOT the buffering builtin — the key domain itself
+    can be billions of rows at 100 TB, which is precisely the situation
+    this report diagnoses. On integer counts the weighted-average
+    interpolation equals lerp exactly (halves of ints are
+    representable), so the cross-engine compare stays exact;
+    max_share is one int/int division.
+    """
+    from etl_pipeline_orchestration_spark.functions.scalar import (
+        exact_quantile_distributed,
+    )
+
+    def profile(df, key, label):
+        per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        med = exact_quantile_distributed(per_key, "c", 0.5)
+        return per_key.agg(
+            F.lit(label).alias("key_source"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").cast("bigint").alias("total_rows"),
+            F.max("c").cast("bigint").alias("max_count"),
+            (
+                F.max("c").cast("double") / F.sum("c").cast("double")
+            ).alias("max_share"),
+            F.lit(med).cast("double").alias("median_count"),
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    return profile(ev, "user_id", "events.user_id").unionAll(
+        profile(li, "l_orderkey", "lineitem.l_orderkey")
+    )
