@@ -129,3 +129,51 @@ def test_chunking_covers_every_token_with_overlap(spark, n_tokens):
         assert 1 <= r["n"] <= 64
         covered.update(range(r["start"], r["start"] + r["n"]))
     assert covered == set(range(n_tokens))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("red green blue fast slow hot cold big".split()),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([0.3, 0.5, 0.7]),
+)
+def test_jaccard_prefix_join_exact_on_random_corpora(spark, token_lists, threshold):
+    """The prefix/size-ratio/positional candidate prunes must preserve
+    EXACT recall for arbitrary small-vocabulary corpora (which maximize
+    shared shingles and tie-heavy frequency orders — the regime where a
+    subtle prefix-length off-by-one would surface)."""
+    from itertools import combinations
+
+    from etl_pipeline_orchestration_spark.operators.dedup import (
+        jaccard_all_pairs_prefix,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["intersect_size"]
+        for r in jaccard_all_pairs_prefix(docs, threshold=threshold).collect()
+    }
+
+    def shingles(toks):
+        if len(toks) < 3:
+            return set()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(t) for i, t in enumerate(token_lists)}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter / len(sa | sb) >= threshold:
+            want[(a, b)] = inter
+    assert got == want
