@@ -16,7 +16,12 @@ tests can assert exact contents.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -64,8 +69,62 @@ class SyntheticEventsSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration; afterwards
     ``spark.read.format("synthetic_events")`` works session-wide."""
     spark.dataSource.register(SyntheticEventsSource)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: each micro-batch emits the
+    next ``rows_per_batch`` deterministic rows, offset = row index.
+
+    ``SimpleDataSourceStreamReader`` is the driver-side streaming API
+    (one reader, offsets tracked by the engine); rows here are a pure
+    function of the row index, so replay after failure regenerates
+    IDENTICAL rows — exactly-once semantics come from determinism, the
+    same property the batch reader's tests pin. For partition-parallel
+    streaming synthesis use DataSourceStreamReader with partitions();
+    the simple variant keeps the demo driver-only, which matches its
+    documented scale envelope (low-throughput sources)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        import numpy as np
+
+        a = int(start["row"])
+        b = a + self.rows_per_batch
+        rng = np.random.RandomState(self.seed + a)
+        kinds = ("view", "click", "purchase")
+        types = rng.randint(0, len(kinds), size=b - a)
+        values = np.round(rng.uniform(0, 100, size=b - a), 2)
+        rows = [
+            (a + i, kinds[types[i]], float(values[i])) for i in range(b - a)
+        ]
+        return iter(rows), {"row": b}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # failure replay: regenerate the exact same rows for [start, end)
+        import numpy as np
+
+        a, b = int(start["row"]), int(end["row"])
+        rng = np.random.RandomState(self.seed + a)
+        kinds = ("view", "click", "purchase")
+        types = rng.randint(0, len(kinds), size=b - a)
+        values = np.round(rng.uniform(0, 100, size=b - a), 2)
+        return iter(
+            (a + i, kinds[types[i]], float(values[i])) for i in range(b - a)
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
