@@ -1958,3 +1958,73 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(ev, "user_id", "events.user_id").unionAll(
         profile(li, "l_orderkey", "lineitem.l_orderkey")
     )
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS r_days,
+             count(*) AS f_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(r_days AS BIGINT) AS r_days,
+           CAST(f_orders AS BIGINT) AS f_orders,
+           m_cents,
+           CAST(ntile(4) OVER (ORDER BY r_days, o_custkey) AS BIGINT)
+             AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY f_orders DESC, o_custkey) AS BIGINT)
+             AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY m_cents DESC, o_custkey) AS BIGINT)
+             AS m_quartile
+    FROM per_cust
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) —
+    the marketer's workhorse. Heavy lifting is ONE hash aggregate over
+    orders; the three ntile windows run on the per-customer aggregate
+    (rows ∝ customers). Every ntile ORDER BY is exact-integer with a
+    custkey tiebreak: monetary uses integer CENTS (round(x*100) on
+    exact-2dp doubles), because ordering by a float SUM would let a
+    last-ulp summation difference flip a quartile boundary — ints
+    can't. The global unpartitioned ntile is the documented trade-off:
+    at 10⁹ customers you'd swap it for the distributed exact-quantile
+    cutpoints + a join (same shape as winsorized_price_stats).
+    """
+    from pyspark.sql import Window
+
+    od = load_table(spark, sf_dir, "orders")
+    ref = od.agg(F.max("o_orderdate").alias("ref")).head()["ref"]
+    per_cust = od.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.datediff(F.lit(ref), F.max("o_orderdate")).cast("bigint").alias(
+            "r_days"
+        ),
+        F.count(F.lit(1)).alias("f_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("m_cents"),
+    )
+    return per_cust.select(
+        "c_custkey",
+        "r_days",
+        "f_orders",
+        "m_cents",
+        F.ntile(4)
+        .over(Window.orderBy("r_days", "c_custkey"))
+        .cast("bigint")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("f_orders"), "c_custkey"))
+        .cast("bigint")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("m_cents"), "c_custkey"))
+        .cast("bigint")
+        .alias("m_quartile"),
+    )
