@@ -2028,3 +2028,95 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("m_quartile"),
     )
+
+
+@query(
+    "grouped_exact_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ), marked AS (
+      SELECT event_type, value, rn, n,
+             (n - 1) * CAST(0.5 AS DOUBLE) AS r50,
+             (n - 1) * CAST(0.95 AS DOUBLE) AS r95
+      FROM ranked
+    )
+    SELECT event_type,
+           CAST(any_value(n) AS BIGINT) AS n_rows,
+           max(CASE WHEN rn = CAST(floor(r50) AS BIGINT) THEN
+                 CASE WHEN ceil(r50) = floor(r50) THEN value
+                      ELSE (ceil(r50) - r50) * value END END)
+             + coalesce(max(CASE WHEN rn = CAST(ceil(r50) AS BIGINT)
+                            AND ceil(r50) <> floor(r50) THEN
+                 (r50 - floor(r50)) * value END), 0.0) AS p50,
+           max(CASE WHEN rn = CAST(floor(r95) AS BIGINT) THEN
+                 CASE WHEN ceil(r95) = floor(r95) THEN value
+                      ELSE (ceil(r95) - r95) * value END END)
+             + coalesce(max(CASE WHEN rn = CAST(ceil(r95) AS BIGINT)
+                            AND ceil(r95) <> floor(r95) THEN
+                 (r95 - floor(r95)) * value END), 0.0) AS p95
+    FROM marked GROUP BY event_type
+    """,
+)
+def grouped_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact percentiles WITHOUT the buffering builtin: sort
+    within group, rank, select the two bracketing order statistics,
+    interpolate in the aggregate. Spark's ``percentile`` holds every
+    group value in one aggregation buffer — a skewed group OOMs an
+    executor at 100 TB; this plan's state per task is one row, the
+    sort is the standard spillable shuffle sort, and the final
+    aggregate reduces 2 rows per (group, percentile).
+
+    Interpolation parity: when r lands between ranks, the value is
+    (k1-r)*x0 + (r-k0)*x1 — Spark's weighted-average form, expressed
+    identically in the oracle (with quantile literals cast to DOUBLE;
+    DuckDB parses bare 0.95 as DECIMAL and the rank arithmetic would
+    diverge). When r is integral the second term is absent on both
+    sides. Two integral-rank traps, pinned by the test comparing this
+    against Spark's buffering builtin: with k0=k1 the weighted form
+    (k1-r)*x0 + (r-k0)*x1 evaluates to ZERO (both weights vanish), so
+    the exact-hit case must return x0 directly — and an unguarded
+    second term would double-count it. A naive "mirror the formula in
+    the oracle" hides exactly this class of bug: both engines agree
+    and both are wrong; only the independent builtin reference
+    catches it.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+
+    def pct(q: float, out: str):
+        r = (F.col("n") - 1) * F.lit(q).cast("double")
+        k0, k1 = F.floor(r), F.ceil(r)
+        lo = F.max(
+            F.when(
+                F.col("rn") == k0.cast("bigint"),
+                F.when(k1 == k0, F.col("value")).otherwise(
+                    (k1 - r) * F.col("value")
+                ),
+            )
+        )
+        hi = F.max(
+            F.when(
+                (F.col("rn") == k1.cast("bigint")) & (k1 != k0),
+                (r - k0) * F.col("value"),
+            )
+        )
+        return (lo + F.coalesce(hi, F.lit(0.0))).alias(out)
+
+    return ranked.groupBy("event_type").agg(
+        F.any_value(F.col("n")).cast("bigint").alias("n_rows"),
+        pct(0.5, "p50"),
+        pct(0.95, "p95"),
+    )

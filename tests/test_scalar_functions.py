@@ -103,3 +103,33 @@ def test_quantile_flag_approx_close_to_exact(spark):
         .count()
     )
     assert math.isclose(n_exact, n_approx, rel_tol=0.01, abs_tol=5)
+
+
+def test_grouped_exact_percentiles_match_buffering_builtin(spark):
+    """The distributed per-group percentile (sort + rank selection)
+    must equal Spark's buffering `percentile` builtin on every group —
+    the independent reference that catches formula bugs a
+    mirrored-in-the-oracle compare cannot (e.g. the integral-rank case
+    where the weighted form evaluates to zero)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["p50"], r["p95"])
+        for r in entrymod.queries()["grouped_exact_percentiles"](
+            spark, sf
+        ).collect()
+    }
+    ev = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    ref = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    ).collect()
+    assert len(got) == len(ref)
+    for r in ref:
+        g = got[r["event_type"]]
+        assert abs(g[0] - r["p50"]) < 1e-12
+        assert abs(g[1] - r["p95"]) < 1e-12
