@@ -2120,3 +2120,90 @@ def grouped_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct(0.5, "p50"),
         pct(0.95, "p95"),
     )
+
+
+@query(
+    "association_rules_parts",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), totals AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM op
+    ), item AS (
+      SELECT l_partkey, count(*) AS n_item FROM op GROUP BY l_partkey
+    ), pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_pair
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_pair AS BIGINT) AS n_pair,
+           CAST(p.n_pair AS DOUBLE) / ia.n_item AS confidence_a_to_b,
+           CAST(p.n_pair AS DOUBLE) * t.n_orders
+             / (CAST(ia.n_item AS DOUBLE) * ib.n_item) AS lift
+    FROM pair p
+    JOIN item ia ON p.part_a = ia.l_partkey
+    JOIN item ib ON p.part_b = ib.l_partkey
+    CROSS JOIN totals t
+    ORDER BY lift DESC, part_a, part_b LIMIT 25
+    """,
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over co-purchase pairs: support, confidence
+    P(b|a), and lift P(ab)/(P(a)P(b)) — basket mining's second stage.
+    Item counts and pair counts are two hash aggregates off the same
+    distinct (order, part) relation; the support floor (>= 3) prunes
+    the pair tail BEFORE the stats joins, and item counts / the order
+    total are model-sized (broadcast). Confidence and lift are pure
+    integer ratios (products < 2^52), so the doubles are bit-identical
+    cross-engine with no rounding step. Deterministic top-25 by (lift,
+    pair) plans as TakeOrderedAndProject.
+    """
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = op.select("l_orderkey").distinct().count()
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    b = op.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
+    )
+    pair = (
+        op.join(
+            b,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("part_b")),
+        )
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ia = F.broadcast(
+        item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    )
+    ib = F.broadcast(
+        item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    )
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            (F.col("n_pair").cast("double") / F.col("n_a")).alias(
+                "confidence_a_to_b"
+            ),
+            (
+                F.col("n_pair").cast("double")
+                * F.lit(n_orders)
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(25)
+    )
