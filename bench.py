@@ -73,6 +73,10 @@ HEADLINE = [
     "interval_overlap_join",
     "event_transition_matrix",
     "null_safe_join_cohorts",
+    "market_basket_part_pairs",
+    "association_rules_parts",
+    "grouped_exact_percentiles",
+    "rfm_customer_segments",
 ]
 
 

