@@ -2229,3 +2229,78 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(25)
     )
+
+
+@query(
+    "feature_drift_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             least(CAST(floor(o_totalprice
+                              / CAST(60000.0 AS DOUBLE) * 10)
+                        AS BIGINT), 9) AS bin
+      FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    ), counts AS (
+      SELECT bin,
+             sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS n_base,
+             sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS n_cur
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM counts
+    )
+    SELECT bin,
+           CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(n_base AS DOUBLE) / tb AS p_base,
+           CAST(n_cur AS DOUBLE) / tc AS p_cur,
+           round((CAST(n_cur AS DOUBLE) / tc
+                  - CAST(n_base AS DOUBLE) / tb)
+                 * ln((CAST(n_cur AS DOUBLE) / tc)
+                      / (CAST(n_base AS DOUBLE) / tb)) * 1e6) / 1e6
+             AS psi_term
+    FROM counts, tot
+    """,
+)
+def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring: Population Stability Index terms
+    for order value, 1995 baseline vs 1996 — the standard pre-deploy /
+    pipeline-health check for feature shift. One conditional-aggregate
+    scan produces both periods' binned counts (no second pass), the
+    total row broadcasts, and PSI terms are computed per bin
+    (report size = bin count). Shares are exact int ratios; the ln
+    term is rounded at 1e-6 on both engines since libm/JVM log aren't
+    guaranteed bit-identical. Sparse-bin guard: terms are NULL when a
+    bin is empty on either side (ln(0) / division by zero), surfacing
+    exactly the bins a monitoring system must alert on rather than
+    hiding them in an infinity.
+    """
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    binned = od.select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.least(
+            F.floor(
+                F.col("o_totalprice") / F.lit(60000.0).cast("double") * 10
+            ).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == 1995, 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    p_base = F.col("n_base").cast("double") / F.col("tb")
+    p_cur = F.col("n_cur").cast("double") / F.col("tc")
+    psi = F.round((p_cur - p_base) * F.log(p_cur / p_base) * 1e6) / 1e6
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_base").cast("bigint").alias("n_base"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        p_base.alias("p_base"),
+        p_cur.alias("p_cur"),
+        psi.alias("psi_term"),
+    )
