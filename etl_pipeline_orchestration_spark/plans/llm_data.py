@@ -1206,3 +1206,50 @@ def dedup_jaccard_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.jaccard_all_pairs_prefix(docs, threshold=0.4)
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b) AS norm2
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           min(norm2) AS min_norm2,
+           max(norm2) AS max_norm2,
+           round(sum(norm2) * 1e6) / 1e6 AS sum_norm2_6dp
+    FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm² profile — the sanity check before
+    any cosine math (un-normalized vectors silently break dot-product
+    similarity). Per-row norms use an explicit sequential fold
+    (``F.aggregate``) with per-element double casts, mirrored by
+    DuckDB's ``list_reduce`` — SAME summation order, so min/max are
+    bit-exact selections with no rounding; only the cross-row sum
+    (shuffle-order dependent) carries the 1e-6 guard. Everything is a
+    per-row expression + one hash aggregate: no shuffle besides the
+    group-by, embarrassingly parallel at any scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).alias("norm2")
+    norms = emb.select("label", norm2)
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("norm2").alias("min_norm2"),
+        F.max("norm2").alias("max_norm2"),
+        (F.round(F.sum("norm2") * 1e6) / 1e6).alias("sum_norm2_6dp"),
+    )
