@@ -133,3 +133,56 @@ def test_grouped_exact_percentiles_match_buffering_builtin(spark):
         g = got[r["event_type"]]
         assert abs(g[0] - r["p50"]) < 1e-12
         assert abs(g[1] - r["p95"]) < 1e-12
+
+
+def test_polymorphic_udtf_analyze_schema(spark):
+    """Spark 4 polymorphic UDTF: the output schema is computed at plan
+    time by analyze() from a constant argument (here a key list), so
+    one UDTF serves any projection — SELECT * resolves to the derived
+    columns, values extracted per row on executors."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class ExtractKeys:
+        @staticmethod
+        def analyze(props: AnalyzeArgument, keys: AnalyzeArgument):
+            names = [k.strip() for k in keys.value.split(",")]
+            return AnalyzeResult(
+                StructType(
+                    [StructField(n, LongType()) for n in names]
+                )
+            )
+
+        def eval(self, props: str, keys: str):
+            import json
+
+            d = json.loads(props) if props else {}
+            names = [k.strip() for k in keys.split(",")]
+            yield tuple(
+                int(d[n]) if n in d and d[n] is not None else None
+                for n in names
+            )
+
+    spark.udtf.register("extract_keys", udtf(ExtractKeys))
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, '{"k": 9, "other": 3}'), (3, None)],
+        "id long, props string",
+    )
+    df.createOrReplaceTempView("props_rows")
+    out = spark.sql(
+        """
+        SELECT p.id, t.k, t.other
+        FROM props_rows p, LATERAL extract_keys(p.props, 'k, other') t
+        ORDER BY p.id
+        """
+    ).collect()
+    assert [tuple(r) for r in out] == [
+        (1, 7, None),
+        (2, 9, 3),
+        (3, None, None),
+    ]
