@@ -2304,3 +2304,51 @@ def feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_cur.alias("p_cur"),
         psi.alias("psi_term"),
     )
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), counts AS (
+      SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT sum(n) AS t FROM counts)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / t AS share,
+           round(log10(1 + 1.0 / digit) * 1e6) / 1e6 AS benford_expected,
+           round((CAST(n AS DOUBLE) / t
+                  - round(log10(1 + 1.0 / digit) * 1e6) / 1e6) * 1e6)
+             / 1e6 AS deviation
+    FROM counts, tot
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts — the classic
+    forensic-accounting screen for fabricated values. One scan, one
+    9-row aggregate; the total broadcasts. Shares are exact int ratios;
+    the log10 reference distribution and the deviation are rounded at
+    1e-6 on both engines (libm vs JVM log10 aren't bit-contracted).
+    A real monitor would alert on |deviation| thresholds or a chi²
+    statistic — both derivable from these columns.
+    """
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = od.select(
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("t"))
+    share = F.col("n").cast("double") / F.col("t")
+    expected = F.round(F.log10(1 + 1.0 / F.col("digit")) * 1e6) / 1e6
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        share.alias("share"),
+        expected.alias("benford_expected"),
+        (F.round((share - expected) * 1e6) / 1e6).alias("deviation"),
+    )
