@@ -1253,3 +1253,107 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("norm2").alias("max_norm2"),
         (F.round(F.sum("norm2") * 1e6) / 1e6).alias("sum_norm2_6dp"),
     )
+
+
+@query(
+    "bm25_ranked_retrieval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, len(ws) AS dl,
+             len(list_filter(ws, x -> x = 'hash')) AS tf_hash,
+             len(list_filter(ws, x -> x = 'join')) AS tf_join,
+             len(list_filter(ws, x -> x = 'scan')) AS tf_scan
+      FROM toks
+    ), stats AS (
+      SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+             sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+             sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan
+      FROM feat
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+           CAST(tf_hash AS BIGINT) AS tf_hash,
+           CAST(tf_join AS BIGINT) AS tf_join,
+           CAST(tf_scan AS BIGINT) AS tf_scan,
+           round((
+             ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+               * (tf_hash * 2.2)
+               / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df_join + 0.5) / (df_join + 0.5) + 1.0)
+               * (tf_join * 2.2)
+               / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln((n - df_scan + 0.5) / (df_scan + 0.5) + 1.0)
+               * (tf_scan * 2.2)
+               / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ) * 1e6) / 1e6 AS bm25
+    FROM feat, stats
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the query terms (hash, join, scan) —
+    the lexical-search scorer behind Lucene/Elasticsearch, and the
+    sparse half of hybrid retrieval next to the embedding top-k ops.
+
+    Plan: term frequencies and doc length are per-row array
+    expressions (one tokenize, reused); the three corpus statistics
+    (N, avgdl, per-term df) reduce in ONE aggregate pass and enter the
+    scoring expression as literals, so the scoring scan is pure
+    codegen — no join against a stats table, nothing quadratic,
+    TakeOrderedAndProject for the top-20. Lucene-form idf
+    (ln(1 + (N-df+.5)/(df+.5))); k1=1.2, b=0.75 folded into literal
+    constants; score rounded at 1e-6 (libm ln). The oracle recomputes
+    the same statistics in SQL — equality also re-proves N/avgdl/df
+    parity, not just the formula.
+    """
+    from etl_pipeline_orchestration_spark.operators.dedup import _tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens("text")
+    terms = ["hash", "join", "scan"]
+
+    # one-parameter lambda via closure factory: a `lambda x, t=t:` spelling
+    # has TWO parameters, which pyspark's HOF binder treats as
+    # (element, index) — t would silently receive the array index
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[F.size(F.filter(toks, _eq(t))).alias(f"tf_{t}") for t in terms],
+    )
+    st = feat.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in terms
+        ],
+    ).head()
+    n, avgdl = st["n"], st["avgdl"]
+
+    def term_score(t: str):
+        import math
+
+        idf = math.log((n - st[f"df_{t}"] + 0.5) / (st[f"df_{t}"] + 0.5) + 1.0)
+        tf = F.col(f"tf_{t}")
+        return F.lit(idf) * (tf * 2.2) / (
+            tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avgdl))
+        )
+
+    score = term_score("hash") + term_score("join") + term_score("scan")
+    return (
+        feat.select(
+            "doc_id",
+            F.col("dl").cast("bigint").alias("dl"),
+            *[F.col(f"tf_{t}").cast("bigint").alias(f"tf_{t}") for t in terms],
+            (F.round(score * 1e6) / 1e6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
