@@ -15,7 +15,7 @@ from etl_pipeline_orchestration_spark.operators import (
     similarity,
     text,
 )
-from etl_pipeline_orchestration_spark.plans.registry import query
+from etl_pipeline_orchestration_spark.plans.registry import QUERIES, query
 from etl_pipeline_orchestration_spark.sources.tables import load_table
 
 
@@ -1357,3 +1357,117 @@ def bm25_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, len(ws) AS dl,
+             len(list_filter(ws, x -> x = 'hash')) AS tf_hash,
+             len(list_filter(ws, x -> x = 'join')) AS tf_join,
+             len(list_filter(ws, x -> x = 'scan')) AS tf_scan
+      FROM toks
+    ), stats AS (
+      SELECT count(*) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             sum(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+             sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+             sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS df_scan
+      FROM feat
+    ), lex AS (
+      SELECT doc_id,
+             round((
+               ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+                 * (tf_hash * 2.2)
+                 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                 * (tf_join * 2.2)
+                 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln((n - df_scan + 0.5) / (df_scan + 0.5) + 1.0)
+                 * (tf_scan * 2.2)
+                 / (tf_scan + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ) * 1e6) / 1e6 AS bm25
+      FROM feat, stats
+      ORDER BY bm25 DESC, doc_id LIMIT 20
+    ), lex_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+      FROM lex
+    ), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dots AS (
+      SELECT e.vec_id,
+             sum(CAST(e.embedding[t.i] AS DOUBLE) * CAST(q.qe[t.i] AS DOUBLE))
+               AS dot,
+             sqrt(sum(CAST(e.embedding[t.i] AS DOUBLE)
+                      * CAST(e.embedding[t.i] AS DOUBLE))) AS norm_e,
+             sqrt(sum(CAST(q.qe[t.i] AS DOUBLE)
+                      * CAST(q.qe[t.i] AS DOUBLE))) AS norm_q
+      FROM embeddings e, q, (SELECT unnest(range(1, 65)) AS i) t
+      GROUP BY e.vec_id
+    ), vec AS (
+      SELECT vec_id, round(dot / (norm_e * norm_q), 6) AS cosine_sim
+      FROM dots
+      ORDER BY round(dot / (norm_e * norm_q), 6) DESC, vec_id LIMIT 10
+    ), vec_ranked AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS r_vec
+      FROM vec
+    )
+    SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+           CAST(l.r_lex AS BIGINT) AS r_lex,
+           CAST(v.r_vec AS BIGINT) AS r_vec,
+           coalesce(1.0 / (60 + l.r_lex), 0.0)
+             + coalesce(1.0 / (60 + v.r_vec), 0.0) AS rrf
+    FROM lex_ranked l FULL JOIN vec_ranked v ON l.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-20 fused with embedding
+    cosine top-10 by reciprocal-rank fusion (k=60) — the standard
+    sparse+dense combination in modern RAG stacks, composed entirely
+    from this repo's two oracle-verified retrieval components
+    (vec_id ≡ doc_id in the synthetic corpus).
+
+    Scale shape: each branch is already top-k-bounded
+    (TakeOrderedAndProject), so the fusion join runs on ≤30 rows —
+    rank windows and the full-outer join are driver-trivial regardless
+    of corpus size. Ranks order by the ROUNDED scores with id
+    tiebreaks on both engines (ranking on unrounded floats would let
+    a last-ulp difference swap two ranks). RRF terms 1/(60+r) are
+    exact-int divisions — deterministic without further rounding.
+    """
+    from pyspark.sql import Window
+
+    lex = QUERIES["bm25_ranked_retrieval"](spark, sf_dir).select(
+        "doc_id", "bm25"
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("r_lex"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    vec = similarity.brute_force_topk(emb, list(qvec), k=10)
+    vecr = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine_sim"), "vec_id"))
+        .alias("r_vec"),
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("r_lex").cast("bigint").alias("r_lex"),
+        F.col("r_vec").cast("bigint").alias("r_vec"),
+        (
+            F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_vec")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
