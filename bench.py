@@ -77,6 +77,8 @@ HEADLINE = [
     "association_rules_parts",
     "grouped_exact_percentiles",
     "rfm_customer_segments",
+    "bm25_ranked_retrieval",
+    "hybrid_retrieval_rrf",
 ]
 
 
