@@ -444,9 +444,14 @@ def jaccard_all_pairs_prefix(
     base = ensure_min_partitions(docs).filter(
         F.size(_tokens(text_col)) >= F.lit(shingle_k)
     )
+    # Three consumers (token pipeline + both verify sides) and NO shared
+    # shuffle between them — without materialization the CPU-dominant
+    # shingling runs three times (ReusedExchange can't help a narrow
+    # plan; measured ~18% off the query at sf0.1). At cluster scale use
+    # persist(DISK_ONLY) if replayability on executor loss matters.
     sets = base.select(
         F.col(id_col).alias("id"), _shingles(text_col, shingle_k).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
     tok = sets.select("id", F.explode("sh").alias("s"))
     freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w_rank = W.partitionBy("id").orderBy("df", "s")
