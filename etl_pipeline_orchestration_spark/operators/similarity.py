@@ -326,3 +326,57 @@ def embedding_near_dup_pairs(
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def cross_corpus_cosine_pairs(
+    corpus: DataFrame,
+    bench_rows: list,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (corpus, bench) pairs with cosine >= threshold, EXACT — the
+    semantic-decontamination primitive: benchmark suites are small
+    (10³-10⁵ vectors), so the bench matrix broadcasts inside an
+    Arrow-batched UDF and every corpus batch scores against ALL of it
+    in one BLAS matmul. No recall loss (unlike an LSH prefilter), one
+    scan of the corpus, zero shuffles before the emit. ``bench_rows``
+    is a driver-side list of (id, vector) — the deliberate small-side
+    collect, same pattern as the n-gram decontamination broadcast.
+    """
+    import json
+
+    bench_ids = np.array([r[0] for r in bench_rows], dtype=np.int64)
+    bm = np.array([r[1] for r in bench_rows], dtype=np.float64)
+    bm_n = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+
+    @pandas_udf("string")
+    def matches(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cos = (m / norms) @ bm_n.T  # (batch, n_bench)
+        out = []
+        for row in cos:
+            hits = np.nonzero(row >= threshold)[0]
+            out.append(
+                json.dumps(
+                    [[int(bench_ids[j]), float(row[j])] for j in hits]
+                )
+            )
+        return pd.Series(out)
+
+    hits = corpus.select(
+        F.col(id_col).alias("corpus_id"), matches(F.col(vec_col)).alias("h")
+    ).filter(F.col("h") != "[]")
+    parsed = hits.select(
+        "corpus_id",
+        F.explode(
+            F.from_json("h", "array<array<double>>")
+        ).alias("pair"),
+    )
+    return parsed.select(
+        "corpus_id",
+        F.col("pair")[0].cast("bigint").alias("bench_id"),
+        (F.round(F.col("pair")[1] * 1e6) / 1e6).alias("cos_6dp"),
+    )

@@ -1471,3 +1471,39 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+@query(
+    "semantic_decontamination_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT c.vec_id AS corpus_id, b.vec_id AS bench_id,
+             list_dot_product(c.embedding, b.embedding) /
+             (sqrt(list_dot_product(c.embedding, c.embedding))
+              * sqrt(list_dot_product(b.embedding, b.embedding))) AS cos
+      FROM e c, e b
+      WHERE c.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    )
+    SELECT corpus_id, bench_id, round(cos * 1e6) / 1e6 AS cos_6dp
+    FROM pairs WHERE cos >= 0.4
+    """,
+)
+def semantic_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of the
+    n-gram overlap check: corpus vectors (even ids) too similar to any
+    benchmark vector (odd ids) at cosine >= 0.4. The benchmark side is
+    small by nature, so it broadcasts into an Arrow UDF and each corpus
+    batch scores against the whole bench set in one BLAS matmul
+    (operators/similarity.py:cross_corpus_cosine_pairs) — exact, no
+    LSH recall loss, corpus scanned once. The oracle brute-forces the
+    same pairs in SQL; the 0.4 threshold clears every pair by >= 1e-4
+    (measured), so BLAS-vs-fold summation ulps cannot flip inclusion.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") % 2 == 1).collect()
+    ]
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    return similarity.cross_corpus_cosine_pairs(corpus, bench, threshold=0.4)
