@@ -378,5 +378,5 @@ def cross_corpus_cosine_pairs(
     return parsed.select(
         "corpus_id",
         F.col("pair")[0].cast("bigint").alias("bench_id"),
-        (F.round(F.col("pair")[1] * 1e6) / 1e6).alias("cos_6dp"),
+        (F.round(F.col("pair")[1] * 1e4) / 1e4).alias("cos_4dp"),
     )

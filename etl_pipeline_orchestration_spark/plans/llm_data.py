@@ -1485,7 +1485,7 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e c, e b
       WHERE c.vec_id % 2 = 0 AND b.vec_id % 2 = 1
     )
-    SELECT corpus_id, bench_id, round(cos * 1e6) / 1e6 AS cos_6dp
+    SELECT corpus_id, bench_id, round(cos * 1e4) / 1e4 AS cos_4dp
     FROM pairs WHERE cos >= 0.4
     """,
 )
@@ -1498,7 +1498,10 @@ def semantic_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     (operators/similarity.py:cross_corpus_cosine_pairs) — exact, no
     LSH recall loss, corpus scanned once. The oracle brute-forces the
     same pairs in SQL; the 0.4 threshold clears every pair by >= 1e-4
-    (measured), so BLAS-vs-fold summation ulps cannot flip inclusion.
+    (measured), so BLAS-vs-fold summation ulps cannot flip inclusion —
+    and the reported cosine rounds at 1e-4, where every pair clears the
+    rounding half-boundary by >= 1e-7 (at 6dp one sf0.001 pair sat ON
+    the boundary and the engines' last-ulp difference flipped the digit).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     bench = [
