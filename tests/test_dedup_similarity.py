@@ -266,3 +266,39 @@ def test_winnowing_fingerprint_containment_and_determinism(spark):
     assert s1[1], "base doc must produce a non-empty sketch"
     assert s1[1] <= s1[2], "containment must imply sketch subset"
     assert not (s1[1] & s1[3]), "disjoint docs must not share fingerprints"
+
+
+def test_cross_corpus_cosine_exact_and_zero_vector_safe(spark):
+    """cross_corpus_cosine_pairs must equal a numpy brute force on a
+    known fixture and must not emit (or crash on) zero vectors."""
+    import numpy as np
+
+    from etl_pipeline_orchestration_spark.operators.similarity import (
+        cross_corpus_cosine_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    corpus = [(i, rng.randn(8).tolist()) for i in range(0, 20, 2)]
+    corpus.append((100, [0.0] * 8))  # zero vector: cos undefined -> no hit
+    bench = [(j, rng.randn(8).tolist()) for j in range(1, 21, 2)]
+    bench.append((7, corpus[0][1]))  # planted exact duplicate of corpus id 0
+
+    cdf = spark.createDataFrame(corpus, ["vec_id", "embedding"])
+    got = {
+        (r["corpus_id"], r["bench_id"]): r["cos_4dp"]
+        for r in cross_corpus_cosine_pairs(cdf, bench, threshold=0.8).collect()
+    }
+
+    want = {}
+    for cid, cv in corpus:
+        cv = np.array(cv)
+        if not cv.any():
+            continue
+        for bid, bv in bench:
+            bv = np.array(bv)
+            cos = float(cv @ bv / (np.linalg.norm(cv) * np.linalg.norm(bv)))
+            if cos >= 0.8:
+                want[(cid, bid)] = round(cos * 1e4) / 1e4
+    assert got == want
+    assert (0, 7) in got and abs(got[(0, 7)] - 1.0) < 1e-9  # planted dup found
+    assert all(cid != 100 for cid, _ in got)  # zero vector excluded
