@@ -79,6 +79,8 @@ HEADLINE = [
     "rfm_customer_segments",
     "bm25_ranked_retrieval",
     "hybrid_retrieval_rrf",
+    "semantic_decontamination_pairs",
+    "triangle_count_copurchase",
 ]
 
 
