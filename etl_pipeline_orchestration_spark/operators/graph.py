@@ -187,13 +187,18 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
-            ranks.withColumnRenamed("rank", "old")
-            .join(new_ranks, "node")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-            .head()[0]
-        )
-        ranks = new_ranks
-        if delta is not None and delta < tol:
-            break
+        if tol > 0:
+            # one extra |V|-row join-agg job per iteration; callers doing a
+            # fixed iteration budget pass tol=0 to skip it entirely
+            delta = (
+                ranks.withColumnRenamed("rank", "old")
+                .join(new_ranks, "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                .head()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks

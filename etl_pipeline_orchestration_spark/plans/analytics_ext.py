@@ -1547,7 +1547,7 @@ def graph_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fwd = li.select(F.col("l_partkey").alias("src"), F.col("supp_node").alias("dst"))
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, max_iter=10)
+    ranks = pagerank(edges, max_iter=10, tol=0.0)  # fixed budget: skip delta jobs
     return (
         ranks.select(
             F.when(F.col("node") >= off, F.lit("supplier"))
