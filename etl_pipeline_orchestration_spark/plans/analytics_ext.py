@@ -2441,3 +2441,114 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles"),
         F.lit(n_edges).cast("bigint").alias("n_edges"),
     )
+
+
+@query(
+    "funnel_conversion_latency",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ), delays AS (
+      SELECT epoch_us(first_purchase) / 1000000
+               - epoch_us(first_view) / 1000000 AS delay_s
+      FROM per_user
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase > first_view
+    ), ranked AS (
+      SELECT delay_s,
+             row_number() OVER (ORDER BY delay_s) - 1 AS rn,
+             count(*) OVER () AS n
+      FROM delays
+    ), marked AS (
+      SELECT delay_s, rn, n,
+             (n - 1) * CAST(0.5 AS DOUBLE) AS r50,
+             (n - 1) * CAST(0.9 AS DOUBLE) AS r90
+      FROM ranked
+    )
+    SELECT CAST(any_value(n) AS BIGINT) AS n_converted,
+           max(CASE WHEN rn = CAST(floor(r50) AS BIGINT) THEN
+                 CASE WHEN ceil(r50) = floor(r50) THEN CAST(delay_s AS DOUBLE)
+                      ELSE (ceil(r50) - r50) * delay_s END END)
+             + coalesce(max(CASE WHEN rn = CAST(ceil(r50) AS BIGINT)
+                            AND ceil(r50) <> floor(r50) THEN
+                 (r50 - floor(r50)) * delay_s END), 0.0) AS median_delay_s,
+           max(CASE WHEN rn = CAST(floor(r90) AS BIGINT) THEN
+                 CASE WHEN ceil(r90) = floor(r90) THEN CAST(delay_s AS DOUBLE)
+                      ELSE (ceil(r90) - r90) * delay_s END END)
+             + coalesce(max(CASE WHEN rn = CAST(ceil(r90) AS BIGINT)
+                            AND ceil(r90) <> floor(r90) THEN
+                 (r90 - floor(r90)) * delay_s END), 0.0) AS p90_delay_s
+    FROM marked
+    """,
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: seconds from first view to first purchase per
+    converting user, summarized as exact median and p90 — the
+    time-to-convert companion of the step-count funnel. One conditional
+    aggregate collapses the fact table to per-user rows; delays derive
+    from exact integer microsecond epochs through the IDENTICAL
+    division expression on both engines (one rounding each — same
+    doubles bit-for-bit), so the percentile interpolation compares
+    exactly; the percentile itself uses the sort+rank-selection form
+    (same scale story and the same integral-rank guard as
+    grouped_exact_percentiles).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    delays = per_user.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        (
+            F.unix_micros("first_purchase") / 1_000_000
+            - F.unix_micros("first_view") / 1_000_000
+        ).alias("delay_s")
+    )
+    ranked = delays.select(
+        "delay_s",
+        (F.row_number().over(Window.orderBy("delay_s")) - 1).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+
+    def pct(q: float, out: str):
+        r = (F.col("n") - 1) * F.lit(q).cast("double")
+        k0, k1 = F.floor(r), F.ceil(r)
+        lo = F.max(
+            F.when(
+                F.col("rn") == k0.cast("bigint"),
+                F.when(k1 == k0, F.col("delay_s").cast("double")).otherwise(
+                    (k1 - r) * F.col("delay_s")
+                ),
+            )
+        )
+        hi = F.max(
+            F.when(
+                (F.col("rn") == k1.cast("bigint")) & (k1 != k0),
+                (r - k0) * F.col("delay_s"),
+            )
+        )
+        return (lo + F.coalesce(hi, F.lit(0.0))).alias(out)
+
+    return ranked.agg(
+        F.any_value(F.col("n")).cast("bigint").alias("n_converted"),
+        pct(0.5, "median_delay_s"),
+        pct(0.9, "p90_delay_s"),
+    )
