@@ -2559,24 +2559,24 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH firsts AS (
       SELECT user_id,
-             CAST(date_trunc('month', min(ts)) AS TIMESTAMP) AS cohort
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
       FROM events GROUP BY user_id
     ), purchases AS (
       SELECT e.user_id, f.cohort,
-             date_diff('month', f.cohort,
-                       CAST(date_trunc('month', e.ts) AS TIMESTAMP))
-               AS month_offset,
+             date_diff('week', f.cohort,
+                       CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+               AS week_offset,
              e.value
       FROM events e JOIN firsts f ON e.user_id = f.user_id
       WHERE e.event_type = 'purchase'
     ), per_offset AS (
-      SELECT cohort, CAST(month_offset AS BIGINT) AS month_offset,
+      SELECT cohort, CAST(week_offset AS BIGINT) AS week_offset,
              CAST(count(*) AS BIGINT) AS n_purchases,
              sum(value) AS rev
-      FROM purchases GROUP BY cohort, month_offset
+      FROM purchases GROUP BY cohort, week_offset
     )
-    SELECT cohort, month_offset, n_purchases,
-           round(sum(rev) OVER (PARTITION BY cohort ORDER BY month_offset
+    SELECT cohort, week_offset, n_purchases,
+           round(sum(rev) OVER (PARTITION BY cohort ORDER BY week_offset
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW) * 100) / 100
              AS cum_revenue_2dp
@@ -2585,10 +2585,10 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curve: cumulative purchase revenue per
-    (first-activity-month cohort, month offset) — the revenue
+    (first-activity-week cohort, week offset) — the revenue
     companion to the retention matrix. The cohort assignment join
     shuffles on user_id once; the cumulative window runs over the
-    (cohort × offset) AGGREGATE, rows ∝ months², not events. The
+    (cohort × offset) AGGREGATE, rows ∝ weeks², not events. The
     running sum accumulates PRE-AGGREGATED per-offset revenue in a
     deterministic frame order, so cross-engine drift is confined to
     each offset's inner sum — guarded by the usual scale-then-round at
@@ -2598,7 +2598,7 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("month", F.min("ts")).alias("cohort")
+        F.date_trunc("week", F.min("ts")).alias("cohort")
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2606,26 +2606,25 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cohort",
             (
-                (F.year(F.date_trunc("month", "ts")) - F.year("cohort")) * 12
-                + (F.month(F.date_trunc("month", "ts")) - F.month("cohort"))
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort")) / 7
             )
             .cast("bigint")
-            .alias("month_offset"),
+            .alias("week_offset"),
             "value",
         )
     )
-    per_offset = purchases.groupBy("cohort", "month_offset").agg(
+    per_offset = purchases.groupBy("cohort", "week_offset").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("value").alias("rev"),
     )
     w = (
         Window.partitionBy("cohort")
-        .orderBy("month_offset")
+        .orderBy("week_offset")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return per_offset.select(
         "cohort",
-        "month_offset",
+        "week_offset",
         "n_purchases",
         (F.round(F.sum("rev").over(w) * 100) / 100).alias("cum_revenue_2dp"),
     )
