@@ -2357,19 +2357,13 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "triangle_count_copurchase",
     oracle="""
-    WITH sets AS (
-      SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS parts
-      FROM lineitem GROUP BY l_orderkey
-    ), pairs AS (
-      SELECT p.part_a, p.part_b
-      FROM sets, LATERAL (
-        SELECT a.a AS part_a, b.b AS part_b
-        FROM unnest(parts) AS a(a), unnest(parts) AS b(b)
-        WHERE a.a < b.b
-      ) p
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ), edges AS (
-      SELECT part_a AS a, part_b AS b FROM pairs
-      GROUP BY part_a, part_b HAVING count(*) >= 2
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
     ), tri AS (
       SELECT e1.a, e1.b, e2.b AS c
       FROM edges e1
@@ -2416,11 +2410,15 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.a", "p.b")
+    # four consumers (three join roles + the count) of one aggregate:
+    # materialize the model-sized edge list once instead of rebuilding
+    # the basket-explode pipeline per alias
     edges = (
         pairs.groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("a", "b")
+        .localCheckpoint(eager=True)
     )
     e1 = edges.alias("e1")
     e2 = edges.select(
