@@ -1,8 +1,11 @@
 """Headline benchmark: wall-clock per query at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE JSON line on stdout:
+Prints exactly ONE compact JSON line on stdout (the driver captures only
+a short stdout tail, so the line must stay well under ~1.5 KB):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>}
+   "queries": {"detail": "BENCH_DETAIL.json"}, "sf": <sf>, ...}
+The full per-query timing map is written to BENCH_DETAIL.json next to
+this script (committed per-round so every query's cost stays auditable).
 
 Each query is forced to full execution with the noop data-source write
 (runs the complete physical plan, materializes nothing on the driver),
@@ -128,16 +131,43 @@ def main() -> int:
             timings[name] = None
 
     ok = {k: v for k, v in timings.items() if v is not None}
+    n_failed = len(timings) - len(ok)
+    total = round(sum(ok.values()), 3)
+
+    # Full per-query map goes to a file (stdout tail capture is short).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_wallclock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "reps": reps,
+                "n_queries": len(timings),
+                "n_failed": n_failed,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+        f.write("\n")
+
+    # ONE compact line (< ~200 bytes) as the last stdout output.
     out = {
         "metric": "headline_queries_wallclock",
-        "value": round(sum(ok.values()), 3),
+        "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {"detail": "BENCH_DETAIL.json"},
         "sf": sf,
-        "n_failed": len(timings) - len(ok),
+        "n_queries": len(timings),
+        "n_failed": n_failed,
     }
     print(json.dumps(out))
-    return 0 if not out["n_failed"] else 1
+    return 0 if not n_failed else 1
 
 
 if __name__ == "__main__":

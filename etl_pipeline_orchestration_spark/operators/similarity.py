@@ -157,21 +157,36 @@ def lsh_topk(
 # ---------------------------------------------------------------- IVF --
 
 
+def derive_sample_mod(n_rows: int, max_sample: int = 65536) -> int:
+    """Hash-sample modulus that caps the expected driver sample at
+    ``max_sample`` rows: keep-probability 1/mod, so expected sample size
+    is n/mod ≤ max_sample. At n=10^9 this is mod=15258 (~2^14)."""
+    return max(1, n_rows // max_sample)
+
+
 def ivf_train_centroids(
     vectors: DataFrame,
     k: int = 16,
     iters: int = 3,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0,
+    max_sample: int = 65536,
 ) -> np.ndarray:
     """Deterministic (k × dim) IVF centroids: hash-sample rows to the
-    driver (``sample_mod`` controls the fraction — xxhash64(id) % mod == 0,
-    so at 10^9 vectors pick mod ~ 2^14 for a ~60k sample), then run a few
-    Lloyd iterations in NumPy. Training is a driver-side O(sample · k)
-    problem; only assignment is distributed."""
+    driver (xxhash64(id) % sample_mod == 0), then run a few Lloyd
+    iterations in NumPy. Training is a driver-side O(sample · k) problem;
+    only assignment is distributed.
+
+    ``sample_mod=None`` (the default) derives the modulus from a cheap
+    ``count()`` so the driver sample is capped at ~``max_sample`` rows no
+    matter the corpus size — at 10^9 vectors that is mod ≈ 2^14 and a
+    ~65k sample; callers never get a full-table collect by accident.
+    Pass an explicit ``sample_mod`` to override."""
+    if sample_mod is None:
+        sample_mod = derive_sample_mod(vectors.count(), max_sample)
     sample = (
         vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
         .select(vec_col)

@@ -103,6 +103,28 @@ def test_ivf_topk_recall_vs_bruteforce(vectors):
     assert 0 in approx  # the probe vector itself is always found
 
 
+def test_ivf_sample_mod_auto_caps_driver_sample(spark, vectors):
+    """The default (sample_mod=None) must derive a modulus that caps the
+    expected driver collect at max_sample rows regardless of corpus size
+    — the round-2 scale-killer was sample_mod=1 collecting everything."""
+    # Formula pins: 10^9 rows -> ~2^14 modulus, tiny corpora keep every row.
+    assert similarity.derive_sample_mod(10**9, 65536) == 10**9 // 65536
+    assert similarity.derive_sample_mod(100, 65536) == 1
+    assert similarity.derive_sample_mod(0, 65536) == 1
+    # Integration: with a small cap, the hash filter actually shrinks the
+    # sample well below the table (hash sampling has variance, allow 4x).
+    n = vectors.count()
+    mod = similarity.derive_sample_mod(n, max_sample=16)
+    sampled = vectors.filter(
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0
+    ).count()
+    assert sampled <= 64
+    assert sampled >= 1
+    # And training with the small cap still yields usable centroids.
+    cents = similarity.ivf_train_centroids(vectors, k=4, max_sample=16)
+    assert cents.shape == (4, 64)
+
+
 def test_ivf_assignment_partitions_corpus(spark, vectors):
     cents = similarity.ivf_train_centroids(vectors, k=8)
     assert cents.shape == (8, 64)
