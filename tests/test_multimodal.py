@@ -24,10 +24,79 @@ def test_encode_decode_roundtrip_deterministic(docs):
     assert by_id[0]["width"] == 16 + 5 % 64
 
 
-def test_decode_real_path_is_honest(docs):
-    media = multimodal.encode_as_media(docs)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_batch(media, fake=False)
+def test_decode_real_path_is_honest_for_non_png(docs):
+    """fake=False must still refuse non-PNG types (raise surfaces from
+    the executor wrapped in Spark's PythonException)."""
+    media = multimodal.encode_as_media(docs)  # media_type = image/fake
+    with pytest.raises(Exception, match="NotImplementedError|image/fake"):
+        multimodal.decode_image_batch(media, fake=False).collect()
+
+
+# ------------------------------------------------------------- PNG --
+
+
+def test_png_roundtrip_every_filter_type():
+    """Each scanline filter (0-4) must invert exactly, including byte
+    wrap-around (gradient spans the full 0..255 range)."""
+    w, h = 13, 9
+    rows = [bytes(((31 * x + 97 * y) % 256) for x in range(w)) for y in range(h)]
+    expected = sum(sum(r) for r in rows)
+    for ft in range(5):
+        data = multimodal.png_encode_gray(rows, filters=[ft])
+        assert multimodal.png_decode(data) == (w, h, expected), f"filter {ft}"
+    # Default cycle mixes all five filters in one image.
+    data = multimodal.png_encode_gray(rows)
+    assert multimodal.png_decode(data) == (w, h, expected)
+
+
+def test_png_decode_rejects_corruption():
+    rows = [bytes(range(10))] * 4
+    data = bytearray(multimodal.png_encode_gray(rows))
+    with pytest.raises(ValueError, match="signature"):
+        multimodal.png_decode(b"\x00" + bytes(data[1:]))
+    data[40] ^= 0xFF  # flip a byte inside a chunk -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC|length|filter|error"):
+        multimodal.png_decode(bytes(data))
+
+
+def test_png_decode_rgb():
+    """Hand-built 2x2 RGB PNG (color type 2, filter 0) — pins that the
+    decoder honors bytes-per-pixel, not just greyscale."""
+    import struct
+    import zlib
+
+    px = [
+        [(10, 20, 30), (40, 50, 60)],
+        [(70, 80, 90), (200, 250, 255)],
+    ]
+    raw = b"".join(
+        b"\x00" + bytes(v for pix in row for v in pix) for row in px
+    )
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    data = (
+        multimodal.PNG_SIG
+        + multimodal._png_chunk(b"IHDR", ihdr)
+        + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+        + multimodal._png_chunk(b"IEND", b"")
+    )
+    total = sum(v for row in px for pix in row for v in pix)
+    assert multimodal.png_decode(data) == (2, 2, total)
+
+
+def test_synth_png_media_decodes_to_closed_form(docs):
+    """End-to-end on Spark: real PNG bytes through mapInPandas decode;
+    dims and pixel sums must equal the fixture's closed form."""
+    media = multimodal.synth_png_media(docs)
+    out = {r["doc_id"]: r for r in multimodal.decode_image_batch(media).collect()}
+    assert len(out) == 30
+    for i in range(30):
+        w, h, c = 8 + i % 9, 8 + i % 7, i % 100
+        expect = sum((3 * x + 5 * y + c) for x in range(w) for y in range(h))
+        r = out[i]
+        assert (r["width"], r["height"], r["pixel_sum"]) == (w, h, expect)
+        assert r["media_type"] == "image/png"
+        assert r["feature_norm"] is None  # real decode: no fake feature
+        assert r["n_bytes"] > 0  # real file size, not text length
 
 
 def test_resize_targets_model_shape(docs):
