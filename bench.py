@@ -58,6 +58,8 @@ HEADLINE = [
     "doc_repetition_scores",
     "decontaminate_ngram_overlap",
     "dedup_clusters_connected_components",
+    "dedup_clusters_cc_distributed",
+    "multimodal_png_decode",
     "tpch_q7_nation_volume_shipping",
     "tpch_q19_bracket_discounted_revenue",
     "pivot_revenue_by_priority",

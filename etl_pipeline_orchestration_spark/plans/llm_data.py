@@ -606,9 +606,10 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.ngram_overlap_contamination(docs, k=4, benchmark_mod=97)
 
 
-@query(
-    "dedup_clusters_connected_components",
-    oracle="""
+# Reachability stated declaratively (recursive CTE) — shared by both CC
+# queries below, which must produce identical clusters via different
+# execution paths.
+_CC_ORACLE = """
     WITH RECURSIVE toks AS (
       SELECT doc_id,
              string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
@@ -637,17 +638,13 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n AS doc_id, CAST(min(r) AS BIGINT) AS component
     FROM reach GROUP BY n
-    """,
-)
-def dedup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assignment: docs sharing any word 4-gram (with a
-    2..10-doc frequency guard dropping unique AND boilerplate grams —
-    the mega-bucket cap that keeps the self-join linear at scale) form
-    edges; connected components via pointer-jumping min-label
-    propagation (operators/graph.py) yield the cluster each doc
-    belongs to. The oracle states reachability declaratively with a
-    recursive CTE — the Spark side is the O(log diameter) iterative
-    plan a 100 TB corpus needs."""
+    """
+
+
+def _gram_share_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) doc pairs sharing any word 4-gram, with a 2..10-doc
+    gram-frequency guard dropping unique AND boilerplate grams — the
+    mega-bucket cap that keeps the self-join linear at scale."""
     from etl_pipeline_orchestration_spark.operators.partitioning import (
         ensure_min_partitions,
     )
@@ -678,14 +675,39 @@ def dedup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> Dat
         .select("gram")
     )
     g2 = grams.withColumnRenamed("doc_id", "doc_b")
-    pairs = (
+    return (
         grams.join(ok, "gram")
         .join(g2, "gram")
         .filter(F.col("doc_id") < F.col("doc_b"))
         .select(F.col("doc_id").alias("src"), F.col("doc_b").alias("dst"))
         .distinct()
     )
+
+
+@query("dedup_clusters_connected_components", oracle=_CC_ORACLE)
+def dedup_clusters_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: gram-share edges → connected
+    components (operators/graph.py hybrid: driver union-find on small
+    edge lists, pointer-jumping min-label propagation above the
+    threshold). The oracle states reachability declaratively with a
+    recursive CTE — the Spark side is the O(log diameter) iterative
+    plan a 100 TB corpus needs."""
+    pairs = _gram_share_edges(spark, sf_dir)
     return graph.connected_components(pairs).withColumnRenamed("node", "doc_id")
+
+
+@query("dedup_clusters_cc_distributed", oracle=_CC_ORACLE)
+def dedup_clusters_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters, FORCED onto the distributed pointer-jumping path
+    (driver_threshold=0) — the plan that actually runs at 10^9 nodes.
+    Registered (and benched) so the scale path has a measured cost and
+    an oracle check every round, not just a unit test: at sf0.1 the
+    hybrid picks union-find, so without this entry the distributed
+    loop's cost would never appear in BENCH_DETAIL."""
+    pairs = _gram_share_edges(spark, sf_dir)
+    return graph.connected_components(pairs, driver_threshold=0).withColumnRenamed(
+        "node", "doc_id"
+    )
 
 
 @query(
