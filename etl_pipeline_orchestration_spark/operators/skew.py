@@ -25,12 +25,21 @@ def salted_sum(
     salt_factor: int = 16,
     out_col: str | None = None,
 ) -> DataFrame:
-    """Two-phase skew-proof sum: group on (key, xxhash(key-ish row) %
+    """Two-phase skew-proof sum: group on (key, xxhash(whole row) %
     salt_factor), then re-group on key summing the partials. Result is
     identical to a direct groupBy-sum (float partial order differs — use
-    the same rounding discipline as any distributed sum)."""
+    the same rounding discipline as any distributed sum).
+
+    The salt hashes STABLE payload columns, never
+    monotonically_increasing_id or rand: those change when a failed
+    task re-executes, so a retried partition could re-salt its rows
+    into different sub-groups mid-shuffle and lose or double-count
+    partials — exactly the failure scenarios salting is deployed for.
+    Identical rows hash to the same salt, which only matters if one
+    key's rows are ALSO massively duplicate-heavy; uniqueness of
+    (key, payload) is the realistic case for fact rows."""
     out_col = out_col or f"sum_{value_col}"
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_factor))
+    salt = F.pmod(F.abs(F.xxhash64(*df.columns)), F.lit(salt_factor))
     partial = (
         df.withColumn("__salt__", salt)
         .groupBy(*key_cols, "__salt__")

@@ -2496,11 +2496,17 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from exact integer microsecond epochs through the IDENTICAL
     division expression on both engines (one rounding each — same
     doubles bit-for-bit), so the percentile interpolation compares
-    exactly; the percentile itself uses the sort+rank-selection form
-    (same scale story and the same integral-rank guard as
-    grouped_exact_percentiles).
+    exactly. The percentiles use the bounded-memory two-pass exact
+    quantile (scalar.exact_quantile_distributed: GK bracket + in-bracket
+    candidate selection) — the earlier global row_number window moved
+    every converted user to ONE task, the single-task bottleneck ADVICE
+    r2 flagged; the interpolation form (weighted average, integral-rank
+    guard) is identical, so the oracle's declarative rank-selection SQL
+    is unchanged.
     """
-    from pyspark.sql import Window
+    from etl_pipeline_orchestration_spark.functions.scalar import (
+        exact_quantile_distributed,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(
@@ -2511,49 +2517,30 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("ts"))
         ).alias("first_purchase"),
     )
-    delays = per_user.filter(
-        F.col("first_view").isNotNull()
-        & F.col("first_purchase").isNotNull()
-        & (F.col("first_purchase") > F.col("first_view"))
-    ).select(
-        (
-            F.unix_micros("first_purchase") / 1_000_000
-            - F.unix_micros("first_view") / 1_000_000
-        ).alias("delay_s")
-    )
-    ranked = delays.select(
-        "delay_s",
-        (F.row_number().over(Window.orderBy("delay_s")) - 1).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
-    )
-
-    def pct(q: float, out: str):
-        r = (F.col("n") - 1) * F.lit(q).cast("double")
-        k0, k1 = F.floor(r), F.ceil(r)
-        lo = F.max(
-            F.when(
-                F.col("rn") == k0.cast("bigint"),
-                F.when(k1 == k0, F.col("delay_s").cast("double")).otherwise(
-                    (k1 - r) * F.col("delay_s")
-                ),
-            )
+    delays = (
+        per_user.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_view"))
         )
-        hi = F.max(
-            F.when(
-                (F.col("rn") == k1.cast("bigint")) & (k1 != k0),
-                (r - k0) * F.col("delay_s"),
-            )
+        .select(
+            (
+                F.unix_micros("first_purchase") / 1_000_000
+                - F.unix_micros("first_view") / 1_000_000
+            ).alias("delay_s")
         )
-        return (lo + F.coalesce(hi, F.lit(0.0))).alias(out)
-
-    return ranked.agg(
-        F.any_value(F.col("n")).cast("bigint").alias("n_converted"),
-        pct(0.5, "median_delay_s"),
-        pct(0.9, "p90_delay_s"),
+        # four driver-side aggregation jobs follow (count + 2 passes per
+        # quantile); materialize the per-user reduction once — separate
+        # jobs can't share an exchange the way one plan's consumers do
+        .localCheckpoint(eager=True)
+    )
+    n = delays.count()
+    med = exact_quantile_distributed(delays, "delay_s", 0.5)
+    p90 = exact_quantile_distributed(delays, "delay_s", 0.9)
+    return spark.range(1).select(
+        F.lit(n).cast("bigint").alias("n_converted"),
+        F.lit(med).cast("double").alias("median_delay_s"),
+        F.lit(p90).cast("double").alias("p90_delay_s"),
     )
 
 

@@ -45,13 +45,19 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     to microseconds — `DIV 1000` keeps full int64 precision (a double
     division would lose precision above 2^53).
 
-    The conf is set in ``get_spark`` for sessions we build; it is re-set
-    here (idempotently) because the correctness driver constructs its own
-    session. It must stay true for the life of any plan reading events —
-    the read happens at action time, so set/restore would break laziness.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    The conf is set for the ``spark.read.parquet`` call only and then
+    restored: the conf value is resolved into the scan when the
+    DataFrame is created (schema inference reads the footers eagerly),
+    so later actions on the returned plan succeed with the session conf
+    back at its prior value — verified by test; no session-global leak
+    into unrelated reads (the driver's vanilla session included)."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key)  # effective value ("false" when unset)
+    spark.conf.set(key, "true")
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        spark.conf.set(key, prev)
     return raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     ).select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -36,6 +36,7 @@ def upsert_batch(
     carry older events), so a plain last-write-wins merge would let
     stale rows clobber fresh ones; conditioning on the sequence makes
     the merged table independent of batch arrival order."""
+    _recover_swap(loader, table)
     w = W.partitionBy(key).orderBy(F.col(seq_col).desc())
     latest = (
         batch.withColumn("__rn__", F.row_number().over(w))
@@ -61,12 +62,35 @@ def upsert_batch(
                 for col in payload
             ],
         )
-        tmp = loader._path(f"__upsert_{table}")
+        tmp = loader._path(f"__upsert_{table}.tmp")
+        old = loader._path(f"__upsert_{table}.old")
         merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(path)
+        # Swap via rename-aside so the table directory is never absent
+        # for longer than one rename: a crash window that still holds
+        # the full history (recovered by _recover_swap on replay). The
+        # previous rmtree-then-rename left a window where a crash lost
+        # the table and foreachBatch replay silently rebuilt it from
+        # the current batch alone.
+        os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old)
     else:
         latest.write.mode("overwrite").parquet(path)
+
+
+def _recover_swap(loader: WarehouseLoader, table: str) -> None:
+    """Heal an interrupted swap before merging: if a crash happened
+    between the two renames, the table directory is missing but the
+    rename-aside copy holds the full pre-merge history — restore it
+    (the checkpointed batch then replays against it). A leftover .old
+    beside an intact table means the crash hit before cleanup — drop it."""
+    path = loader._path(table)
+    old = loader._path(f"__upsert_{table}.old")
+    if os.path.isdir(old):
+        if os.path.isdir(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
 
 
 def stream_upsert_to_warehouse(

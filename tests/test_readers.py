@@ -110,3 +110,23 @@ def test_file_metadata_columns(spark, tmp_path):
     assert len(rows) == 5
     assert all(r["file_name"].endswith(".parquet") for r in rows)
     assert all(r["file_size"] > 0 for r in rows)
+
+
+def test_events_load_restores_legacy_parquet_conf(spark):
+    """_load_events must not leak spark.sql.legacy.parquet.nanosAsLong
+    session-globally (VERDICT r2 carry-over): the conf goes back to its
+    prior value right after the read call, and actions on the returned
+    plan still succeed because the conf was resolved into the scan."""
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        assert spark.conf.get(key) == "false"  # restored immediately
+        assert df.count() > 0  # lazy action fine after restore
+        assert spark.conf.get(key) == "false"
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
+    finally:
+        spark.conf.set(key, prev)

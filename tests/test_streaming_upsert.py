@@ -54,6 +54,36 @@ def test_stream_upsert_equals_batch_latest(spark, events_dir, tmp_path):
     assert got == want
 
 
+def test_upsert_recovers_interrupted_swap(spark, tmp_path):
+    """A crash between the swap's two renames leaves the table absent
+    and the rename-aside dir holding the full history; the next
+    upsert_batch must restore it and merge on top — not silently
+    rebuild from the current batch alone (ADVICE r2)."""
+    import os
+
+    from etl_pipeline_orchestration_spark.streaming.upsert import upsert_batch
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    b1 = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 11, 200.0)], "user_id long, event_id long, value double"
+    )
+    upsert_batch(loader, "t", "user_id", b1, "event_id")
+
+    # Simulate the crash window: table renamed aside, new dir not yet in.
+    os.rename(loader._path("t"), loader._path("__upsert_t.old"))
+    assert not os.path.isdir(loader._path("t"))
+
+    b2 = spark.createDataFrame(
+        [(2, 12, 250.0), (3, 13, 300.0)], "user_id long, event_id long, value double"
+    )
+    upsert_batch(loader, "t", "user_id", b2, "event_id")
+
+    got = {r["user_id"]: (r["event_id"], r["value"]) for r in loader.read("t").collect()}
+    # user 1 survives from the recovered history; user 2 updated; 3 new
+    assert got == {1: (10, 100.0), 2: (12, 250.0), 3: (13, 300.0)}
+    assert not os.path.isdir(loader._path("__upsert_t.old"))  # cleaned up
+
+
 def test_range_clustered_files_have_disjoint_key_ranges(spark, tmp_path):
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
     orders = load_table(spark, SF, "orders")
