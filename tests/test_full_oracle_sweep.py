@@ -1,0 +1,31 @@
+"""Registry-wide correctness gate as a test.
+
+The external driver samples only ~50 of the registered queries per
+round; a regression in an unsampled query would otherwise surface a
+round late. This runs the SAME differential (tools/check_oracle.py —
+every queries() entry on Spark vs its oracle_sql() twin on DuckDB) over
+the ENTIRE registry at sf0.001 on the warm test session.
+
+Marked slow (~2 min): deselect during inner-loop iteration with
+``pytest -m "not slow"``; the default full run keeps it on.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+@pytest.mark.slow
+def test_every_registered_query_matches_its_oracle(spark):
+    from tools.check_oracle import run_sweep
+
+    result = run_sweep("/root/testdata/sf0.001", spark=spark)
+    assert result["fail"] == 0, f"oracle mismatches: {result['failures']}"
+    # The registry must stay overwhelmingly oracle-checked — a drift
+    # toward rows-only entries weakens the gate silently.
+    assert result["pass"] >= 140
+    assert result["rows_only"] <= 20

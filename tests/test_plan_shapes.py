@@ -218,3 +218,49 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_skewed_partition(spark):
+    """AQE's skew-join handling (on in session.py get_spark and pinned
+    here) must actually split a skewed partition at runtime: the final
+    adaptive plan marks the join SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead. This is the automatic complement of the explicit
+    operators/skew.py salting — at 100 TB most skew is handled by this
+    rule; salting covers what AQE can't see. Local data sits far below
+    the default skew thresholds, so the test lowers them (same pattern
+    as the runtime bloom-filter test); CLUSTER_PROFILE carries the
+    real-deployment values."""
+    import pyspark.sql.functions as F
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 80% of rows share one key; incompressible pad so the hot
+        # shuffle partition's byte size actually exceeds the threshold
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 5 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(2_000).select(F.col("id").alias("k"), F.lit("y").alias("v"))
+        j = left.join(right, "k")
+        assert len(j.collect()) == 160_400  # join result correct despite split
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        assert "skewed" in plan  # AQEShuffleRead shows the skewed read
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

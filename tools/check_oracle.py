@@ -63,10 +63,15 @@ def norm_rows(rows, colnames):
     return out
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle_check")
+def run_sweep(sf_dir: str, only: set[str] | None = None, spark=None) -> dict:
+    """Run the full differential sweep; returns
+    ``{"pass": n, "rows_only": n, "fail": n, "failures": [names]}``.
+    Reusable from pytest (pass the test session as ``spark``) so the
+    registry-wide gate runs in-repo every round, not just when the
+    driver samples."""
+    only = only or set()
+    if spark is None:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -131,7 +136,18 @@ def main() -> int:
         f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail"
         + (f" → {failures}" if failures else "")
     )
-    return 1 if n_fail else 0
+    return {
+        "pass": n_pass,
+        "rows_only": n_rows_only,
+        "fail": n_fail,
+        "failures": failures,
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    result = run_sweep(sf_dir, set(sys.argv[2:]))
+    return 1 if result["fail"] else 0
 
 
 if __name__ == "__main__":
