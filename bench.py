@@ -86,6 +86,10 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "semantic_decontamination_pairs",
     "triangle_count_copurchase",
+    "doc_quality_linear",
+    "bigram_logprob_scores",
+    "curriculum_stage_assignment",
+    "embedding_pq_topk",
 ]
 
 

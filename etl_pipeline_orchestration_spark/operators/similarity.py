@@ -269,6 +269,130 @@ def ivf_topk(
     )
 
 
+# ----------------------------------------------------------------- PQ --
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    n_sub: int = 8,
+    k: int = 16,
+    iters: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    max_sample: int = 65536,
+) -> np.ndarray:
+    """Product-quantization codebooks (n_sub × k × dim/n_sub): split the
+    vector into ``n_sub`` subspaces and k-means each independently
+    (classic PQ, Jégou et al. 2011 — public method). Training is
+    driver-side NumPy on a hash sample capped at ``max_sample`` rows
+    (same bound discipline as ivf_train_centroids); the model is
+    n_sub·k·sub_dim floats — kilobytes — shipped in UDF closures."""
+    sub_dim = dim // n_sub
+    mod = derive_sample_mod(vectors.count(), max_sample)
+    sample = (
+        vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+        .select(vec_col)
+        .collect()
+    )
+    mat = np.array([list(r[0]) for r in sample], dtype=np.float64)[:, :dim]
+    rng = np.random.RandomState(seed)
+    books = np.zeros((n_sub, k, sub_dim))
+    for s in range(n_sub):
+        x = mat[:, s * sub_dim : (s + 1) * sub_dim]
+        cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(cents)):
+                members = x[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        books[s, : len(cents)] = cents
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each vector to ``n_sub`` one-byte codes (nearest codeword
+    per subspace, L2). One Arrow-batched pandas_udf — per batch, one
+    (rows × k) distance matrix per subspace, all NumPy. At 10^9 × 64-dim
+    float32 this turns a 256 GB embedding column into 8 GB of codes —
+    the difference between an ANN index that fits executor memory and
+    one that doesn't."""
+    n_sub, k, sub_dim = codebooks.shape
+    books = codebooks.copy()
+
+    @pandas_udf("array<int>")
+    def _codes(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack(emb.to_numpy())[:, : n_sub * sub_dim].astype(np.float64)
+        out = np.empty((len(mat), n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            x = mat[:, s * sub_dim : (s + 1) * sub_dim]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+            d2 = -2.0 * (x @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+            out[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return vectors.select(
+        F.col(id_col), _codes(F.col(vec_col)).alias("pq_codes")
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation: the query
+    stays exact; each corpus vector is its PQ reconstruction, so
+    dot(q, x) ≈ Σ_s LUT[s, code_s] where the (n_sub × k) lookup table
+    of per-subspace dot products is built driver-side. Scoring a row is
+    n_sub table lookups — no vector math touches the corpus at query
+    time, which is the entire point of PQ at 10^9 rows. Top-k via
+    orderBy(limit) → TakeOrderedAndProject (no global sort)."""
+    dim = len(query_vec)
+    if codebooks is None:
+        codebooks = pq_train_codebooks(
+            vectors, n_sub=n_sub, k=n_codes, dim=dim,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+    n_sub, _, sub_dim = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.stack(
+        [codebooks[s] @ q[s * sub_dim : (s + 1) * sub_dim] for s in range(n_sub)]
+    )  # (n_sub, k) dot products
+
+    codes = pq_encode(vectors, codebooks, id_col, vec_col)
+
+    @pandas_udf("double")
+    def _adc(c: pd.Series) -> pd.Series:
+        if len(c) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.stack(c.to_numpy()).astype(np.int64)
+        return pd.Series(lut[np.arange(n_sub)[None, :], m].sum(axis=1))
+
+    return (
+        codes.select(F.col(id_col), _adc(F.col("pq_codes")).alias("__score__"))
+        .orderBy(F.col("__score__").desc(), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.round("__score__", 6).alias("approx_dot"))
+    )
+
+
 def recommended_planes(n_vectors: int, target_bucket_size: int = 64) -> int:
     """Planes-per-band for an expected bucket occupancy: 2^planes buckets
     should exceed n / target_bucket_size, i.e. planes ≈ log2(n/target).

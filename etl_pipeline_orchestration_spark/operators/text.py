@@ -83,6 +83,60 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# fasttext-style linear quality model: public-heuristic weights over
+# cheap surface features (the shape of fastText's linear classifier /
+# CCNet's quality scoring — a dot product, no model runtime needed).
+# Positive logit = keep. Weights are part of the operator's contract so
+# the oracle can reproduce the score exactly.
+QUALITY_MODEL_BIAS = -2.0
+QUALITY_MODEL_WEIGHTS = (
+    ("log_len", 0.5),  # ln(1 + n_chars): longer docs score higher, saturating
+    ("stopword_ratio", 6.0),  # natural prose has function words
+    ("punct_ratio", -8.0),  # punctuation soup is boilerplate/code
+    ("mean_token_len", -0.12),  # very long "words" = URLs, base64, code
+    ("digit_ratio", -4.0),  # number dumps
+    ("distinct_ratio", 1.5),  # repetition scores low
+)
+
+
+def quality_linear_logit(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Linear document-quality classifier scored entirely in JVM
+    expressions: logit = bias + Σ wᵢ·featureᵢ over length/stopword/
+    punctuation/word-shape/digit/repetition features, is_quality =
+    logit > 0.
+
+    Scale shape: one narrow codegen'd pass — no shuffle, no UDF, no
+    model runtime; at 100 TB this runs at scan speed next to any other
+    per-doc work. The logit is reported rounded at 1e-6 (both engines
+    compute the identical double chain; rounding absorbs last-ulp ln
+    divergence) and the keep decision thresholds the raw logit."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_tok_safe = F.when(n_tok == 0, F.lit(None)).otherwise(n_tok)
+    n_chars = F.length(F.col(text_col))
+    n_chars_safe = F.when(n_chars == 0, F.lit(None)).otherwise(n_chars)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[.,;:!?]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    feats = {
+        "log_len": F.log(F.lit(1.0) + n_chars.cast("double")),
+        "stopword_ratio": n_stop / n_tok_safe,
+        "punct_ratio": n_punct / n_chars_safe,
+        "mean_token_len": (n_chars - (n_tok - 1)) / n_tok_safe,
+        "digit_ratio": n_digit / n_chars_safe,
+        "distinct_ratio": F.size(F.array_distinct(toks)) / n_tok_safe,
+    }
+    logit = F.lit(QUALITY_MODEL_BIAS)
+    for name, w in QUALITY_MODEL_WEIGHTS:
+        logit = logit + F.lit(w) * feats[name]
+    return docs.select(
+        "doc_id",
+        (F.round(logit * 1e6) / 1e6).alias("quality_logit"),
+        (logit > 0).alias("is_quality"),
+    )
+
+
 def detect_language(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Keyword/script language-ID heuristic → lang_pred column.
 

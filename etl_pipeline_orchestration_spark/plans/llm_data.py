@@ -533,6 +533,151 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("doc_id", "width", "height", "pixel_sum")
 
 
+# Shared oracle fragment: the quality-logit double chain, verbatim the
+# expression quality_linear_logit builds (same op order, same literals).
+_QL_LOGIT_EXPR = """(-2.0 + 0.5 * log_len + 6.0 * stopword_ratio
+                  + (-8.0) * punct_ratio + (-0.12) * mean_token_len
+                  + (-4.0) * digit_ratio + 1.5 * distinct_ratio)"""
+
+_QL_SCORED_CTES = f"""
+    f AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\\\s+', ' ', 'g'), ' ') AS w,
+             length(text) AS nc,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS np,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS nd
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             ln(1.0 + CAST(nc AS DOUBLE)) AS log_len,
+             len(list_filter(w, t -> list_contains(
+               ['the','a','an','of','to','and','in','is','it','for',
+                'on','with','as','at','by','be','or','are','was','this'],
+               lower(t)))) / CAST(NULLIF(len(w), 0) AS DOUBLE) AS stopword_ratio,
+             np / CAST(NULLIF(nc, 0) AS DOUBLE) AS punct_ratio,
+             (nc - (len(w) - 1)) / CAST(NULLIF(len(w), 0) AS DOUBLE)
+               AS mean_token_len,
+             nd / CAST(NULLIF(nc, 0) AS DOUBLE) AS digit_ratio,
+             len(list_distinct(w)) / CAST(NULLIF(len(w), 0) AS DOUBLE)
+               AS distinct_ratio
+      FROM f
+    ), scored AS (
+      SELECT doc_id,
+             round({_QL_LOGIT_EXPR} * 1e6) / 1e6 AS quality_logit,
+             {_QL_LOGIT_EXPR} > 0 AS is_quality
+      FROM feat
+    )"""
+
+
+@query(
+    "doc_quality_linear",
+    oracle=f"""
+    WITH {_QL_SCORED_CTES}
+    SELECT doc_id, quality_logit, is_quality FROM scored
+    """,
+)
+def doc_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style linear quality classifier (operators/text.py
+    quality_linear_logit): logit = bias + w·features, scored entirely
+    in codegen'd JVM expressions — the ML-scoring family done the
+    100 TB way (no model server, no UDF; the 'model' is literals in
+    the plan). The oracle recomputes the identical double chain in
+    SQL, so feature extraction AND the dot product are hash-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_linear_logit(docs)
+
+
+@query(
+    "curriculum_stage_assignment",
+    oracle=f"""
+    WITH {_QL_SCORED_CTES},
+    sl AS (
+      SELECT s.doc_id, d.lang, s.quality_logit
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality_logit,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality_logit, doc_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM sl
+    ),
+    th AS (
+      SELECT lang,
+             max(CASE WHEN rn = ((n - 1) * 1) // 4 THEN quality_logit END) AS t25,
+             max(CASE WHEN rn = ((n - 1) * 2) // 4 THEN quality_logit END) AS t50,
+             max(CASE WHEN rn = ((n - 1) * 3) // 4 THEN quality_logit END) AS t75
+      FROM ranked GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality_logit,
+           CAST((CASE WHEN s.quality_logit > th.t25 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.quality_logit > th.t50 THEN 1 ELSE 0 END)
+              + (CASE WHEN s.quality_logit > th.t75 THEN 1 ELSE 0 END)
+             AS INT) AS stage
+    FROM sl s JOIN th USING (lang)
+    """,
+)
+def curriculum_stage_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: each document gets a stage 0..3 — its
+    quality-logit quartile WITHIN its language — so training can feed
+    low-quality-tolerant early stages first without starving any
+    language (per-lang quartiles, not global ones).
+
+    Thresholds are EXACT order statistics at ranks ⌊(n-1)·q⌋ of the
+    rounded logit (no interpolation — engine-exact doubles; ties break
+    by doc_id), computed from a per-language rank. The threshold table
+    is language-cardinality-sized and broadcast back; the corpus is
+    assigned by three compares in one codegen'd pass — never sorted.
+    At 100 TB the ranking pass over the full corpus would be replaced
+    by exact_quantile_distributed per language (same thresholds,
+    bounded memory); at test SF the window form is the oracle-clean
+    choice and the assignment side is already the scale path."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_linear_logit(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    wl = Window.partitionBy("lang").orderBy("quality_logit", "doc_id")
+    ranked = scored.select(
+        "lang",
+        "quality_logit",
+        (F.row_number().over(wl) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+
+    def at_rank(q_num: int) -> F.Column:
+        rank = F.floor((F.col("n") - 1) * q_num / 4).cast("long")
+        return F.max(F.when(F.col("rn") == rank, F.col("quality_logit")))
+
+    th = ranked.groupBy("lang").agg(
+        at_rank(1).alias("t25"), at_rank(2).alias("t50"), at_rank(3).alias("t75")
+    )
+    stage = (
+        (F.col("quality_logit") > F.col("t25")).cast("int")
+        + (F.col("quality_logit") > F.col("t50")).cast("int")
+        + (F.col("quality_logit") > F.col("t75")).cast("int")
+    )
+    return scored.join(F.broadcast(th), "lang").select(
+        "doc_id", "lang", "quality_logit", stage.alias("stage")
+    )
+
+
+@query("embedding_pq_topk")  # quantized approx op — rows-only check
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_*): corpus
+    vectors compressed to 8 one-byte codes (32× smaller than float64),
+    query scored by ADC table lookups. The memory-scale path next to
+    IVF (compute-scale) and LSH (shuffle-scale); recall vs brute force
+    is pinned by tests/test_dedup_similarity.py on planted near-dups.
+    Rows-only here: quantization error is inherent, so there is no SQL
+    oracle — determinism comes from seeded codebooks + capped hash
+    sample."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.pq_adc_topk(emb, [float(x) for x in probe], k=10)
+
+
 @query("multimodal_embed_topk")  # stubbed encoder — rows-only check
 def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal→similarity pipeline: binary payloads → fake vision
@@ -762,6 +907,76 @@ def dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         F.broadcast(losers), "doc_id", "left_anti"
     ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "bigram_logprob_scores",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+      FROM d, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    bc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bc
+           FROM bg GROUP BY 1, 2),
+    cc AS (SELECT prev, CAST(count(*) AS BIGINT) AS cc FROM bg GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS vs
+          FROM (SELECT unnest(w) AS word FROM d))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((bc + CAST(0.5 AS DOUBLE))
+                        / (cc + CAST(0.5 AS DOUBLE) * vs))) * 1e6) / 1e6
+             AS avg_logprob
+    FROM bg JOIN bc USING (prev, cur) JOIN cc USING (prev) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram LM with add-k smoothing (k=0.5): each doc's
+    mean ln p(curr | prev) under corpus bigram statistics — the
+    conditional-probability upgrade of unigram_logprob_scores (KenLM-
+    style fluency filtering, one order up).
+
+    Plan: bigrams are built IN PLACE per row (zip_with over two array
+    slices — no posexplode self-join, no window over the token stream),
+    then exploded once; counts are two hash aggregates on the bigram
+    relation; V is a 1-row distinct-count broadcast. The bigram→count
+    joins shuffle on (prev[, cur]) at scale, same story as the
+    token→vocab join. Same 1e-6 rounding discipline for avg-of-ln."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = text._norm_words("text")
+    n = F.size(w)
+    bg_arr = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bg = (
+        docs.filter(n >= 2)
+        .select("doc_id", F.explode(bg_arr).alias("p"))
+        .select("doc_id", "p.prev", "p.cur")
+    )
+    bc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
+    cc = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cc"))
+    toks = docs.select(F.explode(w).alias("word"))
+    v = toks.agg(F.count_distinct("word").alias("vs"))
+    p = (F.col("bc") + F.lit(0.5)) / (F.col("cc") + F.lit(0.5) * F.col("vs"))
+    return (
+        bg.join(bc, ["prev", "cur"])
+        .join(cc, "prev")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (F.round(F.avg(F.log(p)) * 1e6) / 1e6).alias("avg_logprob"),
+        )
+    )
 
 
 @query(

@@ -135,6 +135,38 @@ def test_ivf_assignment_partitions_corpus(spark, vectors):
     assert len(clusters) >= 2  # corpus actually spreads across clusters
 
 
+def test_pq_codes_shape_and_determinism(vectors):
+    books = similarity.pq_train_codebooks(vectors, n_sub=8, k=16, dim=64)
+    assert books.shape == (8, 16, 8)
+    codes = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in similarity.pq_encode(vectors, books).collect()
+    }
+    assert len(codes) == vectors.count()
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in codes.values())
+    # Seeded training + deterministic assignment → identical on rerun.
+    books2 = similarity.pq_train_codebooks(vectors, n_sub=8, k=16, dim=64)
+    assert (books == books2).all()
+    codes2 = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in similarity.pq_encode(vectors, books2).collect()
+    }
+    assert codes == codes2
+
+
+def test_pq_adc_topk_finds_planted_near_dup(vectors):
+    """ADC scoring is approximate, but a cosine-0.999 planted copy must
+    land in the quantized top-10 — its reconstruction is (near-)
+    identical to the probe vector's own."""
+    probe = vectors.filter("vec_id = 0").head()["embedding"]
+    got = [
+        r["vec_id"]
+        for r in similarity.pq_adc_topk(vectors, list(probe), k=10).collect()
+    ]
+    assert 0 in got
+    assert 1000 in got  # the planted near-duplicate of vec 0
+
+
 def test_simhash_pairs_find_planted_near_dups(spark):
     rng_texts = [
         f"document number {i} talks about topic {i % 7} with unique token u{i}x "
