@@ -119,6 +119,13 @@ def png_decode(data: bytes) -> tuple[int, int, int]:
     inflate, per-scanline unfilter (all five types). Returns
     ``(width, height, pixel_sum)`` where pixel_sum is the exact integer
     sum of every sample — the decode-verification invariant."""
+    width, height, _bpp, rows = png_decode_pixels(data)
+    return width, height, sum(sum(r) for r in rows)
+
+
+def png_decode_pixels(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Full decode: returns ``(width, height, bytes_per_pixel, rows)``
+    with one unfiltered scanline (width·bpp samples) per row."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -151,7 +158,7 @@ def png_decode(data: bytes) -> tuple[int, int, int]:
     stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError("PNG pixel data has wrong length")
-    total = 0
+    rows: list[bytes] = []
     prev = bytes(stride)
     for y in range(height):
         line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
@@ -175,9 +182,9 @@ def png_decode(data: bytes) -> tuple[int, int, int]:
                 flt[x] = (flt[x] + _paeth(left, prev[x], upleft)) & 0xFF
         else:
             raise ValueError(f"PNG scanline {y}: unknown filter {ft}")
-        total += sum(flt)
         prev = bytes(flt)
-    return width, height, total
+        rows.append(prev)
+    return width, height, bpp, rows
 
 
 def encode_as_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -299,30 +306,68 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
         T.StructField("resized_bytes", T.LongType(), False),
+        # Real resizes fill these from the resampled pixels; fake = null.
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("resized_png", T.BinaryType(), True),
     ]
 )
+
+
+def png_resize_nn(data: bytes, target_w: int, target_h: int) -> bytes:
+    """Nearest-neighbor resample a decoded PNG to (target_w, target_h)
+    and re-encode (greyscale only — RGB would resample identically per
+    channel). out[y][x] = in[y·h÷th][x·w÷tw], the standard NN mapping."""
+    w, h, bpp, rows = png_decode_pixels(data)
+    if bpp != 1:
+        raise ValueError("png_resize_nn: greyscale PNGs only")
+    out = [
+        bytes(rows[y * h // target_h][x * w // target_w] for x in range(target_w))
+        for y in range(target_h)
+    ]
+    return png_encode_gray(out)
 
 
 def resize_batch(
     media: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True
 ) -> DataFrame:
-    """Resize plumbing: mapInPandas batch transform to a fixed target
-    geometry (model-input shape). The pixel work is STUBBED (no image
-    libs in this container) — the fake emits the post-resize byte size a
-    real RGB resize would produce (w*h*3), so downstream sizing logic
-    (partition planning, batch memory budgets) is exercised for real."""
-    if not fake:
-        raise NotImplementedError("real resize requires image libraries")
+    """Resize to a fixed model-input geometry via Arrow-batched
+    mapInPandas, dispatching per row on ``media_meta.media_type``:
+
+    - ``image/png`` — REAL nearest-neighbor resample (decode →
+      resample → re-encode with the stdlib codec); ``pixel_sum`` and
+      the re-encoded bytes come from actual pixels.
+    - anything else — the size-accounting fake when ``fake=True`` (a
+      real RGB resize's w·h·3 byte budget, null pixels);
+      NotImplementedError when ``fake=False``."""
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            sums, pngs, nbytes = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["media_meta"]):
+                if meta["media_type"] == "image/png":
+                    resized = png_resize_nn(bytes(payload), target_w, target_h)
+                    _w, _h, total = png_decode(resized)
+                    sums.append(total)
+                    pngs.append(resized)
+                    nbytes.append(len(resized))
+                elif fake:
+                    sums.append(None)
+                    pngs.append(None)
+                    nbytes.append(target_w * target_h * 3)
+                else:
+                    raise NotImplementedError(
+                        f"real resize for {meta['media_type']!r} requires image "
+                        "libraries; only image/png has a built-in resampler"
+                    )
             n = len(pdf)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "width": [target_w] * n,
                     "height": [target_h] * n,
-                    "resized_bytes": [target_w * target_h * 3] * n,
+                    "resized_bytes": pd.array(nbytes, dtype="int64"),
+                    "pixel_sum": pd.array(sums, dtype="Int64"),
+                    "resized_png": pngs,
                 }
             )
 

@@ -663,6 +663,35 @@ def curriculum_stage_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "multimodal_png_resize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+             doc_id % 100 AS c
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, 3 * ((x * w) // 8) + 5 * ((y * h) // 6) + c AS v
+      FROM d, UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 6)) AS ty(y)
+    )
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+           CAST(sum(v) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, hash-verified per item: decode each synthetic
+    PNG, nearest-neighbor resample to 8×6, re-encode, then decode the
+    RESULT for its pixel sum — so encode→resize→re-encode→decode all
+    have to be right. The oracle replays the NN index mapping
+    (out[y][x] = in[y·h÷6][x·w÷8]) on the fixture's closed-form pixels."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_png_media(docs)
+    resized = multimodal.resize_batch(media, target_w=8, target_h=6)
+    return resized.select("doc_id", "width", "height", "pixel_sum")
+
+
 @query("embedding_pq_topk")  # quantized approx op — rows-only check
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py pq_*): corpus

@@ -100,10 +100,37 @@ def test_synth_png_media_decodes_to_closed_form(docs):
 
 
 def test_resize_targets_model_shape(docs):
-    media = multimodal.encode_as_media(docs)
+    media = multimodal.encode_as_media(docs)  # non-PNG -> fake path
     out = multimodal.resize_batch(media, target_w=224, target_h=224).collect()
     assert len(out) == 30
     assert all(r["width"] == 224 and r["resized_bytes"] == 224 * 224 * 3 for r in out)
+    assert all(r["pixel_sum"] is None for r in out)  # fake: no real pixels
+
+
+def test_png_resize_matches_numpy_nearest_neighbor(docs):
+    """Real resample: decode the resized PNGs and compare every pixel to
+    numpy's nearest-neighbor reference on the fixture gradient."""
+    import numpy as np
+
+    tw, th = 8, 6
+    media = multimodal.synth_png_media(docs)
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.resize_batch(media, target_w=tw, target_h=th).collect()
+    }
+    assert len(out) == 30
+    for i in range(30):
+        w, h, c = 8 + i % 9, 8 + i % 7, i % 100
+        src = np.array(
+            [[3 * x + 5 * y + c for x in range(w)] for y in range(h)], dtype=int
+        )
+        want = src[np.arange(th) * h // th][:, np.arange(tw) * w // tw]
+        r = out[i]
+        got_w, got_h, _bpp, rows = multimodal.png_decode_pixels(bytes(r["resized_png"]))
+        assert (got_w, got_h) == (tw, th)
+        got = np.array([list(row) for row in rows], dtype=int)
+        assert (got == want).all(), i
+        assert r["pixel_sum"] == int(want.sum())
 
 
 def test_frame_sampling_row_per_frame(docs):
