@@ -394,21 +394,44 @@ def sample_frames(media: DataFrame, fps_keep: int = 1, clip_secs: int = 10) -> D
 EMBED_DIM = 16
 
 
+def png_histogram_embedding(data: bytes) -> list[float]:
+    """REAL image feature vector from decoded pixels: a 16-bin intensity
+    histogram (bin = sample // 16), L2-normalized — the classic
+    pre-neural global image descriptor; neural encoders slot into the
+    same batch shape."""
+    import numpy as np
+
+    _w, _h, _bpp, rows = png_decode_pixels(data)
+    px = np.frombuffer(b"".join(rows), dtype=np.uint8)
+    hist = np.bincount(px >> 4, minlength=EMBED_DIM).astype(np.float64)
+    norm = np.linalg.norm(hist)
+    return [float(x) for x in (hist / norm if norm else hist)]
+
+
 def extract_embedding_batch(media: DataFrame, fake: bool = True) -> DataFrame:
     """Feature-extraction plumbing: binary payload → ``array<float>``
     embedding via mapInPandas (the shape a real vision encoder would
     have: Arrow batch in, fixed-dim vector column out, feeding the
-    similarity operators). The DETERMINISTIC FAKE hashes byte windows
-    into a 16-dim unit-normalized vector."""
-    if not fake:
-        raise NotImplementedError("real feature extraction requires a model runtime")
-
+    similarity operators). PNG payloads get a REAL descriptor — a
+    normalized intensity histogram over decoded pixels; other media
+    types use the DETERMINISTIC FAKE (hashed byte windows) when
+    ``fake=True`` and refuse otherwise (a neural encoder needs a model
+    runtime this container lacks)."""
     import numpy as np
 
     def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             vecs = []
-            for p in pdf["payload"]:
+            for p, meta in zip(pdf["payload"], pdf["media_meta"]):
+                if meta["media_type"] == "image/png":
+                    vecs.append(png_histogram_embedding(bytes(p)))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        f"real feature extraction for {meta['media_type']!r} "
+                        "requires a model runtime; only image/png has a "
+                        "built-in descriptor"
+                    )
                 b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
                 chunks = np.array_split(b, EMBED_DIM) if len(b) else []
                 v = np.array(

@@ -145,6 +145,27 @@ def test_frame_sampling_row_per_frame(docs):
     assert max(len(ns) for ns in per_doc.values()) <= 10
 
 
+def test_png_embedding_matches_numpy_histogram(docs):
+    """PNG embeddings come from decoded pixels: compare to a numpy
+    histogram of the fixture gradient."""
+    import numpy as np
+
+    media = multimodal.synth_png_media(docs)
+    out = {
+        r["doc_id"]: list(r["embedding"])
+        for r in multimodal.extract_embedding_batch(media, fake=False).collect()
+    }
+    for i in (0, 7, 29):
+        w, h, c = 8 + i % 9, 8 + i % 7, i % 100
+        px = np.array(
+            [3 * x + 5 * y + c for y in range(h) for x in range(w)], dtype=int
+        )
+        hist = np.bincount(px >> 4, minlength=16).astype(float)
+        want = hist / np.linalg.norm(hist)
+        got = np.array(out[i])
+        assert np.allclose(got, want, atol=1e-6), i
+
+
 def test_media_to_similarity_handoff(docs):
     media = multimodal.encode_as_media(docs)
     emb = multimodal.extract_embedding_batch(media, fake=True)
