@@ -2618,3 +2618,47 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         (F.round(F.sum("rev").over(w) * 100) / 100).alias("cum_revenue_2dp"),
     )
+
+
+@query(
+    "zorder_values_orders",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderkey,
+             (o_custkey % 65536) & 65535 AS a,
+             (date_diff('day', DATE '1992-01-01', o_orderdate) % 65536)
+               & 65535 AS b
+      FROM orders
+    ),
+    s1 AS (SELECT o_orderkey, ((a | (a << 8)) & 16711935) AS a,
+                  ((b | (b << 8)) & 16711935) AS b FROM q),
+    s2 AS (SELECT o_orderkey, ((a | (a << 4)) & 252645135) AS a,
+                  ((b | (b << 4)) & 252645135) AS b FROM s1),
+    s3 AS (SELECT o_orderkey, ((a | (a << 2)) & 858993459) AS a,
+                  ((b | (b << 2)) & 858993459) AS b FROM s2),
+    s4 AS (SELECT o_orderkey, ((a | (a << 1)) & 1431655765) AS a,
+                  ((b | (b << 1)) & 1431655765) AS b FROM s3)
+    SELECT o_orderkey, CAST(a | (b << 1) AS BIGINT) AS z_value
+    FROM s4
+    """,
+)
+def zorder_values_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) keys over (customer, order-day) — the layout key
+    behind two-column data skipping (loader.write_zorder_clustered;
+    file-stat tightness pinned in tests/test_streaming_upsert.py). The
+    oracle replays the magic-mask bit spreading step by step, so the
+    encoding is hash-verified bit-for-bit. Pure codegen'd integer ops —
+    computing layout keys for 10^11 rows is a narrow scan-speed pass."""
+    from etl_pipeline_orchestration_spark.operators.partitioning import (
+        zorder_value,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = F.pmod(F.col("o_custkey"), F.lit(65536))
+    b = F.pmod(
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))),
+        F.lit(65536),
+    )
+    return orders.select(
+        "o_orderkey", zorder_value(a, b).cast("bigint").alias("z_value")
+    )

@@ -84,6 +84,50 @@ def test_upsert_recovers_interrupted_swap(spark, tmp_path):
     assert not os.path.isdir(loader._path("__upsert_t.old"))  # cleaned up
 
 
+def test_zorder_layout_tightens_both_dimensions(spark, tmp_path):
+    """Z-order layout must keep per-file min/max spans bounded on BOTH
+    cluster columns, where a linear sort on the first column leaves the
+    second column's spans at ~the full domain (no skipping). Spans are
+    read from the written files, so this pins the actual data-skipping
+    benefit, not just the z-value math (which has its own oracle)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, SF, "orders").withColumn(
+        "o_days",
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01"))),
+    )
+    a, b = F.col("o_custkey"), F.col("o_days")
+
+    def mean_norm_span(table, col):
+        files = sorted(glob.glob(str(tmp_path / "wh" / table / "*.parquet")))
+        assert len(files) >= 4
+        spans, los, his = [], [], []
+        for f in files:
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            st = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+            lo, hi = min(s.min for s in st), max(s.max for s in st)
+            spans.append(hi - lo)
+            los.append(lo)
+            his.append(hi)
+        domain = max(his) - min(los)
+        return sum(spans) / len(spans) / domain
+
+    loader.write_zorder_clustered(orders, "orders_z", a, b, target_files=16)
+    loader.write_range_clustered(orders, "orders_lin", ["o_custkey"], target_files=16)
+
+    # Linear layout: first column tight, second column ~full domain.
+    assert mean_norm_span("orders_lin", "o_custkey") < 0.2
+    assert mean_norm_span("orders_lin", "o_days") > 0.8
+    # Z-order: BOTH columns bounded well below the full domain.
+    z_cust = mean_norm_span("orders_z", "o_custkey")
+    z_days = mean_norm_span("orders_z", "o_days")
+    assert z_cust < 0.6, z_cust
+    assert z_days < 0.6, z_days
+
+
 def test_range_clustered_files_have_disjoint_key_ranges(spark, tmp_path):
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
     orders = load_table(spark, SF, "orders")
