@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -40,24 +41,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read it as raw nanos (legacy conf) and integer-divide
-    to microseconds — `DIV 1000` keeps full int64 precision (a double
-    division would lose precision above 2^53).
-
-    The conf is set for the ``spark.read.parquet`` call only and then
-    restored: the conf value is resolved into the scan when the
-    DataFrame is created (schema inference reads the footers eagerly),
-    so later actions on the returned plan succeed with the session conf
-    back at its prior value — verified by test; no session-global leak
-    into unrelated reads (the driver's vanilla session included)."""
+    """events.ts has shipped as both parquet TIMESTAMP(MICROS) (read
+    natively) and TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects. Handle both: read normally first; if the footer carries
+    nanos, retry under the legacy nanos-as-long conf (set/restored
+    around the read — schema inference resolves the conf into the scan
+    eagerly, so no session-global leak) and integer-divide to
+    microseconds — `DIV 1000` keeps full int64 precision where a double
+    division would lose bits above 2^53."""
+    path = f"{sf_dir}/events.parquet"
     key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key)  # effective value ("false" when unset)
-    spark.conf.set(key, "true")
     try:
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    finally:
-        spark.conf.set(key, prev)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        raw = spark.read.parquet(path)
+    except Exception:
+        raw = None
+    if raw is None or isinstance(raw.schema["ts"].dataType, T.LongType):
+        prev = spark.conf.get(key)  # effective value ("false" when unset)
+        spark.conf.set(key, "true")
+        try:
+            raw = spark.read.parquet(path)
+        finally:
+            spark.conf.set(key, prev)
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+        # Normalize to TimestampType so every downstream query (and the
+        # DuckDB oracle, both pinned to UTC) sees one timestamp flavor.
+        raw = raw.withColumn("ts", F.to_timestamp("ts"))
+    return raw.select("event_id", "ts", "user_id", "event_type", "value", "props")
