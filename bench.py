@@ -90,6 +90,10 @@ HEADLINE = [
     "bigram_logprob_scores",
     "curriculum_stage_assignment",
     "embedding_pq_topk",
+    "boilerplate_bigram_flags",
+    "lang_quantile_drift",
+    "mixture_temperature_weights",
+    "training_shards",
 ]
 
 

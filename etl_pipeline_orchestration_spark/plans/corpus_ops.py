@@ -1,0 +1,351 @@
+"""Corpus-curation queries [EXT]: boilerplate phrase detection,
+per-language distribution drift, temperature-based mixture sampling,
+and deterministic training-shard assignment over ``documents``.
+
+These are the operations a training-data pipeline runs between raw
+ingestion and tokenization: flag documents dominated by boilerplate
+n-grams (C4/RefinedWeb-style), monitor per-language length drift
+between corpus snapshots, rebalance the language mixture with a
+temperature exponent (multilingual-sampling practice: p_l^alpha), and
+split the corpus into stable shards for the training loader. Every
+query is expressed in built-in DataFrame ops (JVM-side, codegen'd) and
+carries a DuckDB oracle.
+
+Reference scope: the reference pipeline (etl_pipeline.py:176-318) has
+no corpus operators at all — this module extends the engine for
+LLM-data workloads per the build brief, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_orchestration_spark.plans.registry import query
+from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+# Deterministic 32-bit multiplicative (Knuth) hash, expressible
+# identically in Spark SQL and DuckDB SQL with plain int64 arithmetic:
+# doc_id * 2654435761 stays far below 2^63 for any realistic id space
+# (overflow would throw under ANSI, not wrap silently).
+_KNUTH = "((doc_id * 2654435761) % 4294967296)"
+
+
+@query(
+    "boilerplate_bigram_flags",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(words[i:i+1], ' ') AS gram
+      FROM w, unnest(range(1, greatest(len(words) - 1, 0) + 1)) AS t(i)
+    ),
+    tot AS (SELECT count(*) AS n_docs FROM documents),
+    c AS (
+      SELECT gram
+      FROM g, tot
+      GROUP BY gram, n_docs
+      HAVING count(DISTINCT doc_id) >= CAST(ceil(n_docs * CAST(0.05 AS DOUBLE)) AS BIGINT)
+    ),
+    per AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             count(c.gram) AS n_boiler
+      FROM g LEFT JOIN c USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_boiler AS BIGINT) AS n_boiler,
+           round((n_boiler * CAST(1.0 AS DOUBLE) / n_grams) * 1e6) / 1e6
+             AS boiler_frac
+    FROM per
+    """,
+)
+def boilerplate_bigram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection by frequent-phrase density: a bigram is
+    boilerplate when it occurs in >= 5% of all documents; each document
+    reports what fraction of its bigram OCCURRENCES are boilerplate —
+    the C4/RefinedWeb-style signal for navigation chrome, license
+    headers, and templated text.
+
+    100 TB shape: the exploded gram relation is ~|corpus tokens| rows
+    but never collects — one hash aggregation builds the (gram ->
+    doc-frequency) side with map-side partial count_distinct, and the
+    per-doc fraction rides a second aggregation keyed on doc_id. The
+    frequent-gram set is tiny by construction (doc-frequency >= 5% of N
+    caps it at 20/0.05 = a few thousand grams regardless of corpus
+    size), so Spark broadcasts it into the occurrence join and the only
+    real shuffles are the two aggregations. The corpus-size scalar
+    enters as a broadcast 1-row cross join, not a driver count.
+
+    Float discipline: n_boiler/n_grams is rounded via round(x*1e6)/1e6
+    on both sides; n_grams <= ~1k per doc means the double quotient
+    cannot land on an exact .5*1e-6 boundary (that needs a factor 2^7
+    in the reduced denominator; 1e6 carries 2^6).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+            )
+        ).alias("gram"),
+    )
+    common = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("df")
+            >= F.ceil(F.col("n_docs") * F.lit(0.05).cast("double")).cast("bigint")
+        )
+        .select("gram")
+    )
+    return (
+        grams.join(F.broadcast(common).withColumn("is_boiler", F.lit(1)), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("is_boiler").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            (
+                F.round(F.col("n_boiler").cast("double") / F.col("n_grams") * 1e6)
+                / 1e6
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+@query(
+    "lang_quantile_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT lang, doc_id % 2 AS half, n_chars, doc_id FROM documents
+    ),
+    ranked AS (
+      SELECT lang, half, n_chars,
+             row_number() OVER (PARTITION BY lang, half
+                                ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang, half) AS n
+      FROM halves
+    ),
+    pick AS (
+      SELECT lang, half,
+             any_value(n) AS n,
+             max(CASE WHEN rn = greatest(CAST(ceil(n * CAST(0.5 AS DOUBLE)) AS BIGINT), 1)
+                      THEN n_chars END) AS p50,
+             max(CASE WHEN rn = greatest(CAST(ceil(n * CAST(0.9 AS DOUBLE)) AS BIGINT), 1)
+                      THEN n_chars END) AS p90
+      FROM ranked GROUP BY lang, half
+    )
+    SELECT a.lang,
+           CAST(a.n AS BIGINT) AS n_even, CAST(b.n AS BIGINT) AS n_odd,
+           CAST(a.p50 AS BIGINT) AS p50_even, CAST(b.p50 AS BIGINT) AS p50_odd,
+           CAST(a.p90 AS BIGINT) AS p90_even, CAST(b.p90 AS BIGINT) AS p90_odd,
+           CAST(b.p50 - a.p50 AS BIGINT) AS p50_shift,
+           CAST(b.p90 - a.p90 AS BIGINT) AS p90_shift
+    FROM pick a JOIN pick b ON a.lang = b.lang AND a.half = 0 AND b.half = 1
+    """,
+)
+def lang_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distribution drift between two corpus snapshots
+    (modeled as doc_id parity halves): discrete p50/p90 of document
+    length in each half and the shift between them — the monitoring
+    query that catches a crawler or filter change skewing one
+    language's length profile.
+
+    Discrete (nearest-rank) percentiles keep everything integer: the
+    picked value IS an order statistic, so both engines agree exactly
+    with no interpolation float math; the only double op is the rank
+    product ceil(n * q), identical IEEE ops on both sides. Bounded
+    memory at scale for the same reason as grouped_exact_percentiles
+    (analytics_ext.py): rank via the spillable window sort, select two
+    order statistics per (lang, half), aggregate 2 rows per group —
+    no per-group value buffering anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", (F.col("doc_id") % 2).alias("half"), "n_chars", "doc_id"
+    )
+    w = Window.partitionBy("lang", "half").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "half",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang", "half")).alias("n"),
+    )
+
+    def at(q: float):
+        return F.greatest(
+            F.ceil(F.col("n") * F.lit(q).cast("double")).cast("bigint"), F.lit(1)
+        )
+
+    pick = ranked.groupBy("lang", "half").agg(
+        F.any_value("n").alias("n"),
+        F.max(F.when(F.col("rn") == at(0.5), F.col("n_chars"))).alias("p50"),
+        F.max(F.when(F.col("rn") == at(0.9), F.col("n_chars"))).alias("p90"),
+    )
+    a, b = pick.alias("a"), pick.alias("b")
+    return (
+        a.filter(F.col("a.half") == 0)
+        .join(b.filter(F.col("b.half") == 1), F.col("a.lang") == F.col("b.lang"))
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.n").alias("n_even"),
+            F.col("b.n").alias("n_odd"),
+            F.col("a.p50").alias("p50_even"),
+            F.col("b.p50").alias("p50_odd"),
+            F.col("a.p90").alias("p90_even"),
+            F.col("b.p90").alias("p90_odd"),
+            (F.col("b.p50") - F.col("a.p50")).alias("p50_shift"),
+            (F.col("b.p90") - F.col("a.p90")).alias("p90_shift"),
+        )
+    )
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+             sum(sqrt(CAST(n_docs AS DOUBLE))) AS s
+      FROM counts
+    ),
+    rates AS (
+      SELECT lang, n_docs, n_total,
+             sqrt(CAST(n_docs AS DOUBLE)) / s AS w,
+             least(CAST(1.0 AS DOUBLE),
+                   (CAST(0.5 AS DOUBLE) * n_total)
+                     * (sqrt(CAST(n_docs AS DOUBLE)) / s) / n_docs) AS rate
+      FROM counts, tot
+    )
+    SELECT r.lang,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           round((r.n_docs * CAST(1.0 AS DOUBLE) / r.n_total) * 1e6) / 1e6
+             AS share,
+           round(r.w * 1e6) / 1e6 AS weight,
+           round(r.rate * 1e6) / 1e6 AS target_rate,
+           CAST(sum(CASE WHEN {_KNUTH} % 1000000 < CAST(floor(r.rate * 1e6) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    GROUP BY r.lang, r.n_docs, r.n_total, r.w, r.rate
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language-mixture rebalancing (multilingual
+    sampling practice: sample language l proportional to p_l^alpha,
+    alpha=0.5): per-language natural share, temperature weight,
+    per-document inclusion rate for a half-corpus budget, and the
+    realized sample count under a deterministic Knuth-hash coin —
+    the same document is kept or dropped on every run and every
+    engine, so the sampled corpus is reproducible.
+
+    100 TB shape: the language histogram is a map-side-combined
+    aggregation to ~|languages| rows; weights and rates are computed on
+    that tiny relation and broadcast back onto the corpus for the
+    hash-threshold count — one scan, two small shuffles, no driver
+    collect. The hash is plain int64 arithmetic (doc_id*2654435761 —
+    no ANSI overflow for any realistic id), so selection pushes into
+    codegen rather than a UDF.
+
+    Float discipline: share/weight/rate round via round(x*1e6)/1e6 on
+    both sides; the 5-term sqrt sum is the one order-dependent float
+    (margins measured >> 1e-9 at both test SFs, pinned in
+    tests/test_corpus_ops.py). The sampling threshold floors to an
+    integer before the hash compare, so an ulp of rate disagreement
+    can only flip a document whose hash lands exactly on the floored
+    boundary — and the floor is identical unless the ulp straddles an
+    integer, measured not to at both SFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("s"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_total",
+        (F.sqrt(F.col("n_docs").cast("double")) / F.col("s")).alias("w"),
+        F.least(
+            F.lit(1.0).cast("double"),
+            (F.lit(0.5).cast("double") * F.col("n_total"))
+            * (F.sqrt(F.col("n_docs").cast("double")) / F.col("s"))
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "n_total", "w", "rate")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(_KNUTH + " % 1000000")
+                    < F.floor(F.col("rate") * 1e6).cast("bigint"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_sampled")
+        )
+        .select(
+            "lang",
+            "n_docs",
+            (F.round(F.col("n_docs").cast("double") / F.col("n_total") * 1e6) / 1e6).alias(
+                "share"
+            ),
+            (F.round(F.col("w") * 1e6) / 1e6).alias("weight"),
+            (F.round(F.col("rate") * 1e6) / 1e6).alias("target_rate"),
+            "n_sampled",
+        )
+    )
+
+
+@query(
+    "training_shards",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_KNUTH} % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY {_KNUTH} % 8
+                  ORDER BY {_KNUTH}, doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment: every document maps to
+    one of 8 shards by Knuth hash, with a stable pseudo-random position
+    inside its shard (order by hash, doc_id tiebreak) — the global
+    shuffle a training loader needs, reproducible across runs, engines,
+    and corpus growth (adding documents never moves an existing one to
+    a different shard).
+
+    100 TB shape: exactly one hash-partitioned shuffle (the window's
+    partitionBy), each shard sorted with the standard spillable sort.
+    In production the same plan writes
+    ``.repartition(shard).sortWithinPartitions(...)`` straight to one
+    parquet directory per shard; the registered query returns the
+    assignment relation itself so the oracle can verify every position.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.expr(_KNUTH + " % 8").cast("bigint")
+    h = F.expr(_KNUTH)
+    return docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number()
+        .over(Window.partitionBy(shard).orderBy(h, "doc_id"))
+        .cast("bigint")
+        .alias("pos"),
+    )

@@ -51,3 +51,4 @@ def load_all() -> None:
     import etl_pipeline_orchestration_spark.plans.tpch_extra  # noqa: F401
     import etl_pipeline_orchestration_spark.plans.analytics_ext  # noqa: F401
     import etl_pipeline_orchestration_spark.plans.tpch_partsupp  # noqa: F401
+    import etl_pipeline_orchestration_spark.plans.corpus_ops  # noqa: F401

@@ -1,0 +1,171 @@
+"""Corpus-curation family (plans/corpus_ops.py): semantic pins the
+oracle can't express, plus the float-margin measurements the rounding
+discipline relies on (see .claude/skills/verify/SKILL.md: pick the
+rounding scale only after measuring the distance to half-boundaries).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_pipeline_orchestration_spark.plans import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return registry.QUERIES[name](spark, SF)
+
+
+# ---------------------------------------------------------------- boilerplate
+
+
+def test_boilerplate_fraction_bounds_and_coverage(spark):
+    rows = _run(spark, "boilerplate_bigram_flags").collect()
+    assert len(rows) == 500  # every document scores (all have >= 2 words)
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_grams"]
+        assert 0.0 <= r["boiler_frac"] <= 1.0
+    # The synthetic corpus draws from a tiny vocab, so frequent bigrams
+    # must exist and flag a nonzero fraction somewhere — guards against a
+    # vacuous threshold that silently marks nothing.
+    assert any(r["n_boiler"] > 0 for r in rows)
+
+
+def test_boilerplate_denominators_avoid_half_boundaries(spark):
+    # round(k/n * 1e6)/1e6 is engine-stable iff no quotient lands on an
+    # exact .5e-6 boundary, which needs 2^7 in the reduced denominator
+    # (1e6 carries only 2^6). Verify no doc has a gram count divisible
+    # by 128 — and that the margin to any half-boundary dwarfs ulps.
+    rows = _run(spark, "boilerplate_bigram_flags").collect()
+    min_margin = 1.0
+    for r in rows:
+        assert r["n_grams"] % 128 != 0
+        frac = r["n_boiler"] * 1e6 / r["n_grams"]
+        min_margin = min(min_margin, abs(frac - math.floor(frac) - 0.5))
+    assert min_margin > 1e-6
+
+
+# ---------------------------------------------------------------- drift
+
+
+def test_lang_quantile_drift_matches_builtin_percentile(spark):
+    # Independent reference: the discrete rank-pick must agree with
+    # Spark's buffering percentile_disc-equivalent (ceil-rank order
+    # statistic computed via sort in driver memory at this SF). A
+    # mirrored-formula bug in both engines cannot hide from this.
+    from pyspark.sql import functions as F
+
+    docs = registry.QUERIES["lang_quantile_drift"](spark, SF).collect()
+    src = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("lang", (F.col("doc_id") % 2).alias("half"), "n_chars", "doc_id")
+        .collect()
+    )
+    by = {}
+    for r in src:
+        by.setdefault((r["lang"], r["half"]), []).append((r["n_chars"], r["doc_id"]))
+    for row in docs:
+        for half, p50c, p90c in (
+            (0, row["p50_even"], row["p90_even"]),
+            (1, row["p50_odd"], row["p90_odd"]),
+        ):
+            vals = sorted(by[(row["lang"], half)])
+            n = len(vals)
+            assert p50c == vals[max(math.ceil(n * 0.5), 1) - 1][0]
+            assert p90c == vals[max(math.ceil(n * 0.9), 1) - 1][0]
+        assert row["p50_shift"] == row["p50_odd"] - row["p50_even"]
+
+
+# ---------------------------------------------------------------- mixture
+
+
+def test_mixture_weights_sum_to_one_and_rates_consistent(spark):
+    rows = _run(spark, "mixture_temperature_weights").collect()
+    assert len(rows) >= 2
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    n_total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        # Temperature flattens the mixture: rare langs sample above
+        # their natural share, common langs below (until the cap).
+        if r["target_rate"] < 1.0:
+            assert r["weight"] >= r["share"] or r["n_docs"] > n_total / len(rows)
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+        # The realized hash-coin count tracks the target rate closely
+        # (binomial concentration; 3-sigma slack at these group sizes).
+        expect = r["target_rate"] * r["n_docs"]
+        sigma = math.sqrt(max(expect * (1 - r["target_rate"]), 1.0))
+        assert abs(r["n_sampled"] - expect) <= 4 * sigma + 2
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_mixture_rounding_margins(spark, sf):
+    # Measure the distance from every rounded value to the nearest
+    # half-boundary at 6dp, and from every rate*1e6 to the nearest
+    # integer (the floor threshold). Both must dwarf the ~1e-10
+    # cross-engine ulp scale or the oracle compare is a coin flip.
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    s = sum(math.sqrt(n) for n in counts.values())
+    for n in counts.values():
+        w = math.sqrt(n) / s
+        rate = min(1.0, 0.5 * n_total * w / n)
+        for x in (n / n_total, w, rate):
+            frac = abs(x * 1e6 - math.floor(x * 1e6) - 0.5)
+            assert frac > 1e-6, (x, frac)
+        if rate < 1.0:
+            to_int = abs(rate * 1e6 - round(rate * 1e6))
+            assert to_int > 1e-6, rate
+
+
+# ---------------------------------------------------------------- shards
+
+
+def test_training_shards_stable_and_balanced(spark):
+    rows = _run(spark, "training_shards").collect()
+    assert len(rows) == 500
+    shards = {}
+    for r in rows:
+        assert r["shard"] == (r["doc_id"] * 2654435761 % 4294967296) % 8
+        shards.setdefault(r["shard"], []).append(r["pos"])
+    # Positions are a contiguous 1..n sequence inside every shard.
+    for positions in shards.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # Multiplicative hashing balances the shards (no empty/mega shard).
+    sizes = [len(v) for v in shards.values()]
+    assert len(sizes) == 8
+    assert max(sizes) < 2.5 * min(sizes)
+
+
+def test_training_shards_assignment_immutable_under_growth(spark):
+    # Appending documents must not move an existing doc's shard: the
+    # shard is a pure function of doc_id. (Position can shift — only
+    # the shard membership is the stable contract.)
+    full = {
+        r["doc_id"]: r["shard"]
+        for r in _run(spark, "training_shards").collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    half = docs.filter("doc_id < 250")
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import _KNUTH  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    sub = {
+        r["doc_id"]: r["shard"]
+        for r in half.select(
+            "doc_id", F.expr(_KNUTH + " % 8").cast("bigint").alias("shard")
+        ).collect()
+    }
+    for k, v in sub.items():
+        assert full[k] == v
