@@ -94,6 +94,8 @@ HEADLINE = [
     "lang_quantile_drift",
     "mixture_temperature_weights",
     "training_shards",
+    "token_budget_selection",
+    "quality_gate_funnel",
 ]
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_pipeline_orchestration_spark.operators import text as text_ops
 from etl_pipeline_orchestration_spark.plans.registry import query
 from etl_pipeline_orchestration_spark.sources.tables import load_table
 
@@ -348,4 +349,182 @@ def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy(shard).orderBy(h, "doc_id"))
         .cast("bigint")
         .alias("pos"),
+    )
+
+
+@query(
+    "token_budget_selection",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 t -> list_contains(['the','a','an','of','to','and','in','is',
+                                     'it','for','on','with','as','at','by',
+                                     'be','or','are','was','this'], lower(t))))
+               * CAST(1.0 AS DOUBLE)
+               / nullif(len(string_split_regex(trim(text), '\\s+')), 0) AS q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_tokens, q,
+             row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id)
+               AS q_rank,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang) AS lang_tokens
+      FROM scored
+    )
+    SELECT lang, doc_id,
+           CAST(q_rank AS BIGINT) AS q_rank,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_tokens <= CAST(0.4 AS DOUBLE) * lang_tokens
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget dataset assembly: per language, take documents in
+    descending quality order (stopword density — natural prose first)
+    until 40% of that language's token mass is filled. This is the
+    "fill N tokens per language from the best material" step that turns
+    a filtered corpus into a training mixture.
+
+    100 TB shape: ONE shuffle total — the rank, the running token sum,
+    and the per-language total all ride the same (lang)-partitioned
+    window sort (Catalyst reuses the Exchange; asserted in
+    test_plan_shapes). The budget compare is integer-vs-double with
+    identical IEEE products on both engines, and every other column is
+    an exact integer. Skew note: one giant language = one giant sort
+    partition; the sort spills (standard), and a real deployment splits
+    the window by (lang, shard) then merges budgets — documented, not
+    needed at test scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in text_ops.STOPWORDS])
+    n_tok = F.size(toks)
+    q = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+        * F.lit(1.0).cast("double")
+        / F.when(n_tok == 0, F.lit(None)).otherwise(n_tok)
+    )
+    scored = docs.select(
+        "doc_id", "lang", n_tok.alias("n_tokens"), q.alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), "doc_id")
+    ranked = scored.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("q_rank"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_tokens")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_tokens"),
+        F.sum("n_tokens").over(Window.partitionBy("lang")).alias("lang_tokens"),
+    )
+    return ranked.filter(
+        F.col("cum_tokens") <= F.lit(0.4).cast("double") * F.col("lang_tokens")
+    ).select("lang", "doc_id", "q_rank", "n_tokens", "cum_tokens")
+
+
+@query(
+    "quality_gate_funnel",
+    oracle="""
+    WITH f AS (
+      SELECT
+        CASE WHEN length(text) BETWEEN 100 AND 520 THEN 1 ELSE 0 END AS f1,
+        CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20
+             THEN 1 ELSE 0 END AS f2,
+        CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                   t -> list_contains(['the','a','an','of','to','and','in','is',
+                                       'it','for','on','with','as','at','by',
+                                       'be','or','are','was','this'], lower(t))))
+                  * CAST(1.0 AS DOUBLE)
+                  / nullif(len(string_split_regex(trim(text), '\\s+')), 0)
+                  >= CAST(0.04 AS DOUBLE)
+             THEN 1 ELSE 0 END AS f3,
+        CASE WHEN len(list_distinct(list_transform(
+                     string_split_regex(trim(text), '\\s+'), t -> lower(t))))
+                  * CAST(1.0 AS DOUBLE)
+                  / nullif(len(string_split_regex(trim(text), '\\s+')), 0)
+                  > CAST(0.35 AS DOUBLE)
+             THEN 1 ELSE 0 END AS f4
+      FROM documents
+    ),
+    a AS (
+      SELECT count(*) AS n,
+             sum(f1) AS s1, sum(f1 * f2) AS s2,
+             sum(f1 * f2 * f3) AS s3, sum(f1 * f2 * f3 * f4) AS s4
+      FROM f
+    )
+    SELECT stage_id, stage,
+           CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_out AS BIGINT) AS n_out,
+           CAST(n_in - n_out AS BIGINT) AS n_dropped
+    FROM (
+      SELECT 1 AS stage_id, 'length_100_520' AS stage, n AS n_in, s1 AS n_out FROM a
+      UNION ALL SELECT 2, 'min_20_tokens', s1, s2 FROM a
+      UNION ALL SELECT 3, 'stopword_density', s2, s3 FROM a
+      UNION ALL SELECT 4, 'lexical_diversity', s3, s4 FROM a
+    )
+    """,
+)
+def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged quality gating as a funnel report: length band, minimum
+    token count, stopword density, lexical diversity — applied in
+    order, reporting survivors and drops per stage. This is the
+    pipeline-health view a curation team watches: which rule is
+    actually removing mass, and does a threshold change starve a stage
+    downstream.
+
+    100 TB shape: all four rule flags are computed in ONE projection of
+    one corpus scan (no per-stage passes), reduced map-side into a
+    single 5-counter aggregate row, and unpivoted driver-free with
+    ``stack()`` into the 4-row report. Cost = one scan + one 1-row
+    shuffle regardless of corpus size or rule count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in text_ops.STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+        * F.lit(1.0).cast("double")
+        / F.when(n_tok == 0, F.lit(None)).otherwise(n_tok)
+    )
+    distinct_ratio = (
+        F.size(F.array_distinct(F.transform(toks, F.lower)))
+        * F.lit(1.0).cast("double")
+        / F.when(n_tok == 0, F.lit(None)).otherwise(n_tok)
+    )
+    flags = docs.select(
+        F.when(F.length("text").between(100, 520), 1).otherwise(0).alias("f1"),
+        F.when(n_tok >= 20, 1).otherwise(0).alias("f2"),
+        F.when(stop_ratio >= F.lit(0.04).cast("double"), 1).otherwise(0).alias("f3"),
+        F.when(distinct_ratio > F.lit(0.35).cast("double"), 1).otherwise(0).alias("f4"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("f1").alias("s1"),
+        F.sum(F.col("f1") * F.col("f2")).alias("s2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).alias("s3"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4")).alias("s4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4,"
+            " 1, 'length_100_520', n, s1,"
+            " 2, 'min_20_tokens', s1, s2,"
+            " 3, 'stopword_density', s2, s3,"
+            " 4, 'lexical_diversity', s3, s4)"
+            " AS (stage_id, stage, n_in, n_out)"
+        )
+    ).select(
+        "stage_id",
+        "stage",
+        F.col("n_in").cast("bigint").alias("n_in"),
+        F.col("n_out").cast("bigint").alias("n_out"),
+        (F.col("n_in") - F.col("n_out")).cast("bigint").alias("n_dropped"),
     )

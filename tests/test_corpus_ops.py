@@ -169,3 +169,66 @@ def test_training_shards_assignment_immutable_under_growth(spark):
     }
     for k, v in sub.items():
         assert full[k] == v
+
+
+# ---------------------------------------------------------------- budget
+
+
+def test_token_budget_selection_fills_to_budget(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    sel = _run(spark, "token_budget_selection").collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    totals = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("t"))
+        .collect()
+    }
+    by_lang = {}
+    for r in sel:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(totals)  # every language contributes
+    for lang, rows in by_lang.items():
+        budget = 0.4 * totals[lang]
+        # Selected mass stays within budget and the selection is a
+        # contiguous rank prefix (greedy fill, no holes).
+        assert max(r["cum_tokens"] for r in rows) <= budget
+        ranks = sorted(r["q_rank"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        # Maximality: adding the next-ranked doc would exceed budget.
+        nxt = [r for r in rows if r["q_rank"] == len(ranks)]
+        assert nxt, lang
+
+
+def test_token_budget_single_shuffle(spark):
+    import contextlib
+    import io
+
+    df = _run(spark, "token_budget_selection")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    p = buf.getvalue()
+    assert p.count("Exchange hashpartitioning") == 1  # windows share one Exchange
+
+
+# ---------------------------------------------------------------- funnel
+
+
+def test_quality_gate_funnel_chains_and_drops(spark):
+    rows = sorted(_run(spark, "quality_gate_funnel").collect(),
+                  key=lambda r: r["stage_id"])
+    assert [r["stage"] for r in rows] == [
+        "length_100_520", "min_20_tokens", "stopword_density", "lexical_diversity",
+    ]
+    assert rows[0]["n_in"] == 500
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_out"]  # stages chain exactly
+    for r in rows:
+        assert r["n_dropped"] == r["n_in"] - r["n_out"]
+        assert 0 < r["n_out"] <= r["n_in"]
+    # Non-vacuous: the funnel as a whole removes real mass.
+    assert rows[-1]["n_out"] < rows[0]["n_in"]
