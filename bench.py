@@ -96,6 +96,7 @@ HEADLINE = [
     "training_shards",
     "token_budget_selection",
     "quality_gate_funnel",
+    "embedding_topk_ivfpq",
 ]
 
 

@@ -707,6 +707,19 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(emb, [float(x) for x in probe], k=10)
 
 
+@query("embedding_topk_ivfpq")  # quantized approx op — rows-only check
+def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact refine (operators/similarity.py:ivfpq_topk): the
+    production ANN composition — probe 3 of 16 inverted lists, score
+    in-list rows by 8 PQ table lookups, exact-cosine re-rank the top
+    40 ADC candidates down to 10. Recall vs brute force pinned in
+    tests/test_dedup_similarity.py; rows-only here (quantization +
+    probe miss are inherent approximation, no SQL oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivfpq_topk(emb, [float(x) for x in probe], k=10)
+
+
 @query("multimodal_embed_topk")  # stubbed encoder — rows-only check
 def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal→similarity pipeline: binary payloads → fake vision

@@ -383,3 +383,26 @@ def test_lsh_recall_against_exact_jaccard_ground_truth(spark):
     }
     missed = truth - cands
     assert not missed, f"LSH missed high-J pairs: {sorted(missed)[:5]}"
+
+
+def test_ivfpq_topk_recall_and_refine(vectors):
+    """IVF-PQ + exact refine: candidate recall is bounded by the probed
+    lists (same as IVF), and the refine step must restore EXACT cosine
+    values on whatever it returns — quantization error may drop a
+    neighbor but can never corrupt a reported score."""
+    probe = vectors.filter("vec_id = 0").head()["embedding"]
+    exact = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.brute_force_topk(vectors, list(probe), k=10).collect()
+    }
+    got = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.ivfpq_topk(
+            vectors, list(probe), k=10, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    assert 0 in got  # the probe vector itself survives quantization
+    assert len(exact.keys() & got.keys()) >= 6
+    for vid, sim in got.items():
+        if vid in exact:  # re-ranked scores are the exact ones
+            assert abs(sim - exact[vid]) < 1e-9
