@@ -486,6 +486,13 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle regardless of corpus size or rule count.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return funnel_report(funnel_counters(gate_flags(docs)))
+
+
+def gate_flags(docs: DataFrame) -> DataFrame:
+    """The four curation-rule flags as one projection (shared by the
+    batch funnel above and the streaming twin in
+    streaming/curation.py — one definition, two runtimes)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in text_ops.STOPWORDS])
@@ -499,19 +506,28 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(1.0).cast("double")
         / F.when(n_tok == 0, F.lit(None)).otherwise(n_tok)
     )
-    flags = docs.select(
+    return docs.select(
         F.when(F.length("text").between(100, 520), 1).otherwise(0).alias("f1"),
         F.when(n_tok >= 20, 1).otherwise(0).alias("f2"),
         F.when(stop_ratio >= F.lit(0.04).cast("double"), 1).otherwise(0).alias("f3"),
         F.when(distinct_ratio > F.lit(0.35).cast("double"), 1).otherwise(0).alias("f4"),
     )
-    agg = flags.agg(
+
+
+def funnel_counters(flags: DataFrame) -> DataFrame:
+    """Reduce rule flags to the single 5-counter row. A plain global
+    aggregate, so it runs identically as a batch agg or a streaming
+    complete-mode agg."""
+    return flags.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("f1").alias("s1"),
         F.sum(F.col("f1") * F.col("f2")).alias("s2"),
         F.sum(F.col("f1") * F.col("f2") * F.col("f3")).alias("s3"),
         F.sum(F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4")).alias("s4"),
     )
+
+
+def funnel_report(agg: DataFrame) -> DataFrame:
     return agg.select(
         F.expr(
             "stack(4,"

@@ -390,3 +390,33 @@ def test_transform_with_state_converges_to_batch(spark, events_dir):
         n, t = final[r["user_id"]]
         assert n == r["n"]
         assert abs(t - r["t"]) < 1e-6
+
+
+def test_streaming_quality_funnel_equals_batch(spark, tmp_path):
+    """The curation funnel over a document stream must equal the batch
+    funnel on the same finite corpus — same flags, same counters, fed
+    through micro-batches (2 files per trigger forces the complete-mode
+    aggregate to merge state across batches, not see one batch)."""
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        funnel_counters,
+        funnel_report,
+        gate_flags,
+    )
+    from etl_pipeline_orchestration_spark.streaming.curation import (
+        read_documents_stream,
+        run_funnel_to_memory,
+        streaming_quality_funnel,
+    )
+
+    docs_dir = str(tmp_path / "docs_stream")
+    batch_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch_docs.repartition(6).write.parquet(docs_dir)  # several input files
+
+    stream = read_documents_stream(spark, docs_dir, max_files_per_trigger=2)
+    run_funnel_to_memory(streaming_quality_funnel(stream), "funnel_mem")
+
+    expected = _rows(funnel_report(funnel_counters(gate_flags(
+        spark.read.parquet(docs_dir)))))
+    got = _rows(spark.table("funnel_mem"))
+    assert got == expected
+    assert len(got) == 4 and got[0][2] == 500  # stage 1 saw every doc
