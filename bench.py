@@ -97,6 +97,7 @@ HEADLINE = [
     "token_budget_selection",
     "quality_gate_funnel",
     "embedding_topk_ivfpq",
+    "bpe_pair_frequencies",
 ]
 
 

@@ -544,3 +544,59 @@ def funnel_report(agg: DataFrame) -> DataFrame:
         F.col("n_out").cast("bigint").alias("n_out"),
         (F.col("n_in") - F.col("n_out")).cast("bigint").alias("n_dropped"),
     )
+
+
+@query(
+    "bpe_pair_frequencies",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    w AS (
+      SELECT word, count(*) AS cnt FROM words
+      WHERE length(word) >= 2 GROUP BY word
+    ),
+    p AS (
+      SELECT substring(word, i, 2) AS pair, cnt
+      FROM w, unnest(range(1, length(word))) AS t(i)
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS freq
+    FROM p GROUP BY pair
+    ORDER BY freq DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, iteration zero: the adjacent
+    character-pair frequency table whose argmax is the first merge
+    (Sennrich et al. 2016, public method). Computed the way BPE
+    trainers actually scale: reduce the corpus to its WORD HISTOGRAM
+    first (the heavy shuffle is bounded by vocab size, not corpus
+    size), then explode each distinct word once into its pairs
+    weighted by the word's count — a 100 TB corpus with a 10M-type
+    vocabulary costs one corpus-scan aggregation plus pair work on
+    10M rows, regardless of token count.
+
+    Every value is an exact integer; top-20 with (freq DESC, pair)
+    tiebreak is TakeOrderedAndProject on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    hist = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = hist.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
+        .limit(20)
+    )

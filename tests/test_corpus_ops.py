@@ -232,3 +232,24 @@ def test_quality_gate_funnel_chains_and_drops(spark):
         assert 0 < r["n_out"] <= r["n_in"]
     # Non-vacuous: the funnel as a whole removes real mass.
     assert rows[-1]["n_out"] < rows[0]["n_in"]
+
+
+# ---------------------------------------------------------------- bpe
+
+
+def test_bpe_pair_frequencies_match_bruteforce(spark):
+    # Independent reference: recompute the pair table in plain Python
+    # from the raw corpus (not via the word-histogram optimization) —
+    # proves the histogram factoring didn't change the counts.
+    import collections
+    import re
+
+    rows = _run(spark, "bpe_pair_frequencies").collect()
+    counts = collections.Counter()
+    for r in spark.read.parquet(f"{SF}/documents.parquet").select("text").collect():
+        for w in re.split(r"\s+", r["text"].strip()):
+            if len(w) >= 2:
+                for i in range(len(w) - 1):
+                    counts[w[i : i + 2]] += 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["pair"], r["freq"]) for r in rows] == expected
