@@ -98,6 +98,8 @@ HEADLINE = [
     "quality_gate_funnel",
     "embedding_topk_ivfpq",
     "bpe_pair_frequencies",
+    "vocab_encode_checksums",
+    "split_leakage_report",
 ]
 
 

@@ -600,3 +600,152 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "vocab_encode_checksums",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    hist AS (SELECT word, count(*) AS cnt FROM words GROUP BY word),
+    vocab AS (
+      SELECT word,
+             row_number() OVER (ORDER BY cnt DESC, word) AS token_id
+      FROM hist ORDER BY cnt DESC, word LIMIT 1000
+    ),
+    w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT w.doc_id, t.i AS pos, ws[t.i] AS word
+      FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    enc AS (
+      SELECT toks.doc_id, toks.pos, v.token_id
+      FROM toks LEFT JOIN vocab v ON toks.word = v.word
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unk,
+           CAST(sum(coalesce(token_id, 0) * pos) AS BIGINT) AS id_checksum
+    FROM enc GROUP BY doc_id
+    """,
+)
+def vocab_encode_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization against a frequency-ranked vocabulary: build
+    the top-1000 word vocab (id = rank, deterministic tiebreak), encode
+    every document, and report per-doc token count, OOV count, and a
+    position-weighted id checksum — the checksum pins the ENTIRE id
+    sequence (values and order) without returning an array column,
+    which the driver's compare cannot hash.
+
+    100 TB shape: the vocab build is the word-histogram aggregation
+    (shuffle bounded by vocab-type count) followed by a top-1000
+    TakeOrderedAndProject; the rank window then runs on 1000 rows — a
+    single-task window on a CONSTANT-size input, which is fine at any
+    corpus scale (this is the one place a global window is legitimate:
+    bounded by construction, documented here). Encoding broadcasts the
+    1000-row vocab into the exploded corpus join; per-doc reduction is
+    one doc_id-keyed aggregation. All outputs are exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    hist = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    top = hist.orderBy(F.desc("cnt"), "word").limit(1000)
+    vocab = top.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "word"))
+        .cast("bigint")
+        .alias("token_id"),
+    )
+    enc = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("pos0", "word"),
+    ).join(F.broadcast(vocab), "word", "left")
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unk"),
+        F.sum(F.coalesce(F.col("token_id"), F.lit(0)) * (F.col("pos0") + 1))
+        .cast("bigint")
+        .alias("id_checksum"),
+    )
+
+
+@query(
+    "split_leakage_report",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id, text
+      FROM documents WHERE doc_id < 25
+    ),
+    s AS (
+      SELECT lower(trim(text)) AS norm_text,
+             CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 800
+                    THEN 'train'
+                  WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM corpus
+    )
+    SELECT sha256(norm_text) AS text_sha,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+           array_to_string(list_sort(list_distinct(list(split))), ',')
+             AS splits
+    FROM s
+    GROUP BY norm_text
+    HAVING count(DISTINCT split) > 1
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: normalized texts that land in more
+    than one split — the hygiene check run before any training job,
+    because a duplicated document that crosses the split boundary
+    inflates eval. The corpus is augmented with planted copies of
+    doc_id < 25 under new ids (this synthetic corpus has no natural
+    exact dups — without planting, the query would pass vacuously and
+    verify nothing; the planted ids hash into different splits by
+    construction).
+
+    100 TB shape: one hash aggregation keyed on the normalized text
+    (32-byte sha in the output, full text only as the grouping key —
+    at production scale group by the sha itself), collect_set over a
+    ≤3-element domain, no joins. The split is recomputed from the id
+    hash, not stored — same as operators/sampling.py:with_split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    from etl_pipeline_orchestration_spark.operators.sampling import with_split
+
+    s = with_split(corpus).select(
+        F.lower(F.trim(F.col("text"))).alias("norm_text"), "split"
+    )
+    return (
+        s.groupBy("norm_text")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("split").alias("n_splits"),
+            F.concat_ws(",", F.sort_array(F.collect_set("split"))).alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+        .select(
+            F.sha2("norm_text", 256).alias("text_sha"),
+            "n_docs",
+            "n_splits",
+            "splits",
+        )
+    )

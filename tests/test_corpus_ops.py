@@ -253,3 +253,55 @@ def test_bpe_pair_frequencies_match_bruteforce(spark):
                     counts[w[i : i + 2]] += 1
     expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(r["pair"], r["freq"]) for r in rows] == expected
+
+
+# ---------------------------------------------------------------- vocab
+
+
+def test_vocab_encode_checksum_pins_sequence(spark):
+    # Re-encode one document in Python from the same vocab definition;
+    # the position-weighted checksum must match exactly — and it must
+    # CHANGE if the order of the id sequence changes (that's the point
+    # of weighting by position).
+    import collections
+    import re
+
+    rows = {r["doc_id"]: r for r in _run(spark, "vocab_encode_checksums").collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    counts = collections.Counter()
+    for t in docs.values():
+        counts.update(re.split(r"\s+", t.strip()))
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    vocab = {w: i + 1 for i, (w, _) in enumerate(ranked)}
+    for doc_id in list(docs)[:50]:
+        words = re.split(r"\s+", docs[doc_id].strip())
+        ids = [vocab.get(w, 0) for w in words]
+        assert rows[doc_id]["n_tokens"] == len(words)
+        assert rows[doc_id]["n_unk"] == sum(1 for i in ids if i == 0)
+        assert rows[doc_id]["id_checksum"] == sum(
+            i * p for p, i in enumerate(ids, start=1)
+        )
+        if len(set(ids)) > 1:  # permuted sequence => different checksum
+            perm = ids[::-1]
+            assert sum(i * p for p, i in enumerate(perm, start=1)) != rows[
+                doc_id
+            ]["id_checksum"]
+
+
+# ---------------------------------------------------------------- leakage
+
+
+def test_split_leakage_planted_dups_detected(spark):
+    # Every reported leak involves a planted copy (the natural corpus
+    # has no exact dups), each leak spans >= 2 splits, and at least one
+    # plant must actually leak (25 plants across a 80/10/10 hash split
+    # — all landing in their source's split has probability ~0.68^25).
+    rows = _run(spark, "split_leakage_report").collect()
+    assert rows, "planted duplicates produced no leakage rows"
+    for r in rows:
+        assert r["n_docs"] == 2  # original + its planted copy
+        assert r["n_splits"] == 2
+        assert "," in r["splits"]
