@@ -749,3 +749,63 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "splits",
         )
     )
+
+
+@query(
+    "doc_fingerprints_poly",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+      FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
+    ),
+    h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(gram, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) AS fp
+      FROM g
+    )
+    SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+    FROM h WHERE fp % 4 = 0
+    """,
+)
+def doc_fingerprints_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints with a CROSS-ENGINE hash: 8-token
+    shingles hashed by a polynomial char fold (h = h*131 + code mod
+    2^31-1, the classic Rabin-Karp base-131 form — public method),
+    keeping hashes ≡ 0 (mod 4) as the sketch. The sibling
+    ``doc_fingerprints`` uses xxhash64 (stronger, JVM-only) and can
+    only be rows-checked; this variant trades hash quality for an
+    arithmetic both engines evaluate bit-identically, making the
+    fingerprint RELATION itself oracle-verifiable — the sketch
+    selection, dedup, and per-doc membership all get hash-equality
+    coverage instead of a row count.
+
+    Plan shape: per-row higher-order-function work only (no UDF — the
+    fold runs inside codegen), one explode, one distinct keyed on
+    (doc_id, fp). The mod-4 keep means output ~= tokens/4 rows per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0)), F.lit(1)
+    )
+    gram = F.concat_ws(" ", F.slice(toks, F.col("i"), 8))
+    fold = F.aggregate(
+        F.filter(F.split(gram, ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(2147483647),
+    )
+    return (
+        docs.select("doc_id", F.explode(starts).alias("i"), "text")
+        .select("doc_id", fold.alias("fp"))
+        .filter(F.col("fp") % 4 == 0)
+        .distinct()
+        .select("doc_id", F.col("fp").cast("bigint").alias("fp"))
+    )

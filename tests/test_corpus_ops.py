@@ -305,3 +305,26 @@ def test_split_leakage_planted_dups_detected(spark):
         assert r["n_docs"] == 2  # original + its planted copy
         assert r["n_splits"] == 2
         assert "," in r["splits"]
+
+
+# ---------------------------------------------------------------- fingerprints
+
+
+def test_doc_fingerprints_poly_matches_python(spark):
+    import re
+
+    got = {}
+    for r in _run(spark, "doc_fingerprints_poly").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40).collect()
+    M = 2147483647
+    for d in docs:
+        toks = re.split(r"\s+", d["text"].strip())
+        want = set()
+        for i in range(max(len(toks) - 7, 0)):
+            h = 0
+            for ch in " ".join(toks[i : i + 8]):
+                h = (h * 131 + ord(ch)) % M
+            if h % 4 == 0:
+                want.add(h)
+        assert got.get(d["doc_id"], set()) == want
