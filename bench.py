@@ -100,12 +100,13 @@ HEADLINE = [
     "bpe_pair_frequencies",
     "vocab_encode_checksums",
     "split_leakage_report",
+    "doc_fingerprints_winnow",
 ]
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:

@@ -809,3 +809,79 @@ def doc_fingerprints_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("doc_id", F.col("fp").cast("bigint").alias("fp"))
     )
+
+
+@query(
+    "doc_fingerprints_winnow",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, t.i AS pos, array_to_string(ws[t.i:t.i+7], ' ') AS gram
+      FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
+    ),
+    h AS (
+      SELECT doc_id, pos,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(gram, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_shingles
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id,
+             min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wfp,
+             pos, n_shingles
+      FROM h
+    )
+    SELECT DISTINCT doc_id, CAST(wfp AS BIGINT) AS fp
+    FROM m WHERE pos <= n_shingles - 3
+    """,
+)
+def doc_fingerprints_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE winnowing (Schleimer/Wilkerson/Aiken 2003, public method):
+    every sliding window of 4 consecutive shingle hashes contributes
+    its minimum, guaranteeing at least one fingerprint per 4-shingle
+    run — the density guarantee the mod-selection variants
+    (doc_fingerprints, doc_fingerprints_poly) do not give, which is
+    why plagiarism/contamination detectors use winnowing proper. Same
+    cross-engine polynomial shingle hash as doc_fingerprints_poly, so
+    the full relation is oracle-checked.
+
+    Plan shape: the sliding min is ONE window over (doc_id, pos) — a
+    single hash-partitioned shuffle, frame state of 4 values per row;
+    distinct rides the same partitioning. Fingerprint density is
+    bounded below by n/4 and above by n, independent of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0)), F.lit(1)
+    )
+    gram = F.concat_ws(" ", F.slice(toks, F.col("pos"), 8))
+    fold = F.aggregate(
+        F.filter(F.split(gram, ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(2147483647),
+    )
+    hashed = docs.select(
+        "doc_id", F.explode(starts).alias("pos"), "text"
+    ).select("doc_id", "pos", fold.alias("fp"))
+    wdoc = Window.partitionBy("doc_id")
+    wmin = wdoc.orderBy("pos").rowsBetween(0, 3)
+    return (
+        hashed.select(
+            "doc_id",
+            "pos",
+            F.min("fp").over(wmin).alias("wfp"),
+            F.count(F.lit(1)).over(wdoc).alias("n_shingles"),
+        )
+        .filter(F.col("pos") <= F.col("n_shingles") - 3)
+        .select("doc_id", F.col("wfp").cast("bigint").alias("fp"))
+        .distinct()
+    )

@@ -328,3 +328,30 @@ def test_doc_fingerprints_poly_matches_python(spark):
             if h % 4 == 0:
                 want.add(h)
         assert got.get(d["doc_id"], set()) == want
+
+
+def test_winnow_density_guarantee_and_subset(spark):
+    # Winnowing's contract: every 4-window contributes a min, so per doc
+    # n/4 <= |sketch| (dedup can only shrink it) and every winnowed fp
+    # is one of the doc's shingle hashes (subset of the full hash set).
+    import re
+
+    winnow = {}
+    for r in _run(spark, "doc_fingerprints_winnow").collect():
+        winnow.setdefault(r["doc_id"], set()).add(r["fp"])
+    M = 2147483647
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40).collect()
+    for d in docs:
+        toks = re.split(r"\s+", d["text"].strip())
+        hashes = []
+        for i in range(max(len(toks) - 7, 0)):
+            h = 0
+            for ch in " ".join(toks[i : i + 8]):
+                h = (h * 131 + ord(ch)) % M
+            hashes.append(h)
+        if len(hashes) < 4:
+            assert d["doc_id"] not in winnow
+            continue
+        expected = {min(hashes[i : i + 4]) for i in range(len(hashes) - 3)}
+        assert winnow[d["doc_id"]] == expected
+        assert winnow[d["doc_id"]] <= set(hashes)
