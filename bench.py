@@ -101,6 +101,7 @@ HEADLINE = [
     "vocab_encode_checksums",
     "split_leakage_report",
     "doc_fingerprints_winnow",
+    "feature_hash_topk",
 ]
 
 

@@ -885,3 +885,150 @@ def doc_fingerprints_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("wfp").cast("bigint").alias("fp"))
         .distinct()
     )
+
+
+# Cross-engine word hash for the feature-hashing family: same base-131
+# char fold as the fingerprint queries, bucketed mod 64.
+_WORD_FOLD_SPARK = None  # built inline (needs F closures)
+_WORD_FOLD_SQL = """
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split({col}, ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+      (a, b) -> (a * 131 + b) % 2147483647)
+"""
+
+
+def _word_fold() -> F.Column:
+    return F.aggregate(
+        F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(2147483647),
+    )
+
+
+@query(
+    "feature_hash_vectors",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             {_WORD_FOLD_SQL.format(col="word")} % 64 AS bucket
+      FROM words
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM b GROUP BY doc_id, bucket
+    """,
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectors (Weinberger et al. 2009, public
+    method): each word maps to one of 64 buckets by the cross-engine
+    polynomial fold; the sparse (doc_id, bucket, tf) relation IS the
+    embedding — no vocabulary to build, no model state, fixed
+    dimensionality at any corpus size. Output is exploded rows (the
+    driver's compare cannot hash array cells) and doubles as the
+    join-ready form for sparse similarity (feature_hash_topk).
+
+    100 TB: one explode + one (doc_id, bucket)-keyed aggregation with
+    map-side combine; the hash is codegen HOF arithmetic, no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    return (
+        words.select("doc_id", (_word_fold() % 64).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", F.col("bucket").cast("bigint").alias("bucket"), "tf")
+    )
+
+
+@query(
+    "feature_hash_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id,
+             {_WORD_FOLD_SQL.format(col="word")} % 64 AS bucket,
+             count(*) AS tf
+      FROM words GROUP BY doc_id, bucket
+    ),
+    norms AS (
+      SELECT doc_id, sum(tf * tf) AS nrm2 FROM v GROUP BY doc_id
+    ),
+    probe AS (SELECT bucket, tf AS ptf FROM v WHERE doc_id = 0),
+    dots AS (
+      SELECT v.doc_id, sum(v.tf * p.ptf) AS dot
+      FROM v JOIN probe p ON v.bucket = p.bucket
+      WHERE v.doc_id <> 0
+      GROUP BY v.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.dot AS BIGINT) AS dot,
+           round((d.dot / sqrt(CAST(n.nrm2 AS DOUBLE)
+                 * (SELECT nrm2 FROM norms WHERE doc_id = 0))) * 1e6) / 1e6
+             AS cos_6dp
+    FROM dots d JOIN norms n ON d.doc_id = n.doc_id
+    ORDER BY d.dot / sqrt(CAST(n.nrm2 AS DOUBLE)
+             * (SELECT nrm2 FROM norms WHERE doc_id = 0)) DESC, d.doc_id
+    LIMIT 10
+    """,
+)
+def feature_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine top-k over the feature-hashed vectors — the ONE
+    similarity-search query in the registry whose ranking is fully
+    hash-equality verified (LSH/IVF/PQ are rows-only by nature):
+    integer dot products and squared norms are exact on both engines,
+    so only the final cosine needs the rounding guard, and the sort
+    key is the unrounded double with doc_id tiebreak.
+
+    100 TB: the probe side is one document's ≤64 buckets (broadcast);
+    dot products ride a bucket join + doc_id aggregation; norms reuse
+    the same vector relation; top-10 is TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    )
+    v = (
+        words.select("doc_id", (_word_fold() % 64).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    norms = v.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nrm2"))
+    probe = v.filter(F.col("doc_id") == 0).select(
+        "bucket", F.col("tf").alias("ptf")
+    )
+    probe_nrm = norms.filter(F.col("doc_id") == 0).select(
+        F.col("nrm2").alias("pnrm2")
+    )
+    dots = (
+        v.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(probe), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("ptf")).alias("dot"))
+    )
+    cos = F.col("dot") / F.sqrt(
+        F.col("nrm2").cast("double") * F.col("pnrm2")
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(probe_nrm))
+        .select(
+            "doc_id",
+            F.col("dot").cast("bigint").alias("dot"),
+            (F.round(cos * 1e6) / 1e6).alias("cos_6dp"),
+            cos.alias("__cos__"),
+        )
+        .orderBy(F.desc("__cos__"), "doc_id")
+        .limit(10)
+        .drop("__cos__")
+    )

@@ -355,3 +355,40 @@ def test_winnow_density_guarantee_and_subset(spark):
         expected = {min(hashes[i : i + 4]) for i in range(len(hashes) - 3)}
         assert winnow[d["doc_id"]] == expected
         assert winnow[d["doc_id"]] <= set(hashes)
+
+
+# ---------------------------------------------------------------- feature hash
+
+
+def test_feature_hash_topk_margins_and_sanity(spark):
+    # Rounding-margin discipline for cos_6dp, plus a semantic sanity
+    # check: top-k cosines are in (0, 1] and descending.
+    rows = _run(spark, "feature_hash_topk").collect()
+    assert len(rows) == 10
+    cosines = [r["cos_6dp"] for r in rows]
+    assert all(0.0 < c <= 1.0 for c in cosines)
+    assert cosines == sorted(cosines, reverse=True)
+    # Margin: recompute unrounded cosine for each returned doc and
+    # measure distance to the 6dp half-boundary.
+    import collections
+    import math
+    import re
+
+    vecs = collections.defaultdict(collections.Counter)
+    M = 2147483647
+    for d in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        for w in re.split(r"\s+", d["text"].strip()):
+            h = 0
+            for ch in w:
+                h = (h * 131 + ord(ch)) % M
+            vecs[d["doc_id"]][h % 64] += 1
+    p = vecs[0]
+    pn = math.sqrt(sum(v * v for v in p.values()))
+    for r in rows:
+        v = vecs[r["doc_id"]]
+        dot = sum(c * p[b] for b, c in v.items())
+        assert dot == r["dot"]
+        cos = dot / (math.sqrt(sum(c * c for c in v.values())) * pn)
+        frac = abs(cos * 1e6 - math.floor(cos * 1e6) - 0.5)
+        assert frac > 1e-6, (r["doc_id"], cos)
+        assert abs(round(cos * 1e6) / 1e6 - r["cos_6dp"]) < 1e-12
