@@ -102,6 +102,7 @@ HEADLINE = [
     "split_leakage_report",
     "doc_fingerprints_winnow",
     "feature_hash_topk",
+    "curation_end_to_end",
 ]
 
 

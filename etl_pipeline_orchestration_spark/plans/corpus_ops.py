@@ -1,6 +1,11 @@
-"""Corpus-curation queries [EXT]: boilerplate phrase detection,
-per-language distribution drift, temperature-based mixture sampling,
-and deterministic training-shard assignment over ``documents``.
+"""Corpus-curation queries [EXT] over ``documents``: boilerplate
+phrase detection, per-language distribution drift, temperature-based
+mixture sampling, deterministic training-shard assignment,
+token-budget dataset assembly, a staged quality-gate funnel (with a
+streaming twin in streaming/curation.py), BPE pair frequencies,
+vocabulary encoding, split-leakage auditing, cross-engine winnowing
+fingerprints, feature-hash embeddings with verified sparse cosine
+top-k, and the end-to-end curation capstone.
 
 These are the operations a training-data pipeline runs between raw
 ingestion and tokenization: flag documents dominated by boilerplate
@@ -490,9 +495,11 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def gate_flags(docs: DataFrame) -> DataFrame:
-    """The four curation-rule flags as one projection (shared by the
-    batch funnel above and the streaming twin in
-    streaming/curation.py — one definition, two runtimes)."""
+    """The four curation-rule flags appended as columns (shared by the
+    batch funnel above, the streaming twin in streaming/curation.py,
+    and the end-to-end capstone below — one definition, all
+    runtimes). Input columns pass through; Catalyst prunes whatever a
+    consumer doesn't touch."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tok = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in text_ops.STOPWORDS])
@@ -506,11 +513,19 @@ def gate_flags(docs: DataFrame) -> DataFrame:
         * F.lit(1.0).cast("double")
         / F.when(n_tok == 0, F.lit(None)).otherwise(n_tok)
     )
-    return docs.select(
-        F.when(F.length("text").between(100, 520), 1).otherwise(0).alias("f1"),
-        F.when(n_tok >= 20, 1).otherwise(0).alias("f2"),
-        F.when(stop_ratio >= F.lit(0.04).cast("double"), 1).otherwise(0).alias("f3"),
-        F.when(distinct_ratio > F.lit(0.35).cast("double"), 1).otherwise(0).alias("f4"),
+    return (
+        docs.withColumn(
+            "f1", F.when(F.length("text").between(100, 520), 1).otherwise(0)
+        )
+        .withColumn("f2", F.when(n_tok >= 20, 1).otherwise(0))
+        .withColumn(
+            "f3",
+            F.when(stop_ratio >= F.lit(0.04).cast("double"), 1).otherwise(0),
+        )
+        .withColumn(
+            "f4",
+            F.when(distinct_ratio > F.lit(0.35).cast("double"), 1).otherwise(0),
+        )
     )
 
 
@@ -1031,4 +1046,121 @@ def feature_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("__cos__"), "doc_id")
         .limit(10)
         .drop("__cos__")
+    )
+
+
+@query(
+    "curation_end_to_end",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             (CASE WHEN length(text) BETWEEN 100 AND 520 THEN 1 ELSE 0 END)
+             * (CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 20
+                     THEN 1 ELSE 0 END)
+             * (CASE WHEN len(list_filter(string_split_regex(trim(text), '\\s+'),
+                        t -> list_contains(['the','a','an','of','to','and','in',
+                                            'is','it','for','on','with','as','at',
+                                            'by','be','or','are','was','this'],
+                                           lower(t))))
+                       * CAST(1.0 AS DOUBLE)
+                       / nullif(len(string_split_regex(trim(text), '\\s+')), 0)
+                       >= CAST(0.04 AS DOUBLE)
+                     THEN 1 ELSE 0 END)
+             * (CASE WHEN len(list_distinct(list_transform(
+                          string_split_regex(trim(text), '\\s+'),
+                          t -> lower(t))))
+                       * CAST(1.0 AS DOUBLE)
+                       / nullif(len(string_split_regex(trim(text), '\\s+')), 0)
+                       > CAST(0.35 AS DOUBLE)
+                     THEN 1 ELSE 0 END) AS passed
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, count(*) AS n_raw, sum(passed) AS n_gated
+      FROM flagged GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_gated) AS BIGINT) AS gated_total,
+             sum(sqrt(CAST(n_gated AS DOUBLE))) AS s
+      FROM counts
+    ),
+    rates AS (
+      SELECT lang, n_raw, n_gated,
+             least(CAST(1.0 AS DOUBLE),
+                   (CAST(0.5 AS DOUBLE) * gated_total)
+                     * (sqrt(CAST(n_gated AS DOUBLE)) / s) / n_gated) AS rate
+      FROM counts, tot
+    )
+    SELECT r.lang,
+           CAST(r.n_raw AS BIGINT) AS n_raw,
+           CAST(r.n_gated AS BIGINT) AS n_gated,
+           CAST(sum(CASE WHEN f.passed = 1
+                         AND {_KNUTH.replace('doc_id', 'f.doc_id')} % 1000000
+                             < CAST(floor(r.rate * 1e6) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN f.passed = 1
+                         AND {_KNUTH.replace('doc_id', 'f.doc_id')} % 1000000
+                             < CAST(floor(r.rate * 1e6) AS BIGINT)
+                         THEN f.n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_selected
+    FROM flagged f JOIN rates r ON f.lang = r.lang
+    GROUP BY r.lang, r.n_raw, r.n_gated
+    """,
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation chain as ONE declarative plan: quality gate (the
+    funnel's four rules) → per-language temperature rates computed on
+    the GATED population → deterministic hash-coin selection →
+    per-language report (raw/gated/selected doc counts and selected
+    token mass). This is the job a data team schedules nightly; each
+    piece is verified standalone elsewhere (quality_gate_funnel,
+    mixture_temperature_weights, token_budget_selection), and this
+    query verifies their composition — rates must be computed after
+    gating, selection must condition on both the gate and the coin.
+
+    100 TB: one corpus scan computes flags + token counts; the
+    language histogram is map-side combined; rates live on a
+    ~|languages|-row relation broadcast back; the final report is one
+    (lang)-keyed aggregation. No driver collect anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = gate_flags(docs).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        (F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4")).alias("passed"),
+    )
+    counts = flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"), F.sum("passed").alias("n_gated")
+    )
+    tot = counts.agg(
+        F.sum("n_gated").alias("gated_total"),
+        F.sum(F.sqrt(F.col("n_gated").cast("double"))).alias("s"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_raw",
+        "n_gated",
+        F.least(
+            F.lit(1.0).cast("double"),
+            (F.lit(0.5).cast("double") * F.col("gated_total"))
+            * (F.sqrt(F.col("n_gated").cast("double")) / F.col("s"))
+            / F.col("n_gated"),
+        ).alias("rate"),
+    )
+    coin = F.expr(_KNUTH + " % 1000000") < F.floor(
+        F.col("rate") * 1e6
+    ).cast("bigint")
+    sel = F.when((F.col("passed") == 1) & coin, 1).otherwise(0)
+    return (
+        flagged.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_raw", "n_gated")
+        .agg(
+            F.sum(sel).cast("bigint").alias("n_selected"),
+            F.sum(sel * F.col("n_tokens")).cast("bigint").alias("tokens_selected"),
+        )
+        .select(
+            "lang", "n_raw", "n_gated", "n_selected", "tokens_selected"
+        )
     )

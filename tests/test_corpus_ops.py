@@ -392,3 +392,25 @@ def test_feature_hash_topk_margins_and_sanity(spark):
         frac = abs(cos * 1e6 - math.floor(cos * 1e6) - 0.5)
         assert frac > 1e-6, (r["doc_id"], cos)
         assert abs(round(cos * 1e6) / 1e6 - r["cos_6dp"]) < 1e-12
+
+
+# ---------------------------------------------------------------- capstone
+
+
+def test_curation_end_to_end_composition_invariants(spark):
+    rows = _run(spark, "curation_end_to_end").collect()
+    funnel = sorted(_run(spark, "quality_gate_funnel").collect(),
+                    key=lambda r: r["stage_id"])
+    assert sum(r["n_raw"] for r in rows) == funnel[0]["n_in"]
+    # The capstone's gated population equals the funnel's final
+    # survivors (same four rules, same corpus).
+    assert sum(r["n_gated"] for r in rows) == funnel[-1]["n_out"]
+    for r in rows:
+        assert 0 <= r["n_selected"] <= r["n_gated"] <= r["n_raw"]
+        assert (r["tokens_selected"] > 0) == (r["n_selected"] > 0)
+    # Selection targets ~half the gated mass; allow generous binomial
+    # slack at these group sizes but reject a vacuous (~0) or
+    # unthrottled (~all) selection.
+    total_gated = sum(r["n_gated"] for r in rows)
+    total_sel = sum(r["n_selected"] for r in rows)
+    assert 0.25 * total_gated < total_sel < 0.75 * total_gated
