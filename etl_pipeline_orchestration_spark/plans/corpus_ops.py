@@ -1164,3 +1164,75 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", "n_raw", "n_gated", "n_selected", "tokens_selected"
         )
     )
+
+
+@query(
+    "fingerprint_contamination_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, t.i AS pos, array_to_string(ws[t.i:t.i+7], ' ') AS gram
+      FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
+    ),
+    h AS (
+      SELECT doc_id, pos,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(gram, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_shingles
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id,
+             min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wfp,
+             pos, n_shingles
+      FROM h
+    ),
+    sk AS (
+      SELECT DISTINCT doc_id, wfp AS fp
+      FROM m WHERE pos <= n_shingles - 3
+    )
+    SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM sk c JOIN sk b ON c.fp = b.fp
+    WHERE c.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    GROUP BY c.doc_id, b.doc_id
+    HAVING count(*) >= 3
+    """,
+)
+def fingerprint_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style contamination detection: corpus documents (even ids)
+    sharing >= 3 winnowing fingerprints with any benchmark document
+    (odd ids). Winnowing's density guarantee makes this sound for
+    matches longer than window+shingle tokens — a contiguous stolen
+    passage MUST surface fingerprints, unlike mod-sampling which can
+    miss an unlucky span. Fully oracle-verified end to end because the
+    sketch itself is (doc_fingerprints_winnow).
+
+    100 TB: the join is keyed on the fingerprint value — uniformly
+    distributed by construction (hash output), so no skew; count-based
+    verify needs no text re-scan. With the benchmark side small (the
+    real deployment), it broadcasts and the whole check is one corpus
+    fingerprint pass. A production run would pre-filter ubiquitous
+    fingerprints (doc-frequency cap) exactly like the LSH mega-bucket
+    guard in operators/dedup.py.
+    """
+    sk = doc_fingerprints_winnow(spark, sf_dir)
+    c = sk.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("corpus_id"), "fp"
+    )
+    b = sk.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("bench_id"), "fp"
+    )
+    return (
+        c.join(b, "fp")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
