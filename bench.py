@@ -103,6 +103,7 @@ HEADLINE = [
     "doc_fingerprints_winnow",
     "feature_hash_topk",
     "curation_end_to_end",
+    "multimodal_wav_features",
 ]
 
 

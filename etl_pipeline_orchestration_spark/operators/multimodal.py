@@ -5,13 +5,15 @@ typed metadata struct; heavy per-item work (decode, resize, frame-sample,
 feature-extract) runs as Arrow-batched ``mapInPandas`` so each Python
 worker sees a columnar batch, never a Python row loop.
 
-PNG decode is REAL: a stdlib-only codec (zlib inflate + chunk/IHDR
-parsing + all five scanline filters) reads width/height/pixels from the
-actual bytes — no image libraries needed. Other media types remain
-STUBBED (``fake=True`` gives a clearly-marked deterministic fake derived
-from byte length; ``fake=False`` raises) because their decoders need
-libraries absent from this container. Everything around the decode —
-schema handling, batching, partition sizing — is real for all types.
+PNG decode is REAL (stdlib zlib inflate + chunk/IHDR parsing + all
+five scanline filters) and WAV audio decode is REAL (stdlib wave
+module: RIFF/PCM16 → sample rate, duration, PCM values) — both read
+their numbers from the actual bytes, no media libraries needed. Other
+media types (JPEG, video codecs) remain STUBBED (``fake=True`` gives a
+clearly-marked deterministic fake derived from byte length;
+``fake=False`` raises) because their decoders need libraries absent
+from this container. Everything around the decode — schema handling,
+batching, partition sizing — is real for all types.
 """
 
 from __future__ import annotations
@@ -445,3 +447,127 @@ def extract_embedding_batch(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(embed, schema="doc_id long, embedding array<float>")
+
+
+# ------------------------------------------------------------- WAV --
+# Stdlib-only audio: RIFF/PCM16 WAV via the `wave` module. Like the PNG
+# path above, decode is GENUINE — sample rate, sample count, and every
+# PCM value come from parsing the actual bytes.
+
+
+def wav_encode_pcm16(samples, sample_rate: int) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 numpy array (stdlib wave)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes):
+    """(sample_rate, n_samples, int16 samples) from real WAV bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("only mono PCM16 supported by this decoder")
+        sr = w.getframerate()
+        n = w.getnframes()
+        pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+    return sr, n, pcm
+
+
+def synth_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic audio fixture: one real WAV per document — a pure
+    sine at f = 200 + (doc_id % 20)*20 Hz, sr = 8000, n = 400 +
+    (doc_id % 5)*200 samples, amplitude 12000, quantized with
+    floor(x + 0.5) (explicit, so an SQL oracle can regenerate the exact
+    PCM with its own sin()). Arrow-batched mapInPandas, same shape as
+    the PNG fixture."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                f = 200 + (d % 20) * 20
+                n = 400 + (d % 5) * 200
+                i = np.arange(n, dtype=np.float64)
+                x = np.floor(12000.0 * np.sin(2.0 * np.pi * f * i / 8000.0) + 0.5)
+                payloads.append(wav_encode_pcm16(x.astype("<i2"), 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    encoded = docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("media_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.xxhash64("payload").alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_ms long,"
+    " n_zero_cross long, rms_3dp double"
+)
+
+
+def audio_features_batch(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: decode WAV bytes and compute the
+    classic surface features — duration, RMS energy, zero-crossing
+    count (sign transitions under x >= 0 semantics). One numpy pass
+    per batch; sum-of-squares stays exact int64 so the only float is
+    the final sqrt.
+
+    At scale this is the standard speech-curation first pass (drop
+    silence: rms ≈ 0; drop tones/hum: zcr exactly periodic); the
+    mapInPandas shape is identical to what a torchaudio/ffmpeg decoder
+    would use — only the codec call changes."""
+    import math
+
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "duration_ms",
+                "n_zero_cross", "rms_3dp",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, n, pcm = wav_decode(bytes(payload))
+                x = pcm.astype(np.int64)
+                ss = int((x * x).sum())
+                nonneg = x >= 0
+                zc = int((nonneg[1:] != nonneg[:-1]).sum()) if n > 1 else 0
+                rms = math.sqrt(ss / n) if n else 0.0
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // sr)
+                out["n_zero_cross"].append(zc)
+                # floor(x+0.5), not round(): python round() is banker's
+                # at exact halves; the oracle mirrors this floor form.
+                out["rms_3dp"].append(math.floor(rms * 1e3 + 0.5) / 1e3)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        feats, schema=AUDIO_FEATURES_SCHEMA
+    )

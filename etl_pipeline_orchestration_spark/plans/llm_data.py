@@ -1818,3 +1818,57 @@ def semantic_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     ]
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     return similarity.cross_corpus_cosine_pairs(corpus, bench, threshold=0.4)
+
+
+@query(
+    "multimodal_wav_features",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             8000 AS sr,
+             400 + (doc_id % 5) * 200 AS n,
+             200 + (doc_id % 20) * 20 AS f
+      FROM documents
+    ),
+    samples AS (
+      SELECT p.doc_id, p.sr, p.n, t.i,
+             CAST(floor(12000 * sin(2 * pi() * p.f * t.i / p.sr) + 0.5)
+                  AS BIGINT) AS x
+      FROM params p, unnest(range(0, p.n)) AS t(i)
+    ),
+    lagged AS (
+      SELECT doc_id, sr, n, i, x,
+             lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+      FROM samples
+    )
+    SELECT doc_id,
+           CAST(any_value(sr) AS INT) AS sample_rate,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           CAST(any_value(n) * 1000 // any_value(sr) AS BIGINT) AS duration_ms,
+           CAST(sum(CASE WHEN px IS NOT NULL
+                          AND ((x >= 0) <> (px >= 0)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_cross,
+           floor(sqrt(CAST(sum(x * x) AS DOUBLE) / any_value(n)) * 1e3 + 0.5)
+             / 1e3 AS rms_3dp
+    FROM lagged GROUP BY doc_id
+    """,
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, differentially verified: Spark synthesizes a
+    genuine RIFF/PCM16 WAV per document (stdlib wave module), then
+    DECODES THE BYTES and measures duration, zero crossings, and RMS —
+    while the oracle never sees the bytes and instead regenerates the
+    expected PCM from the synthesis formula in SQL (DuckDB sin + the
+    same explicit floor(x+0.5) quantizer). Generator and decoder are
+    independent implementations, so a bug in either side fails the
+    hash compare — the same generator-vs-decoder structure that made
+    the PNG path (multimodal_png_decode) honest.
+
+    libm note: numpy's and DuckDB's sin may differ in the last ulp;
+    that flips a quantized sample only when 12000·sin θ lands within
+    ~1e-12 of a half-integer — margins measured far larger at both
+    test SFs (pinned in tests/test_multimodal.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_wav_media(docs)
+    return multimodal.audio_features_batch(media)

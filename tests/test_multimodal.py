@@ -177,3 +177,50 @@ def test_media_to_similarity_handoff(docs):
     ).collect()
     assert top[0]["doc_id"] == 0  # self-similarity wins
     assert abs(top[0]["cosine_sim"] - 1.0) < 1e-5
+
+
+def test_wav_roundtrip_and_known_waveform_physics(spark):
+    """Decode is real: a pure sine's RMS must be ~A/sqrt(2) and its
+    zero-crossing count ~2*f*duration — physics the decoder can only
+    report by actually reading the PCM."""
+    import math
+
+    from etl_pipeline_orchestration_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    feats = {
+        r["doc_id"]: r
+        for r in mm.audio_features_batch(mm.synth_wav_media(docs)).collect()
+    }
+    assert len(feats) == 50
+    for doc_id, r in feats.items():
+        f = 200 + (doc_id % 20) * 20
+        n = 400 + (doc_id % 5) * 200
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == n
+        assert r["duration_ms"] == n * 1000 // 8000
+        # RMS of a quantized sine: amplitude/sqrt(2) within quantization slop
+        assert abs(r["rms_3dp"] - 12000 / math.sqrt(2)) < 60
+        # Zero crossings: 2 per cycle, f*n/8000 cycles, +-2 boundary slop
+        expected_zc = 2 * f * n / 8000
+        assert abs(r["n_zero_cross"] - expected_zc) <= 2
+
+
+def test_wav_quantizer_margins_vs_libm_ulps(spark):
+    """The oracle regenerates PCM with DuckDB's sin; a last-ulp libm
+    disagreement flips a sample only if 12000*sin lands within ~1e-12
+    of a half-integer. Measure the actual minimum margin over every
+    sample at this SF — it must dwarf the ulp scale."""
+    import numpy as np
+
+    min_margin = 1.0
+    for doc_id in range(500):
+        f = 200 + (doc_id % 20) * 20
+        n = 400 + (doc_id % 5) * 200
+        i = np.arange(n, dtype=np.float64)
+        v = 12000.0 * np.sin(2.0 * np.pi * f * i / 8000.0) + 0.5
+        margin = np.abs(v - np.round(v)).min()
+        # distance of x+0.5 to nearest integer == distance of x to a
+        # half-integer boundary
+        min_margin = min(min_margin, float(margin))
+    assert min_margin > 1e-9, min_margin
