@@ -104,6 +104,7 @@ HEADLINE = [
     "feature_hash_topk",
     "curation_end_to_end",
     "multimodal_wav_features",
+    "multimodal_video_frames",
 ]
 
 

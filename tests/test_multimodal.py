@@ -224,3 +224,31 @@ def test_wav_quantizer_margins_vs_libm_ulps(spark):
         # half-integer boundary
         min_margin = min(min_margin, float(margin))
     assert min_margin > 1e-9, min_margin
+
+
+def test_video_container_sampling_before_decode(spark):
+    """Container round-trip, stride sampling, and decode correctness:
+    only even frames come back, geometry matches the fixture, and a
+    corrupted container raises rather than returning wrong frames."""
+    import pytest as _pytest
+
+    from etl_pipeline_orchestration_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    rows = mm.decode_sampled_frames(mm.synth_mpng_media(docs), stride=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 30
+    for doc_id, frames in by_doc.items():
+        nf = 2 + doc_id % 4
+        assert sorted(f["frame_no"] for f in frames) == list(range(0, nf, 2))
+        for f in frames:
+            assert f["width"] == 8 + doc_id % 9
+            assert f["height"] == 8 + doc_id % 7
+            w, h, c = f["width"], f["height"], (doc_id + f["frame_no"]) % 100
+            assert f["pixel_sum"] == (
+                h * 3 * (w - 1) * w // 2 + w * 5 * (h - 1) * h // 2 + w * h * c
+            )
+    with _pytest.raises(ValueError):
+        mm.mpng_decode(b"NOPE" + b"\x00" * 16)
