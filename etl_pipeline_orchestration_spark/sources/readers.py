@@ -185,3 +185,34 @@ def read_web_logs(spark: SparkSession, path: str) -> DataFrame:
             for c in ["event_id", "user_id", "event_type", "timestamp", "session_id", "device", "source"]
         ]
     )
+
+
+def read_parquet_evolved(
+    spark: SparkSession, path: str, expected: T.StructType | None = None
+) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: ``mergeSchema=true``
+    unions the footers of every file, so landing zones where a
+    producer ADDED columns over time read as one relation (old files
+    yield nulls for new columns). With ``expected`` given, the result
+    is projected/cast onto that exact schema — missing columns
+    materialize as typed nulls, extra columns are dropped — which is
+    the contract a downstream pipeline wants: additive producer
+    changes never break the job, and the job's output schema never
+    drifts.
+
+    Scale note: schema merging reads footers only (a driver-side
+    listing pass, parallelized by Spark); the data scan is unchanged.
+    Do NOT leave mergeSchema on for single-schema tables — footer
+    merging on millions of files costs real listing time, which is
+    why it's opt-in here rather than a session default."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected is None:
+        return df
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for f in expected.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -130,3 +130,40 @@ def test_events_load_restores_legacy_parquet_conf(spark):
         assert df.schema["ts"].dataType.typeName() == "timestamp"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_read_parquet_evolved_additive_columns(spark, tmp_path):
+    """A producer added a column mid-stream: mergeSchema unions the
+    footers, old files null-fill, and the expected-schema projection
+    pins the output contract (order, types, no extras)."""
+    from pyspark.sql import types as T
+
+    from etl_pipeline_orchestration_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    land = str(tmp_path / "landing")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string").write.parquet(
+        land
+    )
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(land)
+
+    expected = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("added_later", T.IntegerType()),  # not in any file
+        ]
+    )
+    out = read_parquet_evolved(spark, land, expected)
+    assert [f.name for f in out.schema.fields] == ["id", "name", "score", "added_later"]
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert rows[1]["score"] is None and rows[3]["score"] == 9.5
+    assert all(r["added_later"] is None for r in rows.values())
+    # Without an expected schema the merged relation carries the union.
+    merged = read_parquet_evolved(spark, land)
+    assert {f.name for f in merged.schema.fields} == {"id", "name", "score"}
