@@ -496,6 +496,12 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
     the PNG fixture."""
     import numpy as np
 
+    from etl_pipeline_orchestration_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    docs = ensure_min_partitions(docs)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
@@ -611,6 +617,12 @@ def synth_mpng_media(docs: DataFrame) -> DataFrame:
     document, frame f's pixels = 3x + 5y + (doc_id + f) % 100 on the
     same per-doc geometry as the PNG fixture — every frame's pixel sum
     has a closed form an SQL oracle can compute."""
+
+    from etl_pipeline_orchestration_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    docs = ensure_min_partitions(docs)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
