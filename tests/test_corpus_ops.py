@@ -414,3 +414,28 @@ def test_curation_end_to_end_composition_invariants(spark):
     total_gated = sum(r["n_gated"] for r in rows)
     total_sel = sum(r["n_selected"] for r in rows)
     assert 0.25 * total_gated < total_sel < 0.75 * total_gated
+
+
+# ------------------------------------------------------------ sf0.1 guards
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.slow
+def test_thresholded_queries_non_vacuous_at_bench_sf(spark):
+    """Thresholds tuned at sf0.001 (5% doc frequency, >=3 shared
+    fingerprints, planted leaks) must still select real mass at the
+    bench scale factor — a vacuous threshold would silently turn these
+    benchmarks into no-ops. Also re-checks the boiler_frac denominator
+    guard (no n_grams divisible by 128) on the bigger corpus."""
+    sf = "/root/testdata/sf0.1"
+    boiler = registry.QUERIES["boilerplate_bigram_flags"](spark, sf).collect()
+    assert any(r["n_boiler"] > 0 for r in boiler)
+    assert all(r["n_grams"] % 128 != 0 for r in boiler)
+    contamination = registry.QUERIES["fingerprint_contamination_pairs"](
+        spark, sf
+    ).count()
+    assert contamination > 0
+    leakage = registry.QUERIES["split_leakage_report"](spark, sf).count()
+    assert leakage > 0
