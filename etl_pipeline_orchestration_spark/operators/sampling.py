@@ -9,7 +9,7 @@ any subset relation (e.g. a 10% sample of the 80% train split) holds
 exactly.
 
 Two bucket functions:
-* ``knuth`` (default): multiplicative hashing ((id * 2654435761) mod
+* ``knuth`` (default): multiplicative hashing (((id mod 2^31) * 2654435761) mod
   2^32) mod 1000 — expressible in ANY SQL engine (plain 64-bit
   arithmetic, no overflow for ids < 2^31), so the DuckDB oracle can
   verify membership row-for-row;
@@ -28,7 +28,12 @@ KNUTH = 2654435761  # 2^32 / golden ratio, Knuth multiplicative hashing
 def bucket_of(id_col: Column, method: str = "knuth") -> Column:
     """Stable bucket in [0, 1000) from an integer id."""
     if method == "knuth":
-        return F.pmod(F.pmod(id_col * F.lit(KNUTH), F.lit(2**32)), F.lit(1000))
+        # Pre-reduce mod 2^31: the raw product id*KNUTH overflows int64
+        # (ANSI throw) once id exceeds ~3.49e9 — a realistic corpus size
+        # at 100 TB. (2^31-1)*KNUTH ~= 5.7e18 stays inside int64, and
+        # ids below 2^31 (every current oracle) hash identically.
+        reduced = F.pmod(id_col, F.lit(2**31))
+        return F.pmod(F.pmod(reduced * F.lit(KNUTH), F.lit(2**32)), F.lit(1000))
     if method == "xxhash":
         return F.pmod(F.xxhash64(id_col), F.lit(1000))
     raise ValueError(f"unknown bucket method {method!r}")

@@ -506,7 +506,7 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sampled AS (
       SELECT o_orderkey FROM orders
-      WHERE ((o_orderkey * 2654435761) % 4294967296) % 1000 < 50
+      WHERE (((o_orderkey % 2147483648) * 2654435761) % 4294967296) % 1000 < 50
     )
     SELECT l_orderkey,
            CAST(count(*) AS BIGINT) AS n_lines,

@@ -32,9 +32,11 @@ from etl_pipeline_orchestration_spark.sources.tables import load_table
 
 # Deterministic 32-bit multiplicative (Knuth) hash, expressible
 # identically in Spark SQL and DuckDB SQL with plain int64 arithmetic:
-# doc_id * 2654435761 stays far below 2^63 for any realistic id space
-# (overflow would throw under ANSI, not wrap silently).
-_KNUTH = "((doc_id * 2654435761) % 4294967296)"
+# doc_id pre-reduces mod 2^31 so the multiply stays inside int64 for
+# the FULL id space (the raw product overflows — ANSI throw — beyond
+# ~3.49e9 ids, a realistic corpus size at 100 TB); ids below 2^31 hash
+# identically either way.
+_KNUTH = "(((doc_id % 2147483648) * 2654435761) % 4294967296)"
 
 
 @query(
@@ -262,7 +264,7 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation to ~|languages| rows; weights and rates are computed on
     that tiny relation and broadcast back onto the corpus for the
     hash-threshold count — one scan, two small shuffles, no driver
-    collect. The hash is plain int64 arithmetic (doc_id*2654435761 —
+    collect. The hash is plain int64 arithmetic (mod-2^31-reduced doc_id times 2654435761 —
     no ANSI overflow for any realistic id), so selection pushes into
     codegen rather than a UDF.
 
@@ -706,9 +708,9 @@ def vocab_encode_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT lower(trim(text)) AS norm_text,
-             CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 800
+             CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 < 800
                     THEN 'train'
-                  WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900
+                  WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 < 900
                     THEN 'val'
                   ELSE 'test' END AS split
       FROM corpus
@@ -766,25 +768,50 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _token_hashes(text_col: str = "text") -> F.Column:
+    """Array of per-token base-131 char-fold hashes (mod 2^31-1). Each
+    character is hashed exactly ONCE per document; shingle hashes then
+    fold over 8 token hashes instead of ~50 chars — the difference
+    between O(chars x window) and O(chars + shingles x window) work,
+    which is what the fingerprint family must be at corpus scale."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.transform(
+        toks,
+        lambda w: F.aggregate(
+            F.filter(F.split(w, ""), lambda c: c != F.lit("")),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(2147483647),
+        ),
+    )
+
+
+def _shingle_fold(th_col: str, start_col: str, window: int = 8) -> F.Column:
+    """Hash of one shingle: base-131 fold over its token hashes."""
+    return F.aggregate(
+        F.slice(F.col(th_col), F.col(start_col), window),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 131 + h) % F.lit(2147483647),
+    )
+
+
 @query(
     "doc_fingerprints_poly",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS th
       FROM documents
-    ),
-    g AS (
-      SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
-      FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
     ),
     h AS (
       SELECT doc_id,
-             list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(gram, ''),
-                                c -> CAST(ascii(c) AS BIGINT))),
-               (a, b) -> (a * 131 + b) % 2147483647) AS fp
-      FROM g
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th[t.i:t.i+7]),
+                         (a, b) -> (a * 131 + b) % 2147483647) AS fp
+      FROM w, unnest(range(1, greatest(len(th) - 7, 0) + 1)) AS t(i)
     )
     SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
     FROM h WHERE fp % 4 = 0
@@ -807,19 +834,13 @@ def doc_fingerprints_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, fp). The mod-4 keep means output ~= tokens/4 rows per doc.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", _token_hashes().alias("th"))
     starts = F.sequence(
-        F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0)), F.lit(1)
-    )
-    gram = F.concat_ws(" ", F.slice(toks, F.col("i"), 8))
-    fold = F.aggregate(
-        F.filter(F.split(gram, ""), lambda c: c != F.lit("")),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(2147483647),
+        F.lit(1), F.greatest(F.size("th") - 7, F.lit(0)), F.lit(1)
     )
     return (
-        docs.select("doc_id", F.explode(starts).alias("i"), "text")
-        .select("doc_id", fold.alias("fp"))
+        base.select("doc_id", F.explode(starts).alias("i"), "th")
+        .select("doc_id", _shingle_fold("th", "i").alias("fp"))
         .filter(F.col("fp") % 4 == 0)
         .distinct()
         .select("doc_id", F.col("fp").cast("bigint").alias("fp"))
@@ -830,22 +851,21 @@ def doc_fingerprints_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprints_winnow",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS th
       FROM documents
     ),
-    g AS (
-      SELECT doc_id, t.i AS pos, array_to_string(ws[t.i:t.i+7], ' ') AS gram
-      FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
-    ),
     h AS (
-      SELECT doc_id, pos,
-             list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(gram, ''),
-                                c -> CAST(ascii(c) AS BIGINT))),
-               (a, b) -> (a * 131 + b) % 2147483647) AS fp,
+      SELECT doc_id, t.i AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th[t.i:t.i+7]),
+                         (a, b) -> (a * 131 + b) % 2147483647) AS fp,
              count(*) OVER (PARTITION BY doc_id) AS n_shingles
-      FROM g
+      FROM w, unnest(range(1, greatest(len(th) - 7, 0) + 1)) AS t(i)
     ),
     m AS (
       SELECT doc_id,
@@ -874,19 +894,13 @@ def doc_fingerprints_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded below by n/4 and above by n, independent of corpus size.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", _token_hashes().alias("th"))
     starts = F.sequence(
-        F.lit(1), F.greatest(F.size(toks) - 7, F.lit(0)), F.lit(1)
+        F.lit(1), F.greatest(F.size("th") - 7, F.lit(0)), F.lit(1)
     )
-    gram = F.concat_ws(" ", F.slice(toks, F.col("pos"), 8))
-    fold = F.aggregate(
-        F.filter(F.split(gram, ""), lambda c: c != F.lit("")),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(2147483647),
-    )
-    hashed = docs.select(
-        "doc_id", F.explode(starts).alias("pos"), "text"
-    ).select("doc_id", "pos", fold.alias("fp"))
+    hashed = base.select(
+        "doc_id", F.explode(starts).alias("pos"), "th"
+    ).select("doc_id", "pos", _shingle_fold("th", "pos").alias("fp"))
     wdoc = Window.partitionBy("doc_id")
     wmin = wdoc.orderBy("pos").rowsBetween(0, 3)
     return (
@@ -1170,22 +1184,21 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprint_contamination_pairs",
     oracle="""
     WITH w AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS th
       FROM documents
     ),
-    g AS (
-      SELECT doc_id, t.i AS pos, array_to_string(ws[t.i:t.i+7], ' ') AS gram
-      FROM w, unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS t(i)
-    ),
     h AS (
-      SELECT doc_id, pos,
-             list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(gram, ''),
-                                c -> CAST(ascii(c) AS BIGINT))),
-               (a, b) -> (a * 131 + b) % 2147483647) AS fp,
+      SELECT doc_id, t.i AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th[t.i:t.i+7]),
+                         (a, b) -> (a * 131 + b) % 2147483647) AS fp,
              count(*) OVER (PARTITION BY doc_id) AS n_shingles
-      FROM g
+      FROM w, unnest(range(1, greatest(len(th) - 7, 0) + 1)) AS t(i)
     ),
     m AS (
       SELECT doc_id,

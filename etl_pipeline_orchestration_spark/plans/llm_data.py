@@ -171,7 +171,7 @@ def quality_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT lang,
-             (doc_id * 2654435761) % 4294967296 % 1000 AS bucket
+             ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 AS bucket
       FROM documents
     )
     SELECT lang,
@@ -201,7 +201,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang
     FROM documents
-    WHERE (doc_id * 2654435761) % 4294967296 % 1000
+    WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000
           < (CASE WHEN lang = 'en' THEN 0.25 ELSE 0.5 END) * 1000
     """,
 )
@@ -234,9 +234,9 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn
       FROM q
     )
-    SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 800
+    SELECT CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 < 800
                   THEN 'train'
-                WHEN (doc_id * 2654435761) % 4294967296 % 1000 < 900
+                WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 < 900
                   THEN 'val'
                 ELSE 'test' END AS split,
            lang,
@@ -1212,7 +1212,7 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, lang, n_chars
     FROM documents
-    WHERE ((doc_id * 2654435761) % 4294967296) % 1000
+    WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) % 1000
           < least(n_chars / 4000.0, 1.0) * 1000
     """,
 )

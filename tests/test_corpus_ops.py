@@ -136,7 +136,7 @@ def test_training_shards_stable_and_balanced(spark):
     assert len(rows) == 500
     shards = {}
     for r in rows:
-        assert r["shard"] == (r["doc_id"] * 2654435761 % 4294967296) % 8
+        assert r["shard"] == (r["doc_id"] % 2147483648 * 2654435761 % 4294967296) % 8
         shards.setdefault(r["shard"], []).append(r["pos"])
     # Positions are a contiguous 1..n sequence inside every shard.
     for positions in shards.values():
@@ -318,13 +318,20 @@ def test_doc_fingerprints_poly_matches_python(spark):
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40).collect()
     M = 2147483647
+
+    def tok_hash(w):
+        h = 0
+        for ch in w:
+            h = (h * 131 + ord(ch)) % M
+        return h
+
     for d in docs:
-        toks = re.split(r"\s+", d["text"].strip())
+        th = [tok_hash(w) for w in re.split(r"\s+", d["text"].strip())]
         want = set()
-        for i in range(max(len(toks) - 7, 0)):
+        for i in range(max(len(th) - 7, 0)):
             h = 0
-            for ch in " ".join(toks[i : i + 8]):
-                h = (h * 131 + ord(ch)) % M
+            for x in th[i : i + 8]:
+                h = (h * 131 + x) % M
             if h % 4 == 0:
                 want.add(h)
         assert got.get(d["doc_id"], set()) == want
@@ -340,14 +347,21 @@ def test_winnow_density_guarantee_and_subset(spark):
     for r in _run(spark, "doc_fingerprints_winnow").collect():
         winnow.setdefault(r["doc_id"], set()).add(r["fp"])
     M = 2147483647
+
+    def tok_hash(w):
+        h = 0
+        for ch in w:
+            h = (h * 131 + ord(ch)) % M
+        return h
+
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40).collect()
     for d in docs:
-        toks = re.split(r"\s+", d["text"].strip())
+        th = [tok_hash(w) for w in re.split(r"\s+", d["text"].strip())]
         hashes = []
-        for i in range(max(len(toks) - 7, 0)):
+        for i in range(max(len(th) - 7, 0)):
             h = 0
-            for ch in " ".join(toks[i : i + 8]):
-                h = (h * 131 + ord(ch)) % M
+            for x in th[i : i + 8]:
+                h = (h * 131 + x) % M
             hashes.append(h)
         if len(hashes) < 4:
             assert d["doc_id"] not in winnow
@@ -439,3 +453,25 @@ def test_thresholded_queries_non_vacuous_at_bench_sf(spark):
     assert contamination > 0
     leakage = registry.QUERIES["split_leakage_report"](spark, sf).count()
     assert leakage > 0
+
+
+def test_knuth_hash_ansi_safe_for_full_int64_id_space(spark):
+    """The raw doc_id*2654435761 product overflows int64 (ANSI throw)
+    beyond ~3.49e9 ids — a realistic 100 TB corpus size. The mod-2^31
+    pre-reduction must hash huge ids without error AND leave small ids
+    (every existing oracle) unchanged."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    big = spark.createDataFrame(
+        [(2**31 - 1,), (2**31,), (2**62,), (2**63 - 1,), (5,)], "doc_id long"
+    )
+    rows = {
+        r["doc_id"]: r["b"]
+        for r in big.select(
+            "doc_id", bucket_of(F.col("doc_id")).alias("b")
+        ).collect()  # would raise ARITHMETIC_OVERFLOW pre-fix
+    }
+    assert all(0 <= v < 1000 for v in rows.values())
+    assert rows[5] == (5 * 2654435761 % 2**32) % 1000  # small ids unchanged
