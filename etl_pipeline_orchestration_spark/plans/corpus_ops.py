@@ -818,20 +818,22 @@ def _shingle_fold(th_col: str, start_col: str, window: int = 8) -> F.Column:
     """,
 )
 def doc_fingerprints_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style fingerprints with a CROSS-ENGINE hash: 8-token
-    shingles hashed by a polynomial char fold (h = h*131 + code mod
-    2^31-1, the classic Rabin-Karp base-131 form — public method),
-    keeping hashes ≡ 0 (mod 4) as the sketch. The sibling
-    ``doc_fingerprints`` uses xxhash64 (stronger, JVM-only) and can
-    only be rows-checked; this variant trades hash quality for an
-    arithmetic both engines evaluate bit-identically, making the
+    """Winnowing-style fingerprints with a CROSS-ENGINE hash: each
+    token is char-folded once (h = h*131 + code mod 2^31-1, the classic
+    Rabin-Karp base-131 form — public method), each 8-token shingle
+    folds those token hashes, and hashes ≡ 0 (mod 4) are the sketch.
+    The sibling ``doc_fingerprints`` uses xxhash64 (stronger, JVM-only)
+    and can only be rows-checked; this variant trades hash quality for
+    an arithmetic both engines evaluate bit-identically, making the
     fingerprint RELATION itself oracle-verifiable — the sketch
     selection, dedup, and per-doc membership all get hash-equality
     coverage instead of a row count.
 
     Plan shape: per-row higher-order-function work only (no UDF — the
-    fold runs inside codegen), one explode, one distinct keyed on
-    (doc_id, fp). The mod-4 keep means output ~= tokens/4 rows per doc.
+    folds run inside codegen), one explode, one distinct keyed on
+    (doc_id, fp); per-char work is paid once per document, not once
+    per overlapping shingle (see ``_token_hashes``). The mod-4 keep
+    means output ~= tokens/4 rows per doc.
     """
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", _token_hashes().alias("th"))
