@@ -105,6 +105,7 @@ HEADLINE = [
     "curation_end_to_end",
     "multimodal_wav_features",
     "multimodal_video_frames",
+    "char_entropy_scores",
 ]
 
 

