@@ -106,6 +106,7 @@ HEADLINE = [
     "multimodal_wav_features",
     "multimodal_video_frames",
     "char_entropy_scores",
+    "shingle_novelty_scores",
 ]
 
 

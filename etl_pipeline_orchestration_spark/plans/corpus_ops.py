@@ -1312,3 +1312,85 @@ def char_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_6dp",
         )
     )
+
+
+@query(
+    "shingle_novelty_scores",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS th
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th[t.i:t.i+7]),
+                         (a, b) -> (a * 131 + b) % 2147483647) AS fp
+      FROM w, unnest(range(1, greatest(len(th) - 7, 0) + 1)) AS t(i)
+    ),
+    first_seen AS (
+      SELECT fp, min(doc_id) AS first_doc FROM sh GROUP BY fp
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_repeated,
+           round((sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+                  * CAST(1.0 AS DOUBLE) / count(*)) * 1e6) / 1e6
+             AS repeat_frac
+    FROM sh s JOIN first_seen f ON s.fp = f.fp
+    GROUP BY s.doc_id
+    """,
+)
+def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication rate against the earlier corpus: the
+    fraction of a document's distinct 8-token shingles whose first
+    occurrence (by doc_id order) is in an EARLIER document — the exact
+    metric corpus-dedup analyses report ("X% of tokens are duplicated
+    text") and the gating signal for dropping mostly-recycled pages.
+    Complements the pairwise detectors: no candidate generation, no
+    threshold — every document gets a score in one pass.
+
+    100 TB shape: distinct (doc_id, shingle-hash) relation → min
+    aggregation keyed on the 8-byte hash (map-side combined, uniform
+    keys) → broadcast-free join back on the same key and a doc_id
+    reduction. Three shuffles total, all on uniformly distributed
+    keys; state per key is one int64. Same denominator-safety argument
+    as boiler_frac for the 6dp rounding (shingle counts < 2^7).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _token_hashes().alias("th"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("th") - 7, F.lit(0)), F.lit(1)
+    )
+    sh = (
+        base.select("doc_id", F.explode(starts).alias("i"), "th")
+        .select("doc_id", _shingle_fold("th", "i").alias("fp"))
+        .distinct()
+    )
+    first_seen = sh.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    rep = F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(first_seen, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(rep).cast("bigint").alias("n_repeated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_repeated",
+            (
+                F.round(
+                    F.col("n_repeated").cast("double") / F.col("n_shingles") * 1e6
+                )
+                / 1e6
+            ).alias("repeat_frac"),
+        )
+    )

@@ -500,3 +500,47 @@ def test_char_entropy_margins_and_extremes(spark):
         min_margin = min(min_margin, frac)
         assert 0.0 <= got["entropy_6dp"] <= math.log2(max(len(counts), 2))
     assert min_margin > 1e-4  # dwarfs the ~1e-14 cross-engine sum ulps
+
+
+def test_shingle_novelty_planted_copy_scores_one(spark):
+    # Semantic pin: an exact copy of an earlier doc must score
+    # repeat_frac == 1.0, and the original (if its shingles are unique
+    # corpus-wide) scores 0. Build a tiny frame to control content.
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        _shingle_fold,
+        _token_hashes,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "one two three four five six seven eight nine ten eleven"),
+        ],
+        "doc_id long, text string",
+    )
+    base = docs.select("doc_id", _token_hashes().alias("th"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("th") - 7, F.lit(0)), F.lit(1))
+    sh = (
+        base.select("doc_id", F.explode(starts).alias("i"), "th")
+        .select("doc_id", _shingle_fold("th", "i").alias("fp"))
+        .distinct()
+    )
+    first = sh.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    rows = {
+        r["doc_id"]: r
+        for r in sh.join(first, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+            ).alias("rep"),
+        )
+        .collect()
+    }
+    assert rows[1]["rep"] == 0
+    assert rows[2]["rep"] == rows[2]["n"]  # full copy: every shingle repeated
+    assert rows[3]["rep"] == 0
