@@ -107,6 +107,9 @@ HEADLINE = [
     "multimodal_video_frames",
     "char_entropy_scores",
     "shingle_novelty_scores",
+    "padding_efficiency_report",
+    "source_cap_sample",
+    "split_unigram_kl",
 ]
 
 

@@ -1394,3 +1394,196 @@ def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("repeat_frac"),
         )
     )
+
+
+@query(
+    "padding_efficiency_report",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(ceil(n_tok * CAST(1.0 AS DOUBLE) / 64) * 64 AS BIGINT)
+               AS bucket_len
+      FROM t
+    )
+    SELECT bucket_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(count(*) * bucket_len AS BIGINT) AS padded_tokens,
+           round((1.0 - sum(n_tok) * CAST(1.0 AS DOUBLE)
+                  / (count(*) * bucket_len)) * 1e6) / 1e6 AS waste_frac
+    FROM b GROUP BY bucket_len
+    """,
+)
+def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report: documents rounded up to
+    64-token buckets, with the padding waste each bucket pays if
+    batched at its bucket length — the number a training-efficiency
+    team watches when choosing bucket boundaries (uniform batching of
+    mixed lengths wastes FLOPs on pad tokens; bucketing recovers
+    them). Everything is exact integers except the final waste ratio.
+
+    100 TB: one scan, one aggregation keyed on ~tens of buckets —
+    map-side combine collapses the corpus before any shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    b = docs.select(
+        n_tok.alias("n_tok"),
+        (F.ceil(n_tok * F.lit(1.0).cast("double") / 64) * 64)
+        .cast("bigint")
+        .alias("bucket_len"),
+    )
+    return (
+        b.groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+        )
+        .select(
+            "bucket_len",
+            "n_docs",
+            "real_tokens",
+            (F.col("n_docs") * F.col("bucket_len"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            (
+                F.round(
+                    (
+                        F.lit(1.0)
+                        - F.col("real_tokens") * F.lit(1.0).cast("double")
+                        / (F.col("n_docs") * F.col("bucket_len"))
+                    )
+                    * 1e6
+                )
+                / 1e6
+            ).alias("waste_frac"),
+        )
+    )
+
+
+@query(
+    "source_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_KNUTH}, doc_id) AS rnk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(rnk AS BIGINT) AS source_rank
+    FROM ranked WHERE rnk <= 20
+    """,
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (RefinedWeb-style domain capping): keep
+    at most 20 documents per source, chosen by deterministic hash
+    order rather than arrival order — so no source dominates the
+    training mixture and the kept set is stable across runs and
+    engines. Capping by hash rank (not ``LIMIT`` inside a group) makes
+    the selection reproducible AND uniformly random per source.
+
+    100 TB: one (source)-partitioned window; with millions of
+    sources the partitioning is fine-grained and uniform, and the
+    rank filter prunes to the cap before anything else touches the
+    rows. A skewed mega-source pays one sorted partition — the sort
+    is spillable, and a production variant pre-filters with an
+    approximate per-source count to skip sorting sources under the
+    cap.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.expr(_KNUTH), "doc_id")
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).cast("bigint").alias("source_rank")
+        )
+        .filter(F.col("source_rank") <= 20)
+    )
+
+
+@query(
+    "split_unigram_kl",
+    oracle=f"""
+    WITH words AS (
+      SELECT lang,
+             CASE WHEN {_KNUTH} % 1000 < 800 THEN 'train'
+                  WHEN {_KNUTH} % 1000 < 900 THEN 'val'
+                  ELSE 'test' END AS split,
+             unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    f AS (
+      SELECT lang, split, word, count(*) AS c FROM words
+      WHERE split IN ('train', 'val') GROUP BY lang, split, word
+    ),
+    piv AS (
+      SELECT lang, word,
+             sum(CASE WHEN split = 'train' THEN c ELSE 0 END) AS ct,
+             sum(CASE WHEN split = 'val' THEN c ELSE 0 END) AS cv
+      FROM f GROUP BY lang, word
+    ),
+    tot AS (
+      SELECT lang, sum(ct) AS nt, sum(cv) AS nv, count(*) AS v
+      FROM piv GROUP BY lang
+    )
+    SELECT p.lang,
+           CAST(t.v AS BIGINT) AS vocab_size,
+           CAST(t.nt AS BIGINT) AS n_train_tokens,
+           CAST(t.nv AS BIGINT) AS n_val_tokens,
+           round(sum(((p.ct + 1) * CAST(1.0 AS DOUBLE) / (t.nt + t.v))
+                     * log2(((p.ct + 1) * CAST(1.0 AS DOUBLE) / (t.nt + t.v))
+                            / ((p.cv + 1) * CAST(1.0 AS DOUBLE) / (t.nv + t.v))))
+                 * 1e6) / 1e6 AS kl_6dp
+    FROM piv p JOIN tot t ON p.lang = t.lang
+    GROUP BY p.lang, t.v, t.nt, t.nv
+    """,
+)
+def split_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val distribution shift per language: add-1-smoothed KL
+    divergence between the splits' unigram distributions — the eval
+    hygiene check that catches a split whose validation text is not
+    representative of training (KL near 0 = healthy split; spikes mean
+    the hash split correlates with content, or one split starved).
+
+    100 TB shape: words explode once, two aggregations (per
+    (lang, split, word), then per (lang, word) pivot), both bounded by
+    vocabulary size after the first map-side combine; the KL reduction
+    is per-lang over the joint vocab. Float discipline: the KL sum is
+    order-dependent; measured half-boundary margins at 6dp are >=0.016
+    at both test SFs — 13 orders above the cross-engine ulp scale.
+    """
+    from etl_pipeline_orchestration_spark.operators.sampling import with_split
+
+    docs = with_split(load_table(spark, sf_dir, "documents"))
+    words = docs.filter(F.col("split").isin("train", "val")).select(
+        "lang",
+        "split",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    f = words.groupBy("lang", "split", "word").agg(F.count(F.lit(1)).alias("c"))
+    piv = f.groupBy("lang", "word").agg(
+        F.sum(F.when(F.col("split") == "train", F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("split") == "val", F.col("c")).otherwise(0)).alias("cv"),
+    )
+    tot = piv.groupBy("lang").agg(
+        F.sum("ct").alias("nt"), F.sum("cv").alias("nv"), F.count(F.lit(1)).alias("v")
+    )
+    p = (F.col("ct") + 1) * F.lit(1.0).cast("double") / (F.col("nt") + F.col("v"))
+    q = (F.col("cv") + 1) * F.lit(1.0).cast("double") / (F.col("nv") + F.col("v"))
+    return (
+        piv.join(tot, "lang")
+        .groupBy("lang", "v", "nt", "nv")
+        .agg((F.round(F.sum(p * F.log2(p / q)) * 1e6) / 1e6).alias("kl_6dp"))
+        .select(
+            "lang",
+            F.col("v").cast("bigint").alias("vocab_size"),
+            F.col("nt").cast("bigint").alias("n_train_tokens"),
+            F.col("nv").cast("bigint").alias("n_val_tokens"),
+            "kl_6dp",
+        )
+    )

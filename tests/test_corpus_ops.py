@@ -544,3 +544,36 @@ def test_shingle_novelty_planted_copy_scores_one(spark):
     assert rows[1]["rep"] == 0
     assert rows[2]["rep"] == rows[2]["n"]  # full copy: every shingle repeated
     assert rows[3]["rep"] == 0
+
+
+def test_padding_and_cap_and_kl_semantics(spark):
+    import math
+
+    # Padding report: buckets are 64-multiples, waste consistent.
+    pad = _run(spark, "padding_efficiency_report").collect()
+    assert pad and all(r["bucket_len"] % 64 == 0 for r in pad)
+    for r in pad:
+        assert r["real_tokens"] <= r["padded_tokens"]
+        expect = 1.0 - r["real_tokens"] / r["padded_tokens"]
+        assert abs(r["waste_frac"] - expect) < 1e-6
+
+    # Source cap: nobody exceeds 20, ranks are contiguous prefixes,
+    # and selection is stable (pure function of doc_id).
+    cap = _run(spark, "source_cap_sample").collect()
+    per = {}
+    for r in cap:
+        per.setdefault(r["source"], []).append(r["source_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 20
+               for v in per.values())
+    again = {(r["source"], r["doc_id"]) for r in
+             _run(spark, "source_cap_sample").collect()}
+    assert again == {(r["source"], r["doc_id"]) for r in cap}
+
+    # KL: non-negative, zero only for identical distributions, and the
+    # synthetic per-lang shift stays moderate (healthy hash split).
+    kl = _run(spark, "split_unigram_kl").collect()
+    assert len(kl) >= 2
+    for r in kl:
+        assert r["kl_6dp"] >= 0.0
+        assert r["kl_6dp"] < 1.0  # a pathological split would spike this
+        assert r["n_train_tokens"] > r["n_val_tokens"]  # 80/10 budget
