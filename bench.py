@@ -110,6 +110,7 @@ HEADLINE = [
     "padding_efficiency_report",
     "source_cap_sample",
     "split_unigram_kl",
+    "pmi_collocations",
 ]
 
 

@@ -1587,3 +1587,107 @@ def split_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_6dp",
         )
     )
+
+
+@query(
+    "pmi_collocations",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    bi AS (
+      SELECT ws[t.i] AS w1, ws[t.i + 1] AS w2, count(*) AS c12
+      FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)
+      GROUP BY w1, w2
+    ),
+    uni AS (
+      SELECT word, count(*) AS c FROM (
+        SELECT unnest(ws) AS word FROM w
+      ) GROUP BY word
+    ),
+    tot AS (
+      SELECT sum(c) AS n_uni, (SELECT sum(c12) FROM bi) AS n_bi FROM uni
+    )
+    SELECT b.w1, b.w2,
+           CAST(b.c12 AS BIGINT) AS pair_count,
+           round(log2((b.c12 * CAST(1.0 AS DOUBLE) / t.n_bi)
+                      / ((u1.c * CAST(1.0 AS DOUBLE) / t.n_uni)
+                         * (u2.c * CAST(1.0 AS DOUBLE) / t.n_uni)))
+                 * 1e6) / 1e6 AS pmi_6dp
+    FROM bi b
+    JOIN uni u1 ON b.w1 = u1.word
+    JOIN uni u2 ON b.w2 = u2.word
+    CROSS JOIN tot t
+    WHERE b.c12 >= 30
+    ORDER BY pmi_6dp DESC, b.w1, b.w2 LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top-20
+    adjacent word pairs whose co-occurrence most exceeds independence
+    (PMI = log2 p(xy)/(p(x)p(y)), min count 30) — the classic phrase
+    detector behind multi-word tokenizer entries and "New York"-style
+    phrase merging (Church & Hanks 1990, public method).
+
+    100 TB shape: bigram and unigram histograms (both map-side
+    combined, bounded by vocab size), two broadcast-sized joins on
+    words, scalar totals via a 1-row cross join, top-20 via
+    TakeOrderedAndProject. Float discipline: PMI is a per-row log of
+    exact-integer ratios — no order-dependent summation anywhere; the
+    6dp rounding only needs the ratio to miss half-boundaries, checked
+    by the margin test.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(ws.alias("ws"))
+    bi = (
+        base.select(
+            F.explode(
+                F.expr(
+                    # Spark's sequence(1, 0, 1) THROWS (illegal bounds), so
+                    # single-word docs need the greatest() floor; the one
+                    # spurious index then yields w2 = ws[1] = NULL, filtered
+                    # below — split() never produces null elements, so the
+                    # filter exactly matches the oracle's empty range().
+                    "transform(sequence(1, greatest(size(ws) - 1, 1)),"
+                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = (
+        base.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("c12").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log2(
+        (F.col("c12") * F.lit(1.0).cast("double") / F.col("n_bi"))
+        / (
+            (F.col("c1") * F.lit(1.0).cast("double") / F.col("n_uni"))
+            * (F.col("c2") * F.lit(1.0).cast("double") / F.col("n_uni"))
+        )
+    )
+    return (
+        bi.filter(F.col("c12") >= 30)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("pair_count"),
+            (F.round(pmi * 1e6) / 1e6).alias("pmi_6dp"),
+        )
+        .orderBy(F.desc("pmi_6dp"), "w1", "w2")
+        .limit(20)
+    )

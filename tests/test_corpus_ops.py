@@ -577,3 +577,41 @@ def test_padding_and_cap_and_kl_semantics(spark):
         assert r["kl_6dp"] >= 0.0
         assert r["kl_6dp"] < 1.0  # a pathological split would spike this
         assert r["n_train_tokens"] > r["n_val_tokens"]  # 80/10 budget
+
+
+def test_pmi_margins_and_single_word_edge(spark):
+    import collections
+    import math
+    import re
+
+    rows = _run(spark, "pmi_collocations").collect()
+    assert len(rows) == 20
+    # Python cross-check + margin measurement on the returned pairs.
+    uni, bi = collections.Counter(), collections.Counter()
+    for d in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        ws = re.split(r"\s+", d["text"].strip())
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+    for r in rows:
+        c12 = bi[(r["w1"], r["w2"])]
+        assert c12 == r["pair_count"] >= 30
+        pmi = math.log2((c12 / n_bi) / ((uni[r["w1"]] / n_uni) * (uni[r["w2"]] / n_uni)))
+        assert abs(pmi - r["pmi_6dp"]) < 1e-5
+        frac = abs(pmi * 1e6 - math.floor(pmi * 1e6) - 0.5)
+        assert frac > 1e-6
+    # Single-word documents must not crash nor contribute pairs.
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import pmi_collocations  # noqa: F401
+    from pyspark.sql import functions as F
+
+    solo = spark.createDataFrame([("solo",)], "text string")
+    pairs = solo.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 1, 1)),"
+                " i -> struct(split(trim(text), '\\\\s+')[i - 1] AS w1,"
+                " split(trim(text), '\\\\s+')[i] AS w2))"
+            )
+        ).alias("p")
+    ).filter(F.col("p.w2").isNotNull()).count()
+    assert pairs == 0
