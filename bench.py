@@ -111,6 +111,7 @@ HEADLINE = [
     "source_cap_sample",
     "split_unigram_kl",
     "pmi_collocations",
+    "zipf_slope_by_lang",
 ]
 
 

@@ -615,3 +615,27 @@ def test_pmi_margins_and_single_word_edge(spark):
         ).alias("p")
     ).filter(F.col("p.w2").isNotNull()).count()
     assert pairs == 0
+
+
+def test_zipf_slope_matches_python_ols(spark):
+    import collections
+    import math
+    import re
+
+    got = {r["lang"]: r for r in _run(spark, "zipf_slope_by_lang").collect()}
+    cnt = collections.defaultdict(collections.Counter)
+    for d in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        cnt[d["lang"]].update(re.split(r"\s+", d["text"].strip()))
+    for lang, c in cnt.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+        xs = [math.log2(i + 1) for i in range(len(top))]
+        ys = [math.log2(f) for _, f in top]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        assert got[lang]["n_types"] == n
+        assert abs(got[lang]["zipf_slope_4dp"] - slope) < 1e-3
+        # Synthetic uniform-vocab corpus must read non-Zipfian (flat):
+        assert -0.6 < got[lang]["zipf_slope_4dp"] < 0.0
