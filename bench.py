@@ -112,6 +112,7 @@ HEADLINE = [
     "split_unigram_kl",
     "pmi_collocations",
     "zipf_slope_by_lang",
+    "dedup_keep_fullest_by_lead",
 ]
 
 

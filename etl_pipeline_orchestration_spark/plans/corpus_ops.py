@@ -1761,3 +1761,96 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         (F.round(slope * 1e4) / 1e4).alias("zipf_slope_4dp"),
     )
+
+
+@query(
+    "dedup_keep_fullest_by_lead",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id,
+             array_to_string(
+               (string_split_regex(trim(text), '\\s+'))[
+                 1 : greatest(CAST(len(string_split_regex(trim(text), '\\s+'))
+                                   * 3 // 5 AS BIGINT), 8)],
+               ' ') AS text
+      FROM documents WHERE doc_id < 25
+    ),
+    keyed AS (
+      SELECT doc_id, text,
+             array_to_string(
+               (string_split_regex(trim(text), '\\s+'))[1:8], ' ') AS lead_key,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM corpus
+    ),
+    ranked AS (
+      SELECT doc_id, lead_key, n_tok,
+             row_number() OVER (PARTITION BY lead_key
+                                ORDER BY n_tok DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lead_key) AS n_members
+      FROM keyed
+    )
+    SELECT lead_key,
+           CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS keep_id,
+           CAST(n_tok AS BIGINT) AS keep_tokens
+    FROM ranked WHERE rn = 1 AND n_members > 1
+    """,
+)
+def dedup_keep_fullest_by_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-prefix dedup with fullest-version selection: documents
+    sharing their first 8 tokens (same title/lead — the crawl
+    heuristic for re-published and truncated copies) cluster together,
+    and the cluster keeps its LONGEST member, not its lowest id —
+    curation prefers the fullest version of a page, unlike
+    ``dedup_exact_text`` which keeps an arbitrary canonical. Planted
+    truncated copies (60% prefixes of doc_id < 25 under new ids) make
+    the query non-vacuous on this dup-free corpus and pin that the
+    original, not the truncation, survives.
+
+    100 TB shape: one window over the lead-key hash partitioning;
+    groups are tiny (dup clusters), so no skew concern; only clusters
+    with >1 member reach the output.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                toks,
+                1,
+                F.greatest(
+                    (F.size(toks) * 3 / 5).cast("bigint"), F.lit(8)
+                ).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    ctoks = F.split(F.trim(F.col("text")), r"\s+")
+    keyed = corpus.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(ctoks, 1, 8)).alias("lead_key"),
+        F.size(ctoks).alias("n_tok"),
+    )
+    w = Window.partitionBy("lead_key")
+    ranked = keyed.select(
+        "doc_id",
+        "lead_key",
+        "n_tok",
+        F.row_number()
+        .over(w.orderBy(F.desc("n_tok"), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_members"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "lead_key",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_tok").cast("bigint").alias("keep_tokens"),
+        )
+    )

@@ -639,3 +639,14 @@ def test_zipf_slope_matches_python_ols(spark):
         assert abs(got[lang]["zipf_slope_4dp"] - slope) < 1e-3
         # Synthetic uniform-vocab corpus must read non-Zipfian (flat):
         assert -0.6 < got[lang]["zipf_slope_4dp"] < 0.0
+
+
+def test_dedup_keep_fullest_prefers_original_over_truncation(spark):
+    rows = _run(spark, "dedup_keep_fullest_by_lead").collect()
+    assert rows  # planted truncations guarantee clusters
+    for r in rows:
+        # The keeper is never a planted truncated copy: originals are
+        # at least as long and win the (n_tok DESC, doc_id) order.
+        assert r["keep_id"] < 1_000_000_000
+        assert r["n_members"] >= 2
+        assert len(r["lead_key"].split(" ")) == 8
