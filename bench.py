@@ -113,6 +113,7 @@ HEADLINE = [
     "pmi_collocations",
     "zipf_slope_by_lang",
     "dedup_keep_fullest_by_lead",
+    "conditional_entropy_by_lang",
 ]
 
 

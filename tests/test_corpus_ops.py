@@ -650,3 +650,28 @@ def test_dedup_keep_fullest_prefers_original_over_truncation(spark):
         assert r["keep_id"] < 1_000_000_000
         assert r["n_members"] >= 2
         assert len(r["lead_key"].split(" ")) == 8
+
+
+def test_conditional_entropy_bounds_and_python_parity(spark):
+    import collections
+    import math
+    import re
+
+    got = {r["lang"]: r for r in _run(spark, "conditional_entropy_by_lang").collect()}
+    uni = collections.defaultdict(collections.Counter)
+    bi = collections.defaultdict(collections.Counter)
+    for d in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        ws = re.split(r"\s+", d["text"].strip())
+        uni[d["lang"]].update(ws[:-1])
+        bi[d["lang"]].update(zip(ws, ws[1:]))
+    for lang in uni:
+        nb = sum(bi[lang].values())
+        H = -sum(
+            c / nb * math.log2(c / uni[lang][w1]) for (w1, _), c in bi[lang].items()
+        )
+        r = got[lang]
+        assert r["n_bigram_tokens"] == nb
+        assert r["n_bigram_types"] == len(bi[lang])
+        assert abs(r["cond_entropy_4dp"] - H) < 1e-3
+        # Conditioning can only reduce entropy: H(w2|w1) <= log2 |vocab|
+        assert 0.0 < r["cond_entropy_4dp"] < math.log2(len(uni[lang]) + 1)
