@@ -1938,3 +1938,41 @@ def conditional_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cond_entropy_4dp",
         )
     )
+
+
+@query(
+    "lsh_recall_curve",
+    oracle="""
+    WITH grid AS (
+      SELECT t.i AS s_pct FROM unnest(range(5, 100, 5)) AS t(i)
+    )
+    SELECT CAST(s_pct AS BIGINT) AS s_pct,
+           round((1.0 - pow(1.0 - pow(s_pct * CAST(1.0 AS DOUBLE) / 100,
+                                      4), 8)) * 1e6) / 1e6
+             AS detect_prob_6dp
+    FROM grid
+    """,
+)
+def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S-curve of the repo's own MinHash-LSH configuration
+    (operators/dedup.py: 32 hashes, 8 bands x 4 rows): detection
+    probability 1-(1-s^r)^b across a Jaccard-similarity grid — the
+    table an operator reads before changing band counts ("at s=0.8,
+    do we catch 97% or 60%?"). Registered as a query so the deployed
+    config's recall contract is itself oracle-verified and visible in
+    the registry next to the detectors it governs; the empirical
+    counterpart is the planted-pair recall certification in
+    tests/test_dedup_similarity.py.
+
+    Pure per-row math on a 19-row grid — no data scanned; pow() on
+    exact grid ratios is engine-deterministic and margins at 6dp are
+    checked by the test.
+    """
+    _ = load_table(spark, sf_dir, "region")  # touch sf_dir per contract
+    grid = spark.range(1, 20).select((F.col("id") * 5).alias("s_pct"))
+    s = F.col("s_pct") * F.lit(1.0).cast("double") / 100
+    prob = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(s, F.lit(4.0)), F.lit(8.0))
+    return grid.select(
+        F.col("s_pct").cast("bigint").alias("s_pct"),
+        (F.round(prob * 1e6) / 1e6).alias("detect_prob_6dp"),
+    )

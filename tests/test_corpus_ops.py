@@ -675,3 +675,24 @@ def test_conditional_entropy_bounds_and_python_parity(spark):
         assert abs(r["cond_entropy_4dp"] - H) < 1e-3
         # Conditioning can only reduce entropy: H(w2|w1) <= log2 |vocab|
         assert 0.0 < r["cond_entropy_4dp"] < math.log2(len(uni[lang]) + 1)
+
+
+def test_lsh_recall_curve_shape_and_margins(spark):
+    import math
+
+    rows = sorted(
+        _run(spark, "lsh_recall_curve").collect(), key=lambda r: r["s_pct"]
+    )
+    assert [r["s_pct"] for r in rows] == list(range(5, 100, 5))
+    probs = [r["detect_prob_6dp"] for r in rows]
+    # Monotone S-curve pinned to the 8x4 config's analytic values.
+    assert probs == sorted(probs)
+    for r in rows:
+        s = r["s_pct"] / 100
+        p = 1.0 - (1.0 - s**4) ** 8
+        assert abs(r["detect_prob_6dp"] - p) < 1e-6
+        frac = abs(p * 1e6 - math.floor(p * 1e6) - 0.5)
+        assert frac > 1e-7, (r["s_pct"], p)
+    # The config's contract: strong recall at s>=0.8, weak at s<=0.3.
+    assert dict(zip([r["s_pct"] for r in rows], probs))[80] > 0.95
+    assert dict(zip([r["s_pct"] for r in rows], probs))[30] < 0.10
