@@ -114,6 +114,8 @@ HEADLINE = [
     "zipf_slope_by_lang",
     "dedup_keep_fullest_by_lead",
     "conditional_entropy_by_lang",
+    "lsh_recall_curve",
+    "vocab_coverage_curve",
 ]
 
 

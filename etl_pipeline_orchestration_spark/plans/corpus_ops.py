@@ -1976,3 +1976,86 @@ def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_pct").cast("bigint").alias("s_pct"),
         (F.round(prob * 1e6) / 1e6).alias("detect_prob_6dp"),
     )
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, word, count(*) AS c FROM (
+        SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents
+      ) GROUP BY lang, word
+    ),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, word) AS rnk,
+             sum(c) OVER (PARTITION BY lang) AS total
+      FROM counts
+    ),
+    grid AS (SELECT t.k FROM unnest([10, 100, 1000]) AS t(k))
+    SELECT r.lang,
+           CAST(g.k AS BIGINT) AS top_k,
+           CAST(sum(CASE WHEN r.rnk <= g.k THEN r.c ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           CAST(any_value(r.total) AS BIGINT) AS total_tokens,
+           round((sum(CASE WHEN r.rnk <= g.k THEN r.c ELSE 0 END)
+                  * CAST(1.0 AS DOUBLE) / any_value(r.total)) * 1e6) / 1e6
+             AS coverage_frac
+    FROM ranked r CROSS JOIN grid g
+    GROUP BY r.lang, g.k
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage planning table: per language, what fraction
+    of all token occurrences the top-10/100/1000 word types cover —
+    the number that sizes a tokenizer vocabulary or a stopword list
+    (coverage saturating early = low lexical diversity; slow coverage
+    growth = long tail needing subword units). Integer cumulative
+    sums; the single ratio divides identical exact integers on both
+    engines, so even an exact half-boundary rounds the same way.
+
+    100 TB shape: word histogram (map-side combined) → per-lang rank
+    window on histogram rows → a 3-row grid cross join and one
+    reduction; corpus-scale work is the histogram alone.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("lang")
+    ranked = counts.select(
+        "lang",
+        "c",
+        F.row_number().over(w.orderBy(F.desc("c"), "word")).alias("rnk"),
+        F.sum("c").over(w).alias("total"),
+    )
+    grid = spark.createDataFrame([(10,), (100,), (1000,)], "k long")
+    cov = F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("c")).otherwise(0))
+    return (
+        ranked.crossJoin(F.broadcast(grid))
+        .groupBy("lang", "k")
+        .agg(
+            cov.cast("bigint").alias("covered_tokens"),
+            F.any_value("total").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            F.col("k").cast("bigint").alias("top_k"),
+            "covered_tokens",
+            "total_tokens",
+            (
+                F.round(
+                    F.col("covered_tokens")
+                    * F.lit(1.0).cast("double")
+                    / F.col("total_tokens")
+                    * 1e6
+                )
+                / 1e6
+            ).alias("coverage_frac"),
+        )
+    )

@@ -696,3 +696,17 @@ def test_lsh_recall_curve_shape_and_margins(spark):
     # The config's contract: strong recall at s>=0.8, weak at s<=0.3.
     assert dict(zip([r["s_pct"] for r in rows], probs))[80] > 0.95
     assert dict(zip([r["s_pct"] for r in rows], probs))[30] < 0.10
+
+
+def test_vocab_coverage_monotone_and_saturating(spark):
+    rows = _run(spark, "vocab_coverage_curve").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["top_k"]] = r
+    for lang, ks in by_lang.items():
+        assert set(ks) == {10, 100, 1000}
+        # Coverage grows with k and saturates at 1.0 once k >= vocab.
+        assert ks[10]["coverage_frac"] <= ks[100]["coverage_frac"] <= 1.0
+        assert ks[1000]["coverage_frac"] == 1.0  # tiny synthetic vocab
+        assert ks[1000]["covered_tokens"] == ks[1000]["total_tokens"]
+        assert 0.0 < ks[10]["coverage_frac"] < 1.0
