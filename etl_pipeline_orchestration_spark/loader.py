@@ -157,15 +157,23 @@ class WarehouseLoader:
         that tax the file index and starve scan vectorization; periodic
         compaction is standard warehouse hygiene. Writes to a scratch
         path first (Spark cannot overwrite a path it is lazily reading),
-        then swaps atomically-enough via rename."""
+        then swaps via rename-aside — rename old out, rename new in,
+        delete old last — so no crash point leaves the table absent
+        (the rmtree-then-rename order had a window where a crash lost
+        the table; same fix as streaming/upsert.py)."""
         import shutil
 
-        src, tmp = self._path(table), self._path(f"__compact_{table}")
+        src = self._path(table)
+        tmp = self._path(f"__compact_{table}")
+        old = self._path(f"__compact_old_{table}")
         self.spark.read.parquet(src).repartition(target_files).write.mode(
             "overwrite"
         ).parquet(tmp)
-        shutil.rmtree(src)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(src, old)
         os.rename(tmp, src)
+        shutil.rmtree(old)
 
     def load_sqlite(
         self,

