@@ -116,6 +116,7 @@ HEADLINE = [
     "conditional_entropy_by_lang",
     "lsh_recall_curve",
     "vocab_coverage_curve",
+    "source_lang_skew",
 ]
 
 

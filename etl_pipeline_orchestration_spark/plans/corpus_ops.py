@@ -2059,3 +2059,65 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_frac"),
         )
     )
+
+
+@query(
+    "source_lang_skew",
+    oracle="""
+    WITH obs AS (
+      SELECT source, lang, count(*) AS o FROM documents GROUP BY source, lang
+    ),
+    st AS (SELECT source, sum(o) AS rs FROM obs GROUP BY source),
+    lt AS (SELECT lang, sum(o) AS cs FROM obs GROUP BY lang),
+    n AS (SELECT sum(o) AS total FROM obs),
+    cells AS (
+      SELECT st.source, lt.lang, st.rs, lt.cs, n.total,
+             coalesce(obs.o, 0) AS o,
+             st.rs * lt.cs * CAST(1.0 AS DOUBLE) / n.total AS e
+      FROM st CROSS JOIN lt CROSS JOIN n
+      LEFT JOIN obs ON obs.source = st.source AND obs.lang = lt.lang
+    )
+    SELECT source,
+           CAST(any_value(rs) AS BIGINT) AS n_docs,
+           round(sum((o - e) * (o - e) / e) * 1e4) / 1e4 AS chi2_4dp
+    FROM cells GROUP BY source
+    """,
+)
+def source_lang_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language skew per crawl source: each source's chi-square
+    contribution against the independence expectation (E = row x col
+    / N, zero cells included) — the audit that catches a source whose
+    language mix diverges from the corpus (a "German" domain suddenly
+    serving English boilerplate, a spam source flooding one bucket).
+    High chi2 = investigate before the mixture weights trust it.
+
+    100 TB shape: the contingency table is one map-side-combined
+    aggregation to |sources| x |langs| rows; marginals and the scalar
+    total reduce further; the zero-cell completion is a cross join of
+    two tiny marginal relations. Nothing beyond the first aggregation
+    touches corpus-scale data. Float discipline: per-source sums over
+    |langs| terms, rounded at 4dp with measured margins >= 0.02.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    st = obs.groupBy("source").agg(F.sum("o").alias("rs"))
+    lt = obs.groupBy("lang").agg(F.sum("o").alias("cs"))
+    n = obs.agg(F.sum("o").alias("total"))
+    cells = (
+        st.crossJoin(F.broadcast(lt))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["source", "lang"], "left")
+        .select(
+            "source",
+            "rs",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (
+                F.col("rs") * F.col("cs") * F.lit(1.0).cast("double") / F.col("total")
+            ).alias("e"),
+        )
+    )
+    chi = F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+    return cells.groupBy("source").agg(
+        F.any_value("rs").cast("bigint").alias("n_docs"),
+        (F.round(chi * 1e4) / 1e4).alias("chi2_4dp"),
+    )

@@ -710,3 +710,28 @@ def test_vocab_coverage_monotone_and_saturating(spark):
         assert ks[1000]["coverage_frac"] == 1.0  # tiny synthetic vocab
         assert ks[1000]["covered_tokens"] == ks[1000]["total_tokens"]
         assert 0.0 < ks[10]["coverage_frac"] < 1.0
+
+
+def test_source_lang_skew_matches_python_chi2(spark):
+    import collections
+    import math
+
+    got = {r["source"]: r for r in _run(spark, "source_lang_skew").collect()}
+    obs = collections.Counter()
+    for d in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        obs[(d["source"], d["lang"])] += 1
+    st = collections.Counter(); lt = collections.Counter()
+    for (s, l), c in obs.items():
+        st[s] += c
+        lt[l] += c
+    N = sum(obs.values())
+    for s in st:
+        chi = sum(
+            (obs.get((s, l), 0) - st[s] * lt[l] / N) ** 2 / (st[s] * lt[l] / N)
+            for l in lt
+        )
+        assert got[s]["n_docs"] == st[s]
+        assert abs(got[s]["chi2_4dp"] - chi) < 1e-3
+        assert got[s]["chi2_4dp"] >= 0.0
+        frac = abs(chi * 1e4 - math.floor(chi * 1e4) - 0.5)
+        assert frac > 1e-5
