@@ -158,14 +158,21 @@ class WarehouseLoader:
         compaction is standard warehouse hygiene. Writes to a scratch
         path first (Spark cannot overwrite a path it is lazily reading),
         then swaps via rename-aside — rename old out, rename new in,
-        delete old last — so no crash point leaves the table absent
-        (the rmtree-then-rename order had a window where a crash lost
-        the table; same fix as streaming/upsert.py)."""
+        delete old last — so no crash point LOSES data: a crash between
+        the two renames leaves the table path briefly absent (data safe
+        in ``__compact_old_<table>``), and the recovery preamble below
+        rolls that aside directory back on the next call, so the window
+        self-heals (the original rmtree-then-rename order could lose
+        the table outright; same fix as streaming/upsert.py)."""
         import shutil
 
         src = self._path(table)
         tmp = self._path(f"__compact_{table}")
         old = self._path(f"__compact_old_{table}")
+        # Recovery: a prior compact() crashed between its two renames —
+        # the data lives only in the aside path; restore it first.
+        if not os.path.exists(src) and os.path.exists(old):
+            os.rename(old, src)
         self.spark.read.parquet(src).repartition(target_files).write.mode(
             "overwrite"
         ).parquet(tmp)

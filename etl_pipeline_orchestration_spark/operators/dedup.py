@@ -92,8 +92,11 @@ def minhash_signatures(
     approximates a uniform permutation minimum. Hashing the
     variable-length string once instead of ``num_hashes`` times removes
     the dominant cost of the old plan; the salted re-hash works on 8-byte
-    inputs. (An affine ``a*h+b`` family would be cheaper still, but int64
-    overflow throws under ANSI sessions — the driver runs ANSI on.)
+    inputs. (An affine ``a*h+b`` family would be marginally cheaper, but
+    it throws on int64 overflow under ANSI sessions — our session.py
+    runs ANSI OFF, yet the xxhash64 form keeps the operator portable to
+    ANSI-on clusters for free, and the re-hash is not the bottleneck:
+    the per-shingle string hash is.)
     """
     sh = _shingles(text_col, shingle_k).alias("__sh__")
     base = F.transform(F.col("__sh__"), lambda s: F.xxhash64(s)).alias("__hs__")

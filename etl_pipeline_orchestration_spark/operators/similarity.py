@@ -252,7 +252,12 @@ def ivf_topk(
     file-level skip, not a filter."""
     if centroids is None:
         centroids = ivf_train_centroids(
-            vectors, k=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+            vectors,
+            k=n_centroids,
+            dim=len(query_vec),
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
         )
     indexed = ivf_assign(vectors, centroids, id_col, vec_col)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -426,8 +431,11 @@ def ivfpq_topk(
     ``zip_with`` projection.
     """
     dim = len(query_vec)
+    # dim must flow to BOTH model fits: the coarse quantizer and the PQ
+    # codebooks have to agree with the query's dimensionality, else
+    # non-64-dim embeddings get silently truncated during training.
     centroids = ivf_train_centroids(
-        vectors, k=n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        vectors, k=n_centroids, dim=dim, id_col=id_col, vec_col=vec_col, seed=seed
     )
     indexed = ivf_assign(vectors, centroids, id_col, vec_col)
     q = np.asarray(query_vec, dtype=np.float64)

@@ -97,10 +97,15 @@ def boilerplate_bigram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     grams = docs.select(
         "doc_id",
+        # Guarded like pmi_collocations: a 1-word document must emit NO
+        # grams (the oracle's range(1, greatest(len-1,0)+1) is empty),
+        # and sequence(1, 0, 1) would throw — CASE WHEN handles both.
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+                "case when size(split(text, ' ')) >= 2 then"
+                " transform(sequence(1, size(split(text, ' ')) - 1),"
                 " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+                " else cast(array() as array<string>) end"
             )
         ).alias("gram"),
     )
@@ -794,6 +799,21 @@ def _shingle_fold(th_col: str, start_col: str, window: int = 8) -> F.Column:
     )
 
 
+def _shingle_starts(th_col: str = "th", window: int = 8) -> F.Column:
+    """1-based start positions of ``window``-token shingles; EMPTY array
+    for documents shorter than ``window`` tokens. The guard is
+    load-bearing: Spark's ``sequence(1, 0, 1)`` THROWS (illegal
+    bounds), so an unguarded ``sequence(1, greatest(size - 7, 0))``
+    crashes the whole job on the first <8-token document. CASE WHEN
+    evaluates the sequence lazily, and the empty branch matches the
+    DuckDB oracles' ``range(1, greatest(len - 7, 0) + 1)``, which is
+    empty for short docs."""
+    return F.when(
+        F.size(th_col) >= window,
+        F.sequence(F.lit(1), F.size(th_col) - (window - 1), F.lit(1)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+
+
 @query(
     "doc_fingerprints_poly",
     oracle="""
@@ -837,9 +857,7 @@ def doc_fingerprints_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", _token_hashes().alias("th"))
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size("th") - 7, F.lit(0)), F.lit(1)
-    )
+    starts = _shingle_starts()
     return (
         base.select("doc_id", F.explode(starts).alias("i"), "th")
         .select("doc_id", _shingle_fold("th", "i").alias("fp"))
@@ -897,9 +915,7 @@ def doc_fingerprints_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", _token_hashes().alias("th"))
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size("th") - 7, F.lit(0)), F.lit(1)
-    )
+    starts = _shingle_starts()
     hashed = base.select(
         "doc_id", F.explode(starts).alias("pos"), "th"
     ).select("doc_id", "pos", _shingle_fold("th", "pos").alias("fp"))
@@ -1365,9 +1381,7 @@ def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", _token_hashes().alias("th"))
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size("th") - 7, F.lit(0)), F.lit(1)
-    )
+    starts = _shingle_starts()
     sh = (
         base.select("doc_id", F.explode(starts).alias("i"), "th")
         .select("doc_id", _shingle_fold("th", "i").alias("fp"))

@@ -18,6 +18,11 @@ from etl_pipeline_orchestration_spark.operators import (
 from etl_pipeline_orchestration_spark.plans.registry import QUERIES, query
 from etl_pipeline_orchestration_spark.sources.tables import load_table
 
+# Ceiling on rows any query may .collect() as a "benchmark-sized" side
+# (semantic_decontamination_pairs). Module-level so tests can lower it
+# to pin the fail-fast without materializing a million rows.
+MAX_BENCH_COLLECT = 1_000_000
+
 
 @query(
     "dedup_exact_text",
@@ -1812,10 +1817,19 @@ def semantic_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     the boundary and the engines' last-ulp difference flipped the digit).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    bench = [
-        (r["vec_id"], list(r["embedding"]))
-        for r in emb.filter(F.col("vec_id") % 2 == 1).collect()
-    ]
+    bench_df = emb.filter(F.col("vec_id") % 2 == 1)
+    # Driver-collect guard (same discipline as derive_sample_mod): the
+    # bench side is assumed benchmark-sized, but a mis-pointed call must
+    # fail fast, not OOM the driver materializing a corpus.
+    n_bench = bench_df.count()
+    if n_bench > MAX_BENCH_COLLECT:
+        raise ValueError(
+            f"semantic_decontamination_pairs: benchmark side has {n_bench} "
+            f"rows (> {MAX_BENCH_COLLECT}); it is collected to the driver and "
+            "must be benchmark-sized — point the odd-id filter at the actual "
+            "benchmark table or raise the cap deliberately."
+        )
+    bench = [(r["vec_id"], list(r["embedding"])) for r in bench_df.collect()]
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
     return similarity.cross_corpus_cosine_pairs(corpus, bench, threshold=0.4)
 

@@ -98,3 +98,38 @@ def test_compaction_swap_never_leaves_table_absent(spark, tmp_path, monkeypatch)
         spark.read.parquet(p).count() for p in surviving[:1]
     )
     assert total == 1000
+
+
+def test_compaction_crash_window_self_heals(spark, tmp_path, monkeypatch):
+    """A crash BETWEEN the two swap renames leaves the table path absent
+    (data safe in the aside dir); the next compact() must roll the aside
+    back and complete normally — no manual rename, no data loss."""
+    import glob
+    import os
+
+    from etl_pipeline_orchestration_spark.loader import WarehouseLoader
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh3"))
+    df = spark.range(777).selectExpr("id", "id * 3 AS v")
+    loader.load(df, "t", if_exists="replace")
+    src = str(tmp_path / "wh3" / "t")
+
+    real_rename = os.rename
+    calls = []
+
+    def crashing_rename(a, b):
+        real_rename(a, b)
+        calls.append((a, b))
+        if len(calls) == 1:  # crash after rename(src, old), before rename(tmp, src)
+            raise RuntimeError("simulated crash mid-swap")
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    with pytest.raises(RuntimeError):
+        loader.compact("t", target_files=2)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    assert not os.path.exists(src)  # the crash window is real...
+    loader.compact("t", target_files=2)  # ...and recovery closes it
+    assert spark.read.parquet(src).count() == 777
+    assert len(glob.glob(os.path.join(src, "*.parquet"))) <= 2
+    assert not os.path.exists(str(tmp_path / "wh3" / "__compact_old_t"))

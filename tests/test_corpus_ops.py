@@ -735,3 +735,14 @@ def test_source_lang_skew_matches_python_chi2(spark):
         assert got[s]["chi2_4dp"] >= 0.0
         frac = abs(chi * 1e4 - math.floor(chi * 1e4) - 0.5)
         assert frac > 1e-5
+
+
+def test_semantic_decontamination_bench_collect_guard(spark, monkeypatch):
+    """The benchmark side is driver-collected; a mis-pointed call with a
+    corpus-sized 'bench' must fail fast with a clear error, not OOM the
+    driver. Lower the cap so the real sf0.001 table trips it."""
+    from etl_pipeline_orchestration_spark.plans import llm_data
+
+    monkeypatch.setattr(llm_data, "MAX_BENCH_COLLECT", 10)
+    with pytest.raises(ValueError, match="benchmark-sized"):
+        registry.QUERIES["semantic_decontamination_pairs"](spark, SF)

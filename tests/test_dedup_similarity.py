@@ -406,3 +406,32 @@ def test_ivfpq_topk_recall_and_refine(vectors):
     for vid, sim in got.items():
         if vid in exact:  # re-ranked scores are the exact ones
             assert abs(sim - exact[vid]) < 1e-9
+
+
+def test_ivf_and_ivfpq_handle_non_64_dim_embeddings(spark):
+    """Dimensionality must flow from the query vector into BOTH model
+    fits (coarse quantizer + PQ codebooks). Pre-fix, ivf_train_centroids
+    defaulted to dim=64, so a 96-dim corpus trained 64-dim centroids and
+    the probe's ``q @ nc.T`` raised a shape mismatch."""
+    dim = 96
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(80, dim)).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probe = [float(x) for x in base[5]]
+
+    got_ivf = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.ivf_topk(
+            df, probe, k=5, n_centroids=4, n_probe=4
+        ).collect()
+    }
+    assert got_ivf[5] == pytest.approx(1.0, abs=1e-4)
+
+    got = {
+        r["vec_id"]: r["cosine_sim"]
+        for r in similarity.ivfpq_topk(
+            df, probe, k=5, n_centroids=4, n_probe=4, n_sub=8, n_codes=8
+        ).collect()
+    }
+    assert got[5] == pytest.approx(1.0, abs=1e-4)
