@@ -27,7 +27,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_orchestration_spark.operators import text as text_ops
-from etl_pipeline_orchestration_spark.plans.registry import query
+from etl_pipeline_orchestration_spark.plans import corpus_stats
+from etl_pipeline_orchestration_spark.plans.registry import ORACLES, query
 from etl_pipeline_orchestration_spark.sources.tables import load_table
 
 # Deterministic 32-bit multiplicative (Knuth) hash, expressible
@@ -602,11 +603,15 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every value is an exact integer; top-20 with (freq DESC, pair)
     tiebreak is TakeOrderedAndProject on both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
-    ).filter(F.length("word") >= 2)
-    hist = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return _bpe_from_stats(corpus_stats.corpus_gram_stats(spark, sf_dir))
+
+
+def _bpe_from_stats(gs: DataFrame) -> DataFrame:
+    hist = (
+        corpus_stats.unigram_hist(gs)
+        .filter(F.length("word") >= 2)
+        .withColumnRenamed("c", "cnt")
+    )
     pairs = hist.select(
         "cnt",
         F.explode(
@@ -1571,15 +1576,15 @@ def split_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent; measured half-boundary margins at 6dp are >=0.016
     at both test SFs — 13 orders above the cross-engine ulp scale.
     """
-    from etl_pipeline_orchestration_spark.operators.sampling import with_split
+    return _split_kl_from_stats(corpus_stats.corpus_gram_stats(spark, sf_dir))
 
-    docs = with_split(load_table(spark, sf_dir, "documents"))
-    words = docs.filter(F.col("split").isin("train", "val")).select(
-        "lang",
-        "split",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+
+def _split_kl_from_stats(gs: DataFrame) -> DataFrame:
+    f = (
+        gs.filter(F.col("split").isin("train", "val"))
+        .groupBy("lang", "split", F.col("w1").alias("word"))
+        .agg(F.sum("c").alias("c"))
     )
-    f = words.groupBy("lang", "split", "word").agg(F.count(F.lit(1)).alias("c"))
     piv = f.groupBy("lang", "word").agg(
         F.sum(F.when(F.col("split") == "train", F.col("c")).otherwise(0)).alias("ct"),
         F.sum(F.when(F.col("split") == "val", F.col("c")).otherwise(0)).alias("cv"),
@@ -1652,33 +1657,12 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp rounding only needs the ratio to miss half-boundaries, checked
     by the margin test.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    base = docs.select(ws.alias("ws"))
-    bi = (
-        base.select(
-            F.explode(
-                F.expr(
-                    # Spark's sequence(1, 0, 1) THROWS (illegal bounds), so
-                    # single-word docs need the greatest() floor; the one
-                    # spurious index then yields w2 = ws[1] = NULL, filtered
-                    # below — split() never produces null elements, so the
-                    # filter exactly matches the oracle's empty range().
-                    "transform(sequence(1, greatest(size(ws) - 1, 1)),"
-                    " i -> struct(ws[i - 1] AS w1, ws[i] AS w2))"
-                )
-            ).alias("p")
-        )
-        .select("p.w1", "p.w2")
-        .filter(F.col("w2").isNotNull())
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-    )
-    uni = (
-        base.select(F.explode("ws").alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    return _pmi_from_stats(corpus_stats.corpus_gram_stats(spark, sf_dir))
+
+
+def _pmi_from_stats(gs: DataFrame) -> DataFrame:
+    bi = corpus_stats.bigram_hist(gs).withColumnRenamed("c", "c12")
+    uni = corpus_stats.unigram_hist(gs)
     tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
         bi.agg(F.sum("c12").alias("n_bi"))
     )
@@ -1751,12 +1735,11 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ratio — measured half-boundary margins at 4dp are >= 0.18 at
     both test SFs, eleven orders above cross-engine ulps.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    counts = (
-        docs.select("lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
-        .groupBy("lang", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    return _zipf_from_stats(corpus_stats.corpus_gram_stats(spark, sf_dir))
+
+
+def _zipf_from_stats(gs: DataFrame) -> DataFrame:
+    counts = corpus_stats.unigram_hist(gs, "lang")
     w = Window.partitionBy("lang").orderBy(F.desc("c"), "word")
     logs = (
         counts.select("lang", "c", F.row_number().over(w).alias("rnk"))
@@ -1915,24 +1898,13 @@ def conditional_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float discipline: order-dependent ~|vocab|^2-term sum, rounded at
     4dp where measured margins are >= 0.085 at both test SFs.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    bi = (
-        docs.select(
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 1, 1)),"
-                    " i -> struct(split(trim(text), '\\\\s+')[i - 1] AS w1,"
-                    " split(trim(text), '\\\\s+')[i] AS w2))"
-                )
-            ).alias("p"),
-        )
-        .select("lang", "p.w1", "p.w2")
-        .filter(F.col("w2").isNotNull())
-        .groupBy("lang", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
+    return _cond_entropy_from_stats(
+        corpus_stats.corpus_gram_stats(spark, sf_dir)
     )
+
+
+def _cond_entropy_from_stats(gs: DataFrame) -> DataFrame:
+    bi = corpus_stats.bigram_hist(gs, "lang").withColumnRenamed("c", "c12")
     ctx = bi.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
     tot = bi.groupBy("lang").agg(
         F.sum("c12").alias("nb"), F.count(F.lit(1)).alias("n_types")
@@ -2033,14 +2005,13 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     window on histogram rows → a 3-row grid cross join and one
     reduction; corpus-scale work is the histogram alone.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    counts = (
-        docs.select(
-            "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
-        )
-        .groupBy("lang", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
+    return _coverage_from_stats(
+        spark, corpus_stats.corpus_gram_stats(spark, sf_dir)
     )
+
+
+def _coverage_from_stats(spark: SparkSession, gs: DataFrame) -> DataFrame:
+    counts = corpus_stats.unigram_hist(gs, "lang")
     w = Window.partitionBy("lang")
     ranked = counts.select(
         "lang",
@@ -2112,8 +2083,13 @@ def source_lang_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches corpus-scale data. Float discipline: per-source sums over
     |langs| terms, rounded at 4dp with measured margins >= 0.02.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    obs = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    return _skew_from_stats(corpus_stats.corpus_gram_stats(spark, sf_dir))
+
+
+def _skew_from_stats(gs: DataFrame) -> DataFrame:
+    obs = corpus_stats.doc_counts(gs, "source", "lang").withColumnRenamed(
+        "n_docs", "o"
+    )
     st = obs.groupBy("source").agg(F.sum("o").alias("rs"))
     lt = obs.groupBy("lang").agg(F.sum("o").alias("cs"))
     n = obs.agg(F.sum("o").alias("total"))
@@ -2135,3 +2111,119 @@ def source_lang_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("rs").cast("bigint").alias("n_docs"),
         (F.round(chi * 1e4) / 1e4).alias("chi2_4dp"),
     )
+
+
+# ------------------------------------------------------------- corpus report
+
+
+def _report_oracle() -> str:
+    """Composed oracle: each member metric's registered oracle reshaped
+    to the report's long schema and UNION ALLed. Built from the SAME
+    oracle strings the per-metric entries register, so the report's
+    correctness contract is exactly the conjunction of theirs."""
+    blocks = [
+        ("zipf_slope", "zipf_slope_by_lang",
+         "lang AS k1, CAST(NULL AS VARCHAR) AS k2,"
+         " CAST(n_types AS BIGINT) AS ival, zipf_slope_4dp AS dval"),
+        ("vocab_coverage", "vocab_coverage_curve",
+         "lang AS k1, CAST(top_k AS VARCHAR) AS k2,"
+         " CAST(covered_tokens AS BIGINT) AS ival, coverage_frac AS dval"),
+        ("split_kl", "split_unigram_kl",
+         "lang AS k1, CAST(NULL AS VARCHAR) AS k2,"
+         " CAST(vocab_size AS BIGINT) AS ival, kl_6dp AS dval"),
+        ("pmi", "pmi_collocations",
+         "w1 AS k1, w2 AS k2, CAST(pair_count AS BIGINT) AS ival,"
+         " pmi_6dp AS dval"),
+        ("cond_entropy", "conditional_entropy_by_lang",
+         "lang AS k1, CAST(NULL AS VARCHAR) AS k2,"
+         " CAST(n_bigram_types AS BIGINT) AS ival, cond_entropy_4dp AS dval"),
+        ("bpe_pairs", "bpe_pair_frequencies",
+         "pair AS k1, CAST(NULL AS VARCHAR) AS k2, CAST(freq AS BIGINT)"
+         " AS ival, CAST(NULL AS DOUBLE) AS dval"),
+        ("source_skew", "source_lang_skew",
+         "source AS k1, CAST(NULL AS VARCHAR) AS k2,"
+         " CAST(n_docs AS BIGINT) AS ival, chi2_4dp AS dval"),
+    ]
+    return "\nUNION ALL\n".join(
+        f"SELECT '{metric}' AS metric, {proj} FROM ({ORACLES[name]}) _{metric}"
+        for metric, name, proj in blocks
+    )
+
+
+@query("corpus_report", oracle=_report_oracle())
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard in ONE action: all seven token/bigram/
+    doc-count metrics (Zipf slope, vocab coverage, train/val KL, PMI
+    collocations, conditional entropy, BPE pairs, source-language skew)
+    reshaped to a long ``(metric, k1, k2, ival, dval)`` relation.
+
+    This is the query the corpus-statistics layer exists for: the
+    gram-stats histogram is computed and PERSISTED once (it is vocab²-
+    bounded — histogram-sized at any corpus scale), and all seven
+    metrics derive from the cached relation, so the whole report costs
+    ONE documents scan + ONE corpus-scale shuffle (byte-level scan
+    accounting asserted in tests/test_plan_shapes.py). At 100 TB that
+    is the difference between ~7 full-corpus reads and 1 for the
+    nightly corpus-health report. An explicit persist — not
+    ReusedExchange — is load-bearing here: Catalyst specializes each
+    consumer's subplan below the exchange (per-branch filter pushdown
+    and column pruning), so the seven gram-stats subtrees are NOT
+    canonically equal and exchange reuse never fires; the cache is
+    what actually collapses the passes. Second-level aggregations all
+    run in histogram space (vocab- or metadata-bounded)."""
+    gs = corpus_stats.corpus_gram_stats(spark, sf_dir).persist()
+    k2s = F.lit(None).cast("string")
+    dnull = F.lit(None).cast("double")
+    z = _zipf_from_stats(gs).select(
+        F.lit("zipf_slope").alias("metric"),
+        F.col("lang").alias("k1"),
+        k2s.alias("k2"),
+        F.col("n_types").cast("bigint").alias("ival"),
+        F.col("zipf_slope_4dp").alias("dval"),
+    )
+    vc = _coverage_from_stats(spark, gs).select(
+        F.lit("vocab_coverage").alias("metric"),
+        F.col("lang").alias("k1"),
+        F.col("top_k").cast("string").alias("k2"),
+        F.col("covered_tokens").cast("bigint").alias("ival"),
+        F.col("coverage_frac").alias("dval"),
+    )
+    kl = _split_kl_from_stats(gs).select(
+        F.lit("split_kl").alias("metric"),
+        F.col("lang").alias("k1"),
+        k2s.alias("k2"),
+        F.col("vocab_size").cast("bigint").alias("ival"),
+        F.col("kl_6dp").alias("dval"),
+    )
+    pm = _pmi_from_stats(gs).select(
+        F.lit("pmi").alias("metric"),
+        F.col("w1").alias("k1"),
+        F.col("w2").alias("k2"),
+        F.col("pair_count").cast("bigint").alias("ival"),
+        F.col("pmi_6dp").alias("dval"),
+    )
+    ce = _cond_entropy_from_stats(gs).select(
+        F.lit("cond_entropy").alias("metric"),
+        F.col("lang").alias("k1"),
+        k2s.alias("k2"),
+        F.col("n_bigram_types").cast("bigint").alias("ival"),
+        F.col("cond_entropy_4dp").alias("dval"),
+    )
+    bp = _bpe_from_stats(gs).select(
+        F.lit("bpe_pairs").alias("metric"),
+        F.col("pair").alias("k1"),
+        k2s.alias("k2"),
+        F.col("freq").cast("bigint").alias("ival"),
+        dnull.alias("dval"),
+    )
+    sk = _skew_from_stats(gs).select(
+        F.lit("source_skew").alias("metric"),
+        F.col("source").alias("k1"),
+        k2s.alias("k2"),
+        F.col("n_docs").cast("bigint").alias("ival"),
+        F.col("chi2_4dp").alias("dval"),
+    )
+    out = z
+    for part in (vc, kl, pm, ce, bp, sk):
+        out = out.unionByName(part)
+    return out

@@ -264,3 +264,47 @@ def test_aqe_skew_join_splits_skewed_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_corpus_report_scans_documents_once(spark):
+    """The corpus-statistics layer's reason to exist: the composed
+    seven-metric report must cost ONE pass over documents, not seven.
+    ReusedExchange cannot provide this (Catalyst specializes each
+    consumer's subplan below the gram-stats exchange — measured), so
+    corpus_report persists the histogram; assert the collapse from
+    Spark's own SQL metrics: total 'number of output rows' across all
+    parquet scan nodes of the execution equals the documents row count
+    exactly once."""
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+
+    df = registry.QUERIES["corpus_report"](spark, sf)
+    assert df.count() > 0
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    execs = store.executionsList()
+    last = execs.apply(execs.size() - 1)
+    metrics = store.executionMetrics(last.executionId())
+    g = store.planGraph(last.executionId())
+    nodes = g.allNodes()
+    scanned = 0
+    for i in range(nodes.size()):
+        node = nodes.apply(i)
+        if "Scan" in node.name() and "parquet" in node.name().lower():
+            ms = node.metrics()
+            for j in range(ms.size()):
+                m = ms.apply(j)
+                if m.name() == "number of output rows":
+                    opt = metrics.get(m.accumulatorId())
+                    if not opt.isEmpty():
+                        scanned += int(str(opt.get()).replace(",", ""))
+    # == n_docs on a cold cache; 0 when a prior test already populated
+    # the gram-stats cache (plan-equal persist is shared session-wide).
+    # Either way, a 7-pass regression (7 * n_docs) fails loudly.
+    assert scanned <= n_docs, (
+        f"corpus_report scanned {scanned} parquet rows; expected at most "
+        f"one documents pass ({n_docs})"
+    )
