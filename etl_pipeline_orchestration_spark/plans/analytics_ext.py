@@ -1528,18 +1528,74 @@ def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank_part_supplier")  # iterative; not SQL-expressible
+def _pagerank_oracle(iters: int = 10, off: int = 1_000_000_000) -> str:
+    """Unrolled power iteration as chained CTEs (DuckDB disallows
+    aggregates in a recursive CTE term, so a fixed iteration budget
+    unrolls instead — 10 chained per-iteration CTEs, same shape the
+    Spark loop executes). Every node in the symmetrized bipartite graph
+    has out-edges, so the dangling term is exactly 0.0 on both engines;
+    the damping constants mirror the Python arithmetic ORDER
+    ((1.0 - 0.85) evaluates to 0.15000000000000002, one ulp off the
+    0.15 literal — CAST literals per the cross-engine float rules)."""
+    steps = []
+    for k in range(iters):
+        steps.append(
+            f"""pr{k + 1} AS (
+      SELECT nd.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(c.inflow, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.d AS node, sum(p.rank / dg.out_deg) AS inflow
+        FROM e JOIN pr{k} p ON e.s = p.node JOIN dg ON dg.s = e.s
+        GROUP BY e.d
+      ) c ON c.node = nd.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS s, l_suppkey + {off} AS d FROM lineitem
+      UNION
+      SELECT DISTINCT l_suppkey + {off} AS s, l_partkey AS d FROM lineitem
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    dg AS (SELECT s, count(*) AS out_deg FROM e GROUP BY s),
+    pr0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+      FROM nodes CROSS JOIN nn
+    ),
+    {chain}
+    SELECT CASE WHEN node >= {off} THEN 'supplier' ELSE 'part' END
+             AS node_type,
+           CAST(CASE WHEN node >= {off} THEN node - {off} ELSE node END
+                AS BIGINT) AS entity_id,
+           CAST(round(rank * 1e9) AS BIGINT) AS rank_x1e9
+    FROM pr{iters}
+    ORDER BY rank_x1e9 DESC, node_type, entity_id LIMIT 25
+    """
+
+
+@query("graph_pagerank_part_supplier", oracle=_pagerank_oracle())
 def graph_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part↔supplier bipartite graph (distinct
     lineitem (part, supplier) edges, both directions so the walk
     mixes): the standard importance score for catalog/link analysis.
     Power iteration with dangling-mass redistribution
     (operators/graph.py:pagerank) — one shuffle per iteration,
-    lineage checkpointed. Ranks are float-summation-order dependent in
-    the last ulps, so this is a rows-only entry; exactness is pinned
-    by tests/test_graph.py against a dense numpy power iteration.
-    Returns the top-25 nodes (node_type disambiguates the id spaces).
-    """
+    lineage checkpointed. Fixed damping (0.85) + fixed iteration
+    budget (10) makes the result deterministic up to summation-order
+    ulps, so the relation IS oracle-checkable against an unrolled
+    DuckDB power iteration: ranks are emitted as round(rank * 1e9)
+    integers (measured cross-engine drift ~1e-13 relative; margins to
+    rounding half-boundaries checked in tests/test_graph.py), ordered
+    by the ROUNDED rank with full (node_type, entity_id) tiebreaks so
+    top-25 selection is engine-deterministic. Independent ground truth
+    (not just parity): tests/test_graph.py pins the operator against a
+    dense numpy power iteration. Returns the top-25 nodes (node_type
+    disambiguates the id spaces)."""
     from etl_pipeline_orchestration_spark.operators.graph import pagerank
 
     off = 1_000_000_000
@@ -1558,9 +1614,9 @@ def graph_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("node"))
             .cast("bigint")
             .alias("entity_id"),
-            "rank",
+            F.round(F.col("rank") * 1e9).cast("bigint").alias("rank_x1e9"),
         )
-        .orderBy(F.desc("rank"), "node_type", "entity_id")
+        .orderBy(F.desc("rank_x1e9"), "node_type", "entity_id")
         .limit(25)
     )
 

@@ -1091,7 +1091,17 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes and within-cluster scatter under the final centroids. The
     ground-truth recovery test (tests/test_clustering.py) checks the
     planted label structure is found; this entry records the
-    distributed path end-to-end."""
+    distributed path end-to-end.
+
+    Deliberately rows-only (unlike graph_pagerank_part_supplier, which
+    got an unrolled-iteration oracle): Lloyd's ARGMIN assignment is a
+    discrete selection over float distances — a vector near-equidistant
+    to two centroids can flip clusters on a last-ulp BLAS-vs-SQL
+    difference, and one flip cascades through every later centroid
+    update. No rounding scale bounds a discrete cascade, so a DuckDB
+    twin would be parity theater with a regenerating fixture; the
+    honest checks are the planted-structure recovery, monotone
+    objective, and determinism tests."""
     from etl_pipeline_orchestration_spark.operators.clustering import (
         kmeans_fit_assign,
     )

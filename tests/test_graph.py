@@ -108,3 +108,35 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     for v in ids:
         assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_query_rounding_margins(spark):
+    """graph_pagerank_part_supplier emits round(rank * 1e9) integers;
+    the oracle upgrade (rows-only -> hash-checked) is only sound if no
+    rank*1e9 sits near a half-boundary at the cross-engine drift scale.
+    Measure the margin over ALL nodes (selection needs every rounded
+    value engine-equal, not just the top 25) and require it to dwarf
+    the ~1e-13-relative summation-order drift by several orders."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_orchestration_spark.operators.graph import pagerank
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+    off = 1_000_000_000
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_partkey", (F.col("l_suppkey") + off).alias("supp_node")
+    )
+    fwd = li.select(F.col("l_partkey").alias("src"), F.col("supp_node").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = [r["rank"] for r in pagerank(edges, max_iter=10, tol=0.0).collect()]
+    assert ranks
+    min_margin = min(
+        abs(r * 1e9 - math.floor(r * 1e9) - 0.5) for r in ranks
+    )
+    # drift on rank ~1e-3 is ~1e-16 absolute => ~1e-7 at the 1e9 scale;
+    # require 4+ orders above that
+    assert min_margin > 1e-3, f"half-boundary margin too thin: {min_margin}"
