@@ -117,7 +117,26 @@ HEADLINE = [
     "lsh_recall_curve",
     "vocab_coverage_curve",
     "source_lang_skew",
+    "graph_pagerank_part_supplier",
+    "corpus_report",
 ]
+
+
+def _calibration(spark) -> None:
+    """Fixed synthetic workload (no table inputs): a codegen'd
+    range->hash-agg of 30M rows through the noop sink. Its wall-clock
+    tracks the machine's momentary capability — the box swings 2-4×
+    between sessions under co-tenant load — so per-query RATIOS to this
+    number are comparable across rounds while raw seconds are not."""
+    (
+        spark.range(30_000_000)
+        .selectExpr("id % 997 AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum", "*": "count"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
 
 def main() -> int:
@@ -141,6 +160,15 @@ def main() -> int:
     spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+
+    # Machine-speed calibration (min-of-reps, same protocol as queries).
+    calib = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _calibration(spark)
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None else min(calib, dt)
+    calib = round(calib, 3)
 
     timings: dict[str, float | None] = {}
     for name in HEADLINE:
@@ -178,6 +206,12 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calibration_sec": calib,
+                # ratio-to-calibration: the cross-round comparable number
+                "ratios": {
+                    k: round(v / calib, 3) if v is not None and calib else None
+                    for k, v in timings.items()
+                },
                 "sf": sf,
                 "reps": reps,
                 "n_queries": len(timings),
@@ -195,6 +229,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": {"detail": "BENCH_DETAIL.json"},
+        "calibration_sec": calib,
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": n_failed,
