@@ -91,4 +91,23 @@ CLUSTER_PROFILE: dict[str, str] = {
     "spark.memory.offHeap.size": "8g",
     # Arrow batches sized for the pandas-UDF matmul kernels.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "20000",
+    # --- Streaming state at 100 TB: RocksDB-backed state store. The
+    # default HDFS-backed provider keeps every key's state on the JVM
+    # heap; session windows / stream-stream joins over billions of keys
+    # OOM executors long before CPU saturates. RocksDB spills state to
+    # local SSD with bounded block-cache memory, and changelog
+    # checkpointing ships per-batch deltas instead of full SST snapshots
+    # (both providers pass the stream-vs-batch twin tests —
+    # tests/test_streaming.py parametrizes the stateful op over the two).
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+    # Bound total RocksDB memory per executor (block cache + memtables
+    # shared across all state store instances on the node).
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+    "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "2048",
+    # Unload idle store instances instead of pinning every partition's
+    # native handle for the life of the executor.
+    "spark.sql.streaming.stateStore.maintenanceInterval": "60s",
 }

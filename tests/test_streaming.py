@@ -77,27 +77,52 @@ def test_session_stream_equals_batch_twin(spark, events_dir):
     assert _rows(spark.table("session_mem")) == _rows(batch)
 
 
-def test_stateful_running_totals_converge_to_batch(spark, events_dir):
+@pytest.mark.parametrize(
+    "provider",
+    [
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    ],
+    ids=["hdfs-backed", "rocksdb"],
+)
+def test_stateful_running_totals_converge_to_batch(spark, events_dir, provider):
     """applyInPandasWithState: state persists across micro-batches, and
-    each user's LAST emitted update equals the batch group-by result."""
+    each user's LAST emitted update equals the batch group-by result.
+    Parametrized over BOTH state-store providers — CLUSTER_PROFILE
+    deploys RocksDB for 100 TB state (heap-free, changelog
+    checkpointing), so the stateful operator must behave identically
+    under it, not just under the default heap-backed store."""
     from etl_pipeline_orchestration_spark.streaming.stateful import (
         running_user_totals,
     )
 
-    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
-    q = (
-        running_user_totals(stream)
-        .writeStream.format("memory")
-        .queryName("stateful_mem")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(f"stateful_mem_{provider.rsplit('.', 1)[-1]}")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.table(
+            f"stateful_mem_{provider.rsplit('.', 1)[-1]}"
+        ).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
     # update mode appends one row per (user, batch-with-activity); the
     # final state per user is the row with the max running count
-    emitted = spark.table("stateful_mem").collect()
     final = {}
     for r in emitted:
         cur = final.get(r["user_id"])
