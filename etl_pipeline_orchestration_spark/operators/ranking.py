@@ -1,0 +1,137 @@
+"""Distributed exact global ranking [EXT].
+
+The naive way to compute ``row_number() OVER (ORDER BY ...)`` (and the
+distribution functions built on it — ``ntile``, ``percent_rank``,
+``cume_dist``) is an unpartitioned window, which Spark executes by
+shuffling EVERY row to a single partition and sorting there — the
+classic 100 TB scale-killer (`WindowExec: No Partition Defined` warns
+about exactly this). This module computes the same exact ranks with a
+fully parallel plan:
+
+1. **Cutpoints** — one narrow pass computes ``B-1`` approximate
+   quantile cutpoints of the bucketing key (``percentile_approx`` is a
+   mergeable GK sketch: map-side combined, constant memory). Accuracy
+   only affects load balance, never correctness.
+2. **Bucket** — each row gets a bucket id via a monotone
+   ``CASE WHEN`` chain over the cutpoints, so bucket order == key
+   order and equal keys always share a bucket.
+3. **Local rank** — ``row_number`` over ``Window.partitionBy(bucket)``:
+   one hash shuffle, ``B``-way parallel sort of ~1/B of the data each.
+4. **Offsets** — per-bucket counts (tiny: ``B`` rows) are collected and
+   turned into literal prefix-sum offsets; global row_number =
+   offset[bucket] + local row_number. No second full-data shuffle, no
+   single-partition exchange anywhere in the final plan.
+
+Total order requirement: ``order_cols`` must be a strict total order
+(include a unique tiebreak column, the same discipline every oracle
+query here follows) and the bucketing key must be non-null — then
+``row_number == rank == dense-rank-with-ties-broken`` and the derived
+``ntile`` / ``percent_rank`` formulas below reproduce the SQL-standard
+semantics bit-for-bit (verified against DuckDB by the oracle sweep).
+
+Reference parity: the reference (etl_pipeline.py) has no ranking at
+all — this is [EXT] surface; semantics follow ANSI SQL window
+functions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def append_global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    bucket_key: Column,
+    *,
+    descending: bool = False,
+    n_buckets: int = 64,
+    out_col: str = "rn",
+    accuracy: int = 1000,
+) -> Tuple[DataFrame, int]:
+    """Append an exact 1-based global ``row_number`` over ``order_cols``
+    without a single-partition sort. Returns ``(df_with_out_col, n_total)``.
+
+    ``bucket_key`` is the numeric leading sort key used for range
+    bucketing (negated internally when ``descending``); it must be
+    non-null and must be the first entry of ``order_cols``'s ordering so
+    bucket order agrees with row order. ``order_cols`` must be a strict
+    total order (unique tiebreak included).
+
+    Cost: two narrow passes over the key column (cutpoints, counts —
+    both column-pruned scans with map-side-combined aggregates) plus ONE
+    hash shuffle of the full rows. The unpartitioned-window alternative
+    shuffles the full rows to one task and sorts serially.
+    """
+    key = (-bucket_key) if descending else bucket_key
+    kdf = df.select(key.cast("double").alias("__k"))
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = kdf.agg(
+        F.percentile_approx("__k", F.array(*[F.lit(f) for f in fracs]), accuracy)
+        .alias("cuts")
+    ).head()
+    cuts = sorted(set(cuts_row["cuts"] or []))
+
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(key.cast("double") > F.lit(float(c)), 1).otherwise(0)
+    b = df.withColumn("__bkt", bucket)
+
+    counts = {
+        r["__bkt"]: r["cnt"]
+        for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n_total = sum(counts.values())
+    offsets = {}
+    acc = 0
+    for bk in sorted(counts):
+        offsets[bk] = acc
+        acc += counts[bk]
+
+    off_expr = F.lit(0)
+    for bk, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col("__bkt") == bk, off).otherwise(off_expr)
+
+    w_local = Window.partitionBy("__bkt").orderBy(*order_cols)
+    out = (
+        b.withColumn("__lrn", F.row_number().over(w_local))
+        .withColumn(out_col, (off_expr + F.col("__lrn")).cast("bigint"))
+        .drop("__bkt", "__lrn")
+    )
+    return out, n_total
+
+
+def _idiv(a: Column, b: int) -> Column:
+    """Exact integer floor-division for non-negative ``a``: subtract the
+    remainder first so the double division is exact (no float-floor
+    edge cases up to 2^53)."""
+    return ((a - (a % b)) / b).cast("bigint")
+
+
+def ntile_from_row_number(rn: Column, n_total: int, k: int) -> Column:
+    """Exact SQL-standard ``ntile(k)`` from a 1-based global row number:
+    the first ``n % k`` tiles get ``n div k + 1`` rows, the rest get
+    ``n div k`` (matches both Spark's and DuckDB's ntile). Pure integer
+    arithmetic — no window, no shuffle."""
+    base = n_total // k
+    rem = n_total % k
+    big = rem * (base + 1)
+    if base == 0:
+        return rn.cast("int")
+    return (
+        F.when(rn <= big, _idiv(rn - 1, base + 1) + 1)
+        .otherwise(F.lit(rem) + _idiv(rn - big - 1, base) + 1)
+        .cast("int")
+    )
+
+
+def percent_rank_from_row_number(rn: Column, n_total: int) -> Column:
+    """``percent_rank() = (rank - 1) / (n - 1)`` under a strict total
+    order (row_number == rank). Single-row inputs are defined as 0."""
+    if n_total <= 1:
+        return F.lit(0.0)
+    return (rn - 1).cast("double") / F.lit(float(n_total - 1))

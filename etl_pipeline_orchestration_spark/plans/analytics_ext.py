@@ -2054,45 +2054,71 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quartiles) —
     the marketer's workhorse. Heavy lifting is ONE hash aggregate over
-    orders; the three ntile windows run on the per-customer aggregate
-    (rows ∝ customers). Every ntile ORDER BY is exact-integer with a
-    custkey tiebreak: monetary uses integer CENTS (round(x*100) on
-    exact-2dp doubles), because ordering by a float SUM would let a
-    last-ulp summation difference flip a quartile boundary — ints
-    can't. The global unpartitioned ntile is the documented trade-off:
-    at 10⁹ customers you'd swap it for the distributed exact-quantile
-    cutpoints + a join (same shape as winsorized_price_stats).
+    orders; the three quartile rankings run on the per-customer
+    aggregate (rows ∝ customers), which at 10⁹ customers is still far
+    too big for an unpartitioned ntile window — so each dimension uses
+    the DISTRIBUTED exact-rank operator (operators/ranking.py:
+    cutpoint bucketing → parallel local row_number → literal offsets)
+    and the exact ntile formula on the global row number; the three
+    narrow (custkey, quartile) rank outputs join back to the
+    aggregate. Every ranking ORDER BY is exact-integer with a custkey
+    tiebreak: monetary uses integer CENTS (round(x*100) on exact-2dp
+    doubles), because ordering by a float SUM would let a last-ulp
+    summation difference flip a quartile boundary — ints can't.
     """
-    from pyspark.sql import Window
+    from etl_pipeline_orchestration_spark.operators import ranking
 
     od = load_table(spark, sf_dir, "orders")
     ref = od.agg(F.max("o_orderdate").alias("ref")).head()["ref"]
-    per_cust = od.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.datediff(F.lit(ref), F.max("o_orderdate")).cast("bigint").alias(
-            "r_days"
-        ),
-        F.count(F.lit(1)).alias("f_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("m_cents"),
+    per_cust = (
+        od.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.lit(ref), F.max("o_orderdate")).cast("bigint").alias(
+                "r_days"
+            ),
+            F.count(F.lit(1)).alias("f_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("m_cents"),
+        )
+        .persist()
     )
-    return per_cust.select(
-        "c_custkey",
-        "r_days",
-        "f_orders",
-        "m_cents",
-        F.ntile(4)
-        .over(Window.orderBy("r_days", "c_custkey"))
-        .cast("bigint")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("f_orders"), "c_custkey"))
-        .cast("bigint")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("m_cents"), "c_custkey"))
-        .cast("bigint")
-        .alias("m_quartile"),
+
+    def quartile(order_cols, bucket_key, descending, name):
+        ranked, n = ranking.append_global_row_number(
+            per_cust,
+            order_cols,
+            bucket_key,
+            descending=descending,
+            out_col="__rn",
+        )
+        return ranked.select(
+            "c_custkey",
+            ranking.ntile_from_row_number(F.col("__rn"), n, 4)
+            .cast("bigint")
+            .alias(name),
+        )
+
+    rq = quartile(
+        [F.col("r_days"), F.col("c_custkey")], F.col("r_days"), False,
+        "r_quartile",
+    )
+    fq = quartile(
+        [F.col("f_orders").desc(), F.col("c_custkey")], F.col("f_orders"),
+        True, "f_quartile",
+    )
+    mq = quartile(
+        [F.col("m_cents").desc(), F.col("c_custkey")], F.col("m_cents"),
+        True, "m_quartile",
+    )
+    return (
+        per_cust.join(rq, "c_custkey")
+        .join(fq, "c_custkey")
+        .join(mq, "c_custkey")
+        .select(
+            "c_custkey", "r_days", "f_orders", "m_cents",
+            "r_quartile", "f_quartile", "m_quartile",
+        )
     )
 
 

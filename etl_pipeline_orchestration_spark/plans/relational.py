@@ -382,17 +382,35 @@ def scalar_subquery_above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def window_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows (ntile quartiles + percent_rank) over a
-    global ordering — the one legitimately single-partition window here
-    (ranking the whole table is inherently a total order; at scale,
-    rank within partitions or use approx quantiles instead)."""
+    global ordering — computed with the DISTRIBUTED exact-rank operator
+    (operators/ranking.py): quantile-cutpoint bucketing → parallel
+    per-bucket row_number → literal prefix-sum offsets. Same exact
+    output as the unpartitioned window (the oracle is unchanged), but
+    the plan has no single-partition exchange: at 100 TB the sort runs
+    B-way parallel instead of on one task. ntile/percent_rank are then
+    pure integer arithmetic on the global row number (strict total
+    order via the o_orderkey tiebreak makes row_number == rank)."""
+    from etl_pipeline_orchestration_spark.operators import ranking
+
     orders = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    ranked, n = ranking.append_global_row_number(
+        orders,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        F.col("o_totalprice"),
+        out_col="__rn",
+    )
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("price_quartile"),
-        (F.round(F.percent_rank().over(w) * 1_000_000) / 1_000_000).alias(
-            "pct_rank"
+        ranking.ntile_from_row_number(F.col("__rn"), n, 4).alias(
+            "price_quartile"
         ),
+        (
+            F.round(
+                ranking.percent_rank_from_row_number(F.col("__rn"), n)
+                * 1_000_000
+            )
+            / 1_000_000
+        ).alias("pct_rank"),
     )
 
 
