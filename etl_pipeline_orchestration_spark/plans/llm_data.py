@@ -1118,6 +1118,129 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_EXACT_ORACLE = """
+    WITH xq AS (
+      SELECT vec_id, t.i AS i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    c0 AS (
+      SELECT vec_id % 8 AS j, i,
+             CAST((CAST(sum(x) AS BIGINT)
+                   - CAST(sum(x) AS BIGINT) % CAST(count(*) AS BIGINT))
+                  / CAST(count(*) AS BIGINT) AS BIGINT) AS c
+      FROM xq GROUP BY 1, 2
+    ),
+    d1 AS (
+      SELECT xq.vec_id, c0.j,
+             CAST(sum((xq.x - c0.c) * (xq.x - c0.c)) AS BIGINT) AS d
+      FROM xq JOIN c0 ON xq.i = c0.i GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.j, xq.i,
+             CAST((CAST(sum(xq.x) AS BIGINT)
+                   - CAST(sum(xq.x) AS BIGINT) % CAST(count(*) AS BIGINT))
+                  / CAST(count(*) AS BIGINT) AS BIGINT) AS c
+      FROM xq JOIN a1 ON xq.vec_id = a1.vec_id GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT xq.vec_id, c1.j,
+             CAST(sum((xq.x - c1.c) * (xq.x - c1.c)) AS BIGINT) AS d
+      FROM xq JOIN c1 ON xq.i = c1.i GROUP BY 1, 2
+    )
+    SELECT vec_id, CAST(j AS INT) AS cluster_id, d AS sq_dist_q FROM (
+      SELECT vec_id, j, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+      FROM d2
+    ) WHERE rn = 1
+"""
+
+
+@query("embedding_kmeans_exact", oracle=_KMEANS_EXACT_ORACLE)
+def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd round: the cross-engine-VERIFIABLE k-means
+    twin. embedding_kmeans_clusters stays rows-only because float
+    argmin is a discrete selection a last-ulp BLAS-vs-SQL difference
+    can flip; this variant removes the floats entirely, so the oracle
+    is exact by construction, not by rounding luck:
+
+    * vectors quantize to integer ticks ``round(v * 2^20)`` — the
+      product is exact (float32 mantissa shifted), and Spark HALF_UP
+      == DuckDB half-away-from-zero at the only ambiguous points;
+    * init is SQL-expressible and deterministic (cluster j = members
+      with ``vec_id % 8 == j``), centroids are elementwise
+      truncating-division means (``S div n`` == ``(S - S % n) / n``
+      with C-style remainders on both engines) — integers, not
+      rationals, so distances stay in int64 (≤ 2^56 for 64 dims);
+    * one update round, then final assignment; argmin ties break to
+      the lowest cluster id via identical (d, j) orderings.
+
+    Spark execution keeps the model/data split of the float path:
+    centroids (k × dim = 512 ints) collect to the driver as MODEL
+    state between rounds; assignment is a per-row fold over literal
+    centroid arrays (no join, no shuffle); the centroid update is the
+    only shuffle and it is posexplode + map-side-combined sum — the
+    partials are model-sized, not data-sized. An empty cluster after
+    round 1 simply drops out of the candidate set on both engines.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings")
+    dfq = vecs.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> cast(round(cast(v as double) * 1048576.0) as bigint))"
+        ).alias("xq"),
+    )
+
+    def centroids_of(assigned):
+        """(vec_id→j)-labelled quantized vectors → {j: [64 ints]} via a
+        model-sized collect of truncating-division means."""
+        rows = (
+            assigned.select("j", F.posexplode("xq").alias("i", "x"))
+            .groupBy("j", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("j", "i", F.expr("s div n").alias("c"))
+            .collect()
+        )
+        cents: dict = {}
+        for r in rows:
+            cents.setdefault(r["j"], [0] * 64)[r["i"]] = r["c"]
+        return cents
+
+    def assign_expr(cents):
+        """argmin_j ||xq - c_j||² as a pure fold over literal centroid
+        arrays; array_min over (d, j) structs == ORDER BY d, j LIMIT 1."""
+        pairs = []
+        for j in sorted(cents):
+            carr = F.array(*[F.lit(int(v)) for v in cents[j]])
+            d = F.aggregate(
+                F.zip_with(F.col("xq"), carr, lambda x, c: (x - c) * (x - c)),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            pairs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+        best = F.array_min(F.array(*pairs))
+        return best["j"].alias("j"), best["d"].alias("d")
+
+    c0 = centroids_of(dfq.withColumn("j", (F.col("vec_id") % 8).cast("int")))
+    j1, _ = assign_expr(c0)
+    c1 = centroids_of(dfq.select("vec_id", "xq", j1))
+    j2, d2 = assign_expr(c1)
+    return dfq.select(
+        "vec_id",
+        j2.cast("int").alias("cluster_id"),
+        d2.cast("bigint").alias("sq_dist_q"),
+    )
+
+
 @query(
     "doc_chunks_fixed_tokens",
     oracle="""
