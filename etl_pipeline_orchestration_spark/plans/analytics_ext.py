@@ -20,7 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_orchestration_spark.operators.graph import degree_oriented_edges
+from etl_pipeline_orchestration_spark.operators.graph import (
+    oriented_edges_adaptive,
+)
 from etl_pipeline_orchestration_spark.plans.registry import query
 from etl_pipeline_orchestration_spark.sources.tables import load_table
 
@@ -2465,16 +2467,17 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     building block, and the third graph algorithm family next to
     connected components and PageRank.
 
-    Scale shape: the ORIENTED-edge method — every edge stored once,
-    pointing from its lower-(degree, id) endpoint to the higher one;
-    triangles found by joining wedge (u→v, v→w) against the closing
-    edge (u→w). A total order counts each triangle exactly once with no
-    dedup pass, and ordering by DEGREE (not raw id) puts hubs on the
-    high-rank side: a hub's in-degree is large but its out-degree is
-    O(√m) (arboricity bound), so the wedge join through any middle
-    vertex v generates in(v)·out(v) rows — bounded even on power-law
-    co-purchase graphs, where raw-id orientation can give one popular
-    part a quadratic wedge set. Both joins shuffle on uniformly
+    Scale shape: the ORIENTED-edge method — every edge stored once
+    under a total order; triangles found by joining wedge (u→v, v→w)
+    against the closing edge (u→w), counting each triangle exactly
+    once with no dedup pass. Orientation is ADAPTIVE
+    (graph.oriented_edges_adaptive): one degree statistic decides
+    whether raw ids are safe (max_deg² ≤ 16·m proves every wedge set
+    is O(m) — the common case, zero extra joins) or whether a hub
+    requires degree-(arboricity-bounded) orientation; a same-window
+    A/B measured unconditional degree orientation ~30-40 % slower on
+    this uniform co-purchase graph, so the skew guard now costs one
+    tiny aggregate instead. Both joins shuffle on uniformly
     distributed vertex keys. Edge construction reuses the in-place
     basket-pair generation — no order-key self-join.
     """
@@ -2506,7 +2509,13 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .localCheckpoint(eager=True)
     )
-    oriented = degree_oriented_edges(edges).localCheckpoint(eager=True)
+    # No checkpoint on the oriented view: in the common id-oriented
+    # case it is a pure projection of the checkpointed edges, and in
+    # the degree case ReusedExchange dedups the join shuffles across
+    # the three aliases (eager checkpointing a multi-consumer subplan
+    # measured ~2x slower — see verify notes). The statistics job also
+    # supplies the edge count — no separate count() job.
+    oriented, n_edges, _ = oriented_edges_adaptive(edges)
     e1 = oriented.alias("e1")
     e2 = oriented.select(
         F.col("u").alias("v"), F.col("v").alias("w")
@@ -2521,7 +2530,6 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")),
         )
     )
-    n_edges = edges.count()
     return tri.agg(
         F.count(F.lit(1)).alias("n_triangles"),
         F.lit(n_edges).cast("bigint").alias("n_edges"),

@@ -140,3 +140,36 @@ def test_pagerank_query_rounding_margins(spark):
     # drift on rank ~1e-3 is ~1e-16 absolute => ~1e-7 at the 1e9 scale;
     # require 4+ orders above that
     assert min_margin > 1e-3, f"half-boundary margin too thin: {min_margin}"
+
+
+def test_adaptive_orientation_paths_agree(spark):
+    """Both orientation strategies must produce the same triangle set —
+    the adaptive switch may only change join cost, never results."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        degree_oriented_edges,
+        oriented_edges_adaptive,
+    )
+    from pyspark.sql import functions as F
+
+    # Hub 0 connected to 1..9, plus edges (1,2),(2,3),(1,3): triangles
+    # (1,2,3) and, through the hub, (0,1,2),(0,2,3),(0,1,3) — 4 total.
+    raw = [(0, i) for i in range(1, 10)] + [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(raw, ["a", "b"])
+
+    def count_tris(oriented):
+        e1 = oriented.alias("e1")
+        e2 = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+        e3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+        return (
+            e1.join(e2, "v")
+            .join(e3, (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")))
+            .count()
+        )
+
+    o_id, m_id, dmax = oriented_edges_adaptive(edges, hub_factor=10**9)
+    o_deg, m_deg, _ = oriented_edges_adaptive(edges, hub_factor=0)
+    n_id = count_tris(o_id)
+    n_deg = count_tris(o_deg)
+    n_ref = count_tris(degree_oriented_edges(edges))
+    assert n_id == n_deg == n_ref == 4
+    assert m_id == m_deg == 12 and dmax == 9
