@@ -119,6 +119,8 @@ HEADLINE = [
     "source_lang_skew",
     "graph_pagerank_part_supplier",
     "corpus_report",
+    "window_ntile_percent_rank",
+    "embedding_kmeans_exact",
 ]
 
 

@@ -60,7 +60,16 @@ def corpus_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     was at position 1). ``split`` is the deterministic Knuth-bucket
     train/val/test assignment (operators/sampling.with_split), included
     so split-conditioned metrics derive from the same pass."""
-    docs = with_split(load_table(spark, sf_dir, "documents"))
+    return gram_stats_of(with_split(load_table(spark, sf_dir, "documents")))
+
+
+def gram_stats_of(docs: DataFrame) -> DataFrame:
+    """The histogram pass over an arbitrary documents relation (must
+    carry ``lang``, ``source``, ``split``, ``text``) — factored out so
+    incremental maintenance can run the SAME pass over a delta
+    partition and merge (the aggregate is a sum, hence mergeable:
+    f(A ⊎ B) == merge(f(A), f(B)), cross-engine-verified by
+    corpus_stats_incremental_merge)."""
     ws = F.split(F.trim(F.col("text")), r"\s+")
     base = docs.select("lang", "source", "split", ws.alias("ws"))
     # size(ws) >= 1 for ANY string (split of "" is [""]), so the
