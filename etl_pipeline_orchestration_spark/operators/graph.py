@@ -211,17 +211,25 @@ def pagerank(
     dangling nodes (no out-edges) redistribute uniformly, so ranks sum
     to 1 every iteration.
 
-    Distributed shape per iteration: one shuffle — contributions =
-    edges ⋈ ranks grouped by destination; the degree table and the
-    dangling-mass scalar are computed once / per-iteration aggregates.
+    Distributed shape per iteration: ONE shuffle — contributions =
+    degree-weighted edges ⋈ sparse ranks grouped by destination. Rank
+    state is held SPARSELY as (inflow-node rows, scalar ``base``):
+    every node without inflow has exactly rank == base, so the
+    per-iteration ``nodes ⋈ contribs`` densification join is deleted
+    and the edge join takes ``coalesce(rank, base)`` instead — bit-for-
+    bit the same numbers (``base + damping·0.0 == base`` in IEEE), one
+    less shuffle and a smaller checkpoint per pass. The degree table is
+    pre-joined into the edge list once (not per iteration), and whether
+    any dangling node exists is decided once up front — symmetric
+    graphs skip every per-iteration dangling aggregate.
     ``localCheckpoint`` every iteration truncates the lineage (the plan
     would otherwise grow linearly and re-execute the whole history each
-    pass). Convergence check (L1 delta) costs one small join per
-    iteration over |V| rows — exits early on stable graphs.
+    pass). Convergence check (L1 delta, ``tol > 0``) costs one extra
+    densified join per iteration — fixed-budget callers pass ``tol=0``.
 
     Float note: ranks are shuffle-order-dependent in the last ulps —
-    callers compare with tolerance, never exactly (this is why the
-    registered query is a rows-only check).
+    callers compare with tolerance or on rounded integers with measured
+    half-boundary margins (see graph_pagerank_part_supplier).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
     e = e.localCheckpoint(eager=True)
@@ -233,45 +241,87 @@ def pagerank(
     )
     n = nodes.count()
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("out_deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    # Pre-join the out-degree into the edge list ONCE: the old loop
+    # recomputed the deg aggregate and re-joined it inside every
+    # iteration's plan (an extra shuffle per pass, 10x over a fixed
+    # budget). e_w is edge-sized, checkpointed, reused every pass.
+    e_w = e.join(deg, "s").localCheckpoint(eager=True)
+    # Dangling-node handling costs one driver-visible aggregate per
+    # iteration — but whether ANY dangling node exists is a property of
+    # the graph, decided once. Graphs built symmetrically (both edge
+    # directions) have none, and skip all per-iteration dangling jobs.
+    dang_nodes = (
+        nodes.join(deg, nodes["node"] == deg["s"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    n_dang = dang_nodes.count()
 
+    def densify(sparse, base):
+        """Materialize full (node, rank): absent nodes have rank==base
+        exactly (base + damping·0.0 is bit-identical to base)."""
+        if sparse is None:
+            return nodes.withColumn("rank", F.lit(base))
+        return nodes.join(sparse, "node", "left").select(
+            "node", F.coalesce("rank", F.lit(base)).alias("rank")
+        )
+
+    # Sparse rank state: (rows for inflow nodes only, scalar base).
+    sparse, base = None, 1.0 / n
+    prev_dense = None
     for _ in range(max_iter):
-        with_deg = ranks.join(deg, ranks["node"] == deg["s"], "left")
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .head()[0]
+        if n_dang:
+            if sparse is None:
+                dangling = n_dang * base
+            else:
+                dangling = (
+                    dang_nodes.join(sparse, "node", "left")
+                    .agg(
+                        F.coalesce(
+                            F.sum(F.coalesce("rank", F.lit(base))), F.lit(0.0)
+                        )
+                    )
+                    .head()[0]
+                )
+        else:
+            dangling = 0.0
+        src_rank = (
+            F.lit(base)
+            if sparse is None
+            else F.coalesce(F.col("rank"), F.lit(base))
+        )
+        joined = (
+            e_w
+            if sparse is None
+            else e_w.join(sparse, e_w["s"] == sparse["node"], "left")
         )
         contribs = (
-            e.join(ranks, e["s"] == ranks["node"])
-            .join(deg, "s")
-            .select(F.col("d").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            joined.select(
+                F.col("d").alias("node"), (src_rank / F.col("out_deg")).alias("c")
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
-        new_ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
+        new_base = (1.0 - damping) / n + damping * dangling / n
+        new_sparse = contribs.select(
+            "node",
+            (F.lit(new_base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)))
+            .alias("rank"),
+        ).localCheckpoint(eager=True)
         if tol > 0:
-            # one extra |V|-row join-agg job per iteration; callers doing a
-            # fixed iteration budget pass tol=0 to skip it entirely
+            # densified L1-delta check: one extra |V|-row join-agg job
+            # per iteration; fixed-budget callers pass tol=0 to skip it
+            if prev_dense is None:
+                prev_dense = densify(sparse, base).localCheckpoint(eager=True)
+            new_dense = densify(new_sparse, new_base).localCheckpoint(eager=True)
             delta = (
-                ranks.withColumnRenamed("rank", "old")
-                .join(new_ranks, "node")
+                prev_dense.withColumnRenamed("rank", "old")
+                .join(new_dense, "node")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
                 .head()[0]
             )
-            ranks = new_ranks
+            sparse, base, prev_dense = new_sparse, new_base, new_dense
             if delta is not None and delta < tol:
                 break
         else:
-            ranks = new_ranks
-    return ranks
+            sparse, base = new_sparse, new_base
+    return densify(sparse, base)

@@ -2061,9 +2061,9 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     too big for an unpartitioned ntile window — so each dimension uses
     the DISTRIBUTED exact-rank operator (operators/ranking.py:
     cutpoint bucketing → parallel local row_number → literal offsets)
-    and the exact ntile formula on the global row number; the three
-    narrow (custkey, quartile) rank outputs join back to the
-    aggregate. Every ranking ORDER BY is exact-integer with a custkey
+    and the exact ntile formula on the global row number; the plan
+    chains the three bucketed windows — no joins, no SinglePartition
+    exchange. Every ranking ORDER BY is exact-integer with a custkey
     tiebreak: monetary uses integer CENTS (round(x*100) on exact-2dp
     doubles), because ordering by a float SUM would let a last-ulp
     summation difference flip a quartile boundary — ints can't.
@@ -2071,13 +2071,14 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_orchestration_spark.operators import ranking
 
     od = load_table(spark, sf_dir, "orders")
-    ref = od.agg(F.max("o_orderdate").alias("ref")).head()["ref"]
+    # Aggregate on last_order_day, not r_days: r_days = ref - last_day
+    # is strictly monotone in last_day, so ranking needs no reference
+    # date — and the reference (max over customer maxes) then comes out
+    # of the cutpoints job below instead of costing its own full scan.
     per_cust = (
         od.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
-            F.datediff(F.lit(ref), F.max("o_orderdate")).cast("bigint").alias(
-                "r_days"
-            ),
+            F.max("o_orderdate").alias("last_day"),
             F.count(F.lit(1)).alias("f_orders"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
             .cast("bigint")
@@ -2086,41 +2087,71 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    def quartile(order_cols, bucket_key, descending, name):
-        ranked, n = ranking.append_global_row_number(
-            per_cust,
-            order_cols,
-            bucket_key,
-            descending=descending,
-            out_col="__rn",
-        )
-        return ranked.select(
-            "c_custkey",
-            ranking.ntile_from_row_number(F.col("__rn"), n, 4)
-            .cast("bigint")
-            .alias(name),
-        )
+    # Three rank dimensions, but only TWO eager jobs on the cached
+    # aggregate: one agg computes all three cutpoint sketches at once
+    # (mergeable GK sketches batch into a single pass) PLUS the
+    # reference date, and one grouping-sets pass yields all three
+    # per-bucket count maps.
+    dims = [
+        ("r", -F.unix_date(F.col("last_day").cast("date")), False, None),
+        ("f", F.col("f_orders"), True, None),
+        ("m", F.col("m_cents"), True, None),
+    ]
+    cuts_row = per_cust.agg(
+        F.max("last_day").alias("ref"),
+        *[
+            ranking.cutpoint_agg(
+                (-key if desc else key).cast("double"), 64
+            ).alias(f"cuts_{tag}")
+            for tag, key, desc, _ in dims
+        ],
+    ).head()
+    ref = cuts_row["ref"]
+    cuts = {tag: sorted(set(cuts_row[f"cuts_{tag}"] or [])) for tag, *_ in dims}
+    r_days = F.datediff(F.lit(ref), F.col("last_day")).cast("bigint")
+    order_by = {
+        "r": [r_days, F.col("c_custkey")],
+        "f": [F.col("f_orders").desc(), F.col("c_custkey")],
+        "m": [F.col("m_cents").desc(), F.col("c_custkey")],
+    }
 
-    rq = quartile(
-        [F.col("r_days"), F.col("c_custkey")], F.col("r_days"), False,
-        "r_quartile",
+    b = per_cust.select(
+        "*",
+        *[
+            (-key if desc else key).cast("double").alias(f"gk_{tag}")
+            for tag, key, desc, _ in dims
+        ],
+    ).select(
+        "*",
+        *[
+            ranking.bucket_expr(f"gk_{tag}", cuts[tag]).alias(f"bkt_{tag}")
+            for tag, *_ in dims
+        ],
     )
-    fq = quartile(
-        [F.col("f_orders").desc(), F.col("c_custkey")], F.col("f_orders"),
-        True, "f_quartile",
-    )
-    mq = quartile(
-        [F.col("m_cents").desc(), F.col("c_custkey")], F.col("m_cents"),
-        True, "m_quartile",
-    )
-    return (
-        per_cust.join(rq, "c_custkey")
-        .join(fq, "c_custkey")
-        .join(mq, "c_custkey")
-        .select(
-            "c_custkey", "r_days", "f_orders", "m_cents",
-            "r_quartile", "f_quartile", "m_quartile",
+    bcols = [f"bkt_{tag}" for tag, *_ in dims]
+    counts = {tag: {} for tag, *_ in dims}
+    gs = b.groupingSets(
+        [[c] for c in bcols], *[F.col(c) for c in bcols]
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    for r in gs.collect():
+        for tag, c in zip(counts, bcols):
+            if r[c] is not None:
+                counts[tag][r[c]] = r["cnt"]
+
+    out = b
+    for tag, *_ in dims:
+        out, n = ranking.ranked_from_buckets(
+            out, f"bkt_{tag}", counts[tag], order_by[tag], out_col=f"rn_{tag}"
         )
+        out = out.withColumn(
+            f"{tag}_quartile",
+            ranking.ntile_from_row_number(F.col(f"rn_{tag}"), n, 4).cast(
+                "bigint"
+            ),
+        )
+    return out.select(
+        "c_custkey", r_days.alias("r_days"), "f_orders", "m_cents",
+        "r_quartile", "f_quartile", "m_quartile",
     )
 
 
