@@ -74,9 +74,14 @@ def gram_stats_of(docs: DataFrame) -> DataFrame:
     base = docs.select("lang", "source", "split", ws.alias("ws"))
     # size(ws) >= 1 for ANY string (split of "" is [""]), so the
     # sequence bounds are always legal — no short-doc guard needed here.
+    # The document-final w2 MUST be guarded though: bare ws[i] at
+    # i == size(ws) yields NULL only under ANSI-off — the driver's
+    # vanilla ANSI session throws INVALID_ARRAY_INDEX (caught by the
+    # round-4 vanilla-session probe before it reached the driver).
     pairs = F.expr(
         "transform(sequence(1, size(ws)),"
-        " i -> struct(i AS pos, ws[i - 1] AS w1, ws[i] AS w2))"
+        " i -> struct(i AS pos, ws[i - 1] AS w1,"
+        " if(i < size(ws), ws[i], cast(null as string)) AS w2))"
     )
     return (
         base.select("lang", "source", "split", F.explode(pairs).alias("p"))
