@@ -1,0 +1,65 @@
+"""Streaming corpus-statistics maintenance: stream==batch twin plus the
+replay-idempotence guard that makes the additive merge exactly-once."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_orchestration_spark.loader import WarehouseLoader
+from etl_pipeline_orchestration_spark.operators.sampling import with_split
+from etl_pipeline_orchestration_spark.plans.corpus_stats import gram_stats_of
+from etl_pipeline_orchestration_spark.sources.tables import load_table
+from etl_pipeline_orchestration_spark.streaming.corpus_stats_stream import (
+    KEYS,
+    merge_gram_stats_batch,
+    stream_gram_stats_to_warehouse,
+)
+from etl_pipeline_orchestration_spark.streaming.curation import (
+    read_documents_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream_docs"))
+    load_table(spark, SF, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def _hist_dict(df):
+    return {
+        tuple(r[k] for k in KEYS): (r["c"], r["n_first"])
+        for r in df.collect()
+    }
+
+
+def test_streamed_histogram_equals_batch_recompute(spark, docs_dir, tmp_path):
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    stream = read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
+    stream_gram_stats_to_warehouse(
+        stream, loader, "gram_stats", str(tmp_path / "ckpt")
+    )
+    stored = spark.read.parquet(loader._path("gram_stats"))
+    expected = gram_stats_of(with_split(spark.read.parquet(docs_dir)))
+    assert _hist_dict(stored) == _hist_dict(expected)
+
+
+def test_replayed_batch_id_is_skipped(spark, tmp_path):
+    """foreachBatch replays a batch id after a crash; summing it twice
+    would double-count, so the applied-upto watermark must skip it."""
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    docs = load_table(spark, SF, "documents").limit(50)
+    assert merge_gram_stats_batch(loader, "g", docs, batch_id=0) is True
+    once = _hist_dict(spark.read.parquet(loader._path("g")))
+    assert merge_gram_stats_batch(loader, "g", docs, batch_id=0) is False
+    assert _hist_dict(spark.read.parquet(loader._path("g"))) == once
+    # a NEW batch id does merge (counts double for the same docs)
+    assert merge_gram_stats_batch(loader, "g", docs, batch_id=1) is True
+    twice = _hist_dict(spark.read.parquet(loader._path("g")))
+    assert twice == {k: (c * 2, n * 2) for k, (c, n) in once.items()}
