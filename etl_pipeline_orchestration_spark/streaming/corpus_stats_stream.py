@@ -36,17 +36,12 @@ from pyspark.sql import functions as F
 from etl_pipeline_orchestration_spark.loader import WarehouseLoader
 from etl_pipeline_orchestration_spark.operators.sampling import with_split
 from etl_pipeline_orchestration_spark.plans.corpus_stats import gram_stats_of
+from etl_pipeline_orchestration_spark.streaming.watermark import (
+    applied_upto,
+    write_marker,
+)
 
 KEYS = ("lang", "source", "split", "w1", "w2")
-_MARKER = "_applied_upto"
-
-
-def _applied_upto(path: str) -> int:
-    marker = os.path.join(path, _MARKER)
-    if os.path.isfile(marker):
-        with open(marker) as f:
-            return int(f.read().strip())
-    return -1
 
 
 def merge_gram_stats_batch(
@@ -61,7 +56,7 @@ def merge_gram_stats_batch(
     _recover_swap(loader, table)
     path = loader._path(table)
     exists = os.path.isdir(path)
-    if exists and batch_id <= _applied_upto(path):
+    if exists and batch_id <= applied_upto(path):
         return False
 
     delta = gram_stats_of(with_split(batch_docs))
@@ -79,8 +74,7 @@ def merge_gram_stats_batch(
     tmp = loader._path(f"__upsert_{table}.tmp")
     old = loader._path(f"__upsert_{table}.old")
     merged.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, _MARKER), "w") as f:
-        f.write(str(batch_id))
+    write_marker(tmp, batch_id)
     if exists:
         os.rename(path, old)
         os.rename(tmp, path)

@@ -63,3 +63,43 @@ def test_replayed_batch_id_is_skipped(spark, tmp_path):
     assert merge_gram_stats_batch(loader, "g", docs, batch_id=1) is True
     twice = _hist_dict(spark.read.parquet(loader._path("g")))
     assert twice == {k: (c * 2, n * 2) for k, (c, n) in once.items()}
+
+
+def test_streamed_dedup_candidates_equal_batch_lsh(spark, docs_dir, tmp_path):
+    """Streaming near-dup: the union of per-batch candidate emissions
+    must equal the full-corpus batch LSH candidate set pair-for-pair
+    (n_bands_matched included — it is pair-intrinsic)."""
+    from etl_pipeline_orchestration_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from etl_pipeline_orchestration_spark.streaming.dedup_stream import (
+        stream_dedup_to_warehouse,
+    )
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    stream = read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
+    stream_dedup_to_warehouse(
+        stream, loader, "lsh_index", "lsh_candidates", str(tmp_path / "ckpt")
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_bands_matched"]
+        for r in spark.read.parquet(loader._path("lsh_candidates")).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["n_bands_matched"]
+        for r in minhash_lsh_candidates(spark.read.parquet(docs_dir)).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_dedup_replayed_batch_is_skipped(spark, tmp_path):
+    from etl_pipeline_orchestration_spark.streaming.dedup_stream import (
+        dedup_batch,
+    )
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    docs = load_table(spark, SF, "documents").limit(40)
+    assert dedup_batch(loader, "idx", "cand", docs, batch_id=0) is True
+    n_idx = spark.read.parquet(loader._path("idx")).count()
+    assert dedup_batch(loader, "idx", "cand", docs, batch_id=0) is False
+    assert spark.read.parquet(loader._path("idx")).count() == n_idx
