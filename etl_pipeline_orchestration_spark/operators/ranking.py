@@ -36,6 +36,7 @@ functions.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, Window
@@ -71,7 +72,7 @@ def append_global_row_number(
     cuts_row = kdf.agg(
         cutpoint_agg(F.col("__k"), n_buckets, accuracy).alias("cuts")
     ).head()
-    cuts = sorted(set(cuts_row["cuts"] or []))
+    cuts = sorted({c for c in (cuts_row["cuts"] or []) if math.isfinite(c)})
 
     b = df.withColumn("__gk", key.cast("double")).withColumn(
         "__bkt", bucket_expr("__gk", cuts)
@@ -106,6 +107,9 @@ def bucket_expr(key_col: str, cuts: list) -> Column:
     (measured), while this is a single ``expr`` call."""
     if not cuts:
         return F.lit(0)
+    # Callers pass finite cutpoints only (append_global_row_number
+    # filters); repr of a finite double round-trips through the SQL
+    # parser exactly. An inf/nan literal would not parse.
     arr = ",".join(repr(float(c)) for c in cuts)
     return F.expr(
         f"aggregate(array({arr}), 0,"
