@@ -218,3 +218,93 @@ class WarehouseLoader:
             return self.read(table).count()
         except Exception:
             return 0
+
+
+class SnapshotTable:
+    """Versioned snapshot table: immutable version directories plus an
+    atomically-updated CURRENT pointer — the minimal transactional
+    layer a parquet warehouse needs for safe concurrent readers.
+
+    The overwrite/swap writers above have a correctness gap at scale:
+    replacing a table deletes the old files while an in-flight reader
+    (a long analytics job, the correctness driver mid-collect) may
+    still hold them in its plan — on a real cluster that reader dies
+    with FileNotFound mid-stage. Snapshots close the gap the way every
+    transactional table format does:
+
+    * each write lands in a fresh ``v=N`` directory — existing readers'
+      file listings are never disturbed (immutability, not locking);
+    * ``_CURRENT`` flips via ``os.replace`` (atomic on POSIX — the
+      pointer is never absent, never partial); a crash BEFORE the flip
+      leaves an orphaned version directory that the next write simply
+      supersedes — readers never observe it;
+    * old versions stay readable by number (time travel: reproduce
+      yesterday's training set, diff two corpus snapshots, audit a
+      regression) until ``prune`` removes them, and pruning refuses to
+      drop the current version.
+
+    On a cluster the same calls target Delta/Iceberg; the reader/writer
+    contract — readers resolve a version once, then read immutable
+    files — is identical. Scale shape: the pointer is O(1) metadata;
+    writes cost exactly one parquet write of the data; no rename of
+    data files ever happens (renames are metadata-only moves of the
+    version directory root — none after the initial write)."""
+
+    def __init__(self, loader: WarehouseLoader, table: str):
+        self.loader = loader
+        self.root = loader._path(f"{table}__snaps")
+        os.makedirs(self.root, exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(d[2:]) for d in os.listdir(self.root) if d.startswith("v=")
+        )
+
+    def write(self, df: DataFrame) -> int:
+        """Publish a new snapshot; returns its version number. The data
+        write completes fully before the pointer flips, so a crash at
+        any point leaves the previous version current and intact."""
+        cur = self.current_version()
+        # Skip past orphaned directories from crashed writes.
+        nxt = max([v for v in self.versions()] + [cur if cur is not None else -1]) + 1
+        vdir = os.path.join(self.root, f"v={nxt}")
+        df.write.mode("overwrite").parquet(vdir)
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self._pointer())
+        return nxt
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read a snapshot (CURRENT when ``version`` is None). The
+        returned plan references one immutable directory — later writes
+        and prunes of OTHER versions cannot disturb it."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no snapshot published under {self.root}")
+        vdir = os.path.join(self.root, f"v={v}")
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(f"snapshot v={v} does not exist")
+        return self.loader.spark.read.parquet(vdir)
+
+    def prune(self, keep: int = 2) -> list[int]:
+        """Drop all but the newest ``keep`` versions; never drops the
+        current pointer's target. Returns the dropped version numbers."""
+        import shutil
+
+        cur = self.current_version()
+        vs = self.versions()
+        drop = [v for v in vs[:-keep] if v != cur] if keep > 0 else []
+        for v in drop:
+            shutil.rmtree(os.path.join(self.root, f"v={v}"))
+        return drop
