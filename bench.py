@@ -121,6 +121,7 @@ HEADLINE = [
     "corpus_report",
     "window_ntile_percent_rank",
     "embedding_kmeans_exact",
+    "corpus_stats_incremental_merge",
 ]
 
 

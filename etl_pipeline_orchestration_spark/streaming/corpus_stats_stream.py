@@ -10,13 +10,22 @@ stored warehouse histogram. The nightly corpus_report then reads a
 histogram that is always current, having only ever scanned each
 document once.
 
-Exactly-once: an additive merge is NOT replay-idempotent (the upsert
-path's sequence-aware merge is; summing a replayed batch double-
-counts), so each merged table write embeds an ``_applied_upto`` batch
-watermark INSIDE the table directory — the rename swap publishes data
-and watermark atomically, and a replayed foreachBatch id ≤ watermark
-is skipped. Spark's parquet reader ignores underscore files, so the
-marker rides along invisibly.
+Storage is a ``SnapshotTable`` (loader.py): each merge publishes a new
+immutable version behind an atomic CURRENT pointer, which buys three
+properties the old rename-swap could not give together:
+
+* **exactly-once replay** — an additive merge is NOT replay-idempotent
+  (summing a replayed batch double-counts), so each version carries
+  the applied-batch watermark INSIDE its directory; the pointer flip
+  publishes data + watermark atomically, and a replayed foreachBatch
+  id ≤ watermark is skipped. A crash between data write and pointer
+  flip leaves an orphan version the replay simply supersedes.
+* **reader isolation** — a long corpus_report job reading version N is
+  never disturbed by the stream publishing N+1.
+* **corpus-stats time travel** — every intermediate histogram stays
+  readable by version until pruned: drift between corpus snapshots
+  (yesterday's language mix vs today's) is a version-to-version query,
+  no extra bookkeeping.
 
 Scale shape per micro-batch: one scan of the batch's new files, one
 map-side-combined aggregate to batch-histogram size, one merge
@@ -27,60 +36,36 @@ histogram IS the state.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_pipeline_orchestration_spark.loader import WarehouseLoader
+from etl_pipeline_orchestration_spark.loader import SnapshotTable, WarehouseLoader
 from etl_pipeline_orchestration_spark.operators.sampling import with_split
 from etl_pipeline_orchestration_spark.plans.corpus_stats import gram_stats_of
-from etl_pipeline_orchestration_spark.streaming.watermark import (
-    applied_upto,
-    write_marker,
-)
 
 KEYS = ("lang", "source", "split", "w1", "w2")
 
 
 def merge_gram_stats_batch(
-    loader: WarehouseLoader, table: str, batch_docs: DataFrame, batch_id: int
+    snaps: SnapshotTable, batch_docs: DataFrame, batch_id: int
 ) -> bool:
-    """Merge one micro-batch's histogram into ``table``; returns False
-    when the batch id was already applied (checkpoint replay after a
-    crash) and the merge is skipped. Batch ids are monotone, so a
-    single high-water mark is sufficient."""
-    from etl_pipeline_orchestration_spark.streaming.upsert import _recover_swap
-
-    _recover_swap(loader, table)
-    path = loader._path(table)
-    exists = os.path.isdir(path)
-    if exists and batch_id <= applied_upto(path):
+    """Merge one micro-batch's histogram into the snapshot table;
+    returns False when the batch id was already applied (checkpoint
+    replay after a crash) and the merge is skipped. Batch ids are
+    monotone, so a single high-water mark is sufficient."""
+    if batch_id <= snaps.applied_upto():
         return False
-
     delta = gram_stats_of(with_split(batch_docs))
-    if exists:
-        spark = batch_docs.sparkSession
+    if snaps.current_version() is None:
+        merged = delta
+    else:
         merged = (
-            spark.read.parquet(path)
+            snaps.read()
             .unionByName(delta)
             .groupBy(*KEYS)
             .agg(F.sum("c").alias("c"), F.sum("n_first").alias("n_first"))
         )
-    else:
-        merged = delta
-
-    tmp = loader._path(f"__upsert_{table}.tmp")
-    old = loader._path(f"__upsert_{table}.old")
-    merged.write.mode("overwrite").parquet(tmp)
-    write_marker(tmp, batch_id)
-    if exists:
-        os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old)
-    else:
-        os.rename(tmp, path)
+    snaps.write(merged, marker=batch_id)
     return True
 
 
@@ -89,12 +74,14 @@ def stream_gram_stats_to_warehouse(
     loader: WarehouseLoader,
     table: str,
     checkpoint_dir: str,
-) -> None:
+) -> SnapshotTable:
     """Drain the document stream's backlog, folding each micro-batch
-    into the stored histogram (availableNow: finite, then stop)."""
+    into the stored histogram (availableNow: finite, then stop).
+    Returns the snapshot table holding the full version history."""
+    snaps = SnapshotTable(loader, table)
     q = (
         stream_docs.writeStream.foreachBatch(
-            lambda batch, bid: merge_gram_stats_batch(loader, table, batch, bid)
+            lambda batch, bid: merge_gram_stats_batch(snaps, batch, bid)
         )
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -102,3 +89,4 @@ def stream_gram_stats_to_warehouse(
         .start()
     )
     q.awaitTermination()
+    return snaps

@@ -42,27 +42,39 @@ def _hist_dict(df):
 def test_streamed_histogram_equals_batch_recompute(spark, docs_dir, tmp_path):
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
     stream = read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
-    stream_gram_stats_to_warehouse(
+    snaps = stream_gram_stats_to_warehouse(
         stream, loader, "gram_stats", str(tmp_path / "ckpt")
     )
-    stored = spark.read.parquet(loader._path("gram_stats"))
     expected = gram_stats_of(with_split(spark.read.parquet(docs_dir)))
-    assert _hist_dict(stored) == _hist_dict(expected)
+    assert _hist_dict(snaps.read()) == _hist_dict(expected)
+    # One snapshot per micro-batch, and the history is monotone: every
+    # earlier version holds a strictly smaller total token count —
+    # corpus-stats time travel over corpus growth.
+    versions = snaps.versions()
+    assert len(versions) == 4  # 4 input files, maxFilesPerTrigger=1
+    totals = [
+        snaps.read(version=v).agg(F.sum("c")).head()[0] for v in versions
+    ]
+    assert totals == sorted(totals) and len(set(totals)) == len(totals)
 
 
 def test_replayed_batch_id_is_skipped(spark, tmp_path):
     """foreachBatch replays a batch id after a crash; summing it twice
     would double-count, so the applied-upto watermark must skip it."""
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "g")
     docs = load_table(spark, SF, "documents").limit(50)
-    assert merge_gram_stats_batch(loader, "g", docs, batch_id=0) is True
-    once = _hist_dict(spark.read.parquet(loader._path("g")))
-    assert merge_gram_stats_batch(loader, "g", docs, batch_id=0) is False
-    assert _hist_dict(spark.read.parquet(loader._path("g"))) == once
+    assert merge_gram_stats_batch(snaps, docs, batch_id=0) is True
+    once = _hist_dict(snaps.read())
+    assert merge_gram_stats_batch(snaps, docs, batch_id=0) is False
+    assert _hist_dict(snaps.read()) == once
     # a NEW batch id does merge (counts double for the same docs)
-    assert merge_gram_stats_batch(loader, "g", docs, batch_id=1) is True
-    twice = _hist_dict(spark.read.parquet(loader._path("g")))
-    assert twice == {k: (c * 2, n * 2) for k, (c, n) in once.items()}
+    assert merge_gram_stats_batch(snaps, docs, batch_id=1) is True
+    assert _hist_dict(snaps.read()) == {
+        k: (c * 2, n * 2) for k, (c, n) in once.items()
+    }
 
 
 def test_streamed_dedup_candidates_equal_batch_lsh(spark, docs_dir, tmp_path):
