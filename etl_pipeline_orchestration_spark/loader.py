@@ -270,37 +270,50 @@ class SnapshotTable:
             int(d[2:]) for d in os.listdir(self.root) if d.startswith("v=")
         )
 
-    def write(self, df: DataFrame, marker: int | None = None) -> int:
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.root, f"v={version}")
+
+    def write(
+        self, df: DataFrame, marker: tuple[str, int] | None = None
+    ) -> int:
         """Publish a new snapshot; returns its version number. The data
         write completes fully before the pointer flips, so a crash at
         any point leaves the previous version current and intact.
 
-        ``marker`` stamps the version with an applied-batch watermark
-        (streaming/watermark.py) INSIDE the version directory before
-        the pointer flips — the publish is atomic for data + watermark
-        together, which is what non-idempotent streaming sinks need for
-        exactly-once replay (see streaming/corpus_stats_stream.py)."""
+        ``marker`` = (checkpoint app id, batch id) stamps the version
+        with an applied-batch watermark (streaming/watermark.py) INSIDE
+        the version directory before the pointer flips — the publish is
+        atomic for data + watermark together, which is what
+        non-idempotent streaming sinks need for exactly-once replay
+        (see streaming/corpus_stats_stream.py). When ``marker`` is None
+        the CURRENT version's watermark carries forward — a maintenance
+        write (compaction, repartition) must not reset the stream's
+        replay protection."""
+        from etl_pipeline_orchestration_spark.streaming.watermark import (
+            read_marker,
+            write_marker,
+        )
+
         cur = self.current_version()
+        if marker is None and cur is not None:
+            marker = read_marker(self._vdir(cur))
         # Skip past orphaned directories from crashed writes.
         nxt = max([v for v in self.versions()] + [cur if cur is not None else -1]) + 1
-        vdir = os.path.join(self.root, f"v={nxt}")
+        vdir = self._vdir(nxt)
         df.write.mode("overwrite").parquet(vdir)
         if marker is not None:
-            from etl_pipeline_orchestration_spark.streaming.watermark import (
-                write_marker,
-            )
-
-            write_marker(vdir, marker)
+            write_marker(vdir, marker[0], marker[1])
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(nxt))
         os.replace(tmp, self._pointer())
         return nxt
 
-    def applied_upto(self) -> int:
+    def applied_upto(self, app_id: str) -> int:
         """Watermark of the CURRENT version (-1 when no snapshot or no
         marker) — replayed streaming batch ids at or below this were
-        fully published and must be skipped."""
+        fully published and must be skipped. Raises when the table was
+        built under a different checkpoint (see watermark.py)."""
         from etl_pipeline_orchestration_spark.streaming.watermark import (
             applied_upto,
         )
@@ -308,7 +321,7 @@ class SnapshotTable:
         cur = self.current_version()
         if cur is None:
             return -1
-        return applied_upto(os.path.join(self.root, f"v={cur}"))
+        return applied_upto(self._vdir(cur), app_id)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read a snapshot (CURRENT when ``version`` is None). The

@@ -74,9 +74,15 @@ def append_global_row_number(
     ).head()
     cuts = sorted({c for c in (cuts_row["cuts"] or []) if math.isfinite(c)})
 
-    b = df.withColumn("__gk", key.cast("double")).withColumn(
-        "__bkt", bucket_expr("__gk", cuts)
-    )
+    bkt = bucket_expr("__gk", cuts)
+    if descending:
+        # Spark orders NaN LARGEST: ascending puts NaN rows last, which
+        # the fold already honors (NaN > cut is true for every cut →
+        # top bucket). Descending puts NaN rows FIRST, but negation
+        # leaves NaN as NaN — still landing in the top bucket — so pin
+        # them to bucket 0 to agree with the order_cols sort.
+        bkt = F.when(F.isnan(F.col("__gk")), F.lit(0)).otherwise(bkt)
+    b = df.withColumn("__gk", key.cast("double")).withColumn("__bkt", bkt)
     counts = {
         r["__bkt"]: r["cnt"]
         for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -104,12 +110,16 @@ def bucket_expr(key_col: str, cuts: list) -> Column:
     == key order, equal keys always share a bucket. Emitted as ONE
     generated-SQL fold parsed JVM-side — a 63-branch ``F.when`` chain
     costs ~0.4 s of py4j round-trips PER DIMENSION on the driver
-    (measured), while this is a single ``expr`` call."""
+    (measured), while this is a single ``expr`` call.
+
+    Non-finite cutpoints are dropped HERE (not in callers): a ``nan``
+    or ``inf`` literal would not parse, and any monotone subset of
+    cutpoints still yields exact ranks — only load balance shifts.
+    repr of a finite double round-trips through the SQL parser exactly.
+    """
+    cuts = [c for c in cuts if math.isfinite(c)]
     if not cuts:
         return F.lit(0)
-    # Callers pass finite cutpoints only (append_global_row_number
-    # filters); repr of a finite double round-trips through the SQL
-    # parser exactly. An inf/nan literal would not parse.
     arr = ",".join(repr(float(c)) for c in cuts)
     return F.expr(
         f"aggregate(array({arr}), 0,"

@@ -36,6 +36,8 @@ histogram IS the state.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,13 +49,16 @@ KEYS = ("lang", "source", "split", "w1", "w2")
 
 
 def merge_gram_stats_batch(
-    snaps: SnapshotTable, batch_docs: DataFrame, batch_id: int
+    snaps: SnapshotTable, batch_docs: DataFrame, batch_id: int, app_id: str
 ) -> bool:
     """Merge one micro-batch's histogram into the snapshot table;
     returns False when the batch id was already applied (checkpoint
     replay after a crash) and the merge is skipped. Batch ids are
-    monotone, so a single high-water mark is sufficient."""
-    if batch_id <= snaps.applied_upto():
+    monotone only within one checkpoint lineage, so the watermark
+    carries the checkpoint identity — a table built under a different
+    checkpoint raises instead of silently skipping or double-counting
+    (watermark.py)."""
+    if batch_id <= snaps.applied_upto(app_id):
         return False
     delta = gram_stats_of(with_split(batch_docs))
     if snaps.current_version() is None:
@@ -65,7 +70,7 @@ def merge_gram_stats_batch(
             .groupBy(*KEYS)
             .agg(F.sum("c").alias("c"), F.sum("n_first").alias("n_first"))
         )
-    snaps.write(merged, marker=batch_id)
+    snaps.write(merged, marker=(app_id, batch_id))
     return True
 
 
@@ -77,11 +82,14 @@ def stream_gram_stats_to_warehouse(
 ) -> SnapshotTable:
     """Drain the document stream's backlog, folding each micro-batch
     into the stored histogram (availableNow: finite, then stop).
-    Returns the snapshot table holding the full version history."""
+    Returns the snapshot table holding the full version history. The
+    checkpoint path doubles as the watermark's app id: the
+    (checkpoint, table) pair is the unit of exactly-once."""
     snaps = SnapshotTable(loader, table)
+    app_id = os.path.abspath(checkpoint_dir)
     q = (
         stream_docs.writeStream.foreachBatch(
-            lambda batch, bid: merge_gram_stats_batch(snaps, batch, bid)
+            lambda batch, bid: merge_gram_stats_batch(snaps, batch, bid, app_id)
         )
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)

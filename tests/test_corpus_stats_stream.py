@@ -66,15 +66,24 @@ def test_replayed_batch_id_is_skipped(spark, tmp_path):
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
     snaps = SnapshotTable(loader, "g")
     docs = load_table(spark, SF, "documents").limit(50)
-    assert merge_gram_stats_batch(snaps, docs, batch_id=0) is True
+    assert merge_gram_stats_batch(snaps, docs, 0, "ckptA") is True
     once = _hist_dict(snaps.read())
-    assert merge_gram_stats_batch(snaps, docs, batch_id=0) is False
+    assert merge_gram_stats_batch(snaps, docs, 0, "ckptA") is False
     assert _hist_dict(snaps.read()) == once
     # a NEW batch id does merge (counts double for the same docs)
-    assert merge_gram_stats_batch(snaps, docs, batch_id=1) is True
+    assert merge_gram_stats_batch(snaps, docs, 1, "ckptA") is True
     assert _hist_dict(snaps.read()) == {
         k: (c * 2, n * 2) for k, (c, n) in once.items()
     }
+    # A DIFFERENT checkpoint's batch ids are not comparable: restarting
+    # with a fresh checkpoint re-reads the source, so neither skipping
+    # (silent drop) nor merging (double count) is safe — loud failure.
+    with pytest.raises(ValueError, match="checkpoint"):
+        merge_gram_stats_batch(snaps, docs, 0, "ckptB")
+    # A maintenance write without a marker carries the watermark
+    # forward instead of resetting replay protection.
+    snaps.write(snaps.read().limit(5))
+    assert snaps.applied_upto("ckptA") == 1
 
 
 def test_streamed_dedup_candidates_equal_batch_lsh(spark, docs_dir, tmp_path):
@@ -90,9 +99,11 @@ def test_streamed_dedup_candidates_equal_batch_lsh(spark, docs_dir, tmp_path):
 
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
     stream = read_documents_stream(spark, docs_dir, max_files_per_trigger=1)
-    stream_dedup_to_warehouse(
+    snaps = stream_dedup_to_warehouse(
         stream, loader, "lsh_index", "lsh_candidates", str(tmp_path / "ckpt")
     )
+    # the published index covers the full corpus (one version per batch)
+    assert len(snaps.versions()) == 4
     got = {
         (r["id_a"], r["id_b"]): r["n_bands_matched"]
         for r in spark.read.parquet(loader._path("lsh_candidates")).collect()
@@ -105,13 +116,17 @@ def test_streamed_dedup_candidates_equal_batch_lsh(spark, docs_dir, tmp_path):
 
 
 def test_dedup_replayed_batch_is_skipped(spark, tmp_path):
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
     from etl_pipeline_orchestration_spark.streaming.dedup_stream import (
         dedup_batch,
     )
 
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "idx")
     docs = load_table(spark, SF, "documents").limit(40)
-    assert dedup_batch(loader, "idx", "cand", docs, batch_id=0) is True
-    n_idx = spark.read.parquet(loader._path("idx")).count()
-    assert dedup_batch(loader, "idx", "cand", docs, batch_id=0) is False
-    assert spark.read.parquet(loader._path("idx")).count() == n_idx
+    assert dedup_batch(loader, snaps, "cand", docs, 0, "ck") is True
+    n_idx = snaps.read().count()
+    assert dedup_batch(loader, snaps, "cand", docs, 0, "ck") is False
+    assert snaps.read().count() == n_idx
+    with pytest.raises(ValueError, match="checkpoint"):
+        dedup_batch(loader, snaps, "cand", docs, 0, "other-ck")

@@ -95,3 +95,28 @@ def test_rewired_queries_have_no_single_partition_exchange(spark, qname):
     df = entry.queries()[qname](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_descending_rank_with_nan_keys_matches_spark_window(spark):
+    """Spark orders NaN largest (first under desc) — the bucket fold
+    alone would misplace NaN rows in descending mode; the isnan pin to
+    bucket 0 must keep exact parity with the window ordering."""
+    df = spark.range(200).select(
+        "id",
+        F.when(F.col("id") % 17 == 0, F.lit(float("nan")))
+        .otherwise((F.xxhash64("id") % 1000).cast("double"))
+        .alias("k"),
+    )
+    order = [F.col("k").desc(), F.col("id")]
+    ranked, total = ranking.append_global_row_number(
+        df, order, F.col("k"), descending=True, n_buckets=8, out_col="rn"
+    )
+    w = Window.orderBy(*order)
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(w).cast("bigint").alias("rn")
+        ).collect()
+    }
+    got = {r["id"]: r["rn"] for r in ranked.select("id", "rn").collect()}
+    assert got == want and total == 200
