@@ -274,7 +274,10 @@ class SnapshotTable:
         return os.path.join(self.root, f"v={version}")
 
     def write(
-        self, df: DataFrame, marker: tuple[str, int] | None = None
+        self,
+        df: DataFrame,
+        marker: tuple[str, int] | None = None,
+        prepare=None,
     ) -> int:
         """Publish a new snapshot; returns its version number. The data
         write completes fully before the pointer flips, so a crash at
@@ -288,7 +291,13 @@ class SnapshotTable:
         (see streaming/corpus_stats_stream.py). When ``marker`` is None
         the CURRENT version's watermark carries forward — a maintenance
         write (compaction, repartition) must not reset the stream's
-        replay protection."""
+        replay protection.
+
+        ``prepare(version_dir)``, when given, runs after the data write
+        and BEFORE the pointer flip — the hook for sidecar artifacts
+        (model matrices, schema notes) that must publish atomically
+        with the data (see streaming/ann_stream.py's centroid
+        sidecar)."""
         from etl_pipeline_orchestration_spark.streaming.watermark import (
             read_marker,
             write_marker,
@@ -303,6 +312,8 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(vdir)
         if marker is not None:
             write_marker(vdir, marker[0], marker[1])
+        if prepare is not None:
+            prepare(vdir)
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(nxt))
