@@ -970,6 +970,57 @@ def hour_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_timetravel_diff",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_added,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_added
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel diff through the VERSIONED warehouse itself
+    (loader.SnapshotTable): publish version 0 (orders minus every
+    third key — yesterday's table), publish version 1 (all orders —
+    today's), then compute what today added by anti-joining the
+    CURRENT read against the ``version=0`` read. The DuckDB oracle
+    derives the same answer directly from the raw table, so a hash
+    match proves the snapshot layer round-trips data faithfully AND
+    that time travel returns the exact old version after the pointer
+    has moved on — the storage feature is driver-grade verified, not
+    just unit-tested. Money compares as integer cents (exact-2dp
+    doubles round-trip parquet bit-exactly).
+
+    Plan: two snapshot writes (scratch warehouse, same write path the
+    streaming sinks use), one anti join on the key, one aggregate."""
+    import tempfile
+
+    from etl_pipeline_orchestration_spark.loader import (
+        SnapshotTable,
+        WarehouseLoader,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    loader = WarehouseLoader(spark, tempfile.mkdtemp(prefix="etl_snaps_"))
+    snaps = SnapshotTable(loader, "orders")
+    snaps.write(orders.filter(F.col("o_orderkey") % 3 != 0))
+    snaps.write(orders)
+    added = snaps.read().join(
+        snaps.read(version=0).select("o_orderkey"), "o_orderkey", "left_anti"
+    )
+    return added.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_added"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_added"),
+    )
+
+
+@query(
     "snapshot_diff_orders",
     oracle="""
     WITH snap_b AS (
