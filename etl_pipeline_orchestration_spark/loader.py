@@ -295,9 +295,11 @@ class SnapshotTable:
 
         ``prepare(version_dir)``, when given, runs after the data write
         and BEFORE the pointer flip — the hook for sidecar artifacts
-        (model matrices, schema notes) that must publish atomically
-        with the data (see streaming/ann_stream.py's centroid
-        sidecar)."""
+        (schema notes, stats files) that must publish atomically with
+        the data. NOTE: sidecars do not carry forward on maintenance
+        writes the way the watermark does — state the publisher depends
+        on belongs in the snapshot's DATA (the IVF stream versions its
+        centroid matrix as rows for exactly this reason)."""
         from etl_pipeline_orchestration_spark.streaming.watermark import (
             read_marker,
             write_marker,

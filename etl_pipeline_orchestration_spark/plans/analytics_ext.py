@@ -994,7 +994,13 @@ def snapshot_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles round-trip parquet bit-exactly).
 
     Plan: two snapshot writes (scratch warehouse, same write path the
-    streaming sinks use), one anti join on the key, one aggregate."""
+    streaming sinks use), one anti join on the key, one aggregate. The
+    scratch dir cannot be removed before the returned plan is collected
+    (it reads the snapshot files lazily), so cleanup registers at
+    process exit — repeated invocations in one harness run reclaim
+    everything when the session ends."""
+    import atexit
+    import shutil
     import tempfile
 
     from etl_pipeline_orchestration_spark.loader import (
@@ -1005,7 +1011,9 @@ def snapshot_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    loader = WarehouseLoader(spark, tempfile.mkdtemp(prefix="etl_snaps_"))
+    scratch = tempfile.mkdtemp(prefix="etl_snaps_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    loader = WarehouseLoader(spark, scratch)
     snaps = SnapshotTable(loader, "orders")
     snaps.write(orders.filter(F.col("o_orderkey") % 3 != 0))
     snaps.write(orders)

@@ -1,33 +1,37 @@
 """Streaming maintenance of the IVF similarity index.
 
 Third member of the streaming-maintenance family (corpus stats, dedup,
-now ANN): as embedding batches land, the IVF index — (vec_id,
-cluster_id) assignments against a FROZEN coarse quantizer — stays
-current without ever re-assigning the archive.
+now ANN): as embedding batches land, the IVF index — a frozen coarse
+quantizer plus (vec_id, cluster_id) assignments — stays current
+without ever re-assigning or rewriting the archive.
 
 Freezing matters: IVF correctness only needs every vector assigned to
 its nearest centroid *of the same centroid set the query probes*.
 Retraining centroids per batch would silently orphan earlier
 assignments (their nearest-centroid relation no longer matches the
 quantizer queries use), so the quantizer is trained ONCE on the first
-batch (operators/similarity.ivf_train_centroids, hash-sampled,
-deterministic seed) and persisted beside the assignments; every later
-batch is one Arrow-matmul assignment pass over the batch only. When
-drift eventually degrades recall, production rebuilds the quantizer as
-a NEW snapshot lineage and backfills — exactly the version flip
-SnapshotTable exists for.
+non-empty batch (operators/similarity.ivf_train_centroids,
+hash-sampled, deterministic seed) and published as a SnapshotTable
+whose DATA is the centroid matrix in relational form — versioning the
+model exactly like any other table. When drift eventually degrades
+recall, production rebuilds the quantizer as a new snapshot lineage
+and backfills — the version flip SnapshotTable exists for.
 
-Storage and replay discipline are shared with the other two streams:
-assignments publish as SnapshotTable versions whose watermark carries
-the checkpoint identity (exactly-once per (checkpoint, table) pair;
-fresh checkpoint against an existing index fails loudly), and the
-centroid matrix rides INSIDE each version directory as a small
-underscore-prefixed numpy sidecar — quantizer and assignments are
-published by the same atomic pointer flip and can never diverge.
+Assignments use the dedup-stream storage discipline, NOT a
+read-union-rewrite: each batch writes its assignments to an
+``assignments/batch_id=N`` partition (overwrite semantics — replay
+idempotent) BEFORE the quantizer snapshot advances the
+checkpoint-scoped watermark. Per-batch storage cost is therefore
+O(batch), never O(index): the full index is the union of partition
+directories (on a cluster, a transactional-table partition append).
+Crash after the assignment write replays into the same directory with
+the same content (the frozen quantizer makes replayed assignments
+bit-identical); crash after the watermark advance is skipped entirely.
 
 Scale shape per micro-batch: one narrow Arrow-matmul pass over the
-batch (model-sized closure), one append write. The archive is never
-rescanned; daily cost ∝ batch size.
+batch (model-sized closure), one O(batch) partition write, one
+model-sized quantizer republish. The archive is never rescanned or
+rewritten; daily cost ∝ batch size.
 """
 
 from __future__ import annotations
@@ -44,8 +48,6 @@ from etl_pipeline_orchestration_spark.operators.similarity import (
     ivf_train_centroids,
 )
 
-_CENTROIDS = "_centroids.npy"
-
 EMBEDDINGS_SCHEMA = "vec_id bigint, embedding array<float>"
 
 
@@ -60,13 +62,32 @@ def read_embeddings_stream(
     return reader.parquet(path)
 
 
-def _load_centroids(snaps: SnapshotTable) -> np.ndarray:
-    vdir = snaps._vdir(snaps.current_version())
-    return np.load(os.path.join(vdir, _CENTROIDS))
+def centroids_to_df(spark, centroids: np.ndarray) -> DataFrame:
+    """(cluster_id, dim_idx, val) relational form of the quantizer —
+    the snapshot's DATA, so model versioning rides the same
+    atomic-pointer machinery as any table."""
+    rows = [
+        (int(c), int(i), float(centroids[c, i]))
+        for c in range(centroids.shape[0])
+        for i in range(centroids.shape[1])
+    ]
+    return spark.createDataFrame(rows, "cluster_id int, dim_idx int, val double")
+
+
+def centroids_from_snapshot(snaps: SnapshotTable) -> np.ndarray:
+    rows = snaps.read().collect()
+    k = 1 + max(r["cluster_id"] for r in rows)
+    dim = 1 + max(r["dim_idx"] for r in rows)
+    m = np.zeros((k, dim))
+    for r in rows:
+        m[r["cluster_id"], r["dim_idx"]] = r["val"]
+    return m
 
 
 def index_batch(
-    snaps: SnapshotTable,
+    loader: WarehouseLoader,
+    quant_snaps: SnapshotTable,
+    assignments_table: str,
     batch_vecs: DataFrame,
     batch_id: int,
     app_id: str,
@@ -74,26 +95,31 @@ def index_batch(
     dim: int = 64,
     seed: int = 0,
 ) -> bool:
-    """Assign one micro-batch against the frozen quantizer and publish
-    the grown assignment table. Returns False on checkpoint replay."""
-    if batch_id <= snaps.applied_upto(app_id):
+    """Assign one micro-batch against the frozen quantizer and append
+    its assignment partition. Returns False on checkpoint replay or an
+    empty batch (empty part files are routine; skipping leaves the
+    watermark untouched so nothing is marked applied that wasn't)."""
+    if batch_id <= quant_snaps.applied_upto(app_id):
         return False
-    first = snaps.current_version() is None
+    if batch_vecs.isEmpty():
+        return False
+    first = quant_snaps.current_version() is None
     if first:
         centroids = ivf_train_centroids(
             batch_vecs, k=n_centroids, dim=dim, seed=seed
         )
     else:
-        centroids = _load_centroids(snaps)
+        centroids = centroids_from_snapshot(quant_snaps)
     assigned = ivf_assign(batch_vecs, centroids).select("vec_id", "cluster_id")
-    grown = assigned if first else snaps.read().unionByName(assigned)
-    snaps.write(
-        grown,
+    part_dir = os.path.join(
+        loader._path(assignments_table), f"batch_id={batch_id}"
+    )
+    assigned.write.mode("overwrite").parquet(part_dir)
+    # Republishing the (model-sized) quantizer advances the watermark
+    # atomically — the publish that marks this batch applied.
+    quant_snaps.write(
+        centroids_to_df(batch_vecs.sparkSession, centroids),
         marker=(app_id, batch_id),
-        # Pre-flip hook: the quantizer publishes in the same atomic
-        # pointer flip as the assignments — no crash window where a
-        # version is current but its centroid sidecar is missing.
-        prepare=lambda vdir: np.save(os.path.join(vdir, _CENTROIDS), centroids),
     )
     return True
 
@@ -101,19 +127,30 @@ def index_batch(
 def stream_ivf_index_to_warehouse(
     stream_vecs: DataFrame,
     loader: WarehouseLoader,
-    table: str,
+    quantizer_table: str,
+    assignments_table: str,
     checkpoint_dir: str,
     n_centroids: int = 8,
     dim: int = 64,
+    seed: int = 0,
 ) -> SnapshotTable:
     """Drain the embedding stream's backlog into the IVF index
-    (availableNow: finite, then stop)."""
-    snaps = SnapshotTable(loader, table)
+    (availableNow: finite, then stop). Returns the quantizer snapshot
+    table; assignments live under ``assignments_table/batch_id=*``."""
+    snaps = SnapshotTable(loader, quantizer_table)
     app_id = os.path.abspath(checkpoint_dir)
     q = (
         stream_vecs.writeStream.foreachBatch(
             lambda batch, bid: index_batch(
-                snaps, batch, bid, app_id, n_centroids=n_centroids, dim=dim
+                loader,
+                snaps,
+                assignments_table,
+                batch,
+                bid,
+                app_id,
+                n_centroids=n_centroids,
+                dim=dim,
+                seed=seed,
             )
         )
         .outputMode("append")

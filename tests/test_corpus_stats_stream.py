@@ -142,35 +142,44 @@ def vecs_dir(spark, tmp_path_factory):
 
 
 def test_streamed_ivf_index_equals_batch_assignment(spark, vecs_dir, tmp_path):
-    """Streaming ANN: assignments accumulated batch-by-batch against
-    the FROZEN first-batch quantizer must equal a one-shot batch
-    assignment of the whole corpus under the same centroids, and the
-    published quantizer must be identical in every version."""
+    """Streaming ANN: per-batch assignment partitions accumulated
+    against the FROZEN first-batch quantizer must union to a one-shot
+    batch assignment of the whole corpus under the same centroids, and
+    the published quantizer must be identical in every version."""
     import numpy as np
 
     from etl_pipeline_orchestration_spark.operators.similarity import ivf_assign
     from etl_pipeline_orchestration_spark.streaming.ann_stream import (
-        _CENTROIDS,
+        centroids_from_snapshot,
         read_embeddings_stream,
         stream_ivf_index_to_warehouse,
     )
-    import os
 
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
     stream = read_embeddings_stream(spark, vecs_dir, max_files_per_trigger=1)
     snaps = stream_ivf_index_to_warehouse(
-        stream, loader, "ivf", str(tmp_path / "ckpt")
+        stream, loader, "ivf_quantizer", "ivf_assignments",
+        str(tmp_path / "ckpt"),
     )
     versions = snaps.versions()
     assert len(versions) == 4
-    c0 = np.load(os.path.join(snaps._vdir(versions[0]), _CENTROIDS))
-    ccur = np.load(os.path.join(snaps._vdir(versions[-1]), _CENTROIDS))
-    assert np.array_equal(c0, ccur)  # quantizer is frozen
+    c0 = centroids_from_snapshot(snaps)
+    first = {
+        (r["cluster_id"], r["dim_idx"]): r["val"]
+        for r in snaps.read(version=versions[0]).collect()
+    }
+    assert first == {
+        (r["cluster_id"], r["dim_idx"]): r["val"]
+        for r in snaps.read().collect()
+    }  # quantizer is frozen across the run
     got = {
-        r["vec_id"]: r["cluster_id"] for r in snaps.read().collect()
+        r["vec_id"]: r["cluster_id"]
+        for r in spark.read.parquet(
+            loader._path("ivf_assignments")
+        ).collect()
     }
     want = {
         r["vec_id"]: r["cluster_id"]
-        for r in ivf_assign(spark.read.parquet(vecs_dir), c0).collect()
+        for r in ivf_assign(spark.read.parquet(vecs_dir), np.asarray(c0)).collect()
     }
     assert got == want and len(want) == 500
