@@ -12,9 +12,10 @@ fully parallel plan:
    quantile cutpoints of the bucketing key (``percentile_approx`` is a
    mergeable GK sketch: map-side combined, constant memory). Accuracy
    only affects load balance, never correctness.
-2. **Bucket** — each row gets a bucket id via a monotone
-   ``CASE WHEN`` chain over the cutpoints, so bucket order == key
-   order and equal keys always share a bucket.
+2. **Bucket** — each row gets a bucket id via a monotone generated-SQL
+   fold over the cutpoint array (one JVM parse, not a py4j-built
+   expression chain), so bucket order == key order and equal keys
+   always share a bucket.
 3. **Local rank** — ``row_number`` over ``Window.partitionBy(bucket)``:
    one hash shuffle, ``B``-way parallel sort of ~1/B of the data each.
 4. **Offsets** — per-bucket counts (tiny: ``B`` rows) are collected and
@@ -72,7 +73,7 @@ def append_global_row_number(
     cuts_row = kdf.agg(
         cutpoint_agg(F.col("__k"), n_buckets, accuracy).alias("cuts")
     ).head()
-    cuts = sorted({c for c in (cuts_row["cuts"] or []) if math.isfinite(c)})
+    cuts = sorted(set(cuts_row["cuts"] or []))  # bucket_expr drops non-finite
 
     bkt = bucket_expr("__gk", cuts)
     if descending:

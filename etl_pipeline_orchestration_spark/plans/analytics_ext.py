@@ -2152,9 +2152,9 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference date, and one grouping-sets pass yields all three
     # per-bucket count maps.
     dims = [
-        ("r", -F.unix_date(F.col("last_day").cast("date")), False, None),
-        ("f", F.col("f_orders"), True, None),
-        ("m", F.col("m_cents"), True, None),
+        ("r", -F.unix_date(F.col("last_day").cast("date")), False),
+        ("f", F.col("f_orders"), True),
+        ("m", F.col("m_cents"), True),
     ]
     cuts_row = per_cust.agg(
         F.max("last_day").alias("ref"),
@@ -2162,7 +2162,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranking.cutpoint_agg(
                 (-key if desc else key).cast("double"), 64
             ).alias(f"cuts_{tag}")
-            for tag, key, desc, _ in dims
+            for tag, key, desc in dims
         ],
     ).head()
     ref = cuts_row["ref"]
@@ -2178,7 +2178,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         *[
             (-key if desc else key).cast("double").alias(f"gk_{tag}")
-            for tag, key, desc, _ in dims
+            for tag, key, desc in dims
         ],
     ).select(
         "*",

@@ -137,26 +137,26 @@ def stream_ivf_index_to_warehouse(
     """Drain the embedding stream's backlog into the IVF index
     (availableNow: finite, then stop). Returns the quantizer snapshot
     table; assignments live under ``assignments_table/batch_id=*``."""
+    from etl_pipeline_orchestration_spark.streaming.events_stream import (
+        run_foreach_batch_append,
+    )
+
     snaps = SnapshotTable(loader, quantizer_table)
     app_id = os.path.abspath(checkpoint_dir)
-    q = (
-        stream_vecs.writeStream.foreachBatch(
-            lambda batch, bid: index_batch(
-                loader,
-                snaps,
-                assignments_table,
-                batch,
-                bid,
-                app_id,
-                n_centroids=n_centroids,
-                dim=dim,
-                seed=seed,
-            )
-        )
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_foreach_batch_append(
+        stream_vecs,
+        lambda batch, bid: index_batch(
+            loader,
+            snaps,
+            assignments_table,
+            batch,
+            bid,
+            app_id,
+            n_centroids=n_centroids,
+            dim=dim,
+            seed=seed,
+        ),
+        checkpoint_dir,
+        output_mode="append",
     )
-    q.awaitTermination()
     return snaps

@@ -85,16 +85,16 @@ def stream_gram_stats_to_warehouse(
     Returns the snapshot table holding the full version history. The
     checkpoint path doubles as the watermark's app id: the
     (checkpoint, table) pair is the unit of exactly-once."""
+    from etl_pipeline_orchestration_spark.streaming.events_stream import (
+        run_foreach_batch_append,
+    )
+
     snaps = SnapshotTable(loader, table)
     app_id = os.path.abspath(checkpoint_dir)
-    q = (
-        stream_docs.writeStream.foreachBatch(
-            lambda batch, bid: merge_gram_stats_batch(snaps, batch, bid, app_id)
-        )
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_foreach_batch_append(
+        stream_docs,
+        lambda batch, bid: merge_gram_stats_batch(snaps, batch, bid, app_id),
+        checkpoint_dir,
+        output_mode="append",
     )
-    q.awaitTermination()
     return snaps

@@ -103,18 +103,18 @@ def stream_dedup_to_warehouse(
     dedup (availableNow: finite, then stop). Returns the index
     snapshot table. The checkpoint path doubles as the watermark's app
     id: the (checkpoint, index) pair is the unit of exactly-once."""
+    from etl_pipeline_orchestration_spark.streaming.events_stream import (
+        run_foreach_batch_append,
+    )
+
     snaps = SnapshotTable(loader, index_table)
     app_id = os.path.abspath(checkpoint_dir)
-    q = (
-        stream_docs.writeStream.foreachBatch(
-            lambda batch, bid: dedup_batch(
-                loader, snaps, candidates_table, batch, bid, app_id
-            )
-        )
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    run_foreach_batch_append(
+        stream_docs,
+        lambda batch, bid: dedup_batch(
+            loader, snaps, candidates_table, batch, bid, app_id
+        ),
+        checkpoint_dir,
+        output_mode="append",
     )
-    q.awaitTermination()
     return snaps
