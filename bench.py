@@ -122,6 +122,7 @@ HEADLINE = [
     "window_ntile_percent_rank",
     "embedding_kmeans_exact",
     "corpus_stats_incremental_merge",
+    "snapshot_timetravel_diff",
 ]
 
 
