@@ -69,15 +69,42 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return edges.sparkSession.createDataFrame(rows, schema)
 
 
+def driver_gate_threshold(
+    driver_memory: str, budget_fraction: float = 0.05, bytes_per_edge: int = 200
+) -> int:
+    """Max edge count the driver union-find may collect, derived from
+    the configured driver memory instead of a hard constant: spend at
+    most ``budget_fraction`` of the heap, at ~``bytes_per_edge`` per
+    collected edge (Row + two dict entries, measured order). An 8g
+    driver gates near the old 2M constant; a 512m driver forces the
+    distributed path around 130k edges rather than OOMing."""
+    s = driver_memory.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    mult = units.get(s[-1], 1)
+    num = s[:-1] if s[-1] in units else s
+    mem_bytes = int(float(num)) * mult
+    return max(int(mem_bytes * budget_fraction) // bytes_per_edge, 10_000)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component is the
-    minimum node id reachable. Edges are treated as undirected."""
+    minimum node id reachable. Edges are treated as undirected.
+
+    ``driver_threshold`` (the edge count below which the exact driver
+    union-find runs instead of the iterative distributed path) defaults
+    to a driver-memory-scaled bound — a small-heap deployment falls
+    through to the distributed path instead of collecting edges it
+    cannot hold."""
+    if driver_threshold is None:
+        driver_threshold = driver_gate_threshold(
+            edges.sparkSession.conf.get("spark.driver.memory", "1g")
+        )
     # Materialize the (possibly expensive) upstream edge plan ONCE —
     # the self-union below would otherwise execute it twice, and the
     # iterative path re-reads it every round.
@@ -164,7 +191,7 @@ def degree_oriented_edges(
 
 def oriented_edges_adaptive(
     edges: DataFrame, a: str = "a", b: str = "b", hub_factor: int = 16
-) -> DataFrame:
+) -> tuple[DataFrame, int, int]:
     """Orient an a<b edge list for wedge algorithms, picking the
     strategy from a measured degree statistic (AQE-style runtime
     planning, one tiny aggregate over the vertex-sized degree table):

@@ -84,10 +84,22 @@ def append_global_row_number(
         # them to bucket 0 to agree with the order_cols sort.
         bkt = F.when(F.isnan(F.col("__gk")), F.lit(0)).otherwise(bkt)
     b = df.withColumn("__gk", key.cast("double")).withColumn("__bkt", bkt)
-    counts = {
-        r["__bkt"]: r["cnt"]
-        for r in b.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    # The count pass doubles as the non-null precondition check: a NULL
+    # key would silently fold into bucket 0 (if(null > c, 1, 0) is 0)
+    # while the order_cols sort puts nulls elsewhere — ranks would
+    # silently diverge from window semantics, so fail loudly instead.
+    # Piggybacked on the same aggregate job; zero extra passes.
+    count_rows = b.groupBy("__bkt").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_if(F.col("__gk").isNull()).alias("n_null"),
+    ).collect()
+    n_null = sum(r["n_null"] for r in count_rows)
+    if n_null:
+        raise ValueError(
+            f"bucket_key has {n_null} NULL value(s); exact global ranking "
+            "requires a non-null bucketing key — fill or filter first"
+        )
+    counts = {r["__bkt"]: r["cnt"] for r in count_rows}
     out, n_total = ranked_from_buckets(
         b, "__bkt", counts, order_cols, out_col=out_col
     )

@@ -2143,7 +2143,11 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("m_cents"),
         )
-        .persist()
+        # localCheckpoint, not persist(): the two eager jobs below and
+        # the returned plan all read the materialized blocks, and the
+        # ContextCleaner frees them once the result is dropped — an
+        # unmatched persist() would pin the cache for the whole session.
+        .localCheckpoint(eager=True)
     )
 
     # Three rank dimensions, but only TWO eager jobs on the cached

@@ -2164,14 +2164,17 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE documents scan + ONE corpus-scale shuffle (byte-level scan
     accounting asserted in tests/test_plan_shapes.py). At 100 TB that
     is the difference between ~7 full-corpus reads and 1 for the
-    nightly corpus-health report. An explicit persist — not
+    nightly corpus-health report. An explicit materialization — not
     ReusedExchange — is load-bearing here: Catalyst specializes each
     consumer's subplan below the exchange (per-branch filter pushdown
     and column pruning), so the seven gram-stats subtrees are NOT
-    canonically equal and exchange reuse never fires; the cache is
-    what actually collapses the passes. Second-level aggregations all
-    run in histogram space (vocab- or metadata-bounded)."""
-    gs = corpus_stats.corpus_gram_stats(spark, sf_dir).persist()
+    canonically equal and exchange reuse never fires; the eager
+    localCheckpoint is what actually collapses the passes (chosen over
+    persist() so the ContextCleaner reclaims the blocks when the
+    result is dropped instead of pinning them for the session).
+    Second-level aggregations all run in histogram space (vocab- or
+    metadata-bounded)."""
+    gs = corpus_stats.corpus_gram_stats(spark, sf_dir).localCheckpoint(eager=True)
     k2s = F.lit(None).cast("string")
     dnull = F.lit(None).cast("double")
     z = _zipf_from_stats(gs).select(

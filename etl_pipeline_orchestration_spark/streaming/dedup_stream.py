@@ -8,20 +8,24 @@ split continuously: each micro-batch of landed documents
 
 1. emits the candidate pairs it completes — (batch × stored-index) ∪
    (batch × batch) — into a per-batch output partition, then
-2. publishes its own band rows appended to the index as a new
-   SnapshotTable version (atomic pointer flip carrying the
-   applied-upto watermark; long readers of version N are isolated
-   from the stream publishing N+1).
+2. appends its own band rows as an ``index_table/batch_id=N``
+   partition (overwrite semantics — replay idempotent), then
+3. publishes a model-sized manifest snapshot whose atomic pointer
+   flip carries the applied-upto watermark. Long readers of manifest
+   version N resolve the index to partitions ``batch_id <= N`` and
+   are isolated from the stream publishing N+1.
 
-Replay safety is ORDERED, not just marked: candidates write BEFORE the
-index publish, into a ``batch_id=N`` directory with overwrite
-semantics. A crash after (1) replays into the same directory with the
-same content (the index pointer has not advanced, so the join sees the
-same history); a crash after (2) is skipped entirely by the watermark
-(which also carries the checkpoint identity — a fresh checkpoint
-against an existing index FAILS LOUDLY rather than silently dropping
-or double-counting, see watermark.py). In all cases the union over
-partition directories holds exactly one emission per pair.
+Replay safety is ORDERED: candidates write BEFORE the band partition,
+which writes BEFORE the watermark advances. A crash after (1) or (2)
+replays into the same directories with the same content — the
+candidate join reads the index THROUGH the watermark (partition-pruned
+``batch_id <= applied_upto``), so an orphaned band partition from the
+crashed attempt is invisible to the replay; a crash after (3) is
+skipped entirely by the watermark (which also carries the checkpoint
+identity — a fresh checkpoint against an existing index FAILS LOUDLY
+rather than silently dropping or double-counting, see watermark.py).
+In all cases the union over candidate partition directories holds
+exactly one emission per pair.
 
 Mega-bucket guard semantics under streaming: the guard counts each
 (band_id, band_hash) bucket over index + batch AT EMISSION TIME. A
@@ -37,23 +41,51 @@ any scale for buckets below max_bucket).
 
 Scale shape per micro-batch: signature + banding over the BATCH only
 (the archive is touched through its index join, cost ∝ matching band
-buckets), one histogram-of-bands shuffle, one index append write.
+buckets), one histogram-of-bands shuffle, ONE O(batch) band-partition
+write plus an O(1) manifest publish — per-batch storage cost never
+depends on index size (same discipline as ann_stream assignments).
 Daily cost scales with the batch, not the corpus — the property that
 makes streaming dedup viable against a 100 TB archive (on a cluster
-the index version write becomes a transactional-table commit; the
-join plan is identical)."""
+the partition append becomes a transactional-table commit; the join
+plan is identical)."""
 
 from __future__ import annotations
 
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from etl_pipeline_orchestration_spark.loader import SnapshotTable, WarehouseLoader
 from etl_pipeline_orchestration_spark.operators.dedup import (
     lsh_band_table,
     minhash_incremental_candidates,
 )
+
+BAND_SCHEMA = "doc_id bigint, band_id int, band_hash bigint"
+
+
+def read_band_index(
+    loader: WarehouseLoader,
+    index_table: str,
+    index_snaps: SnapshotTable,
+    app_id: str,
+) -> DataFrame:
+    """Band rows of every PUBLISHED batch: the union of
+    ``index_table/batch_id=*`` partitions pruned to the manifest's
+    watermark. The filter is on the partition column, so unpublished
+    (orphaned) partitions are skipped by listing, not scanned."""
+    spark = loader.spark
+    upto = index_snaps.applied_upto(app_id)
+    if upto < 0:
+        return spark.createDataFrame([], BAND_SCHEMA)
+    return (
+        spark.read.schema(BAND_SCHEMA + ", batch_id bigint")
+        .option("basePath", loader._path(index_table))
+        .parquet(loader._path(index_table))
+        .filter(F.col("batch_id") <= upto)
+        .drop("batch_id")
+    )
 
 
 def dedup_batch(
@@ -63,19 +95,16 @@ def dedup_batch(
     batch_docs: DataFrame,
     batch_id: int,
     app_id: str,
+    index_table: str = "lsh_index",
 ) -> bool:
     """Process one micro-batch: emit its candidate pairs, then grow the
-    index. Returns False when the batch was already fully applied."""
+    index by one partition. Returns False when the batch was already
+    fully applied."""
     if batch_id <= index_snaps.applied_upto(app_id):
         return False
 
     spark = batch_docs.sparkSession
-    if index_snaps.current_version() is None:
-        index = spark.createDataFrame(
-            [], "doc_id bigint, band_id int, band_hash bigint"
-        )
-    else:
-        index = index_snaps.read()
+    index = read_band_index(loader, index_table, index_snaps, app_id)
     cands = minhash_incremental_candidates(batch_docs, index)
     cand_dir = os.path.join(
         loader._path(candidates_table), f"batch_id={batch_id}"
@@ -83,12 +112,14 @@ def dedup_batch(
     cands.write.mode("overwrite").parquet(cand_dir)
 
     new_bands = lsh_band_table(batch_docs)
-    grown = (
-        new_bands
-        if index_snaps.current_version() is None
-        else index.unionByName(new_bands)
+    band_dir = os.path.join(loader._path(index_table), f"batch_id={batch_id}")
+    new_bands.write.mode("overwrite").parquet(band_dir)
+    # The manifest snapshot is one row of batch accounting — its only
+    # load-bearing content is the watermark the pointer flip publishes.
+    manifest = spark.createDataFrame(
+        [(batch_id,)], "last_batch_id bigint"
     )
-    index_snaps.write(grown, marker=(app_id, batch_id))
+    index_snaps.write(manifest, marker=(app_id, batch_id))
     return True
 
 
@@ -100,9 +131,10 @@ def stream_dedup_to_warehouse(
     checkpoint_dir: str,
 ) -> SnapshotTable:
     """Drain the document stream's backlog through the incremental
-    dedup (availableNow: finite, then stop). Returns the index
-    snapshot table. The checkpoint path doubles as the watermark's app
-    id: the (checkpoint, index) pair is the unit of exactly-once."""
+    dedup (availableNow: finite, then stop). Returns the index manifest
+    snapshot table; band rows live under ``index_table/batch_id=*``.
+    The checkpoint path doubles as the watermark's app id: the
+    (checkpoint, index) pair is the unit of exactly-once."""
     from etl_pipeline_orchestration_spark.streaming.events_stream import (
         run_foreach_batch_append,
     )
@@ -112,7 +144,8 @@ def stream_dedup_to_warehouse(
     run_foreach_batch_append(
         stream_docs,
         lambda batch, bid: dedup_batch(
-            loader, snaps, candidates_table, batch, bid, app_id
+            loader, snaps, candidates_table, batch, bid, app_id,
+            index_table=index_table,
         ),
         checkpoint_dir,
         output_mode="append",

@@ -119,17 +119,57 @@ def test_dedup_replayed_batch_is_skipped(spark, tmp_path):
     from etl_pipeline_orchestration_spark.loader import SnapshotTable
     from etl_pipeline_orchestration_spark.streaming.dedup_stream import (
         dedup_batch,
+        read_band_index,
     )
 
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
     snaps = SnapshotTable(loader, "idx")
     docs = load_table(spark, SF, "documents").limit(40)
-    assert dedup_batch(loader, snaps, "cand", docs, 0, "ck") is True
-    n_idx = snaps.read().count()
-    assert dedup_batch(loader, snaps, "cand", docs, 0, "ck") is False
-    assert snaps.read().count() == n_idx
+    assert dedup_batch(loader, snaps, "cand", docs, 0, "ck", index_table="idx") is True
+    n_idx = read_band_index(loader, "idx", snaps, "ck").count()
+    assert n_idx > 0
+    assert dedup_batch(loader, snaps, "cand", docs, 0, "ck", index_table="idx") is False
+    assert read_band_index(loader, "idx", snaps, "ck").count() == n_idx
     with pytest.raises(ValueError, match="checkpoint"):
-        dedup_batch(loader, snaps, "cand", docs, 0, "other-ck")
+        dedup_batch(loader, snaps, "cand", docs, 0, "other-ck", index_table="idx")
+
+
+def test_dedup_index_write_is_per_batch_partition(spark, tmp_path):
+    """The O(batch) claim, pinned: each micro-batch writes only its own
+    band partition — batch 1's publish must not rewrite batch 0's files,
+    and an UNpublished (orphaned) band partition is invisible to the
+    index reader until its manifest lands."""
+    import os
+
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+    from etl_pipeline_orchestration_spark.streaming.dedup_stream import (
+        dedup_batch,
+        read_band_index,
+    )
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "idx")
+    docs = load_table(spark, SF, "documents")
+    dedup_batch(loader, snaps, "cand", docs.limit(30), 0, "ck", index_table="idx")
+    p0 = os.path.join(loader._path("idx"), "batch_id=0")
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(p0, f)) for f in os.listdir(p0)
+    }
+    dedup_batch(loader, snaps, "cand", docs.limit(60), 1, "ck", index_table="idx")
+    mtimes_after = {
+        f: os.path.getmtime(os.path.join(p0, f)) for f in os.listdir(p0)
+    }
+    assert mtimes_after == mtimes_before  # batch 0 partition untouched
+    # Orphan partition (crash between band write and manifest publish):
+    # reader pinned to the watermark must not see it.
+    n_published = read_band_index(loader, "idx", snaps, "ck").count()
+    orphan = spark.createDataFrame(
+        [(999, 0, 123)], "doc_id bigint, band_id int, band_hash bigint"
+    )
+    orphan.write.mode("overwrite").parquet(
+        os.path.join(loader._path("idx"), "batch_id=7")
+    )
+    assert read_band_index(loader, "idx", snaps, "ck").count() == n_published
 
 
 @pytest.fixture(scope="module")

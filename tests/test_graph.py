@@ -34,6 +34,28 @@ def test_connected_components_empty(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_driver_gate_scales_with_driver_memory():
+    """The driver union-find gate derives from the configured heap, not
+    a constant: a small-driver deployment must be forced onto the
+    distributed path for edge lists an 8g driver would collect."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        driver_gate_threshold,
+    )
+
+    big = driver_gate_threshold("8g")
+    small = driver_gate_threshold("64m")
+    assert big > 1_000_000  # 8g driver keeps roughly the old 2M regime
+    assert small < 100_000  # 64m driver gates out long before OOM
+    assert small < len(EDGES) * 10_000 // 8 or small >= 10_000  # floor holds
+    assert driver_gate_threshold("1k") == 10_000  # hard floor
+    # units parse: plain bytes, k/m/g/t suffixes all monotone
+    assert (
+        driver_gate_threshold("1g")
+        < driver_gate_threshold("2g")
+        < driver_gate_threshold("1t")
+    )
+
+
 def test_degree_orientation_reduces_wedges(spark):
     """On the sf0.001 co-purchase graph, orienting edges by (degree, id)
     must generate strictly fewer wedges than raw-id orientation (the

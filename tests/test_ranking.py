@@ -120,3 +120,16 @@ def test_descending_rank_with_nan_keys_matches_spark_window(spark):
     }
     got = {r["id"]: r["rn"] for r in ranked.select("id", "rn").collect()}
     assert got == want and total == 200
+
+
+def test_null_bucket_key_fails_loudly(spark):
+    """A NULL bucketing key would silently fold into bucket 0 while the
+    sort puts nulls elsewhere — the count pass must reject it instead
+    of letting ranks silently diverge from window semantics."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 5.0)], "id bigint, k double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ranking.append_global_row_number(
+            df, [F.col("k"), F.col("id")], F.col("k"), n_buckets=4
+        )
