@@ -629,6 +629,92 @@ def _bpe_from_stats(gs: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_merge_oracle(n_merges: int = 8) -> str:
+    """DuckDB twin of the full BPE training loop: N chained CTE rounds,
+    each one (pair count → argmax with the same (f DESC, l, r) tie
+    order → greedy merge via double-separator string replace). The
+    string-replace representation is what makes the replay exact — see
+    operators/bpe.py for why replace == greedy BPE."""
+    sep = "\x1f"
+    s2 = sep * 2
+    parts = [
+        f"""
+    WITH wh AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    h0 AS (
+      SELECT '{s2}' || array_to_string(string_split(word, ''), '{s2}')
+               || '{s2}' AS s,
+             c
+      FROM wh
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+    p{k} AS (
+      SELECT sy[t.i] AS l, sy[t.i + 1] AS r, sum(c) AS f
+      FROM (SELECT list_filter(string_split(s, '{sep}'), x -> x <> '') AS sy,
+                   c
+            FROM h{k - 1}),
+           unnest(range(1, greatest(len(sy) - 1, 0) + 1)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    m{k} AS (
+      SELECT {k} AS step, l, r, CAST(f AS BIGINT) AS f
+      FROM p{k} ORDER BY f DESC, l, r LIMIT 1
+    ),
+    h{k} AS (
+      SELECT replace(s, '{sep}' || m.l || '{s2}' || m.r || '{sep}',
+                        '{sep}' || m.l || m.r || '{sep}') AS s,
+             c
+      FROM h{k - 1}, m{k} m
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT CAST(step AS BIGINT) AS step, l AS left_sym, r AS right_sym,
+           l || r AS merged, f AS freq
+    FROM ({union})"""
+    )
+
+
+@query("bpe_merge_sequence", oracle=_bpe_merge_oracle(8))
+def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative BPE training loop (8 merge rounds) over the
+    corpus word histogram — bpe_pair_frequencies is round 0 of exactly
+    this computation; here the merges are actually APPLIED between
+    rounds (operators/bpe.py: histogram-space explode+agg per round, a
+    1-row argmax collect, greedy merge as one string replace). The
+    DuckDB oracle REPLAYS the whole loop as 8 chained CTEs with the
+    same tie-break total order, so the learned merge sequence itself
+    is hash-checked cross-engine, not just the first pair count.
+
+    100 TB shape: corpus scanned once for the histogram; each round is
+    vocabulary-bounded. 8 rounds keeps the oracle's chained replay
+    tractable; production runs the same loop to 30k+ merges with the
+    per-round cost unchanged (vocab shrinks as merges fuse symbols)."""
+    from etl_pipeline_orchestration_spark.operators.bpe import (
+        bpe_train,
+        word_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(word_histogram(docs), n_merges=8)
+    rows = [
+        (k + 1, l, r, l + r, f) for k, (l, r, f) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "step bigint, left_sym string, right_sym string, "
+              "merged string, freq bigint",
+    )
+
+
 @query(
     "vocab_encode_checksums",
     oracle="""
@@ -1851,6 +1937,197 @@ def dedup_keep_fullest_by_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tok").cast("bigint").alias("keep_tokens"),
         )
     )
+
+
+def substring_spans_of(
+    corpus: DataFrame, window: int = 8, min_tokens: int = 16
+) -> DataFrame:
+    """Distributed substring-level duplicate detection (ExactSubstr-lite,
+    after Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" — public method): find, for every document, the
+    maximal token spans whose content ALSO appears in some other
+    document, so curation can cut repeated boilerplate/passages out of
+    otherwise-unique documents (document-level near-dup misses these).
+
+    Method: fingerprint chains instead of suffix arrays. Every
+    ``window``-token shingle is hashed with the cross-engine polynomial
+    fold (same machinery as doc_fingerprints_poly); a position is
+    MARKED when its shingle hash occurs in at least one OTHER document;
+    maximal runs of consecutive marked positions become spans
+    (a run of k shingles covers k + window - 1 tokens), kept when they
+    cover >= ``min_tokens`` tokens. Equal-content spans always produce
+    equal hash chains, so recall is exact; hash collisions can in
+    principle over-mark (FP rate ~ positions²/2³¹ per bucket), which is
+    the standard fingerprinting trade — the suffix-array construction
+    pays a corpus-wide sort-of-suffixes to avoid it.
+
+    100 TB shape: the (doc_id, pos, fp) relation is one row per token —
+    corpus-sized, as ANY substring-level method must be — produced by
+    one scan with per-char work paid once per document (see
+    _token_hashes). Downstream: one fp-keyed aggregate whose min≠max
+    doc test needs no distinct expansion, one fp-keyed join of
+    positions against the (much smaller) shared-fp set — broadcastable
+    when the duplicated fraction is small, AQE decides — and one
+    doc_id-keyed window+aggregate for the island grouping. No
+    all-pairs anything; every shuffle key (fp, doc_id) is
+    uniformly-hashed with no skew hot spot (a mega-shared shingle
+    produces many rows for ONE fp only in the shared-set build, where
+    it collapses to min/max before moving).
+
+    Returns (doc_id, span_start, span_end, n_tokens), token positions
+    1-based inclusive."""
+    base = corpus.select("doc_id", _token_hashes().alias("th"))
+    pos_fp = base.select(
+        "doc_id",
+        F.explode(_shingle_starts("th", window)).alias("pos"),
+        "th",
+    ).select("doc_id", "pos", _shingle_fold("th", "pos", window).alias("fp"))
+    shared = (
+        pos_fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("fp")
+    )
+    marked = pos_fp.join(shared, "fp").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (window - 1)).alias("e"),
+        )
+        .filter(F.col("e") - F.col("s") + 1 >= min_tokens)
+        .select(
+            "doc_id",
+            F.col("s").cast("bigint").alias("span_start"),
+            F.col("e").cast("bigint").alias("span_end"),
+            (F.col("e") - F.col("s") + 1).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def remove_substring_spans(corpus: DataFrame, spans: DataFrame) -> DataFrame:
+    """Cut the detected spans out of each document: tokens at positions
+    covered by any of the doc's spans are dropped, the remainder
+    re-joined with single spaces. One aggregate of spans per doc
+    (span lists are tiny — bounded by doc length / min_tokens) and one
+    broadcast-or-shuffle join back to the corpus; the per-token
+    membership test runs inside codegen via nested higher-order
+    functions, no UDF."""
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("cuts")
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    kept = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda p: ~F.exists(
+            F.col("cuts"),
+            lambda s: (p["i"] >= s["span_start"]) & (p["i"] <= s["span_end"]),
+        ),
+    )
+    return (
+        corpus.join(per_doc, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(F.col("cuts").isNull(), F.col("text")).otherwise(
+                F.concat_ws(
+                    " ", F.transform(kept, lambda p: p["t"])
+                )
+            ),
+        )
+        .select("doc_id", "text")
+    )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT d.doc_id + 1000000000 AS doc_id,
+             array_to_string(
+               list_concat(
+                 list_transform(range(1, 6),
+                                i -> concat('u', d.doc_id, '_', i)),
+                 (string_split_regex(trim(d.text), '\\s+'))[1:24]),
+               ' ') AS text
+      FROM documents d WHERE d.doc_id < 30
+    ),
+    w AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS th
+      FROM corpus
+    ),
+    h AS (
+      SELECT doc_id, t.i AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th[t.i:t.i+7]),
+                         (a, b) -> (a * 131 + b) % 2147483647) AS fp
+      FROM w, unnest(range(1, greatest(len(th) - 7, 0) + 1)) AS t(i)
+    ),
+    shared AS (
+      SELECT fp FROM h GROUP BY fp HAVING min(doc_id) <> max(doc_id)
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM h WHERE fp IN (SELECT fp FROM shared)
+    ),
+    s AS (
+      SELECT doc_id, min(pos) AS ss, max(pos) + 7 AS se
+      FROM m GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(ss AS BIGINT) AS span_start,
+           CAST(se AS BIGINT) AS span_end,
+           CAST(se - ss + 1 AS BIGINT) AS n_tokens
+    FROM s WHERE se - ss + 1 >= 16
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-lite over the documents corpus (see
+    substring_spans_of for method and scale analysis). The base corpus
+    is dup-free by construction, so repeated passages are PLANTED to
+    make the query non-vacuous: for doc_id < 30, a new document is
+    added whose text is 5 unique marker tokens (never shared) followed
+    by the first 24 tokens of the original — so the original must
+    report a span at its head and the copy must report the SAME
+    passage mid-document (positions 6..29), pinning that island
+    detection is position-independent. Incidental cross-document
+    repeats in the base corpus (if any) are detected identically by
+    both engines — the oracle replays the same planting and the same
+    polynomial hash chain, so the full span relation is hash-checked,
+    not just counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    markers = F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda i: F.concat(
+            F.lit("u"), F.col("doc_id").cast("string"), F.lit("_"),
+            i.cast("string"),
+        ),
+    )
+    planted = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.concat(markers, F.slice(toks, 1, 24))
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return substring_spans_of(corpus, window=8, min_tokens=16)
 
 
 @query(

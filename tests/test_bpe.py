@@ -1,0 +1,138 @@
+"""Iterative BPE trainer: distributed loop vs an INDEPENDENT pure-
+Python reference (symbol lists + explicit greedy scan — no string
+replace), snapshot versioning, and the overlap edge cases that break
+naive merge implementations."""
+
+from __future__ import annotations
+
+import collections
+
+from etl_pipeline_orchestration_spark.operators.bpe import (
+    SEP,
+    bpe_encode,
+    bpe_train,
+    word_histogram,
+)
+
+
+def _ref_train(hist: dict[str, int], n_merges: int):
+    """Reference BPE: symbol lists, explicit pair count, (f desc, l, r)
+    tie-break, explicit greedy left-to-right merge scan."""
+    state = {tuple(w): c for w, c in hist.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = collections.Counter()
+        for syms, c in state.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        (l, r), f = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((l, r, f))
+        new_state = collections.Counter()
+        for syms, c in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[tuple(out)] += c
+        state = dict(new_state)
+    return merges, state
+
+
+def _ref_encode(word: str, merges) -> list[str]:
+    syms = list(word)
+    for l, r, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the hat of the cat",
+    "aaaa aaa banana bandana",
+    "low lower lowest newest widest",
+    "the the the band ban banana",
+]
+
+
+def test_trainer_matches_reference_on_crafted_corpus(spark):
+    docs = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    hist = {}
+    for t in CORPUS:
+        for w in t.split():
+            hist[w] = hist.get(w, 0) + 1
+    want, _ = _ref_train(hist, 12)
+    got, _ = bpe_train(word_histogram(docs), n_merges=12)
+    assert got == want and len(got) == 12
+
+
+def test_overlap_greedy_semantics(spark):
+    """aaaa under merge (a,a) must become [aa, aa]; aaa must become
+    [aa, a] — the left-to-right non-overlapping scan. A replace-based
+    implementation with single separators gets these wrong."""
+    docs = spark.createDataFrame([("aaaa aaa",)], ["text"])
+    merges, _ = bpe_train(word_histogram(docs), n_merges=2)
+    assert merges[0][:2] == ("a", "a")
+    assert bpe_encode("aaaa", merges[:1]) == ["aa", "aa"]
+    assert bpe_encode("aaa", merges[:1]) == ["aa", "a"]
+    # round 2 on [aa,aa],[aa,a]: pair (aa,aa) f=1, (aa,a) f=1 → tie →
+    # lexicographic: ("aa","a") < ("aa","aa")
+    assert merges[1][:2] == ("aa", "a")
+
+
+def test_encode_parity_with_reference(spark):
+    docs = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    merges, _ = bpe_train(word_histogram(docs), n_merges=10)
+    for t in CORPUS:
+        want = [s for w in t.split() for s in _ref_encode(w, merges)]
+        assert bpe_encode(t, merges) == want
+
+
+def test_vocab_snapshots_one_version_per_merge(spark, tmp_path):
+    """The snaps hook versions the symbol state per merge: v=k is the
+    vocabulary as of merge k (time travel for tokenizer debugging)."""
+    from etl_pipeline_orchestration_spark.loader import (
+        SnapshotTable,
+        WarehouseLoader,
+    )
+
+    docs = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "bpe_vocab")
+    merges, final = bpe_train(word_histogram(docs), n_merges=5, snaps=snaps)
+    assert len(snaps.versions()) == 5
+
+    def vocab(df):
+        return {
+            s
+            for r in df.collect()
+            for s in r["s"].split(SEP)
+            if s
+        }
+
+    # each successive version's vocabulary contains the new merged
+    # symbol; the final snapshot equals the returned state
+    for k, (l, r, _) in enumerate(merges):
+        assert l + r in vocab(snaps.read(version=snaps.versions()[k]))
+    assert vocab(snaps.read()) == vocab(final)
+
+
+def test_early_stop_when_no_pairs_remain(spark):
+    docs = spark.createDataFrame([("x y z",)], ["text"])
+    merges, _ = bpe_train(word_histogram(docs), n_merges=4)
+    assert merges == []  # all words are single symbols — nothing to merge

@@ -746,3 +746,69 @@ def test_semantic_decontamination_bench_collect_guard(spark, monkeypatch):
     monkeypatch.setattr(llm_data, "MAX_BENCH_COLLECT", 10)
     with pytest.raises(ValueError, match="benchmark-sized"):
         registry.QUERIES["semantic_decontamination_pairs"](spark, SF)
+
+
+def _substr_corpus(spark):
+    """Two docs sharing one 20-token passage at different positions,
+    unique filler everywhere else, plus a doc shorter than the shingle
+    window (guard regression)."""
+    passage = " ".join(f"p{i}" for i in range(20))
+    a = " ".join(f"a_{i}" for i in range(9)) + " " + passage + " " + " ".join(
+        f"a_tail{i}" for i in range(5)
+    )
+    b = passage + " " + " ".join(f"b_{i}" for i in range(10))
+    return spark.createDataFrame(
+        [(1, a), (2, b), (3, "tiny doc here")], ["doc_id", "text"]
+    )
+
+
+def test_substring_spans_planted_ground_truth(spark):
+    """Exact span recovery: the shared passage sits at tokens 10..29 of
+    doc 1 and 1..20 of doc 2 — island detection must report exactly
+    those spans, nothing else (fillers are unique)."""
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        substring_spans_of,
+    )
+
+    spans = substring_spans_of(_substr_corpus(spark), window=8, min_tokens=16)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in spans.collect()
+    }
+    assert got == {(1, 10, 29, 20), (2, 1, 20, 20)}
+
+
+def test_substring_removal_leaves_no_shared_chain(spark):
+    """The Lee-et-al contract: cutting the reported spans out of the
+    corpus leaves no detectable repeated substring — and untouched
+    text survives verbatim."""
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        remove_substring_spans,
+        substring_spans_of,
+    )
+
+    corpus = _substr_corpus(spark)
+    spans = substring_spans_of(corpus, window=8, min_tokens=16)
+    cleaned = remove_substring_spans(corpus, spans)
+    assert substring_spans_of(cleaned, window=8, min_tokens=16).count() == 0
+    texts = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    assert texts[1] == " ".join(f"a_{i}" for i in range(9)) + " " + " ".join(
+        f"a_tail{i}" for i in range(5)
+    )
+    assert texts[2] == " ".join(f"b_{i}" for i in range(10))
+    assert texts[3] == "tiny doc here"  # doc without spans is untouched
+
+
+def test_substring_spans_within_doc_repeat_not_flagged(spark):
+    """Cross-document semantics, pinned: a passage repeated twice
+    INSIDE one document (and appearing nowhere else) is not a span —
+    the shared test is min(doc_id) != max(doc_id), deliberately."""
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        substring_spans_of,
+    )
+
+    passage = " ".join(f"q{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, passage + " mid_filler " + passage)], ["doc_id", "text"]
+    )
+    assert substring_spans_of(df, window=8, min_tokens=16).count() == 0
