@@ -1029,6 +1029,91 @@ def snapshot_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "upsert_timetravel_diff",
+    oracle="""
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS price,
+             CASE WHEN o_orderkey % 2 = 0 THEN
+                    (CASE WHEN o_orderkey % 3 = 0 THEN 'added'
+                          ELSE 'changed' END)
+                  ELSE 'unchanged' END AS change_type
+      FROM orders
+      WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM final GROUP BY change_type
+    """,
+)
+def upsert_timetravel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merged THROUGH the snapshot-versioned streaming upsert, then
+    audited by time travel: batch 0 (orders minus every third key,
+    seq 1) and batch 1 (every even key with a price bump, seq 2) run
+    through upsert_batch_versioned — the exact function the streaming
+    sink invokes per micro-batch — publishing one snapshot version
+    each. The result classifies every CURRENT row as added / changed /
+    unchanged by diffing against the version-0 read, FROM THE STORED
+    DATA (no replay of the derivation). The DuckDB oracle derives the
+    same classification from raw orders, so a hash match proves the
+    sequence-aware merge semantics AND that version 0 is still exactly
+    readable after the pointer advanced — streamed CDC now gets the
+    same time-travel audit the batch snapshot query pins.
+
+    Plan: two versioned merges (dedup window + full-outer join each,
+    both key-partitioned), one left join v1⋈v0, one 3-group aggregate.
+    Scratch snapshots clean up at process exit (same discipline as
+    snapshot_timetravel_diff)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from etl_pipeline_orchestration_spark.loader import (
+        SnapshotTable,
+        WarehouseLoader,
+    )
+    from etl_pipeline_orchestration_spark.streaming.upsert import (
+        upsert_batch_versioned,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    scratch = tempfile.mkdtemp(prefix="etl_upsert_snaps_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    loader = WarehouseLoader(spark, scratch)
+    snaps = SnapshotTable(loader, "orders_cdc")
+    b0 = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", F.lit(1).alias("seq"), "o_totalprice"
+    )
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        (F.col("o_totalprice") + 1.0).alias("o_totalprice"),
+    )
+    app = scratch  # checkpoint identity for the watermark
+    upsert_batch_versioned(snaps, "o_orderkey", b0, "seq", 0, app)
+    upsert_batch_versioned(snaps, "o_orderkey", b1, "seq", 1, app)
+    v0 = snaps.read(version=snaps.versions()[0]).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    j = snaps.read().join(v0, "o_orderkey", "left")
+    change_type = (
+        F.when(F.col("old_price").isNull(), F.lit("added"))
+        .when(F.col("o_totalprice") != F.col("old_price"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.groupBy(change_type.alias("change_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_total"),
+    )
+
+
+@query(
     "snapshot_diff_orders",
     oracle="""
     WITH snap_b AS (

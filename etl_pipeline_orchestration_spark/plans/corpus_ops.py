@@ -589,7 +589,9 @@ def funnel_report(agg: DataFrame) -> DataFrame:
     ORDER BY freq DESC, pair LIMIT 20
     """,
 )
-def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_pair_frequencies(
+    spark: SparkSession, sf_dir: str, from_stats: DataFrame | None = None
+) -> DataFrame:
     """BPE vocabulary induction, iteration zero: the adjacent
     character-pair frequency table whose argmax is the first merge
     (Sennrich et al. 2016, public method). Computed the way BPE
@@ -603,7 +605,7 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every value is an exact integer; top-20 with (freq DESC, pair)
     tiebreak is TakeOrderedAndProject on both engines.
     """
-    return _bpe_from_stats(corpus_stats.corpus_gram_stats(spark, sf_dir))
+    return _bpe_from_stats(_gs(spark, sf_dir, from_stats))
 
 
 def _bpe_from_stats(gs: DataFrame) -> DataFrame:
@@ -627,6 +629,21 @@ def _bpe_from_stats(gs: DataFrame) -> DataFrame:
         .orderBy(F.desc("freq"), "pair")
         .limit(20)
     )
+
+
+def _gs(
+    spark: SparkSession, sf_dir: str, from_stats: DataFrame | None
+) -> DataFrame:
+    """Gram-stats source selector for the per-metric queries: a
+    caller-supplied relation (typically the PERSISTED corpus-statistics
+    layer — corpus_stats.materialize_gram_stats) is used as-is, so the
+    production path reads the vocab²-bounded histogram instead of
+    re-scanning documents; without one, the histogram derives from the
+    corpus (the oracle-checked standalone path). Same answers either
+    way — the oracles hold through both (tests/test_from_stats.py)."""
+    if from_stats is not None:
+        return from_stats
+    return corpus_stats.corpus_gram_stats(spark, sf_dir)
 
 
 def _bpe_merge_oracle(n_merges: int = 8) -> str:
@@ -1648,7 +1665,9 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.lang, t.v, t.nt, t.nv
     """,
 )
-def split_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+def split_unigram_kl(
+    spark: SparkSession, sf_dir: str, from_stats: DataFrame | None = None
+) -> DataFrame:
     """Train/val distribution shift per language: add-1-smoothed KL
     divergence between the splits' unigram distributions — the eval
     hygiene check that catches a split whose validation text is not
@@ -1662,7 +1681,7 @@ def split_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent; measured half-boundary margins at 6dp are >=0.016
     at both test SFs — 13 orders above the cross-engine ulp scale.
     """
-    return _split_kl_from_stats(corpus_stats.corpus_gram_stats(spark, sf_dir))
+    return _split_kl_from_stats(_gs(spark, sf_dir, from_stats))
 
 
 def _split_kl_from_stats(gs: DataFrame) -> DataFrame:
@@ -1728,7 +1747,9 @@ def _split_kl_from_stats(gs: DataFrame) -> DataFrame:
     ORDER BY pmi_6dp DESC, b.w1, b.w2 LIMIT 20
     """,
 )
-def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pmi_collocations(
+    spark: SparkSession, sf_dir: str, from_stats: DataFrame | None = None
+) -> DataFrame:
     """Collocation mining by pointwise mutual information: the top-20
     adjacent word pairs whose co-occurrence most exceeds independence
     (PMI = log2 p(xy)/(p(x)p(y)), min count 30) — the classic phrase
@@ -1743,7 +1764,7 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     6dp rounding only needs the ratio to miss half-boundaries, checked
     by the margin test.
     """
-    return _pmi_from_stats(corpus_stats.corpus_gram_stats(spark, sf_dir))
+    return _pmi_from_stats(_gs(spark, sf_dir, from_stats))
 
 
 def _pmi_from_stats(gs: DataFrame) -> DataFrame:
@@ -1806,7 +1827,9 @@ def _pmi_from_stats(gs: DataFrame) -> DataFrame:
     FROM logs GROUP BY lang
     """,
 )
-def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+def zipf_slope_by_lang(
+    spark: SparkSession, sf_dir: str, from_stats: DataFrame | None = None
+) -> DataFrame:
     """Zipf rank-frequency diagnostic per language: the OLS slope of
     log2(frequency) on log2(rank) over each language's top-100 words.
     Natural language sits near -1 (Zipf's law); templated, synthetic,
@@ -1821,7 +1844,7 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ratio — measured half-boundary margins at 4dp are >= 0.18 at
     both test SFs, eleven orders above cross-engine ulps.
     """
-    return _zipf_from_stats(corpus_stats.corpus_gram_stats(spark, sf_dir))
+    return _zipf_from_stats(_gs(spark, sf_dir, from_stats))
 
 
 def _zipf_from_stats(gs: DataFrame) -> DataFrame:
@@ -2160,7 +2183,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY b.lang, t.n_types, t.nb
     """,
 )
-def conditional_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conditional_entropy_by_lang(
+    spark: SparkSession, sf_dir: str, from_stats: DataFrame | None = None
+) -> DataFrame:
     """Conditional bigram entropy H(w2|w1) per language — how
     predictable the next word is given the current one. Natural prose
     sits well below its unigram entropy (syntax constrains
@@ -2175,9 +2200,7 @@ def conditional_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float discipline: order-dependent ~|vocab|^2-term sum, rounded at
     4dp where measured margins are >= 0.085 at both test SFs.
     """
-    return _cond_entropy_from_stats(
-        corpus_stats.corpus_gram_stats(spark, sf_dir)
-    )
+    return _cond_entropy_from_stats(_gs(spark, sf_dir, from_stats))
 
 
 def _cond_entropy_from_stats(gs: DataFrame) -> DataFrame:
@@ -2269,7 +2292,9 @@ def lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY r.lang, g.k
     """,
 )
-def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def vocab_coverage_curve(
+    spark: SparkSession, sf_dir: str, from_stats: DataFrame | None = None
+) -> DataFrame:
     """Vocabulary coverage planning table: per language, what fraction
     of all token occurrences the top-10/100/1000 word types cover —
     the number that sizes a tokenizer vocabulary or a stopword list
@@ -2282,9 +2307,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     window on histogram rows → a 3-row grid cross join and one
     reduction; corpus-scale work is the histogram alone.
     """
-    return _coverage_from_stats(
-        spark, corpus_stats.corpus_gram_stats(spark, sf_dir)
-    )
+    return _coverage_from_stats(spark, _gs(spark, sf_dir, from_stats))
 
 
 def _coverage_from_stats(spark: SparkSession, gs: DataFrame) -> DataFrame:
@@ -2345,7 +2368,9 @@ def _coverage_from_stats(spark: SparkSession, gs: DataFrame) -> DataFrame:
     FROM cells GROUP BY source
     """,
 )
-def source_lang_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+def source_lang_skew(
+    spark: SparkSession, sf_dir: str, from_stats: DataFrame | None = None
+) -> DataFrame:
     """Language skew per crawl source: each source's chi-square
     contribution against the independence expectation (E = row x col
     / N, zero cells included) — the audit that catches a source whose
@@ -2360,7 +2385,7 @@ def source_lang_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches corpus-scale data. Float discipline: per-source sums over
     |langs| terms, rounded at 4dp with measured margins >= 0.02.
     """
-    return _skew_from_stats(corpus_stats.corpus_gram_stats(spark, sf_dir))
+    return _skew_from_stats(_gs(spark, sf_dir, from_stats))
 
 
 def _skew_from_stats(gs: DataFrame) -> DataFrame:

@@ -94,6 +94,22 @@ def gram_stats_of(docs: DataFrame) -> DataFrame:
     )
 
 
+def materialize_gram_stats(
+    spark: SparkSession, sf_dir: str, loader, table: str = "gram_stats"
+):
+    """Publish the corpus-statistics layer as a snapshot table — the
+    production deployment of this module: the nightly pipeline runs the
+    one corpus scan, publishes the vocab²-bounded histogram as a new
+    version (atomic pointer flip; long readers isolated), and every
+    per-metric query then passes ``from_stats=snaps.read()`` instead of
+    re-scanning documents. Returns the SnapshotTable."""
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+
+    snaps = SnapshotTable(loader, table)
+    snaps.write(corpus_gram_stats(spark, sf_dir))
+    return snaps
+
+
 def unigram_hist(gram_stats: DataFrame, *keys: str) -> DataFrame:
     """Exact word counts ``(*keys, word, c)`` for any subset of
     ``(lang, source, split)`` — sum over the dimensions not kept."""

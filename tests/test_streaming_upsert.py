@@ -54,6 +54,70 @@ def test_stream_upsert_equals_batch_latest(spark, events_dir, tmp_path):
     assert got == want
 
 
+def test_snapshot_upsert_stream_equals_batch_latest(spark, events_dir, tmp_path):
+    """Snapshot-versioned path twin: CURRENT == batch recompute, one
+    version per micro-batch, and time travel to version k shows the
+    state BEFORE the later batches merged."""
+    from etl_pipeline_orchestration_spark.streaming.upsert import (
+        stream_upsert_snapshots,
+    )
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    snaps = stream_upsert_snapshots(
+        stream.select("user_id", "event_id", "ts", "value"),
+        loader,
+        table="user_latest_v",
+        key="user_id",
+        seq_col="event_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert len(snaps.versions()) == 4  # one per input file
+    ev = spark.read.parquet(events_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    expected = (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    got = sorted(tuple(r) for r in snaps.read().collect())
+    want = sorted(tuple(r) for r in expected.collect())
+    assert got == want
+    # time travel: every version's max sequence is monotone and the
+    # first version holds strictly fewer-or-equal keys than CURRENT
+    v0 = snaps.read(version=snaps.versions()[0])
+    assert v0.count() <= snaps.read().count()
+    maxes = [
+        snaps.read(version=v).agg(F.max("event_id")).head()[0]
+        for v in snaps.versions()
+    ]
+    assert maxes == sorted(maxes)
+
+
+def test_snapshot_upsert_replay_skipped(spark, tmp_path):
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+    from etl_pipeline_orchestration_spark.streaming.upsert import (
+        upsert_batch_versioned,
+    )
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "t")
+    b0 = spark.createDataFrame([(1, 10, "a"), (2, 11, "b")], "k int, seq int, v string")
+    assert upsert_batch_versioned(snaps, "k", b0, "seq", 0, "ck") is True
+    assert upsert_batch_versioned(snaps, "k", b0, "seq", 0, "ck") is False
+    assert len(snaps.versions()) == 1  # replay published nothing
+    # stale row (seq 5 < 10) must not clobber; new key merges in
+    b1 = spark.createDataFrame([(1, 5, "stale"), (3, 12, "c")], "k int, seq int, v string")
+    assert upsert_batch_versioned(snaps, "k", b1, "seq", 1, "ck") is True
+    got = {r["k"]: (r["seq"], r["v"]) for r in snaps.read().collect()}
+    assert got == {1: (10, "a"), 2: (11, "b"), 3: (12, "c")}
+    with pytest.raises(ValueError, match="checkpoint"):
+        upsert_batch_versioned(snaps, "k", b1, "seq", 0, "other")
+
+
 def test_upsert_recovers_interrupted_swap(spark, tmp_path):
     """A crash between the swap's two renames leaves the table absent
     and the rename-aside dir holding the full history; the next
