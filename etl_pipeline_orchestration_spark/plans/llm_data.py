@@ -538,6 +538,39 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("doc_id", "width", "height", "pixel_sum")
 
 
+@query(
+    "multimodal_jpeg_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(64 * sum((doc_id + 7 * t1.bx + 13 * t2.by) % 251) AS BIGINT)
+             AS pixel_sum
+    FROM documents,
+         unnest(range(0, doc_id % 3 + 1)) AS t1(bx),
+         unnest(range(0, doc_id % 2 + 1)) AS t2(by)
+    GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, hash-verified per item: each document
+    gets a genuine JFIF stream (standard Huffman tables, byte-stuffed
+    scan, Annex-K-derived quant table) whose 8×8 blocks are constant —
+    the one image family a LOSSY codec reproduces exactly (DC-only
+    DCT; the fixture's DC quant step of 8 divides 8·(v−128)), so the
+    oracle computes the decoded pixel sum in closed form, same
+    discipline as multimodal_png_decode. A Huffman-table bug, a wrong
+    dequant, a mis-ordered zigzag, or a broken IDCT all shift decoded
+    pixels and mismatch the hash. The lossy general path (gradients,
+    padding crop, corruption) is covered by pytest bounds. This
+    retires the 'real decode for image/jpeg raises' partial — the
+    fake=False branch now decodes JPEG for real."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_jpeg_media(docs)
+    decoded = multimodal.decode_image_batch(media, fake=False)
+    return decoded.select("doc_id", "width", "height", "pixel_sum")
+
+
 # Shared oracle fragment: the quality-logit double chain, verbatim the
 # expression quality_linear_logit builds (same op order, same literals).
 _QL_LOGIT_EXPR = """(-2.0 + 0.5 * log_len + 6.0 * stopword_ratio

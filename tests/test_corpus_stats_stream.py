@@ -223,3 +223,112 @@ def test_streamed_ivf_index_equals_batch_assignment(spark, vecs_dir, tmp_path):
         for r in ivf_assign(spark.read.parquet(vecs_dir), np.asarray(c0)).collect()
     }
     assert got == want and len(want) == 500
+
+
+def _drift_fixture(spark, base_dir):
+    """Two embedding files: file A = two tight blobs on e1/e2 (the
+    regime the quantizer trains on); file B = DRIFTED pairs straddling
+    the stale cluster boundary — each pair shares a far-apart base
+    direction in the (e3, e4) plane with a tiny e1- or e2-offset, so a
+    pair's two points are each other's true nearest neighbors but the
+    old quantizer assigns them to DIFFERENT clusters (offset decides
+    the argmax) → n_probe=1 recall collapses; a retrained quantizer
+    keeps pairs co-assigned → recall recovers."""
+    import math
+    import os
+
+    a_rows = []
+    for i in range(40):
+        jit = (i % 7) * 0.01
+        a_rows.append((i, [10.0, jit, 0.0, 0.0]))
+        a_rows.append((100 + i, [jit, 10.0, 0.0, 0.0]))
+    b_rows = []
+    for i in range(8):
+        th = 2 * math.pi * i / 8
+        base = [0.0, 0.0, 10.0 * math.cos(th), 10.0 * math.sin(th)]
+        b_rows.append((1000 + 2 * i, [base[0] + 1.0, base[1], base[2], base[3]]))
+        b_rows.append((1001 + 2 * i, [base[0], base[1] + 1.0, base[2], base[3]]))
+    schema = "vec_id bigint, embedding array<float>"
+    os.makedirs(base_dir, exist_ok=True)
+    spark.createDataFrame(a_rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base_dir, "f=0"))
+    spark.createDataFrame(b_rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base_dir, "f=1"))
+    return base_dir
+
+
+def test_drifted_stream_triggers_quantizer_rebuild(spark, tmp_path):
+    """The drift contract end-to-end: batch 0 trains, batch 1 (drifted)
+    probes below the floor → NEW quantizer lineage + full backfill, and
+    the probe recall under the rebuilt quantizer recovers."""
+    import numpy as np
+
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+    from etl_pipeline_orchestration_spark.streaming.ann_stream import (
+        centroids_from_snapshot,
+        index_batch_adaptive,
+        probe_recall,
+    )
+
+    d = _drift_fixture(spark, str(tmp_path / "vecs"))
+    f0 = spark.read.parquet(f"{d}/f=0")
+    f1 = spark.read.parquet(f"{d}/f=1")
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "quant")
+    kw = dict(n_centroids=2, dim=4, recall_floor=0.7, probe_k=1, n_probe=1)
+    assert (
+        index_batch_adaptive(loader, snaps, "assign", f0, 0, "ck", **kw)
+        == "appended"
+    )
+    c0 = centroids_from_snapshot(snaps)
+    low = probe_recall(f1, c0, k=1, n_probe=1)
+    assert low < 0.7, f"fixture must degrade the probe, got {low}"
+    assert (
+        index_batch_adaptive(
+            loader, snaps, "assign", f1, 1, "ck", archive_path=d, **kw
+        )
+        == "rebuilt"
+    )
+    assert len(snaps.versions()) == 2
+    c1 = centroids_from_snapshot(snaps)
+    assert not np.allclose(c0, c1)  # genuinely new lineage
+    recovered = probe_recall(f1, c1, k=1, n_probe=1)
+    assert recovered >= 0.9 > low
+    # backfill covers the whole archive under the new quantizer
+    got = spark.read.parquet(loader._path("assign"))
+    assert got.count() == f0.count() + f1.count()
+    # replay of batch 1 is skipped by the watermark
+    assert (
+        index_batch_adaptive(
+            loader, snaps, "assign", f1, 1, "ck", archive_path=d, **kw
+        )
+        == "skipped"
+    )
+
+
+def test_undrifted_stream_appends_without_rebuild(spark, tmp_path):
+    """Distribution shift that keeps neighbors co-assigned must NOT
+    trigger a rebuild: recall is unharmed (only balance shifts), so
+    the probe stays high — correctly cheap."""
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+    from etl_pipeline_orchestration_spark.streaming.ann_stream import (
+        index_batch_adaptive,
+    )
+
+    d = _drift_fixture(spark, str(tmp_path / "vecs"))
+    f0 = spark.read.parquet(f"{d}/f=0")
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "quant")
+    kw = dict(n_centroids=2, dim=4, recall_floor=0.7, probe_k=1, n_probe=1)
+    index_batch_adaptive(loader, snaps, "assign", f0, 0, "ck", **kw)
+    # same regime again (new ids): tight blobs, co-assigned neighbors
+    shifted = f0.select(
+        (F.col("vec_id") + 5000).alias("vec_id"), "embedding"
+    )
+    assert (
+        index_batch_adaptive(loader, snaps, "assign", shifted, 1, "ck", **kw)
+        == "appended"
+    )
+    assert len(snaps.versions()) == 2

@@ -252,3 +252,107 @@ def test_video_container_sampling_before_decode(spark):
             )
     with _pytest.raises(ValueError):
         mm.mpng_decode(b"NOPE" + b"\x00" * 16)
+
+
+# ------------------------------------------------------------- JPEG --
+
+
+def _grad_rows(w, h):
+    return [bytes(min(255, 3 * x + 5 * y) for x in range(w)) for y in range(h)]
+
+
+def test_jpeg_constant_blocks_decode_losslessly():
+    from etl_pipeline_orchestration_spark.operators.multimodal import (
+        _QTABLE_LUMA,
+        jpeg_decode_pixels,
+        jpeg_encode_gray,
+    )
+
+    qt = [8] + _QTABLE_LUMA[1:]
+    for d in (0, 3, 17, 250):
+        w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+        rows = [
+            bytes((d + 7 * (x // 8) + 13 * (y // 8)) % 251 for x in range(w))
+            for y in range(h)
+        ]
+        dw, dh, back = jpeg_decode_pixels(jpeg_encode_gray(rows, qtable=qt))
+        assert (dw, dh) == (w, h) and back == rows
+
+
+def test_jpeg_lossy_roundtrip_bounded_and_crops_padding():
+    """General path: Annex K table on a smooth gradient with dims NOT
+    multiples of 8 — decode must crop the block padding to the exact
+    SOF0 geometry and stay within a small error bound."""
+    from etl_pipeline_orchestration_spark.operators.multimodal import (
+        jpeg_decode_pixels,
+        jpeg_encode_gray,
+    )
+
+    w, h = 21, 13
+    rows = _grad_rows(w, h)
+    dw, dh, back = jpeg_decode_pixels(jpeg_encode_gray(rows))
+    assert (dw, dh) == (w, h)
+    err = max(
+        abs(a - b) for r1, r2 in zip(rows, back) for a, b in zip(r1, r2)
+    )
+    assert err <= 10
+
+
+def test_jpeg_corruption_fails_loudly():
+    import struct
+
+    import pytest
+
+    from etl_pipeline_orchestration_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_gray,
+    )
+
+    good = jpeg_encode_gray(_grad_rows(16, 16))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x00\x00" + good[2:])
+    with pytest.raises(ValueError):
+        jpeg_decode(good[:40])  # truncated mid-segment
+    # flip a byte inside the entropy stream: either an invalid Huffman
+    # code, a bad AC index, or a truncated read — never silence
+    sos = good.find(b"\xff\xda")
+    corrupt = bytearray(good)
+    for off in range(sos + 20, min(sos + 26, len(good) - 2)):
+        corrupt[off] ^= 0x55
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(corrupt))
+    # progressive (SOF2) and color streams are refused, not mis-decoded
+    sof = good.find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(prog))
+    ncomp = bytearray(good)
+    ncomp[sof + 9] = 3  # component count byte of SOF0
+    with pytest.raises(ValueError, match="GREYSCALE|component"):
+        jpeg_decode(bytes(ncomp))
+    assert struct is not None
+
+
+def test_decode_image_batch_dispatches_jpeg(spark):
+    """fake=False no longer raises for image/jpeg: the mapInPandas
+    branch decodes the real bytes, and width/height/pixel_sum match
+    the fixture's closed form."""
+    from etl_pipeline_orchestration_spark.operators import multimodal
+
+    from pyspark.sql import functions as F
+
+    docs = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    media = multimodal.synth_jpeg_media(docs)
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["pixel_sum"])
+        for r in multimodal.decode_image_batch(media, fake=False).collect()
+    }
+    for d in range(12):
+        w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+        want = 64 * sum(
+            (d + 7 * bx + 13 * by) % 251
+            for bx in range(w // 8)
+            for by in range(h // 8)
+        )
+        assert got[d] == (w, h, want)
