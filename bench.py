@@ -123,6 +123,12 @@ HEADLINE = [
     "embedding_kmeans_exact",
     "corpus_stats_incremental_merge",
     "snapshot_timetravel_diff",
+    "dedup_substring_spans",
+    "dedup_substring_removal_report",
+    "bpe_merge_sequence",
+    "bpe_encode_tokens",
+    "upsert_timetravel_diff",
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -646,12 +646,13 @@ def _gs(
     return corpus_stats.corpus_gram_stats(spark, sf_dir)
 
 
-def _bpe_merge_oracle(n_merges: int = 8) -> str:
-    """DuckDB twin of the full BPE training loop: N chained CTE rounds,
-    each one (pair count → argmax with the same (f DESC, l, r) tie
-    order → greedy merge via double-separator string replace). The
+def _bpe_train_ctes(n_merges: int = 8) -> str:
+    """Shared CTE chain replaying BPE training in DuckDB: N rounds of
+    (pair count → argmax with the same (f DESC, l, r) tie order →
+    greedy merge via double-separator string replace). The
     string-replace representation is what makes the replay exact — see
-    operators/bpe.py for why replace == greedy BPE."""
+    operators/bpe.py for why replace == greedy BPE. Used by both the
+    merge-sequence and the encode oracles."""
     sep = "\x1f"
     s2 = sep * 2
     parts = [
@@ -689,15 +690,59 @@ def _bpe_merge_oracle(n_merges: int = 8) -> str:
              c
       FROM h{k - 1}, m{k} m
     )""")
+    return ",".join(parts)
+
+
+def _bpe_merge_oracle(n_merges: int = 8) -> str:
     union = "\n      UNION ALL ".join(
         f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
     )
     return (
-        ",".join(parts)
+        _bpe_train_ctes(n_merges)
         + f"""
     SELECT CAST(step AS BIGINT) AS step, l AS left_sym, r AS right_sym,
            l || r AS merged, f AS freq
     FROM ({union})"""
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 8) -> str:
+    """Encode oracle: replay training (shared CTE chain), collapse the
+    N argmax rows into one scalar row, then apply the N replaces to
+    every word of every document and count the resulting symbols."""
+    sep = "\x1f"
+    s2 = sep * 2
+    ms_cols = ", ".join(
+        f"m{k}.l AS l{k}, m{k}.r AS r{k}" for k in range(1, n_merges + 1)
+    )
+    ms_from = ", ".join(f"m{k}" for k in range(1, n_merges + 1))
+    state = f"'{s2}' || array_to_string(string_split(w, ''), '{s2}') || '{s2}'"
+    for k in range(1, n_merges + 1):
+        state = (
+            f"replace({state}, '{sep}' || l{k} || '{s2}' || r{k} || '{sep}',"
+            f" '{sep}' || l{k} || r{k} || '{sep}')"
+        )
+    per_word = (
+        f"CAST(len(list_filter(string_split({state}, '{sep}'),"
+        f" x -> x <> '')) AS BIGINT)"
+    )
+    return (
+        _bpe_train_ctes(n_merges)
+        + f""",
+    ms AS (SELECT {ms_cols} FROM {ms_from}),
+    d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(ws, w -> {per_word})),
+             (a, b) -> a + b) AS n_bpe_tokens
+    FROM d, ms"""
     )
 
 
@@ -729,6 +774,60 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step bigint, left_sym string, right_sym string, "
               "merged string, freq bigint",
+    )
+
+
+@query("bpe_encode_tokens", oracle=_bpe_encode_oracle(8))
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: train 8 BPE merges
+    (operators/bpe.py) and ENCODE every document with them — per-word
+    state as a double-separator string, each merge applied as one
+    ``replace`` (pure codegen string ops, no UDF), then count the
+    resulting subword tokens per doc. The DuckDB oracle replays the
+    whole loop — training AND encoding — so the full train→encode path
+    is hash-checked: a wrong merge order, a non-greedy apply, or a
+    tie-break divergence shifts some document's token count.
+
+    100 TB shape: training is histogram-space (see bpe_merge_sequence);
+    encoding is a single narrow map over documents with 8 chained
+    replaces per word — embarrassingly parallel, no shuffle at all
+    until the (optional) downstream aggregate. The learned merges ride
+    into the plan as LITERALS (model-sized driver state, same
+    discipline as the IVF centroid closures)."""
+    from etl_pipeline_orchestration_spark.operators.bpe import (
+        S2,
+        SEP,
+        bpe_train,
+        word_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(word_histogram(docs), n_merges=8)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+
+    def encode_count(w):
+        chars = F.filter(F.split(w, ""), lambda c: c != F.lit(""))
+        s = F.concat(F.lit(S2), F.array_join(chars, S2), F.lit(S2))
+        for left, right, _ in merges:
+            s = F.replace(
+                s,
+                F.lit(f"{SEP}{left}{S2}{right}{SEP}"),
+                F.lit(f"{SEP}{left}{right}{SEP}"),
+            )
+        return F.size(
+            F.filter(F.split(s, SEP), lambda x: x != F.lit(""))
+        ).cast("bigint")
+
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, encode_count),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_bpe_tokens"),
     )
 
 
@@ -2151,6 +2250,135 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)
     return substring_spans_of(corpus, window=8, min_tokens=16)
+
+
+@query(
+    "dedup_substring_removal_report",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT d.doc_id + 1000000000 AS doc_id,
+             array_to_string(
+               list_concat(
+                 list_transform(range(1, 6),
+                                i -> concat('u', d.doc_id, '_', i)),
+                 (string_split_regex(trim(d.text), '\\s+'))[1:24]),
+               ' ') AS text
+      FROM documents d WHERE d.doc_id < 30
+    ),
+    w AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS th
+      FROM corpus
+    ),
+    h AS (
+      SELECT doc_id, t.i AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th[t.i:t.i+7]),
+                         (a, b) -> (a * 131 + b) % 2147483647) AS fp
+      FROM w, unnest(range(1, greatest(len(th) - 7, 0) + 1)) AS t(i)
+    ),
+    shared AS (
+      SELECT fp FROM h GROUP BY fp HAVING min(doc_id) <> max(doc_id)
+    ),
+    m AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM h WHERE fp IN (SELECT fp FROM shared)
+    ),
+    sp AS (
+      SELECT doc_id, min(pos) AS ss, max(pos) + 7 AS se
+      FROM m GROUP BY doc_id, grp
+      HAVING max(pos) + 7 - min(pos) + 1 >= 16
+    ),
+    tok AS (
+      SELECT doc_id, len(th) AS n_before FROM w
+    ),
+    pos AS (
+      SELECT w.doc_id, t.i AS i
+      FROM w, unnest(range(1, len(th) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, count(*) AS c
+      FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sp
+        WHERE sp.doc_id = p.doc_id AND p.i BETWEEN sp.ss AND sp.se
+      )
+      GROUP BY p.doc_id
+    )
+    SELECT r.doc_id,
+           CAST(t.n_before AS BIGINT) AS n_before,
+           r.n_removed,
+           CAST(coalesce(k.c, 0) AS BIGINT) AS n_after
+    FROM (
+      SELECT doc_id, CAST(sum(se - ss + 1) AS BIGINT) AS n_removed
+      FROM sp GROUP BY doc_id
+    ) r
+    JOIN tok t ON r.doc_id = t.doc_id
+    LEFT JOIN kept k ON r.doc_id = k.doc_id
+    """,
+)
+def dedup_substring_removal_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup APPLY step, audited end-to-end: detect spans
+    on the planted corpus (same construction as dedup_substring_spans),
+    CUT them with remove_substring_spans, and report per affected doc
+    (n_before, n_removed, n_after). The two engines derive n_after by
+    DIFFERENT routes — Spark re-tokenizes the actually-rewritten text,
+    the oracle counts positions outside the span set — so a hash match
+    proves the removal rewrote exactly the detected spans (an
+    off-by-one in the token filter, a dropped boundary token, or
+    overlapping spans double-cut would break the equality). Spans are
+    maximal islands, hence disjoint per doc, so n_removed is an exact
+    sum.
+
+    100 TB shape: detection as in substring_spans_of; the apply step is
+    one span-list aggregate (tiny: bounded by doc_len/min_tokens rows
+    per doc) + one key join + a codegen HOF token filter. Nothing
+    driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks0 = F.split(F.trim(F.col("text")), r"\s+")
+    markers = F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda i: F.concat(
+            F.lit("u"), F.col("doc_id").cast("string"), F.lit("_"),
+            i.cast("string"),
+        ),
+    )
+    planted = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.concat(markers, F.slice(toks0, 1, 24))
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    spans = substring_spans_of(corpus, window=8, min_tokens=16)
+    cleaned = remove_substring_spans(corpus, spans)
+    ctoks = F.split(F.trim(F.col("text")), r"\s+")
+    before = corpus.select(
+        "doc_id", F.size(ctoks).cast("bigint").alias("n_before")
+    )
+    removed = spans.groupBy("doc_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_removed")
+    )
+    # After-count from the REWRITTEN text (empty doc → 0 tokens).
+    atoks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    after = cleaned.select(
+        "doc_id", F.size(atoks).cast("bigint").alias("n_after")
+    )
+    return (
+        removed.join(before, "doc_id")
+        .join(after, "doc_id")
+        .select("doc_id", "n_before", "n_removed", "n_after")
+    )
 
 
 @query(

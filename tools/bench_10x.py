@@ -1,0 +1,161 @@
+"""10× scale lane: per-family wall-clock at sf0.1 vs a 10×-sf0.1
+synthetic corpus, with the fitted scaling exponent.
+
+The per-round bench (bench.py) runs everything at sf0.1; a family whose
+cost grows super-linearly (a lost map-side combine, an accidental
+all-pairs join, a driver-side collect that grows with the corpus) can
+look fine there and explode at 100 TB. This lane generates the same
+partition-parallel 10× corpus as tests/test_scale_smoke.py (planted
+near-dup families, hash-stream embeddings — pure Spark expressions, no
+driver rows) and times the heavy document/embedding families at both
+scales. Committed as BENCH_10X.json so a blowup is caught by DIFF at
+review time, not anecdote:
+
+  exponent = log(t_10x / t_1x) / log(10)
+
+≈1 is linear, <1 is overhead-dominated (normal at these sizes), and
+anything drifting toward 2 is a scaling regression. Wall-clock on this
+box swings with co-tenant load (see bench.py); the calibration workload
+is timed at both ends and its ratio recorded so a "regression" that is
+really a slow machine is visible in the same file.
+
+Run: python tools/bench_10x.py  (~4-6 min; writes BENCH_10X.json)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = 50_000
+N_VECS = 20_000
+REPLICAS = 10
+
+# Family representative -> registered query (documents/embeddings only;
+# the synthetic dir carries no TPC-H tables).
+FAMILIES = {
+    "dedup_lsh": "dedup_minhash_verified",
+    "dedup_exact_simjoin": "dedup_jaccard_exact_pairs",
+    "dedup_substring": "dedup_substring_spans",
+    "dedup_clusters": "dedup_clusters_cc_distributed",
+    "corpus_stats": "corpus_report",
+    "fingerprints": "doc_fingerprints_winnow",
+    "ann_ivf": "embedding_topk_ivf",
+    "bpe_trainer": "bpe_merge_sequence",
+}
+
+
+def gen_big(spark, d: str) -> None:
+    from pyspark.sql import functions as F
+
+    vocab = ", ".join(f"'w{j:02d}'" for j in range(80))
+    fam_words = (
+        f"transform(sequence(1, 40),"
+        f" i -> elt(1 + pmod(xxhash64(id div {REPLICAS}, i), 80), {vocab}))"
+    )
+    base_text = F.expr(f"concat_ws(' ', {fam_words})")
+    text = F.when(F.col("id") % REPLICAS == 0, base_text).otherwise(
+        F.concat(base_text, F.lit(" rep"), (F.col("id") % REPLICAS).cast("string"))
+    )
+    docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.expr("elt(1 + id % 5, 'en', 'de', 'fr', 'es', 'it')").alias("lang"),
+        F.expr("elt(1 + id % 4, 'web', 'books', 'wiki', 'code')").alias("source"),
+    )
+    docs = docs.withColumn("n_chars", F.length("text").cast("bigint"))
+    docs.repartition(16).write.parquet(os.path.join(d, "documents.parquet"))
+    emb = spark.range(N_VECS).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), j ->"
+            " cast(pmod(xxhash64(id, j), 1000) / 500.0 - 1.0 AS float))"
+        ).alias("embedding"),
+        (F.col("id") % 10).cast("int").alias("label"),
+    )
+    emb.repartition(8).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+
+def _calib(spark) -> float:
+    t0 = time.perf_counter()
+    (
+        spark.range(30_000_000)
+        .selectExpr("id % 997 AS k", "id AS v")
+        .groupBy("k")
+        .agg({"v": "sum", "*": "count"})
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
+def _time(spark, fn, sf_dir: str, reps: int) -> float:
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> int:
+    from etl_pipeline_orchestration_spark.session import get_spark
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    sf1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    spark = get_spark("bench10x")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm
+
+    big = tempfile.mkdtemp(prefix="bench10x_")
+    try:
+        gen_big(spark, big)
+        calib_start = round(_calib(spark), 3)
+        out: dict = {}
+        for fam, qname in FAMILIES.items():
+            fn = registry.QUERIES[qname]
+            t1 = _time(spark, fn, sf1, reps)
+            t10 = _time(spark, fn, big, reps)
+            out[fam] = {
+                "query": qname,
+                "t_1x_sec": round(t1, 3),
+                "t_10x_sec": round(t10, 3),
+                "exponent": round(math.log(t10 / t1) / math.log(10), 3),
+            }
+        calib_end = round(_calib(spark), 3)
+        payload = {
+            "metric": "scale_10x_families",
+            "sf_1x": sf1,
+            "n_docs_10x": N_DOCS,
+            "n_vecs_10x": N_VECS,
+            "reps": reps,
+            "calibration_sec_start": calib_start,
+            "calibration_sec_end": calib_end,
+            "families": out,
+            "note": "exponent ~1 linear, <1 overhead-dominated, >>1 regression",
+        }
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_10X.json",
+        )
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(json.dumps({k: v["exponent"] for k, v in out.items()}))
+        return 0
+    finally:
+        shutil.rmtree(big, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
