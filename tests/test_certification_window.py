@@ -1,0 +1,115 @@
+"""The driver samples the FIRST 50 registry entries for CORRECTNESS.
+
+These tests freeze the curated certification window: it must stay
+exactly 50 entries, cover every driver-certifiable SURVEY.md §2 row and
+every round-3-5 flagship, lead the ``__spark_entry__.queries()`` order,
+and keep SQL oracles for everything that is deterministically
+SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from etl_pipeline_orchestration_spark.plans import registry
+
+# §2 row → certifying window query. Rows absent here are not
+# driver-certifiable (sink/JDBC/streaming-runtime rows: K1/K3/K4 S3-jdbc
+# T2 U-variants) and are covered by dedicated pytest modules instead.
+SECTION2_CERTIFIERS = {
+    "S1": "pipeline_sales",
+    "S2": "pipeline_customers",
+    "S3": "pipeline_finance",
+    "S4": "pipeline_inventory",
+    "S5": "pipeline_hr",
+    "S6": "pipeline_weblogs",
+    "K2": "pipeline_health_summary",
+    "P1/P5/P6/P13": "sales_pipeline_monthly",
+    "P2/P3": "safe_divide_revenue_per_unit",
+    "P7/P8": "customer_churn_labels",
+    "P10/P11": "finance_net_flow",
+    "C1/C2/C3": "clean_dedup_nulldrop",
+    "A1": "tpch_q1_pricing_summary",
+    "A2": "distinct_part_supp_counts",
+    "A3": "rollup_qty_by_flag_status",
+    "J1/J3": "join_revenue_by_region",
+    "J2": "full_outer_join_monthly_activity",
+    "J4/J5": "semi_anti_join_combo",
+    "J6": "range_join_value_tiers",
+    "J7": "asof_join_events_orders",
+    "W1/W2/W3": "windows_combo",
+    "O1": "topk_orders_by_price",
+    "O2/O3": "set_ops_full_combo",
+    "F1/F2/F3": "relational_functions_combo",
+    "F4": "token_stats",
+    "F5": "map_functions_events",
+    "F6": "json_extract_events",
+    "T1-tumbling": "tumbling_window_events",
+    "T1-session": "session_window_events",
+    "U1": "pandas_udf_normalize_text",
+    "U2": "apply_in_pandas_order_zscore",
+    "U3-mapInPandas": "multimodal_jpeg_decode",
+    "L-exact-dedup": "dedup_exact_hash",
+    "L-minhash-lsh": "dedup_minhash_verified",
+    "L-simhash": "dedup_simhash",
+    "L-jaccard-join": "dedup_jaccard_exact_pairs",
+    "L-dup-clusters": "dedup_clusters_cc_distributed",
+    "L-substring-dedup": "dedup_substring_spans",
+    "L-ann-brute": "embedding_topk_bruteforce",
+    "L-ann-ivfpq": "embedding_topk_ivfpq",
+    "L-near-dup-emb": "embedding_near_dup_pairs",
+    "L-lang-dist": "lang_distribution",
+    "L-quality": "text_quality_scores",
+    "L-lang-id": "lang_id_confusion",
+    "L-fingerprints": "doc_fingerprints_winnow",
+    "L-multimodal": "multimodal_jpeg_decode",
+    "flagship-corpus-stats": "corpus_report",
+    "flagship-bpe": "bpe_merge_sequence",
+    "flagship-snapshot": "snapshot_timetravel_diff",
+    "flagship-upsert": "upsert_timetravel_diff",
+    "flagship-pagerank": "graph_pagerank_part_supplier",
+}
+
+# Approximate/randomized ops where a DuckDB oracle cannot be exact; the
+# driver records rows-only and correctness lives in planted-truth tests.
+ALLOWED_ROWS_ONLY = {
+    "dedup_minhash_verified",
+    "dedup_simhash",
+    "embedding_topk_ivfpq",
+    "embedding_near_dup_pairs",
+}
+
+
+def test_window_is_exactly_50():
+    assert len(registry.CERTIFICATION_WINDOW) == 50
+    assert len(set(registry.CERTIFICATION_WINDOW)) == 50
+
+
+def test_window_leads_query_order():
+    names = list(entrymod.queries())
+    assert tuple(names[:50]) == registry.CERTIFICATION_WINDOW
+    # and nothing is lost: the tail is the rest of the registry
+    assert set(names) == set(registry.QUERIES)
+    assert len(names) == len(registry.QUERIES)
+
+
+def test_window_covers_every_section2_row():
+    window = set(registry.CERTIFICATION_WINDOW)
+    missing = {
+        row: q for row, q in SECTION2_CERTIFIERS.items() if q not in window
+    }
+    assert not missing, f"§2 rows without a window certifier: {missing}"
+
+
+def test_window_oracles_maximal():
+    no_oracle = [
+        n for n in registry.CERTIFICATION_WINDOW if n not in registry.ORACLES
+    ]
+    assert set(no_oracle) <= ALLOWED_ROWS_ONLY, (
+        "window entries unexpectedly lack a SQL oracle: "
+        f"{sorted(set(no_oracle) - ALLOWED_ROWS_ONLY)}"
+    )
+
+
+def test_oracle_order_matches_query_order():
+    qnames = [n for n in entrymod.queries() if n in registry.ORACLES]
+    assert list(entrymod.oracle_sql()) == qnames
