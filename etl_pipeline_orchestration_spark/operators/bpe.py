@@ -52,11 +52,28 @@ S2 = SEP * 2
 
 def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, c): whitespace tokenization, empty tokens dropped — the
-    single corpus-scale pass of BPE training."""
+    single corpus-scale pass of BPE training.
+
+    U+001F is the symbol-state separator, and it is NOT regex ``\\s``
+    whitespace, so a token containing it would silently corrupt the
+    symbol encoding (splitting one token into bogus symbols) — and the
+    DuckDB oracle shares the representation, so the cross-engine hash
+    could not catch it. The guard below fails the job loudly instead:
+    ``assert_true`` returns NULL (kept by ``isNull``) for clean tokens
+    and raises mid-scan on the first separator-bearing one. It lives in
+    the filter condition, not a projected column, so Catalyst cannot
+    prune it away."""
     w = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
     return (
         docs.select(w)
         .filter(F.col("word") != "")
+        .filter(
+            F.assert_true(
+                ~F.col("word").contains(SEP),
+                F.lit("BPE word_histogram: token contains the U+001F "
+                      "symbol-state separator"),
+            ).isNull()
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )

@@ -77,12 +77,24 @@ def driver_gate_threshold(
     most ``budget_fraction`` of the heap, at ~``bytes_per_edge`` per
     collected edge (Row + two dict entries, measured order). An 8g
     driver gates near the old 2M constant; a 512m driver forces the
-    distributed path around 130k edges rather than OOMing."""
+    distributed path around 130k edges rather than OOMing.
+
+    Parsing mirrors Spark's ``byteStringAsMb``: an optional trailing
+    'b' is accepted ('8g' == '8gb'), and a SUFFIXLESS value is MiB (the
+    JVM reads 'spark.driver.memory=2048' as 2048 MiB, not bytes). An
+    unparseable string falls back to the 10k floor — a config-format
+    surprise must degrade the gate, not crash connected_components."""
     s = driver_memory.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-    mult = units.get(s[-1], 1)
-    num = s[:-1] if s[-1] in units else s
-    mem_bytes = int(float(num)) * mult
+    try:
+        if s and s[-1] in units:
+            mem_bytes = int(float(s[:-1])) * units[s[-1]]
+        else:
+            mem_bytes = int(float(s)) << 20  # suffixless = MiB
+    except ValueError:
+        return 10_000
     return max(int(mem_bytes * budget_fraction) // bytes_per_edge, 10_000)
 
 

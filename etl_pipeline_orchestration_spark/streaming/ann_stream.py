@@ -21,8 +21,9 @@ the version flip executed, not just promised.
 
 Assignments use the dedup-stream storage discipline, NOT a
 read-union-rewrite: each batch writes its assignments to an
-``assignments/batch_id=N`` partition (overwrite semantics — replay
-idempotent) BEFORE the quantizer snapshot advances the
+``assignments/batch_id=N`` partition (``lineage=L/batch_id=N`` on the
+adaptive path, where L counts quantizer retrains; overwrite semantics —
+replay idempotent) BEFORE the quantizer snapshot advances the
 checkpoint-scoped watermark. Per-batch storage cost is therefore
 O(batch), never O(index): the full index is the union of partition
 directories (on a cluster, a transactional-table partition append).
@@ -64,16 +65,22 @@ def read_embeddings_stream(
     return reader.parquet(path)
 
 
-def centroids_to_df(spark, centroids: np.ndarray) -> DataFrame:
-    """(cluster_id, dim_idx, val) relational form of the quantizer —
-    the snapshot's DATA, so model versioning rides the same
-    atomic-pointer machinery as any table."""
+def centroids_to_df(spark, centroids: np.ndarray, lineage: int = 0) -> DataFrame:
+    """(cluster_id, dim_idx, val, lineage) relational form of the
+    quantizer — the snapshot's DATA, so model versioning rides the same
+    atomic-pointer machinery as any table. ``lineage`` counts retrains:
+    it names the assignment partition subtree
+    (``<assignments>/lineage=L/``) that was computed under THESE
+    centroids, making the (quantizer, assignments) pairing resolvable
+    from the snapshot pointer alone."""
     rows = [
-        (int(c), int(i), float(centroids[c, i]))
+        (int(c), int(i), float(centroids[c, i]), int(lineage))
         for c in range(centroids.shape[0])
         for i in range(centroids.shape[1])
     ]
-    return spark.createDataFrame(rows, "cluster_id int, dim_idx int, val double")
+    return spark.createDataFrame(
+        rows, "cluster_id int, dim_idx int, val double, lineage int"
+    )
 
 
 def centroids_from_snapshot(snaps: SnapshotTable) -> np.ndarray:
@@ -84,6 +91,50 @@ def centroids_from_snapshot(snaps: SnapshotTable) -> np.ndarray:
     for r in rows:
         m[r["cluster_id"], r["dim_idx"]] = r["val"]
     return m
+
+
+def lineage_from_snapshot(snaps: SnapshotTable) -> int:
+    """Retrain-lineage of the CURRENT quantizer (0 for pre-lineage
+    snapshots written before the column existed)."""
+    df = snaps.read()
+    if "lineage" not in df.columns:
+        return 0
+    return df.select("lineage").first()["lineage"]
+
+
+def read_assignments(
+    loader: WarehouseLoader, assignments_table: str, quant_snaps: SnapshotTable
+) -> DataFrame:
+    """Snapshot-consistent assignment read for the ADAPTIVE index:
+    resolve the current quantizer's lineage from the snapshot pointer,
+    then read only that lineage's partition subtree. Because a rebuild
+    stages its backfill under ``lineage=L+1`` BEFORE the quantizer
+    pointer flips, a reader can never pair assignments with a
+    mismatched quantizer version — the flip is the single atomic
+    publish for both."""
+    lineage = lineage_from_snapshot(quant_snaps)
+    return loader.spark.read.parquet(
+        os.path.join(loader._path(assignments_table), f"lineage={lineage}")
+    )
+
+
+def prune_stale_lineages(
+    loader: WarehouseLoader, assignments_table: str, quant_snaps: SnapshotTable
+) -> list[int]:
+    """GC assignment subtrees of superseded quantizer lineages (they
+    stay on disk through the flip so in-flight readers of the old
+    lineage finish cleanly; call this once those are drained). Never
+    touches the current lineage. Returns pruned lineage numbers."""
+    import shutil
+
+    current = lineage_from_snapshot(quant_snaps)
+    root = loader._path(assignments_table)
+    pruned = []
+    for d in sorted(os.listdir(root)):
+        if d.startswith("lineage=") and int(d.split("=")[1]) < current:
+            shutil.rmtree(os.path.join(root, d))
+            pruned.append(int(d.split("=")[1]))
+    return pruned
 
 
 def index_batch(
@@ -183,20 +234,6 @@ def probe_recall(
     return hits / total if total else 1.0
 
 
-def _swap_dir(path: str, tmp: str) -> None:
-    """Publish ``tmp`` as ``path`` via rename-aside (same crash-window
-    discipline as loader.compact: no point loses data; the recovery
-    preamble in the caller heals the one between-renames window)."""
-    import shutil
-
-    old = path + ".old"
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-
-
 def index_batch_adaptive(
     loader: WarehouseLoader,
     quant_snaps: SnapshotTable,
@@ -217,72 +254,80 @@ def index_batch_adaptive(
     is recall-probed against the frozen quantizer; when the probe drops
     below ``recall_floor``, the quantizer is RETRAINED on the drifted
     batch as a new snapshot lineage and the assignments are BACKFILLED
-    (re-assigning the archive under the new centroids) — executing the
-    version flip the module docstring promises. Returns "skipped" /
-    "appended" / "rebuilt".
+    (re-assigning the archive under the new centroids). Returns
+    "skipped" / "appended" / "appended_degraded" / "rebuilt".
+
+    Assignments live under ``<table>/lineage=L/batch_id=N`` where L is
+    the quantizer's retrain count. A rebuild STAGES its backfill under
+    ``lineage=L+1`` (invisible to readers, who resolve the lineage from
+    the quantizer snapshot via ``read_assignments``) and only then
+    flips the quantizer pointer carrying the new lineage + watermark —
+    one atomic publish pairs centroids with their assignments, so no
+    reader or crash window can observe assignments computed under a
+    different quantizer than the one it probes. A crash between the
+    stage and the flip leaves the watermark unadvanced; replay retrains
+    deterministically (seed is batch-derived) and overwrites the same
+    staged subtree.
+
+    When drift is detected but ``archive_path`` is None there is
+    nothing to backfill from, so the rebuild is REFUSED rather than
+    truncating the index to the current batch: the batch is appended
+    under the frozen quantizer (pairing stays correct; recall stays
+    degraded) and "appended_degraded" is returned so callers can alarm
+    and supply an archive.
 
     Rebuild cost is one archive pass (narrow Arrow matmul) + one
-    full-table assignment write — paid only on drift, and exactly what
-    correctness requires: assignments are only meaningful relative to
-    the quantizer the queries probe, so a quantizer flip MUST carry its
-    backfill in the same publish (the watermark advances only after
-    both land; a crash mid-rebuild replays it idempotently)."""
+    full-table assignment write — paid only on drift."""
     path = loader._path(assignments_table)
-    # Recovery: a prior rebuild crashed between its two renames.
-    old = path + ".old"
-    if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)
     if batch_id <= quant_snaps.applied_upto(app_id):
         return "skipped"
     if batch_vecs.isEmpty():
         return "skipped"
     spark = batch_vecs.sparkSession
-    first = quant_snaps.current_version() is None
-    if not first:
-        centroids = centroids_from_snapshot(quant_snaps)
-        rec = probe_recall(
-            batch_vecs, centroids, k=probe_k, n_probe=n_probe
+
+    def append(centroids: np.ndarray, lineage: int, status: str) -> str:
+        assigned = ivf_assign(batch_vecs, centroids).select(
+            "vec_id", "cluster_id"
         )
-        if rec >= recall_floor:
-            assigned = ivf_assign(batch_vecs, centroids).select(
-                "vec_id", "cluster_id"
-            )
-            part_dir = os.path.join(path, f"batch_id={batch_id}")
-            assigned.write.mode("overwrite").parquet(part_dir)
-            quant_snaps.write(
-                centroids_to_df(spark, centroids), marker=(app_id, batch_id)
-            )
-            return "appended"
-        # Drift: retrain on the drifted data (new lineage — fresh seed
-        # per batch so the init is deterministic but not the old one).
-        centroids = ivf_train_centroids(
-            batch_vecs, k=n_centroids, dim=dim, seed=seed + 1 + batch_id
+        part_dir = os.path.join(
+            path, f"lineage={lineage}", f"batch_id={batch_id}"
         )
-        full = (
-            spark.read.schema(EMBEDDINGS_SCHEMA).parquet(archive_path)
-            if archive_path is not None
-            else batch_vecs
-        )
-        assigned = ivf_assign(full, centroids).select("vec_id", "cluster_id")
-        tmp = path + ".rebuild"
-        assigned.write.mode("overwrite").parquet(
-            os.path.join(tmp, f"batch_id={batch_id}")
-        )
-        _swap_dir(path, tmp)
+        assigned.write.mode("overwrite").parquet(part_dir)
         quant_snaps.write(
-            centroids_to_df(spark, centroids), marker=(app_id, batch_id)
+            centroids_to_df(spark, centroids, lineage=lineage),
+            marker=(app_id, batch_id),
         )
-        return "rebuilt"
+        return status
+
+    if quant_snaps.current_version() is None:
+        centroids = ivf_train_centroids(
+            batch_vecs, k=n_centroids, dim=dim, seed=seed
+        )
+        return append(centroids, 0, "appended")
+    centroids = centroids_from_snapshot(quant_snaps)
+    lineage = lineage_from_snapshot(quant_snaps)
+    rec = probe_recall(batch_vecs, centroids, k=probe_k, n_probe=n_probe)
+    if rec >= recall_floor:
+        return append(centroids, lineage, "appended")
+    if archive_path is None:
+        return append(centroids, lineage, "appended_degraded")
+    # Drift: retrain on the drifted data (new lineage — fresh seed per
+    # batch so the init is deterministic but not the old one), stage
+    # the archive backfill under the new lineage, then flip.
     centroids = ivf_train_centroids(
-        batch_vecs, k=n_centroids, dim=dim, seed=seed
+        batch_vecs, k=n_centroids, dim=dim, seed=seed + 1 + batch_id
     )
-    assigned = ivf_assign(batch_vecs, centroids).select("vec_id", "cluster_id")
-    part_dir = os.path.join(path, f"batch_id={batch_id}")
-    assigned.write.mode("overwrite").parquet(part_dir)
+    full = spark.read.schema(EMBEDDINGS_SCHEMA).parquet(archive_path)
+    assigned = ivf_assign(full, centroids).select("vec_id", "cluster_id")
+    staged = os.path.join(
+        path, f"lineage={lineage + 1}", f"batch_id={batch_id}"
+    )
+    assigned.write.mode("overwrite").parquet(staged)
     quant_snaps.write(
-        centroids_to_df(spark, centroids), marker=(app_id, batch_id)
+        centroids_to_df(spark, centroids, lineage=lineage + 1),
+        marker=(app_id, batch_id),
     )
-    return "appended"
+    return "rebuilt"
 
 
 def stream_ivf_index_adaptive(

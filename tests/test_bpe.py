@@ -136,3 +136,18 @@ def test_early_stop_when_no_pairs_remain(spark):
     docs = spark.createDataFrame([("x y z",)], ["text"])
     merges, _ = bpe_train(word_histogram(docs), n_merges=4)
     assert merges == []  # all words are single symbols — nothing to merge
+
+
+def test_separator_bearing_token_fails_loudly(spark):
+    """ADVICE r5: U+001F is not regex whitespace, so a token containing
+    it would silently corrupt the symbol-state encoding — and the
+    DuckDB oracle shares the representation, so the cross-engine hash
+    could not catch it. word_histogram must raise, not proceed."""
+    import pytest
+
+    dirty = spark.createDataFrame([(f"ok bad{SEP}token",)], ["text"])
+    with pytest.raises(Exception, match="U\\+001F|ASSERT|assert"):
+        word_histogram(dirty).collect()
+    # clean corpus unaffected by the guard
+    clean = spark.createDataFrame([("ok token",)], ["text"])
+    assert word_histogram(clean).count() == 2

@@ -296,14 +296,65 @@ def test_drifted_stream_triggers_quantizer_rebuild(spark, tmp_path):
     assert not np.allclose(c0, c1)  # genuinely new lineage
     recovered = probe_recall(f1, c1, k=1, n_probe=1)
     assert recovered >= 0.9 > low
-    # backfill covers the whole archive under the new quantizer
-    got = spark.read.parquet(loader._path("assign"))
+    # backfill covers the whole archive under the new quantizer; the
+    # snapshot-consistent reader resolves lineage=1 from the pointer
+    from etl_pipeline_orchestration_spark.streaming.ann_stream import (
+        lineage_from_snapshot,
+        prune_stale_lineages,
+        read_assignments,
+    )
+
+    assert lineage_from_snapshot(snaps) == 1
+    got = read_assignments(loader, "assign", snaps)
     assert got.count() == f0.count() + f1.count()
+    # the superseded lineage=0 subtree survives the flip (in-flight
+    # readers drain against it) until explicitly pruned
+    import os
+
+    root = loader._path("assign")
+    assert os.path.isdir(os.path.join(root, "lineage=0"))
+    assert prune_stale_lineages(loader, "assign", snaps) == [0]
+    assert not os.path.isdir(os.path.join(root, "lineage=0"))
+    assert read_assignments(loader, "assign", snaps).count() == got.count()
     # replay of batch 1 is skipped by the watermark
     assert (
         index_batch_adaptive(
             loader, snaps, "assign", f1, 1, "ck", archive_path=d, **kw
         )
+        == "skipped"
+    )
+
+
+def test_drift_without_archive_refuses_rebuild(spark, tmp_path):
+    """ADVICE r5: drift with no archive to backfill from must NOT
+    truncate the assignments table to the current batch — the rebuild
+    is refused, the batch appends under the frozen quantizer (pairing
+    stays correct), and the caller is told via 'appended_degraded'."""
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+    from etl_pipeline_orchestration_spark.streaming.ann_stream import (
+        index_batch_adaptive,
+        lineage_from_snapshot,
+        read_assignments,
+    )
+
+    d = _drift_fixture(spark, str(tmp_path / "vecs"))
+    f0 = spark.read.parquet(f"{d}/f=0")
+    f1 = spark.read.parquet(f"{d}/f=1")
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "quant")
+    kw = dict(n_centroids=2, dim=4, recall_floor=0.7, probe_k=1, n_probe=1)
+    index_batch_adaptive(loader, snaps, "assign", f0, 0, "ck", **kw)
+    # archive_path omitted → refusal, not truncation
+    assert (
+        index_batch_adaptive(loader, snaps, "assign", f1, 1, "ck", **kw)
+        == "appended_degraded"
+    )
+    assert lineage_from_snapshot(snaps) == 0  # quantizer NOT retrained
+    got = read_assignments(loader, "assign", snaps)
+    assert got.count() == f0.count() + f1.count()  # nothing lost
+    # watermark still advanced: replay is skipped
+    assert (
+        index_batch_adaptive(loader, snaps, "assign", f1, 1, "ck", **kw)
         == "skipped"
     )
 

@@ -56,6 +56,26 @@ def test_driver_gate_scales_with_driver_memory():
     )
 
 
+def test_driver_gate_parses_like_spark_byte_strings():
+    """ADVICE r5: the parser must match Spark's byteStringAsMb —
+    suffixless values are MiB (not bytes), JVM-style 'gb'/'mb' suffixes
+    are valid, and garbage degrades to the floor instead of raising
+    from inside connected_components."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        driver_gate_threshold,
+    )
+
+    # suffixless = MiB: '2048' == '2g', far above the 10k floor
+    assert driver_gate_threshold("2048") == driver_gate_threshold("2g")
+    assert driver_gate_threshold("2048") > 10_000
+    # JVM-style two-letter suffixes
+    assert driver_gate_threshold("8gb") == driver_gate_threshold("8g")
+    assert driver_gate_threshold("512mb") == driver_gate_threshold("512m")
+    # unparseable → floor, never an exception
+    assert driver_gate_threshold("lots") == 10_000
+    assert driver_gate_threshold("") == 10_000
+
+
 def test_degree_orientation_reduces_wedges(spark):
     """On the sf0.001 co-purchase graph, orienting edges by (degree, id)
     must generate strictly fewer wedges than raw-id orientation (the
