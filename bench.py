@@ -129,6 +129,10 @@ HEADLINE = [
     "bpe_encode_tokens",
     "upsert_timetravel_diff",
     "multimodal_jpeg_decode",
+    "semi_anti_join_combo",
+    "windows_combo",
+    "set_ops_full_combo",
+    "relational_functions_combo",
 ]
 
 

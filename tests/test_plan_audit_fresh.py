@@ -1,0 +1,47 @@
+"""PLANS.md staleness gate (VERDICT r5 item 2).
+
+The committed plan audit must cover every bench headline query — a
+query added to bench.py without a regenerated PLANS.md row is a test
+failure here, not a judge finding. Also fails on any audit row carrying
+an anti-pattern flag (CARTESIAN / ROW_PYTHON / BNLJ?) or an ERROR,
+so "zero flags across all plans" is continuously enforced.
+
+Regenerate with: python tools/plan_audit.py /root/testdata/sf0.001 > PLANS.md
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _audit_rows() -> dict[str, str]:
+    rows: dict[str, str] = {}
+    with open(os.path.join(REPO, "PLANS.md")) as f:
+        for line in f:
+            m = re.match(r"\|\s*([a-z0-9_]+)\s*\|(.*)\|\s*$", line)
+            if m and m.group(1) not in ("query", "---"):
+                rows[m.group(1)] = m.group(2)
+    return rows
+
+
+def test_every_bench_query_audited():
+    from bench import HEADLINE
+
+    rows = _audit_rows()
+    missing = [n for n in HEADLINE if n not in rows]
+    assert not missing, (
+        f"bench queries missing from PLANS.md (regenerate it): {missing}"
+    )
+
+
+def test_no_audit_flags_or_errors():
+    rows = _audit_rows()
+    bad = {
+        n: tail
+        for n, tail in rows.items()
+        if re.search(r"ERROR|CARTESIAN|ROW_PYTHON|BNLJ", tail)
+    }
+    assert not bad, f"plan-audit anti-pattern flags: {bad}"
