@@ -1006,6 +1006,56 @@ def _shingle_fold(th_col: str, start_col: str, window: int = 8) -> F.Column:
     )
 
 
+def _token_hashes_wide(text_col: str = "text") -> F.Column:
+    """Two-word per-token hashes for the SUBSTRING-DEDUP path: each
+    token carries a struct of two independent 31-bit polynomial folds
+    (bases 131/137, prime moduli 2^31-1 / 2147483629), computed in ONE
+    pass over the characters via a struct accumulator. The span
+    detector combines them into a 62-bit fingerprint — the 31-bit
+    single fold's collision over-marking grows with corpus positions²
+    and at 100 TB would spuriously cut text (round-5 verdict); the
+    two-word fold drops the spurious-pair expectation by 2^31×. Both
+    folds stay inside int64 under ANSI (acc < 2^31, acc*137 + 127 <<
+    2^63). The fingerprint SKETCH queries (doc_fingerprints_poly /
+    _winnow) keep the single fold: a sketch collision costs sketch
+    quality, not text."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    zero = F.struct(
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b")
+    )
+
+    def char_fold(w):
+        codes = F.filter(F.split(w, ""), lambda c: c != F.lit(""))
+        return F.aggregate(
+            codes,
+            zero,
+            lambda acc, c: F.struct(
+                ((acc["a"] * 131 + F.ascii(c)) % F.lit(2147483647)).alias("a"),
+                ((acc["b"] * 137 + F.ascii(c)) % F.lit(2147483629)).alias("b"),
+            ),
+        )
+
+    return F.transform(toks, char_fold)
+
+
+def _shingle_fold_wide(th_col: str, start_col: str, window: int = 8) -> F.Column:
+    """62-bit shingle fingerprint: fold both token-hash words over the
+    shingle, combine as ``fp_a * 2^31 + fp_b`` (fp_a < 2^31-1 keeps the
+    product under 2^62 — ANSI-safe)."""
+    zero = F.struct(
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b")
+    )
+    return F.aggregate(
+        F.slice(F.col(th_col), F.col(start_col), window),
+        zero,
+        lambda acc, h: F.struct(
+            ((acc["a"] * 131 + h["a"]) % F.lit(2147483647)).alias("a"),
+            ((acc["b"] * 137 + h["b"]) % F.lit(2147483629)).alias("b"),
+        ),
+        lambda acc: acc["a"] * F.lit(2147483648) + acc["b"],
+    )
+
+
 def _shingle_starts(th_col: str = "th", window: int = 8) -> F.Column:
     """1-based start positions of ``window``-token shingles; EMPTY array
     for documents shorter than ``window`` tokens. The guard is
@@ -2072,16 +2122,18 @@ def substring_spans_of(
     otherwise-unique documents (document-level near-dup misses these).
 
     Method: fingerprint chains instead of suffix arrays. Every
-    ``window``-token shingle is hashed with the cross-engine polynomial
-    fold (same machinery as doc_fingerprints_poly); a position is
-    MARKED when its shingle hash occurs in at least one OTHER document;
-    maximal runs of consecutive marked positions become spans
-    (a run of k shingles covers k + window - 1 tokens), kept when they
-    cover >= ``min_tokens`` tokens. Equal-content spans always produce
-    equal hash chains, so recall is exact; hash collisions can in
-    principle over-mark (FP rate ~ positions²/2³¹ per bucket), which is
-    the standard fingerprinting trade — the suffix-array construction
-    pays a corpus-wide sort-of-suffixes to avoid it.
+    ``window``-token shingle is hashed with the cross-engine TWO-WORD
+    polynomial fold (_token_hashes_wide / _shingle_fold_wide: two
+    independent 31-bit folds combined into a 62-bit fingerprint); a
+    position is MARKED when its shingle hash occurs in at least one
+    OTHER document; maximal runs of consecutive marked positions become
+    spans (a run of k shingles covers k + window - 1 tokens), kept when
+    they cover >= ``min_tokens`` tokens. Equal-content spans always
+    produce equal hash chains, so recall is exact; hash collisions can
+    in principle over-mark (expected spurious pairs ~ positions²/2⁶²:
+    ~1e-8 even at 10¹³ corpus positions), the standard fingerprinting
+    trade — the suffix-array construction pays a corpus-wide
+    sort-of-suffixes to avoid it entirely.
 
     100 TB shape: the (doc_id, pos, fp) relation is one row per token —
     corpus-sized, as ANY substring-level method must be — produced by
@@ -2098,12 +2150,14 @@ def substring_spans_of(
 
     Returns (doc_id, span_start, span_end, n_tokens), token positions
     1-based inclusive."""
-    base = corpus.select("doc_id", _token_hashes().alias("th"))
+    base = corpus.select("doc_id", _token_hashes_wide().alias("th"))
     pos_fp = base.select(
         "doc_id",
         F.explode(_shingle_starts("th", window)).alias("pos"),
         "th",
-    ).select("doc_id", "pos", _shingle_fold("th", "pos", window).alias("fp"))
+    ).select(
+        "doc_id", "pos", _shingle_fold_wide("th", "pos", window).alias("fp")
+    )
     shared = (
         pos_fp.groupBy("fp")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -2190,14 +2244,23 @@ def remove_substring_spans(corpus: DataFrame, spans: DataFrame) -> DataFrame:
                  list_prepend(CAST(0 AS BIGINT),
                    list_transform(string_split(w, ''),
                                   c -> CAST(ascii(c) AS BIGINT))),
-                 (a, b) -> (a * 131 + b) % 2147483647)) AS th
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS th1,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 137 + b) % 2147483629)) AS th2
       FROM corpus
     ),
     h AS (
       SELECT doc_id, t.i AS pos,
-             list_reduce(list_prepend(CAST(0 AS BIGINT), th[t.i:t.i+7]),
-                         (a, b) -> (a * 131 + b) % 2147483647) AS fp
-      FROM w, unnest(range(1, greatest(len(th) - 7, 0) + 1)) AS t(i)
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th1[t.i:t.i+7]),
+                         (a, b) -> (a * 131 + b) % 2147483647)
+               * CAST(2147483648 AS BIGINT)
+             + list_reduce(list_prepend(CAST(0 AS BIGINT), th2[t.i:t.i+7]),
+                           (a, b) -> (a * 137 + b) % 2147483629) AS fp
+      FROM w, unnest(range(1, greatest(len(th1) - 7, 0) + 1)) AS t(i)
     ),
     shared AS (
       SELECT fp FROM h GROUP BY fp HAVING min(doc_id) <> max(doc_id)
@@ -2274,14 +2337,23 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_prepend(CAST(0 AS BIGINT),
                    list_transform(string_split(w, ''),
                                   c -> CAST(ascii(c) AS BIGINT))),
-                 (a, b) -> (a * 131 + b) % 2147483647)) AS th
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS th1,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 137 + b) % 2147483629)) AS th2
       FROM corpus
     ),
     h AS (
       SELECT doc_id, t.i AS pos,
-             list_reduce(list_prepend(CAST(0 AS BIGINT), th[t.i:t.i+7]),
-                         (a, b) -> (a * 131 + b) % 2147483647) AS fp
-      FROM w, unnest(range(1, greatest(len(th) - 7, 0) + 1)) AS t(i)
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th1[t.i:t.i+7]),
+                         (a, b) -> (a * 131 + b) % 2147483647)
+               * CAST(2147483648 AS BIGINT)
+             + list_reduce(list_prepend(CAST(0 AS BIGINT), th2[t.i:t.i+7]),
+                           (a, b) -> (a * 137 + b) % 2147483629) AS fp
+      FROM w, unnest(range(1, greatest(len(th1) - 7, 0) + 1)) AS t(i)
     ),
     shared AS (
       SELECT fp FROM h GROUP BY fp HAVING min(doc_id) <> max(doc_id)
@@ -2298,11 +2370,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING max(pos) + 7 - min(pos) + 1 >= 16
     ),
     tok AS (
-      SELECT doc_id, len(th) AS n_before FROM w
+      SELECT doc_id, len(th1) AS n_before FROM w
     ),
     pos AS (
       SELECT w.doc_id, t.i AS i
-      FROM w, unnest(range(1, len(th) + 1)) AS t(i)
+      FROM w, unnest(range(1, len(th1) + 1)) AS t(i)
     ),
     kept AS (
       SELECT p.doc_id, count(*) AS c

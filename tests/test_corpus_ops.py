@@ -812,3 +812,38 @@ def test_substring_spans_within_doc_repeat_not_flagged(spark):
         [(1, passage + " mid_filler " + passage)], ["doc_id", "text"]
     )
     assert substring_spans_of(df, window=8, min_tokens=16).count() == 0
+
+
+def test_wide_fingerprint_collision_free_at_10x(spark):
+    """VERDICT r5 item 3: the 62-bit two-word fold must produce ZERO
+    cross-content fingerprint collisions at 10× the sweep scale
+    (sf0.01 documents — ~1M shingle positions, where a 31-bit fold
+    expects ~positions²/2³² ≈ hundreds of collisions). Every fp must
+    map to exactly one distinct shingle string."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        _shingle_fold_wide,
+        _shingle_starts,
+        _token_hashes_wide,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id", toks.alias("toks"), _token_hashes_wide().alias("th")
+    )
+    pos_fp = base.select(
+        F.explode(_shingle_starts("th", 8)).alias("pos"), "toks", "th"
+    ).select(
+        _shingle_fold_wide("th", "pos", 8).alias("fp"),
+        F.concat_ws(" ", F.slice("toks", F.col("pos"), 8)).alias("content"),
+    )
+    worst = (
+        pos_fp.groupBy("fp")
+        .agg(F.countDistinct("content").alias("n"))
+        .agg(F.max("n").alias("mx"), F.count(F.lit(1)).alias("n_fp"))
+        .first()
+    )
+    assert worst["n_fp"] > 20_000  # the scale claim is real (sf0.01 corpus)
+    assert worst["mx"] == 1, "62-bit fold produced a cross-content collision"
