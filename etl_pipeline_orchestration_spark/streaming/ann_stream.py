@@ -112,9 +112,46 @@ def read_assignments(
     pointer flips, a reader can never pair assignments with a
     mismatched quantizer version — the flip is the single atomic
     publish for both."""
+    from etl_pipeline_orchestration_spark.streaming.compaction import (
+        recover_compaction,
+    )
+
     lineage = lineage_from_snapshot(quant_snaps)
-    return loader.spark.read.parquet(
-        os.path.join(loader._path(assignments_table), f"lineage={lineage}")
+    subtree = os.path.join(loader._path(assignments_table), f"lineage={lineage}")
+    if os.path.isdir(subtree):
+        recover_compaction(subtree)
+    return loader.spark.read.parquet(subtree)
+
+
+ASSIGNMENT_SCHEMA = "vec_id bigint, cluster_id int"
+
+
+def compact_assignments(
+    loader: WarehouseLoader,
+    assignments_table: str,
+    quant_snaps: SnapshotTable,
+    app_id: str,
+    target_files: int = 1,
+) -> int:
+    """Fold all PUBLISHED assignment partitions of the CURRENT quantizer
+    lineage into one consolidated ``batch_id=watermark`` partition
+    (streaming/compaction.py): bounds the file count of a long-running
+    index stream. The quantizer snapshot (and its watermark) is not
+    touched; superseded lineages are ``prune_stale_lineages``'s job.
+    Works for both layouts — the adaptive ``lineage=L`` subtree and the
+    flat frozen-quantizer store. Returns partitions folded."""
+    from etl_pipeline_orchestration_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    root = loader._path(assignments_table)
+    subtree = os.path.join(root, f"lineage={lineage_from_snapshot(quant_snaps)}")
+    return compact_batch_partitions(
+        loader.spark,
+        subtree if os.path.isdir(subtree) else root,
+        quant_snaps.applied_upto(app_id),
+        ASSIGNMENT_SCHEMA,
+        target_files=target_files,
     )
 
 

@@ -75,7 +75,13 @@ def read_band_index(
     ``index_table/batch_id=*`` partitions pruned to the manifest's
     watermark. The filter is on the partition column, so unpublished
     (orphaned) partitions are skipped by listing, not scanned."""
+    from etl_pipeline_orchestration_spark.streaming.compaction import (
+        recover_compaction,
+    )
+
     spark = loader.spark
+    if os.path.isdir(loader._path(index_table)):
+        recover_compaction(loader._path(index_table))
     upto = index_snaps.applied_upto(app_id)
     if upto < 0:
         return spark.createDataFrame([], BAND_SCHEMA)
@@ -121,6 +127,31 @@ def dedup_batch(
     )
     index_snaps.write(manifest, marker=(app_id, batch_id))
     return True
+
+
+def compact_band_index(
+    loader: WarehouseLoader,
+    index_table: str,
+    index_snaps: SnapshotTable,
+    app_id: str,
+    target_files: int = 1,
+) -> int:
+    """Fold all PUBLISHED band partitions into one consolidated
+    ``batch_id=watermark`` partition (streaming/compaction.py): bounds
+    the file count of a long-running dedup stream without touching the
+    manifest or the replay watermark. Call between micro-batches (the
+    stores are single-writer). Returns partitions folded."""
+    from etl_pipeline_orchestration_spark.streaming.compaction import (
+        compact_batch_partitions,
+    )
+
+    return compact_batch_partitions(
+        loader.spark,
+        loader._path(index_table),
+        index_snaps.applied_upto(app_id),
+        BAND_SCHEMA,
+        target_files=target_files,
+    )
 
 
 def stream_dedup_to_warehouse(

@@ -383,3 +383,143 @@ def test_undrifted_stream_appends_without_rebuild(spark, tmp_path):
         == "appended"
     )
     assert len(snaps.versions()) == 2
+
+
+def test_band_index_compaction_preserves_candidates(spark, docs_dir, tmp_path):
+    """VERDICT r5 item 4: compaction folds all published band
+    partitions into one, the file count is bounded, the replay
+    watermark contract survives, and candidate emission CONTINUES
+    correctly for batches arriving after the compaction."""
+    import os
+
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+    from etl_pipeline_orchestration_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from etl_pipeline_orchestration_spark.streaming.dedup_stream import (
+        compact_band_index,
+        dedup_batch,
+        read_band_index,
+    )
+
+    docs = spark.read.parquet(docs_dir)
+    batches = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "idx")
+    for i in range(3):
+        dedup_batch(loader, snaps, "cand", batches[i], i, "ck", index_table="idx")
+    n_before = read_band_index(loader, "idx", snaps, "ck").count()
+    assert compact_band_index(loader, "idx", snaps, "ck") == 3
+    root = loader._path("idx")
+    parts = [d for d in os.listdir(root) if d.startswith("batch_id=")]
+    assert parts == ["batch_id=2"]  # folded to the watermark partition
+    # index content unchanged, replay still skipped
+    assert read_band_index(loader, "idx", snaps, "ck").count() == n_before
+    assert (
+        dedup_batch(loader, snaps, "cand", batches[1], 1, "ck", index_table="idx")
+        is False
+    )
+    # a second compact is a no-op
+    assert compact_band_index(loader, "idx", snaps, "ck") == 0
+    # stream continues: batch 3 lands AFTER compaction; the total
+    # candidate set still equals the full-corpus batch run
+    dedup_batch(loader, snaps, "cand", batches[3], 3, "ck", index_table="idx")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_bands_matched"]
+        for r in spark.read.parquet(loader._path("cand")).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): r["n_bands_matched"]
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_compaction_recovers_crash_windows(spark, docs_dir, tmp_path):
+    """Every rename-aside crash point self-heals on the next read:
+    (a) scratch written, nothing moved; (b) partitions moved aside,
+    consolidated not in place; (c) consolidated in place, aside not
+    yet deleted."""
+    import os
+    import shutil
+
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+    from etl_pipeline_orchestration_spark.streaming.compaction import (
+        recover_compaction,
+    )
+    from etl_pipeline_orchestration_spark.streaming.dedup_stream import (
+        dedup_batch,
+        read_band_index,
+    )
+
+    docs = spark.read.parquet(docs_dir)
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "idx")
+    for i in range(2):
+        dedup_batch(
+            loader, snaps, "cand",
+            docs.filter(F.col("doc_id") % 2 == i), i, "ck", index_table="idx",
+        )
+    root = loader._path("idx")
+    n = read_band_index(loader, "idx", snaps, "ck").count()
+
+    # (a) orphan scratch only
+    os.makedirs(root + ".__compact_tmp")
+    assert read_band_index(loader, "idx", snaps, "ck").count() == n
+    assert not os.path.isdir(root + ".__compact_tmp")
+
+    # (b) partitions aside + scratch present → roll back
+    os.makedirs(root + ".__compact_tmp")
+    os.makedirs(root + ".__compact_old")
+    os.rename(
+        os.path.join(root, "batch_id=0"),
+        os.path.join(root + ".__compact_old", "batch_id=0"),
+    )
+    assert read_band_index(loader, "idx", snaps, "ck").count() == n
+    assert os.path.isdir(os.path.join(root, "batch_id=0"))
+
+    # (c) consolidated in place, aside holds duplicates → drop aside
+    os.makedirs(root + ".__compact_old")
+    shutil.copytree(
+        os.path.join(root, "batch_id=0"),
+        os.path.join(root + ".__compact_old", "batch_id=0"),
+    )
+    recover_compaction(root)
+    assert not os.path.isdir(root + ".__compact_old")
+    assert read_band_index(loader, "idx", snaps, "ck").count() == n
+
+
+def test_ann_assignment_compaction_bounds_files(spark, vecs_dir, tmp_path):
+    """Assignment partitions of the current lineage fold to one
+    directory; the snapshot-consistent reader sees identical content
+    and later batches keep appending."""
+    import os
+
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+    from etl_pipeline_orchestration_spark.streaming.ann_stream import (
+        compact_assignments,
+        index_batch_adaptive,
+        read_assignments,
+    )
+
+    vecs = spark.read.parquet(vecs_dir)
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "quant")
+    kw = dict(n_centroids=2, dim=8, recall_floor=0.0, probe_k=1, n_probe=1)
+    batches = [vecs.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    for i in range(3):
+        index_batch_adaptive(loader, snaps, "assign", batches[i], i, "ck", **kw)
+    before = {
+        (r["vec_id"], r["cluster_id"])
+        for r in read_assignments(loader, "assign", snaps).collect()
+    }
+    assert compact_assignments(loader, "assign", snaps, "ck") == 3
+    subtree = os.path.join(loader._path("assign"), "lineage=0")
+    assert [d for d in os.listdir(subtree) if d.startswith("batch_id=")] == [
+        "batch_id=2"
+    ]
+    after = {
+        (r["vec_id"], r["cluster_id"])
+        for r in read_assignments(loader, "assign", snaps).collect()
+    }
+    assert after == before and len(after) == vecs.count()
