@@ -129,6 +129,7 @@ HEADLINE = [
     "bpe_encode_tokens",
     "upsert_timetravel_diff",
     "multimodal_jpeg_decode",
+    "multimodal_jpeg_color",
     "semi_anti_join_combo",
     "windows_combo",
     "set_ops_full_combo",

@@ -590,12 +590,14 @@ def audio_features_batch(media: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------ JPEG --
-# Stdlib+numpy baseline JPEG (ITU T.81): greyscale JFIF with the full
-# real pipeline — canonical Huffman tables, byte-stuffed entropy
-# stream, DC prediction, AC run-length, dequantize, 2-D IDCT, clamp.
-# Like the PNG codec, decode is GENUINE: every pixel comes from
-# Huffman-decoding the actual scan bytes. Color (multi-component)
-# streams raise honestly — the baseline-greyscale subset is complete.
+# Stdlib+numpy baseline JPEG (ITU T.81): greyscale AND color (YCbCr,
+# 4:4:4 / 4:2:2 / 4:2:0) JFIF with the full real pipeline — canonical
+# Huffman tables (Annex K luma + chroma), byte-stuffed entropy stream,
+# MCU-interleaved components, per-component DC prediction, AC
+# run-length, dequantize, 2-D IDCT, chroma upsampling, YCbCr→RGB,
+# clamp. Like the PNG codec, decode is GENUINE: every pixel comes from
+# Huffman-decoding the actual scan bytes. Progressive/arithmetic/12-bit
+# streams raise honestly — the baseline subset is complete.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10,
@@ -624,6 +626,46 @@ _QTABLE_LUMA = [
 # then values, exactly as they appear in a DHT segment.
 _DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = list(range(12))
+
+# Annex K chrominance quantization table (natural order).
+_QTABLE_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K standard Huffman tables (chrominance DC/AC).
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
 _AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 _AC_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
@@ -771,6 +813,144 @@ def jpeg_encode_gray(rows: list[bytes], qtable: list[int] | None = None) -> byte
     return bytes(out)
 
 
+def _encode_block(bw, block, qm, dc_codes, ac_codes, prev_dc, m):
+    """DCT + quantize + entropy-code one 8×8 block; returns its DC."""
+    import numpy as np
+
+    coef = m @ (block - 128.0) @ m.T
+    zq = np.floor(np.abs(coef) / qm + 0.5) * np.sign(coef)
+    zz = [int(zq.flat[_ZIGZAG[k]]) for k in range(64)]
+    size, bits = _magnitude(zz[0] - prev_dc)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(zz[k])
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return zz[0]
+
+
+def jpeg_encode_color(
+    rows_rgb: list[bytes],
+    qt_luma: list[int] | None = None,
+    qt_chroma: list[int] | None = None,
+    sampling: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Encode an interleaved-RGB image (each row ``3*width`` bytes) as
+    a real baseline color JFIF JPEG: JFIF RGB→YCbCr (rounded to
+    integer planes), chroma subsampling by window averaging
+    (``sampling`` = (H, V): (2,2) = 4:2:0, (2,1) = 4:2:2, (1,1) =
+    4:4:4), MCU-interleaved entropy coding with per-component DC
+    prediction, Annex K luma + chroma quant and Huffman tables.
+
+    The color transform is the closed-form the SQL oracle replays:
+    y  = floor(0.299 r + 0.587 g + 0.114 b + 0.5)
+    cb = floor(128 - 0.168736 r - 0.331264 g + 0.5 b + 0.5)
+    cr = floor(128 + 0.5 r - 0.418688 g - 0.081312 b + 0.5)
+    (plain IEEE doubles, same literals and association both engines)."""
+    import numpy as np
+
+    sh, sv = sampling
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("JPEG: sampling factors must be 1 or 2")
+    q0 = list(qt_luma if qt_luma is not None else _QTABLE_LUMA)
+    q1 = list(qt_chroma if qt_chroma is not None else _QTABLE_CHROMA)
+    h, w = len(rows_rgb), len(rows_rgb[0]) // 3
+    rgb = np.array([list(r) for r in rows_rgb], dtype=np.float64).reshape(
+        h, w, 3
+    )
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = np.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+
+    mcu_w, mcu_h = 8 * sh, 8 * sv
+
+    def pad(plane, mh, mw):
+        ph = ((plane.shape[0] + mh - 1) // mh) * mh
+        pw = ((plane.shape[1] + mw - 1) // mw) * mw
+        out = np.zeros((ph, pw))
+        out[: plane.shape[0], : plane.shape[1]] = plane
+        out[plane.shape[0] :, : plane.shape[1]] = plane[-1:, :]
+        out[:, plane.shape[1] :] = out[:, plane.shape[1] - 1 : plane.shape[1]]
+        return out
+
+    yp = pad(y, mcu_h, mcu_w)
+    # subsample chroma by sv×sh window mean over the padded plane
+    cbp = pad(cb, mcu_h, mcu_w)
+    crp = pad(cr, mcu_h, mcu_w)
+    if sv > 1 or sh > 1:
+        cbp = cbp.reshape(
+            cbp.shape[0] // sv, sv, cbp.shape[1] // sh, sh
+        ).mean(axis=(1, 3))
+        crp = crp.reshape(
+            crp.shape[0] // sv, sv, crp.shape[1] // sh, sh
+        ).mean(axis=(1, 3))
+
+    m = _dct_matrix()
+    qm0 = np.array(q0, dtype=np.float64).reshape(8, 8)
+    qm1 = np.array(q1, dtype=np.float64).reshape(8, 8)
+    dc0, ac0 = _huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS)
+    dc1, ac1 = (
+        _huff_codes(_DC_BITS_C, _DC_VALS_C),
+        _huff_codes(_AC_BITS_C, _AC_VALS_C),
+    )
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(yp.shape[0] // mcu_h):
+        for mx in range(yp.shape[1] // mcu_w):
+            for by in range(sv):
+                for bx in range(sh):
+                    y0, x0 = my * mcu_h + by * 8, mx * mcu_w + bx * 8
+                    prev[0] = _encode_block(
+                        bw, yp[y0 : y0 + 8, x0 : x0 + 8], qm0, dc0, ac0,
+                        prev[0], m,
+                    )
+            for ci, plane in ((1, cbp), (2, crp)):
+                y0, x0 = my * 8, mx * 8
+                prev[ci] = _encode_block(
+                    bw, plane[y0 : y0 + 8, x0 : x0 + 8], qm1, dc1, ac1,
+                    prev[ci], m,
+                )
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(q0[_ZIGZAG[k]] for k in range(64)))
+    out += seg(0xFFDB, bytes([1]) + bytes(q1[_ZIGZAG[k]] for k in range(64)))
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, (sh << 4) | sv, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += seg(0xFFC4, bytes([0x01]) + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+    out += seg(0xFFC4, bytes([0x11]) + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 class _BitReader:
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -818,12 +998,36 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def jpeg_decode_pixels(data: bytes) -> tuple[int, int, list[bytes]]:
-    """Decode a baseline greyscale JPEG with stdlib+numpy only: segment
-    walk (DQT/SOF0/DHT/SOS), Huffman-decode the entropy stream (DC
-    prediction, AC run-length, byte unstuffing), dequantize, inverse
-    zigzag, 2-D IDCT, level shift, clamp, crop padding. Returns
-    ``(width, height, rows)``."""
+def _decode_block(br, dc_t, ac_t, prev_dc: int):
+    """Huffman-decode one 8×8 block's zigzag coefficients; returns
+    (zz, new_dc)."""
+    zz = [0] * 64
+    size = _huff_decode(br, dc_t)
+    prev_dc += _extend(br.bits(size), size)
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, ac_t)
+        run, size = rs >> 4, rs & 0xF
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("JPEG scan: AC index past block end")
+        zz[k] = _extend(br.bits(size), size)
+        k += 1
+    return zz, prev_dc
+
+
+def _jpeg_decode_planes(data: bytes):
+    """Segment walk + entropy decode of a baseline (SOF0) JPEG, 1 or 3
+    components, MCU-interleaved for 3. Returns ``(width, height,
+    samplings, planes)`` where ``samplings[i] = (Hi, Vi)`` and
+    ``planes[i]`` is the component's level-shifted float plane at its
+    OWN resolution (padded to its block grid)."""
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -832,7 +1036,8 @@ def jpeg_decode_pixels(data: bytes) -> tuple[int, int, list[bytes]]:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
-    qsel = dcsel = acsel = 0
+    comps: list[dict] = []  # SOF order: {id, h, v, tq, td, ta}
+    scan_order: list[int] = []
     scan_at = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -857,17 +1062,25 @@ def jpeg_decode_pixels(data: bytes) -> tuple[int, int, list[bytes]]:
                 qtables[tq] = nat
                 p += 65
         elif marker == 0xC0:  # SOF0 baseline
-            if len(payload) < 9:
+            if len(payload) < 6:
                 raise ValueError("JPEG: truncated SOF0")
             prec, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
-            if prec != 8 or ncomp != 1:
-                raise ValueError(
-                    "only 8-bit baseline GREYSCALE JPEG is supported (color "
-                    "needs chroma upsampling + YCbCr, out of scope here)"
+            if prec != 8:
+                raise ValueError("only 8-bit baseline JPEG is supported")
+            if ncomp not in (1, 3):
+                raise ValueError("JPEG: only 1 (grey) or 3 (YCbCr) components")
+            if len(payload) < 6 + 3 * ncomp:
+                raise ValueError("JPEG: truncated SOF0 components")
+            for i in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError("JPEG: sampling factors must be 1 or 2")
+                comps.append(
+                    {"id": cid, "h": hi, "v": vi, "tq": tq, "td": 0, "ta": 0}
                 )
-            if payload[7] != 0x11:
+            if ncomp == 1 and comps[0]["h"] * comps[0]["v"] != 1:
                 raise ValueError("JPEG: subsampling on a 1-component scan")
-            qsel = payload[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline (SOF0) JPEG is supported")
         elif marker == 0xC4:  # DHT
@@ -888,55 +1101,133 @@ def jpeg_decode_pixels(data: bytes) -> tuple[int, int, list[bytes]]:
                 p += 17 + nvals
         elif marker == 0xDA:  # SOS
             ns = payload[0]
-            if ns != 1:
-                raise ValueError("JPEG: multi-component scan unsupported")
-            dcsel, acsel = payload[2] >> 4, payload[2] & 0xF
+            if ns != len(comps):
+                raise ValueError(
+                    "JPEG: scan must cover all frame components "
+                    "(single interleaved baseline scan)"
+                )
+            by_id = {c["id"]: c for c in comps}
+            for i in range(ns):
+                cid, tt = payload[1 + 2 * i : 3 + 2 * i]
+                if cid not in by_id:
+                    raise ValueError("JPEG: scan references unknown component")
+                by_id[cid]["td"], by_id[cid]["ta"] = tt >> 4, tt & 0xF
+                scan_order.append(comps.index(by_id[cid]))
             scan_at = pos + 2 + ln
             break
         pos += 2 + ln
-    if scan_at is None or width is None:
+    if scan_at is None or width is None or not comps:
         raise ValueError("JPEG missing SOF0 or SOS")
-    if qsel not in qtables or (0, dcsel) not in htables or (1, acsel) not in htables:
-        raise ValueError("JPEG scan references undefined tables")
-    qm = np.array(qtables[qsel], dtype=np.float64).reshape(8, 8)
-    dc_t, ac_t = htables[(0, dcsel)], htables[(1, acsel)]
+    for c in comps:
+        if (
+            c["tq"] not in qtables
+            or (0, c["td"]) not in htables
+            or (1, c["ta"]) not in htables
+        ):
+            raise ValueError("JPEG scan references undefined tables")
     m = _dct_matrix()
-    bw_, bh_ = (width + 7) // 8, (height + 7) // 8
-    img = np.zeros((bh_ * 8, bw_ * 8))
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_cols = (width + 8 * hmax - 1) // (8 * hmax)
+    mcu_rows = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    qms, dcts, acts = [], [], []
+    for c in comps:
+        if len(comps) == 1:
+            # Non-interleaved single-component scan: MCU = one block
+            # over the component's own block grid (T.81 §A.2.2).
+            pw, ph = ((width + 7) // 8) * 8, ((height + 7) // 8) * 8
+        else:
+            pw = mcu_cols * 8 * c["h"]
+            ph = mcu_rows * 8 * c["v"]
+        planes.append(np.zeros((ph, pw)))
+        qms.append(np.array(qtables[c["tq"]], dtype=np.float64).reshape(8, 8))
+        dcts.append(htables[(0, c["td"])])
+        acts.append(htables[(1, c["ta"])])
     br = _BitReader(data, scan_at)
-    prev_dc = 0
-    for by in range(bh_):
-        for bx in range(bw_):
-            zz = [0] * 64
-            size = _huff_decode(br, dc_t)
-            prev_dc += _extend(br.bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, ac_t)
-                run, size = rs >> 4, rs & 0xF
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG scan: AC index past block end")
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-            coef = np.zeros(64)
-            for k2 in range(64):
-                coef[_ZIGZAG[k2]] = zz[k2]
-            block = m.T @ (coef.reshape(8, 8) * qm) @ m
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    px = np.clip(np.floor(img + 128.5), 0, 255).astype(np.uint8)
+    prev = [0] * len(comps)
+
+    def place(ci, by, bx, zz):
+        import numpy as np
+
+        coef = np.zeros(64)
+        for k2 in range(64):
+            coef[_ZIGZAG[k2]] = zz[k2]
+        block = m.T @ (coef.reshape(8, 8) * qms[ci]) @ m
+        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+
+    if len(comps) == 1:
+        for by in range(planes[0].shape[0] // 8):
+            for bx in range(planes[0].shape[1] // 8):
+                zz, prev[0] = _decode_block(br, dcts[0], acts[0], prev[0])
+                place(0, by, bx, zz)
+    else:
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                for ci in scan_order:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz, prev[ci] = _decode_block(
+                                br, dcts[ci], acts[ci], prev[ci]
+                            )
+                            place(ci, my * c["v"] + by, mx * c["h"] + bx, zz)
+    return width, height, [(c["h"], c["v"]) for c in comps], planes
+
+
+def jpeg_decode_pixels(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode a baseline GREYSCALE JPEG with stdlib+numpy only: segment
+    walk (DQT/SOF0/DHT/SOS), Huffman-decode the entropy stream (DC
+    prediction, AC run-length, byte unstuffing), dequantize, inverse
+    zigzag, 2-D IDCT, level shift, clamp, crop padding. Returns
+    ``(width, height, rows)``. Color streams: jpeg_decode_pixels_color."""
+    import numpy as np
+
+    width, height, samplings, planes = _jpeg_decode_planes(data)
+    if len(planes) != 1:
+        raise ValueError("color JPEG: use jpeg_decode_pixels_color")
+    px = np.clip(np.floor(planes[0] + 128.5), 0, 255).astype(np.uint8)
     return width, height, [bytes(px[y, :width]) for y in range(height)]
 
 
+def jpeg_decode_pixels_color(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Decode a baseline JPEG to ``(width, height, ncomp, rows)``:
+    greyscale rows for ``ncomp == 1``, interleaved-RGB rows (each
+    ``3*width`` bytes) for ``ncomp == 3`` — per-component entropy
+    decode + IDCT, chroma upsampling by sample replication to the luma
+    grid, then the JFIF inverse transform with the closed-form rounding
+    the SQL oracle replays:
+    R = clamp(floor(Y + 1.402 (Cr-128) + 0.5))
+    G = clamp(floor(Y - 0.344136 (Cb-128) - 0.714136 (Cr-128) + 0.5))
+    B = clamp(floor(Y + 1.772 (Cb-128) + 0.5))"""
+    import numpy as np
+
+    width, height, samplings, planes = _jpeg_decode_planes(data)
+    if len(planes) == 1:
+        px = np.clip(np.floor(planes[0] + 128.5), 0, 255).astype(np.uint8)
+        return width, height, 1, [bytes(px[y, :width]) for y in range(height)]
+    hmax = max(h for h, v in samplings)
+    vmax = max(v for h, v in samplings)
+    up = []
+    for (h_i, v_i), plane in zip(samplings, planes):
+        p = np.repeat(np.repeat(plane, vmax // v_i, axis=0), hmax // h_i, axis=1)
+        up.append(p[:height, :width] + 128.0)
+    y, cb, cr = up
+    r = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+    g = np.clip(
+        np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5),
+        0,
+        255,
+    )
+    b = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
+    rgb = np.stack([r, g, b], axis=2).astype(np.uint8)
+    return width, height, 3, [bytes(rgb[yy].reshape(-1)) for yy in range(height)]
+
+
 def jpeg_decode(data: bytes) -> tuple[int, int, int]:
-    """(width, height, exact pixel sum) from real JPEG bytes."""
-    w, h, rows = jpeg_decode_pixels(data)
+    """(width, height, exact pixel sum) from real JPEG bytes — grey or
+    color; for color the sum runs over all three RGB channels."""
+    w, h, _, rows = jpeg_decode_pixels_color(data)
     return w, h, sum(sum(r) for r in rows)
 
 
@@ -971,6 +1262,68 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                     for y in range(h)
                 ]
                 payloads.append(jpeg_encode_gray(rows, qtable=qt))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    encoded = docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/jpeg").alias("media_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.xxhash64("payload").alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def synth_jpeg_color_media(docs: DataFrame) -> DataFrame:
+    """Deterministic COLOR JPEG fixture with an EXACT decode: width =
+    16·(1 + doc_id%2), height = 16, chroma sampling cycles through
+    4:4:4 / 4:2:2 / 4:2:0 by doc_id%3, and every 16×16 region is a
+    CONSTANT RGB color ((3d+11mx)%256, (5d+23mx)%256, (7d+37mx)%256
+    for column-block mx). Constant regions survive the lossy pipeline
+    exactly: the rounded YCbCr planes are constant per block (window
+    averaging of equal values is exact), every DCT is DC-only, and the
+    fixture's DC quant step of 8 (both tables) divides 8·(v−128) — so
+    the decoded RGB is the closed-form color-transform round-trip the
+    SQL oracle computes, independent of the sampling mode."""
+    from etl_pipeline_orchestration_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    docs = ensure_min_partitions(docs)
+    qt0 = [8] + _QTABLE_LUMA[1:]
+    qt1 = [8] + _QTABLE_CHROMA[1:]
+    samps = [(1, 1), (2, 1), (2, 2)]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 * (1 + d % 2), 16
+                rows = []
+                for _y in range(h):
+                    row = bytearray()
+                    for x in range(w):
+                        mx = x // 16
+                        row += bytes(
+                            (
+                                (3 * d + 11 * mx) % 256,
+                                (5 * d + 23 * mx) % 256,
+                                (7 * d + 37 * mx) % 256,
+                            )
+                        )
+                    rows.append(bytes(row))
+                payloads.append(
+                    jpeg_encode_color(
+                        rows, qt_luma=qt0, qt_chroma=qt1, sampling=samps[d % 3]
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )

@@ -571,6 +571,68 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select("doc_id", "width", "height", "pixel_sum")
 
 
+@query(
+    "multimodal_jpeg_color",
+    oracle="""
+    WITH mc AS (
+      SELECT doc_id, t.mx,
+             CAST((3*doc_id + 11*t.mx) % 256 AS DOUBLE) AS r,
+             CAST((5*doc_id + 23*t.mx) % 256 AS DOUBLE) AS g,
+             CAST((7*doc_id + 37*t.mx) % 256 AS DOUBLE) AS b
+      FROM documents, unnest(range(0, doc_id % 2 + 1)) AS t(mx)
+    ),
+    yc AS (
+      SELECT doc_id, mx,
+             floor(CAST(0.299 AS DOUBLE)*r + CAST(0.587 AS DOUBLE)*g
+                   + CAST(0.114 AS DOUBLE)*b + 0.5) AS y,
+             floor(128 - CAST(0.168736 AS DOUBLE)*r
+                   - CAST(0.331264 AS DOUBLE)*g
+                   + CAST(0.5 AS DOUBLE)*b + 0.5) AS cb,
+             floor(128 + CAST(0.5 AS DOUBLE)*r
+                   - CAST(0.418688 AS DOUBLE)*g
+                   - CAST(0.081312 AS DOUBLE)*b + 0.5) AS cr
+      FROM mc
+    ),
+    px AS (
+      SELECT doc_id,
+             least(greatest(floor(y + CAST(1.402 AS DOUBLE)*(cr-128)
+                                  + 0.5), 0), 255) AS rr,
+             least(greatest(floor(y - CAST(0.344136 AS DOUBLE)*(cb-128)
+                                  - CAST(0.714136 AS DOUBLE)*(cr-128)
+                                  + 0.5), 0), 255) AS gg,
+             least(greatest(floor(y + CAST(1.772 AS DOUBLE)*(cb-128)
+                                  + 0.5), 0), 255) AS bb
+      FROM yc
+    )
+    SELECT doc_id,
+           CAST(16 * (1 + doc_id % 2) AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(256 * sum(rr + gg + bb) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline COLOR JPEG decode, hash-verified per item: each
+    document gets a genuine 3-component YCbCr JFIF stream — chroma
+    sampling cycling 4:4:4 / 4:2:2 / 4:2:0 by doc_id — built from
+    constant 16×16 RGB regions, the one color family the lossy pipeline
+    reproduces exactly (rounded YCbCr planes constant per block →
+    DC-only DCT, DC quant step 8, window-averaged subsampling of equal
+    values exact). The oracle replays the full closed-form round trip:
+    JFIF forward transform with floor(x+0.5) rounding, then the inverse
+    with clamp — identical IEEE-double literals and association on both
+    engines. A chroma upsampling bug, swapped Cb/Cr, wrong MCU
+    interleave order, or a bad chroma Huffman/quant table all shift
+    decoded RGB and mismatch the hash. Retires the round-5 'color JPEG
+    raises' gap (operators/multimodal.py jpeg_encode_color /
+    jpeg_decode_pixels_color; lossy gradients + corruption covered by
+    pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_jpeg_color_media(docs)
+    decoded = multimodal.decode_image_batch(media, fake=False)
+    return decoded.select("doc_id", "width", "height", "pixel_sum")
+
+
 # Shared oracle fragment: the quality-logit double chain, verbatim the
 # expression quality_linear_logit builds (same op order, same literals).
 _QL_LOGIT_EXPR = """(-2.0 + 0.5 * log_len + 6.0 * stopword_ratio

@@ -327,11 +327,96 @@ def test_jpeg_corruption_fails_loudly():
     prog[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="baseline"):
         jpeg_decode(bytes(prog))
+    # a 3-component SOF0 whose scan only covers one component is
+    # malformed (color is now SUPPORTED, but a partial scan is not)
     ncomp = bytearray(good)
     ncomp[sof + 9] = 3  # component count byte of SOF0
-    with pytest.raises(ValueError, match="GREYSCALE|component"):
+    with pytest.raises(ValueError, match="component"):
         jpeg_decode(bytes(ncomp))
+    # 4-component (CMYK-style) streams are refused, not mis-decoded
+    four = bytearray(good)
+    four[sof + 9] = 4
+    with pytest.raises(ValueError, match="component"):
+        jpeg_decode(bytes(four))
     assert struct is not None
+
+
+def _grad_rgb_rows(w, h):
+    rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(((2 * x + y) % 256, (x + 2 * y) % 256, (3 * x) % 256))
+        rows.append(bytes(row))
+    return rows
+
+
+def test_jpeg_color_lossy_roundtrip_bounded():
+    """General (gradient) color content through default Annex K tables:
+    lossy, but every decoded channel must stay within a quantization-
+    commensurate bound of the source, for all three sampling modes, and
+    non-multiple-of-MCU dims must crop correctly."""
+    import numpy as np
+
+    from etl_pipeline_orchestration_spark.operators.multimodal import (
+        jpeg_decode_pixels_color,
+        jpeg_encode_color,
+    )
+
+    for samp in [(1, 1), (2, 1), (2, 2)]:
+        src = _grad_rgb_rows(20, 12)  # not an MCU multiple
+        w, h, nc, back = jpeg_decode_pixels_color(
+            jpeg_encode_color(src, sampling=samp)
+        )
+        assert (w, h, nc) == (20, 12, 3)
+        a = np.array([list(r) for r in src], dtype=float)
+        b = np.array([list(r) for r in back], dtype=float)
+        assert b.shape == a.shape
+        # chroma-subsampled gradients move further than luma; bound is
+        # loose but finite — a component swap or interleave bug blows it
+        assert np.abs(a - b).mean() < 40.0
+        # luma channel approx: Y of both images should track closely
+        ya = 0.299 * a[:, 0::3] + 0.587 * a[:, 1::3] + 0.114 * a[:, 2::3]
+        yb = 0.299 * b[:, 0::3] + 0.587 * b[:, 1::3] + 0.114 * b[:, 2::3]
+        assert np.abs(ya - yb).mean() < 12.0
+
+
+def test_jpeg_color_constant_mcu_exact():
+    """Constant-per-MCU color with DC-step-8 tables decodes to the
+    closed-form color round trip exactly (the oracle contract) in all
+    sampling modes."""
+    import numpy as np
+
+    from etl_pipeline_orchestration_spark.operators.multimodal import (
+        _QTABLE_CHROMA,
+        _QTABLE_LUMA,
+        jpeg_decode_pixels_color,
+        jpeg_encode_color,
+    )
+
+    qt0, qt1 = [8] + _QTABLE_LUMA[1:], [8] + _QTABLE_CHROMA[1:]
+    for samp in [(1, 1), (2, 1), (2, 2)]:
+        for (r, g, b) in [(200, 30, 90), (0, 255, 128), (17, 17, 17)]:
+            rows = [bytes((r, g, b) * 16) for _ in range(16)]
+            w, h, nc, back = jpeg_decode_pixels_color(
+                jpeg_encode_color(rows, qt_luma=qt0, qt_chroma=qt1,
+                                  sampling=samp)
+            )
+            y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+            cb = np.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+            cr = np.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+            exp = (
+                int(min(max(np.floor(y + 1.402 * (cr - 128) + 0.5), 0), 255)),
+                int(min(max(np.floor(
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+                ), 0), 255)),
+                int(min(max(np.floor(y + 1.772 * (cb - 128) + 0.5), 0), 255)),
+            )
+            assert all(
+                tuple(row[i : i + 3]) == exp
+                for row in back
+                for i in range(0, len(row), 3)
+            ), (samp, (r, g, b))
 
 
 def test_decode_image_batch_dispatches_jpeg(spark):
