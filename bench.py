@@ -130,6 +130,7 @@ HEADLINE = [
     "upsert_timetravel_diff",
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color",
+    "dsir_importance_resample",
     "semi_anti_join_combo",
     "windows_combo",
     "set_ops_full_combo",

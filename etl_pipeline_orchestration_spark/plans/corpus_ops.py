@@ -2882,3 +2882,158 @@ def corpus_stats_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("n_first").cast("bigint").alias("n_docs_first"),
         )
     )
+
+
+@query(
+    "dsir_importance_resample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, g.gram AS gram
+      FROM w, unnest(list_concat(
+        ws,
+        list_transform(range(1, greatest(len(ws), 1)),
+                       i -> ws[i] || ' ' || ws[i + 1])
+      )) AS g(gram)
+    ),
+    gb AS (
+      SELECT doc_id, lang,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(gram, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) % 256 AS b
+      FROM grams
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_r,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_t
+      FROM gb
+    ),
+    hist AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_t
+      FROM gb GROUP BY b
+    ),
+    ratios AS (
+      SELECT b,
+             CAST(floor((ln((CAST(c_t AS DOUBLE) + 1) /
+                             (CAST(n_t AS DOUBLE) + 256))
+                       - ln((CAST(c_r AS DOUBLE) + 1) /
+                             (CAST(n_r AS DOUBLE) + 256))) * 1e6 + 0.5)
+                  AS BIGINT) AS r
+      FROM hist, tot
+    ),
+    scored AS (
+      SELECT gb.doc_id, gb.lang, CAST(sum(r) AS BIGINT) AS score
+      FROM gb JOIN ratios USING (b)
+      GROUP BY gb.doc_id, gb.lang
+    )
+    SELECT doc_id, lang, score,
+           score + CAST(floor(-ln(-ln(
+               (((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000
+                + CAST(0.5 AS DOUBLE)) / 1000)) * 1e6 + 0.5) AS BIGINT)
+             AS sel_key
+    FROM scored
+    ORDER BY sel_key DESC, doc_id LIMIT 200
+    """,
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023 "Data Selection for
+    Language Models via Importance Resampling" — public method): score
+    every raw document by the log importance ratio of a hashed-n-gram
+    bag model of a TARGET distribution (here lang='en') over the RAW
+    distribution, then Gumbel-top-k sample — the standard recipe for
+    tilting a web-scale corpus toward a target domain without training
+    a classifier.
+
+    Determinism discipline: feature buckets use the cross-engine
+    base-131 char fold (unigrams + bigrams, mod 256 buckets); per-bucket
+    log ratios with add-1 smoothing are computed ONCE from identical
+    doubles and frozen as INTEGER micro-nats (floor(x*1e6 + 0.5)), so
+    the per-document score is an exact int64 sum immune to float
+    summation order; the Gumbel noise derives from the Knuth
+    multiplicative bucket of doc_id (never rand()) and is frozen to the
+    same integer grid. Selection = top-200 by (score + gumbel) with a
+    doc_id tiebreak — bit-reproducible across engines, runs, and
+    cluster layouts.
+
+    100 TB shape: one documents scan → gram relation; the bucket
+    histogram is 256 rows (map-side combined); ratios are a broadcast
+    join back onto gram instances; the per-doc sum shuffles once on
+    doc_id; selection is TakeOrderedAndProject. Nothing driver-side
+    except the 256-row ratio table."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = text_ops._norm_words("text")
+    base = docs.select("doc_id", "lang", ws.alias("ws"))
+    tail_len = F.greatest(F.size("ws") - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(F.col("ws"), 1, tail_len),
+        F.slice(F.col("ws"), 2, tail_len),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("ws"), bigrams)).alias("gram"),
+    )
+    fold = F.aggregate(
+        F.filter(F.split(F.col("gram"), ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(2147483647),
+    )
+    gb = grams.select("doc_id", "lang", (fold % 256).alias("b"))
+    tot = gb.agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+    )
+    hist = gb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+    )
+    ratios = hist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log(
+                    (F.col("c_t").cast("double") + 1)
+                    / (F.col("n_t").cast("double") + 256)
+                )
+                - F.log(
+                    (F.col("c_r").cast("double") + 1)
+                    / (F.col("n_r").cast("double") + 256)
+                )
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    scored = (
+        gb.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("r").cast("bigint").alias("score"))
+    )
+    u = (
+        (
+            (F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761)
+            % F.lit(4294967296)
+            % 1000
+        ).cast("double")
+        + 0.5
+    ) / 1000
+    gumbel = (
+        F.floor(-F.log(-F.log(u)) * 1e6 + 0.5).cast("bigint")
+    )
+    return (
+        scored.select(
+            "doc_id", "lang", "score", (F.col("score") + gumbel).alias("sel_key")
+        )
+        .orderBy(F.desc("sel_key"), "doc_id")
+        .limit(200)
+    )

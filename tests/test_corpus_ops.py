@@ -847,3 +847,27 @@ def test_wide_fingerprint_collision_free_at_10x(spark):
     )
     assert worst["n_fp"] > 20_000  # the scale claim is real (sf0.01 corpus)
     assert worst["mx"] == 1, "62-bit fold produced a cross-content collision"
+
+
+def test_dsir_selection_tilts_toward_target(spark):
+    """DSIR's whole point: the Gumbel-top-k selection under hashed
+    n-gram importance weights must over-represent the target domain
+    (lang='en') relative to its corpus share."""
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        dsir_importance_resample,
+    )
+
+    from pyspark.sql import functions as F
+
+    sel = dsir_importance_resample(spark, SF)
+    rows = sel.collect()
+    assert len(rows) == 200
+    sel_en = sum(1 for r in rows if r["lang"] == "en") / len(rows)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pop_en = docs.filter(F.col("lang") == "en").count() / docs.count()
+    assert sel_en > pop_en + 0.1, (sel_en, pop_en)
+    # deterministic: rerun yields the identical selection
+    again = dsir_importance_resample(spark, SF).collect()
+    assert [(r["doc_id"], r["sel_key"]) for r in rows] == [
+        (r["doc_id"], r["sel_key"]) for r in again
+    ]

@@ -36,10 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = 50_000
 N_VECS = 20_000
+N_ORDERS = 1_500_000  # 10x the sf0.1 orders row count
 REPLICAS = 10
 
-# Family representative -> registered query (documents/embeddings only;
-# the synthetic dir carries no TPC-H tables).
+# Family representative -> registered query (documents/embeddings, plus
+# a minimal synthetic orders table for the streaming-upsert family).
 FAMILIES = {
     "dedup_lsh": "dedup_minhash_verified",
     "dedup_exact_simjoin": "dedup_jaccard_exact_pairs",
@@ -49,6 +50,10 @@ FAMILIES = {
     "fingerprints": "doc_fingerprints_winnow",
     "ann_ivf": "embedding_topk_ivf",
     "bpe_trainer": "bpe_merge_sequence",
+    "bpe_encode": "bpe_encode_tokens",
+    "substring_removal": "dedup_substring_removal_report",
+    "streaming_upsert": "upsert_timetravel_diff",
+    "multimodal_jpeg": "multimodal_jpeg_decode",
 }
 
 
@@ -81,6 +86,17 @@ def gen_big(spark, d: str) -> None:
         (F.col("id") % 10).cast("int").alias("label"),
     )
     emb.repartition(8).write.parquet(os.path.join(d, "embeddings.parquet"))
+    # Minimal orders table (only the columns the streaming-upsert
+    # family touches) at 10x the sf0.1 orders row count.
+    orders = spark.range(N_ORDERS).select(
+        F.col("id").alias("o_orderkey"),
+        (
+            F.pmod(F.xxhash64(F.col("id")), F.lit(100000)).cast("double")
+            / 100.0
+            + 1.0
+        ).alias("o_totalprice"),
+    )
+    orders.repartition(8).write.parquet(os.path.join(d, "orders.parquet"))
 
 
 def _calib(spark) -> float:
