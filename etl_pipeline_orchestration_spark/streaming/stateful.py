@@ -54,28 +54,77 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
 
 TWS_OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 
+_MINIPROTO_DIR = None
+
+
+def ensure_protobuf_runtime() -> str:
+    """Make ``google.protobuf`` importable for the TWS state protocol.
+
+    Prefers the real protobuf package. When absent (this sandbox), puts
+    the vendored mini runtime (vendor/miniproto — implements exactly the
+    proto3 subset StateMessage_pb2 and the state clients use) on
+    ``sys.path`` AND exports it via ``PYTHONPATH`` so the Python worker
+    processes that actually speak the state protocol can import it too.
+    Returns "protobuf" or "miniproto". The vendor path is only ever
+    added when the real package is missing, so a normal deployment
+    always wins."""
+    global _MINIPROTO_DIR
+    import importlib.util
+    import os
+    import sys
+
+    if _MINIPROTO_DIR is None:
+        try:
+            # raises ModuleNotFoundError when even the 'google' parent
+            # namespace is absent (instead of returning None)
+            if importlib.util.find_spec("google.protobuf"):
+                return "protobuf"
+        except ModuleNotFoundError:
+            pass
+    vendor = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "vendor",
+        "miniproto",
+    )
+    if vendor not in sys.path:
+        sys.path.insert(0, vendor)
+    existing = os.environ.get("PYTHONPATH", "")
+    if vendor not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            vendor + (os.pathsep + existing if existing else "")
+        )
+    _MINIPROTO_DIR = vendor
+    return "miniproto"
+
 
 def running_user_totals_tws(stream: DataFrame) -> DataFrame:
     """Same running per-user totals on Spark 4's ``transformWithState``
     API (StatefulProcessor + typed ValueState) — the successor to
     applyInPandasWithState: composable state variables (value/list/map),
     timers, and TTL instead of a single state tuple. Requires the
-    RocksDB state-store provider (set in the caller/test) AND the
-    ``protobuf`` package (the TWS state protocol is protobuf-framed;
-    absent in this container, so the op raises ImportError eagerly and
-    its test skips — the applyInPandasWithState twin above covers the
-    semantics here). State scales out per grouping key exactly like any
-    keyed aggregation.
-    """
-    import importlib.util
+    RocksDB state-store provider (set in the caller/test) and a
+    ``google.protobuf`` runtime for the TWS state protocol — satisfied
+    by the real package when installed, else by the vendored mini
+    runtime (ensure_protobuf_runtime). The Python workers inherit the
+    vendor path via the SparkContext environment, so the state client
+    inside the worker can frame its socket protocol.
 
-    if importlib.util.find_spec("google.protobuf") is None:
-        raise ImportError(
-            "transformWithStateInPandas needs the 'protobuf' package "
-            "(pyspark's TWS state protocol); install protobuf to use "
-            "this operator. running_user_totals (applyInPandasWithState) "
-            "provides the same semantics without it."
-        )
+    State scales out per grouping key exactly like any keyed
+    aggregation.
+    """
+    if ensure_protobuf_runtime() == "miniproto":
+        # Worker processes build their env from sc.environment at UDF
+        # creation time — export the vendor path there as well (the
+        # driver-side os.environ export only helps when the JVM forks
+        # workers with the driver's environment).
+        import os
+
+        sc = stream.sparkSession.sparkContext
+        wp = sc.environment.get("PYTHONPATH", "")
+        if _MINIPROTO_DIR not in wp.split(os.pathsep):
+            sc.environment["PYTHONPATH"] = (
+                _MINIPROTO_DIR + (os.pathsep + wp if wp else "")
+            )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

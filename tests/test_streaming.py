@@ -368,9 +368,9 @@ def test_rate_source_smoke(spark):
 def test_transform_with_state_converges_to_batch(spark, events_dir):
     """transformWithStateInPandas (Spark 4 StatefulProcessor): running
     totals under the new typed-state API must converge to the batch
-    group-by, same contract as the applyInPandasWithState twin.
-    Skips where protobuf (the TWS wire protocol) is unavailable."""
-    pytest.importorskip("google.protobuf")
+    group-by, same contract as the applyInPandasWithState twin. Runs
+    against the real protobuf when installed, else the vendored mini
+    runtime (ensure_protobuf_runtime) — no longer skips."""
     from etl_pipeline_orchestration_spark.streaming.stateful import (
         running_user_totals_tws,
     )
