@@ -131,6 +131,7 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     "multimodal_jpeg_color",
     "dsir_importance_resample",
+    "semdedup_prune",
     "semi_anti_join_combo",
     "windows_combo",
     "set_ops_full_combo",

@@ -1259,6 +1259,63 @@ _KMEANS_EXACT_ORACLE = """
 """
 
 
+def _quantize_vecs(vecs: DataFrame) -> DataFrame:
+    """(vec_id, xq): embeddings as integer ticks round(v * 2^20) —
+    exact on both engines (see embedding_kmeans_exact)."""
+    return vecs.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " v -> cast(round(cast(v as double) * 1048576.0) as bigint))"
+        ).alias("xq"),
+    )
+
+
+def _kmeans_exact_centroids_of(assigned: DataFrame) -> dict:
+    """(vec_id→j)-labelled quantized vectors → {j: [64 ints]} via a
+    model-sized collect of truncating-division means."""
+    rows = (
+        assigned.select("j", F.posexplode("xq").alias("i", "x"))
+        .groupBy("j", "i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("j", "i", F.expr("s div n").alias("c"))
+        .collect()
+    )
+    cents: dict = {}
+    for r in rows:
+        cents.setdefault(r["j"], [0] * 64)[r["i"]] = r["c"]
+    return cents
+
+
+def _kmeans_exact_assign_expr(cents: dict):
+    """argmin_j ||xq - c_j||² as a pure fold over literal centroid
+    arrays; array_min over (d, j) structs == ORDER BY d, j LIMIT 1."""
+    pairs = []
+    for j in sorted(cents):
+        carr = F.array(*[F.lit(int(v)) for v in cents[j]])
+        d = F.aggregate(
+            F.zip_with(F.col("xq"), carr, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        pairs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+    best = F.array_min(F.array(*pairs))
+    return best["j"].alias("j"), best["d"].alias("d")
+
+
+def _kmeans_exact_cluster(dfq: DataFrame):
+    """One integer-exact Lloyd round (init j = vec_id % 8, update,
+    reassign): returns (final_assign_j_col, final_dist_col) for use in
+    a select over ``dfq`` — the shared core of embedding_kmeans_exact
+    and semdedup_prune."""
+    c0 = _kmeans_exact_centroids_of(
+        dfq.withColumn("j", (F.col("vec_id") % 8).cast("int"))
+    )
+    j1, _ = _kmeans_exact_assign_expr(c0)
+    c1 = _kmeans_exact_centroids_of(dfq.select("vec_id", "xq", j1))
+    return _kmeans_exact_assign_expr(c1)
+
+
 @query("embedding_kmeans_exact", oracle=_KMEANS_EXACT_ORACLE)
 def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Lloyd round: the cross-engine-VERIFIABLE k-means
@@ -1285,50 +1342,10 @@ def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle and it is posexplode + map-side-combined sum — the
     partials are model-sized, not data-sized. An empty cluster after
     round 1 simply drops out of the candidate set on both engines.
+    (Core hoisted to _kmeans_exact_cluster, shared with semdedup_prune.)
     """
-    vecs = load_table(spark, sf_dir, "embeddings")
-    dfq = vecs.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding,"
-            " v -> cast(round(cast(v as double) * 1048576.0) as bigint))"
-        ).alias("xq"),
-    )
-
-    def centroids_of(assigned):
-        """(vec_id→j)-labelled quantized vectors → {j: [64 ints]} via a
-        model-sized collect of truncating-division means."""
-        rows = (
-            assigned.select("j", F.posexplode("xq").alias("i", "x"))
-            .groupBy("j", "i")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select("j", "i", F.expr("s div n").alias("c"))
-            .collect()
-        )
-        cents: dict = {}
-        for r in rows:
-            cents.setdefault(r["j"], [0] * 64)[r["i"]] = r["c"]
-        return cents
-
-    def assign_expr(cents):
-        """argmin_j ||xq - c_j||² as a pure fold over literal centroid
-        arrays; array_min over (d, j) structs == ORDER BY d, j LIMIT 1."""
-        pairs = []
-        for j in sorted(cents):
-            carr = F.array(*[F.lit(int(v)) for v in cents[j]])
-            d = F.aggregate(
-                F.zip_with(F.col("xq"), carr, lambda x, c: (x - c) * (x - c)),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            )
-            pairs.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
-        best = F.array_min(F.array(*pairs))
-        return best["j"].alias("j"), best["d"].alias("d")
-
-    c0 = centroids_of(dfq.withColumn("j", (F.col("vec_id") % 8).cast("int")))
-    j1, _ = assign_expr(c0)
-    c1 = centroids_of(dfq.select("vec_id", "xq", j1))
-    j2, d2 = assign_expr(c1)
+    dfq = _quantize_vecs(load_table(spark, sf_dir, "embeddings"))
+    j2, d2 = _kmeans_exact_cluster(dfq)
     return dfq.select(
         "vec_id",
         j2.cast("int").alias("cluster_id"),
@@ -2152,3 +2169,175 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synth_mpng_media(docs)
     return multimodal.decode_sampled_frames(media, stride=2)
+
+
+@query(
+    "semdedup_prune",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id < 50
+    ),
+    xq AS (
+      SELECT vec_id, t.i AS i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS x
+      FROM corpus, (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    c0 AS (
+      SELECT vec_id % 8 AS j, i,
+             CAST((CAST(sum(x) AS BIGINT)
+                   - CAST(sum(x) AS BIGINT) % CAST(count(*) AS BIGINT))
+                  / CAST(count(*) AS BIGINT) AS BIGINT) AS c
+      FROM xq GROUP BY 1, 2
+    ),
+    d1 AS (
+      SELECT xq.vec_id, c0.j,
+             CAST(sum((xq.x - c0.c) * (xq.x - c0.c)) AS BIGINT) AS d
+      FROM xq JOIN c0 ON xq.i = c0.i GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.j, xq.i,
+             CAST((CAST(sum(xq.x) AS BIGINT)
+                   - CAST(sum(xq.x) AS BIGINT) % CAST(count(*) AS BIGINT))
+                  / CAST(count(*) AS BIGINT) AS BIGINT) AS c
+      FROM xq JOIN a1 ON xq.vec_id = a1.vec_id GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT xq.vec_id, c1.j,
+             CAST(sum((xq.x - c1.c) * (xq.x - c1.c)) AS BIGINT) AS d
+      FROM xq JOIN c1 ON xq.i = c1.i GROUP BY 1, 2
+    ),
+    asg AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    n2 AS (
+      SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2
+      FROM xq GROUP BY vec_id
+    ),
+    dots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(sum(xa.x * xb.x) AS BIGINT) AS dot
+      FROM asg a
+      JOIN asg b ON a.j = b.j AND a.vec_id < b.vec_id
+      JOIN xq xa ON xa.vec_id = a.vec_id
+      JOIN xq xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT d.vb AS vec_id, CAST(min(d.va) AS BIGINT) AS dup_of
+      FROM dots d
+      JOIN n2 na ON na.vec_id = d.va
+      JOIN n2 nb ON nb.vec_id = d.vb
+      WHERE d.dot > 0
+        AND CAST(d.dot AS HUGEINT) * d.dot * 10000
+            >= CAST(9025 AS HUGEINT) * na.n2 * nb.n2
+      GROUP BY 1
+    )
+    SELECT a.vec_id, CAST(a.j AS INT) AS cluster_id,
+           CASE WHEN dup.dup_of IS NULL THEN 'kept' ELSE 'dropped' END
+             AS status,
+           dup.dup_of
+    FROM asg a LEFT JOIN dup ON a.vec_id = dup.vec_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023 "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication" — public method): cluster the embedding corpus,
+    then within each cluster drop every vector whose cosine similarity
+    to a LOWER-id cluster-mate reaches τ=0.95, recording the earliest
+    such mate as ``dup_of``. The standard recipe for removing
+    semantically redundant training documents that exact/MinHash text
+    dedup cannot see.
+
+    Exactness discipline (same as embedding_kmeans_exact, whose
+    integer Lloyd round this composes): vectors are integer ticks, the
+    cosine test is cross-multiplied into pure integer arithmetic —
+    cos(a,b) >= 0.95  ⇔  dot>0 ∧ 10000·dot² >= 9025·|a|²·|b|² — with
+    the ~2^105-bit products carried in DECIMAL(38,0) on Spark and
+    HUGEINT in DuckDB (both exact), so the drop decision is
+    bit-reproducible, never a float coin flip. Fifty planted exact
+    copies (vec_id+1000000) make the query non-vacuous: a copy always
+    lands in its source's cluster and always drops with dup_of=source
+    unless an even earlier mate qualifies.
+
+    100 TB shape: the cluster assignment is the kmeans-exact path (two
+    narrow folds + model-sized centroid shuffles); the pairwise stage
+    self-joins ON cluster_id — SemDeDup's inherent within-cluster
+    quadratic, bounded in production by scaling k with corpus size so
+    expected cluster size stays constant (the paper's 50k clusters for
+    LAION-440M); the dup aggregation and final left join shuffle on
+    vec_id. No driver-side pair loops."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    planted = vecs.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = vecs.select("vec_id", "embedding").unionByName(planted)
+    dfq = _quantize_vecs(corpus)
+    j2, _ = _kmeans_exact_cluster(dfq)
+    sq = F.aggregate(
+        F.col("xq"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x * x,
+    )
+    asg = dfq.select("vec_id", "xq", j2, sq.alias("n2"))
+    left = asg.select(
+        F.col("vec_id").alias("va"),
+        F.col("xq").alias("xa"),
+        F.col("j").alias("ja"),
+        F.col("n2").alias("n2a"),
+    )
+    right = asg.select(
+        F.col("vec_id").alias("vb"),
+        F.col("xq").alias("xb"),
+        F.col("j").alias("jb"),
+        F.col("n2").alias("n2b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("ja") == F.col("jb")) & (F.col("va") < F.col("vb")),
+        )
+        .select("va", "vb", "n2a", "n2b", dot.alias("dot"))
+    )
+    dec = "decimal(20,0)"
+    lhs = (
+        F.col("dot").cast(dec) * F.col("dot").cast(dec)
+        * F.lit(10000).cast(dec)
+    )
+    rhs = (
+        F.lit(9025).cast(dec) * F.col("n2a").cast(dec)
+        * F.col("n2b").cast(dec)
+    )
+    dup = (
+        pairs.filter((F.col("dot") > 0) & (lhs >= rhs))
+        .groupBy(F.col("vb").alias("vec_id"))
+        .agg(F.min("va").cast("bigint").alias("dup_of"))
+    )
+    return asg.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.col("j").cast("int").alias("cluster_id"),
+        F.when(F.col("dup_of").isNull(), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+        "dup_of",
+    )

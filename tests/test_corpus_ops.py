@@ -871,3 +871,25 @@ def test_dsir_selection_tilts_toward_target(spark):
     assert [(r["doc_id"], r["sel_key"]) for r in rows] == [
         (r["doc_id"], r["sel_key"]) for r in again
     ]
+
+
+def test_semdedup_planted_copies_always_drop(spark):
+    """SemDeDup ground truth: every planted exact copy (cos = 1 to its
+    source, same cluster by construction) must be dropped with a
+    dup_of at or below its source id; sources stay kept unless they
+    themselves have an earlier >=0.95 mate."""
+    from etl_pipeline_orchestration_spark.plans.llm_data import semdedup_prune
+
+    rows = {r["vec_id"]: r for r in semdedup_prune(spark, SF).collect()}
+    planted = [v for v in rows if v >= 1_000_000]
+    assert len(planted) == 50
+    for v in planted:
+        r = rows[v]
+        src = rows[v - 1_000_000]
+        assert r["status"] == "dropped"
+        assert r["dup_of"] is not None and r["dup_of"] <= v - 1_000_000
+        assert r["cluster_id"] == src["cluster_id"]
+    # the pruning is not vacuous in the other direction: most of the
+    # random corpus survives
+    kept = sum(1 for r in rows.values() if r["status"] == "kept")
+    assert kept >= 400
