@@ -1316,6 +1316,104 @@ def _kmeans_exact_cluster(dfq: DataFrame):
     return _kmeans_exact_assign_expr(c1)
 
 
+def semdedup_fit_centroids(dfq: DataFrame) -> dict:
+    """The integer centroid MODEL `_kmeans_exact_cluster` assigns under
+    (init j = vec_id % 8, one Lloyd update), returned as {j: [64
+    ints]} so it can be frozen — streaming/semdedup_stream.py trains it
+    once on the first batch and versions it as snapshot data."""
+    c0 = _kmeans_exact_centroids_of(
+        dfq.withColumn("j", (F.col("vec_id") % 8).cast("int"))
+    )
+    j1, _ = _kmeans_exact_assign_expr(c0)
+    return _kmeans_exact_centroids_of(dfq.select("vec_id", "xq", j1))
+
+
+def semdedup_group_dups(pdf):
+    """Within-cluster SemDeDup mate finder (shared by the batch query
+    and the streaming maintenance) — runs once per cluster group under
+    ``applyInPandas``. Exact-integer cosine >= 0.95: int64 Gram matrix
+    (exact, |dot| ≤ dim·ticks² ≪ 2^63), a conservative float screen
+    whose 1e-9 margin can only ADD candidates (operands are exact
+    integers ≤ 2^52, so the float products carry ~1e-15 relative
+    error), then arbitrary-precision Python-int confirmation of the
+    survivors. Emits (vec_id, dup_of) for vectors that drop.
+
+    Without an ``is_new`` column every vector is comparable and the
+    earliest (lowest-id) qualifying mate wins — batch semantics. With
+    one, only NEW vectors can drop, and a new vector's qualifying
+    mates are every ARCHIVED vector (any id — earlier arrival wins)
+    plus lower-id new ones — stream arrival semantics; the two agree
+    whenever arrival order is id order."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "dup_of": pd.Series([], dtype="int64"),
+        }
+    )
+    n = len(pdf)
+    if n < 2:
+        return empty
+    order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+    ids = pdf["vec_id"].to_numpy()[order]
+    if "is_new" in pdf.columns:
+        new = pdf["is_new"].to_numpy()[order].astype(bool)
+        if not new.any():
+            return empty
+    else:
+        new = np.ones(n, dtype=bool)
+    X = np.array(pdf["xq"].to_numpy()[order].tolist(), dtype=np.int64)
+    G = X @ X.T
+    n2f = np.diagonal(G).astype(np.float64)
+    Gf = G.astype(np.float64)
+    cand = (G > 0) & (
+        1e4 * Gf * Gf >= 9025.0 * np.outer(n2f, n2f) * (1.0 - 1e-9)
+    )
+    # row=b (the dropper, must be new), col=a (the mate): lower-id
+    # news are the strict lower triangle; archived mates any column.
+    mate_ok = np.tril(np.ones((n, n), dtype=bool), -1) | ~new[None, :]
+    np.fill_diagonal(mate_ok, False)
+    bs, as_ = np.nonzero(cand & mate_ok & new[:, None])
+    best: dict = {}
+    for bi, ai in zip(bs.tolist(), as_.tolist()):
+        d = int(G[bi, ai])
+        if 10000 * d * d >= 9025 * int(G[ai, ai]) * int(G[bi, bi]):
+            cur = best.get(bi)
+            if cur is None or ids[ai] < cur:
+                best[bi] = int(ids[ai])
+    return pd.DataFrame(
+        {
+            "vec_id": pd.Series([int(ids[b]) for b in best], dtype="int64"),
+            "dup_of": pd.Series(list(best.values()), dtype="int64"),
+        }
+    )
+
+
+def semdedup_with_centroids(vecs: DataFrame, cents: dict) -> DataFrame:
+    """Frozen-model SemDeDup: assign ``vecs`` under a given integer
+    centroid dict (no Lloyd round) and prune within clusters. The
+    batch twin of streaming/semdedup_stream.py — what a full-corpus
+    reconciliation job runs against the streamed decisions — and the
+    production shape once the model is trained: one narrow assignment
+    fold, one cluster shuffle, one per-cluster Arrow matmul."""
+    dfq = _quantize_vecs(vecs.select("vec_id", "embedding"))
+    jc, _ = _kmeans_exact_assign_expr(cents)
+    asg = dfq.select("vec_id", "xq", jc)
+    dup = asg.groupBy("j").applyInPandas(
+        semdedup_group_dups, "vec_id bigint, dup_of bigint"
+    )
+    return asg.join(dup, "vec_id", "left").select(
+        "vec_id",
+        F.col("j").cast("int").alias("cluster_id"),
+        F.when(F.col("dup_of").isNull(), F.lit("kept"))
+        .otherwise(F.lit("dropped"))
+        .alias("status"),
+        "dup_of",
+    )
+
+
 @query("embedding_kmeans_exact", oracle=_KMEANS_EXACT_ORACLE)
 def embedding_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Lloyd round: the cross-engine-VERIFIABLE k-means
@@ -2267,21 +2365,30 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness discipline (same as embedding_kmeans_exact, whose
     integer Lloyd round this composes): vectors are integer ticks, the
     cosine test is cross-multiplied into pure integer arithmetic —
-    cos(a,b) >= 0.95  ⇔  dot>0 ∧ 10000·dot² >= 9025·|a|²·|b|² — with
-    the ~2^105-bit products carried in DECIMAL(38,0) on Spark and
-    HUGEINT in DuckDB (both exact), so the drop decision is
-    bit-reproducible, never a float coin flip. Fifty planted exact
+    cos(a,b) >= 0.95  ⇔  dot>0 ∧ 10000·dot² >= 9025·|a|²·|b|² — so
+    the drop decision is bit-reproducible, never a float coin flip.
+    Spark evaluates it per cluster inside an Arrow batch: an int64
+    Gram matrix (exact — |dot| ≤ dim·ticks² ≤ 2^52 ≪ 2^63), a
+    conservative float screen (operands are exact integers ≤ 2^52, so
+    the ~2^105 products carry ~1e-15 relative error; the 1e-9
+    acceptance margin dwarfs it and can only ADD candidates), then
+    arbitrary-precision Python-int confirmation of the survivors.
+    DuckDB replays the same inequality in HUGEINT. Fifty planted exact
     copies (vec_id+1000000) make the query non-vacuous: a copy always
     lands in its source's cluster and always drops with dup_of=source
     unless an even earlier mate qualifies.
 
     100 TB shape: the cluster assignment is the kmeans-exact path (two
     narrow folds + model-sized centroid shuffles); the pairwise stage
-    self-joins ON cluster_id — SemDeDup's inherent within-cluster
-    quadratic, bounded in production by scaling k with corpus size so
-    expected cluster size stays constant (the paper's 50k clusters for
-    LAION-440M); the dup aggregation and final left join shuffle on
-    vec_id. No driver-side pair loops."""
+    is SemDeDup's inherent within-cluster quadratic, bounded in
+    production by scaling k with corpus size so expected cluster size
+    stays constant (the paper's 50k clusters for LAION-440M) — which
+    is exactly what lets each cluster fit one Arrow batch here: the
+    shuffle is ON cluster_id and each group does ONE numpy int64
+    matmul instead of |cluster|²·dim codegen HOF steps (measured ~6×
+    on this query; the expression-tree form is the known-pathological
+    shape for dense linear algebra). The dup aggregation and final
+    left join shuffle on vec_id. No driver-side pair loops."""
     vecs = load_table(spark, sf_dir, "embeddings")
     planted = vecs.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
@@ -2289,49 +2396,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = vecs.select("vec_id", "embedding").unionByName(planted)
     dfq = _quantize_vecs(corpus)
     j2, _ = _kmeans_exact_cluster(dfq)
-    sq = F.aggregate(
-        F.col("xq"),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x * x,
-    )
-    asg = dfq.select("vec_id", "xq", j2, sq.alias("n2"))
-    left = asg.select(
-        F.col("vec_id").alias("va"),
-        F.col("xq").alias("xa"),
-        F.col("j").alias("ja"),
-        F.col("n2").alias("n2a"),
-    )
-    right = asg.select(
-        F.col("vec_id").alias("vb"),
-        F.col("xq").alias("xb"),
-        F.col("j").alias("jb"),
-        F.col("n2").alias("n2b"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("xa"), F.col("xb"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
-    pairs = (
-        left.join(
-            right,
-            (F.col("ja") == F.col("jb")) & (F.col("va") < F.col("vb")),
-        )
-        .select("va", "vb", "n2a", "n2b", dot.alias("dot"))
-    )
-    dec = "decimal(20,0)"
-    lhs = (
-        F.col("dot").cast(dec) * F.col("dot").cast(dec)
-        * F.lit(10000).cast(dec)
-    )
-    rhs = (
-        F.lit(9025).cast(dec) * F.col("n2a").cast(dec)
-        * F.col("n2b").cast(dec)
-    )
-    dup = (
-        pairs.filter((F.col("dot") > 0) & (lhs >= rhs))
-        .groupBy(F.col("vb").alias("vec_id"))
-        .agg(F.min("va").cast("bigint").alias("dup_of"))
+    asg = dfq.select("vec_id", "xq", j2)
+    dup = asg.groupBy("j").applyInPandas(
+        semdedup_group_dups, "vec_id bigint, dup_of bigint"
     )
     return asg.join(dup, "vec_id", "left").select(
         "vec_id",
