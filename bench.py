@@ -132,6 +132,7 @@ HEADLINE = [
     "multimodal_jpeg_color",
     "dsir_importance_resample",
     "semdedup_prune",
+    "pii_redaction_report",
     "semi_anti_join_combo",
     "windows_combo",
     "set_ops_full_combo",

@@ -3037,3 +3037,107 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sel_key"), "doc_id")
         .limit(200)
     )
+
+
+# PII scrubbing patterns — identical Java-regex / RE2 semantics for
+# these constructs (char classes, \d, \b, bounded repetition; no
+# lookaround, which RE2 lacks). Shared by the Spark query and the
+# DuckDB oracle below.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "pii_redaction_report",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 5 = 0 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com call 555-'
+                    || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+                    || '-'
+                    || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id * 11) % 256 AS VARCHAR)
+             ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS BIGINT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(t, '{PII_IP_RE}')) AS BIGINT)
+             AS n_ip,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{PII_PHONE_RE}', '[PHONE]', 'g'),
+             '{PII_IP_RE}', '[IP]', 'g') AS redacted
+    FROM aug
+    """,
+)
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (the C4/Dolma/FineWeb-style scrubbing
+    stage every public web-corpus pipeline runs before training:
+    Soldaini et al. 2024 §Dolma-toolkit anonymization, Penedo et al.
+    2024 FineWeb PII normalization — public methods): count and mask
+    email / US-phone / IPv4 literals with typed placeholders, one row
+    per document.
+
+    The synthetic corpus contains no natural PII, so every fifth
+    document is deterministically AUGMENTED with one of each kind
+    derived from its doc_id (pure string arithmetic both engines
+    replay) — the detector still runs honestly over every document,
+    and the planted rows pin non-vacuous ground truth: doc_id % 5 == 0
+    rows must report (1,1,1) and redact to text bearing zero residual
+    matches (tests/test_corpus_ops.py pins both, plus idempotence).
+    Redaction order (email → phone → IP) is part of the contract —
+    the patterns are mutually non-overlapping by construction, but a
+    fixed order keeps the composition deterministic anyway.
+
+    100 TB shape: a pure narrow map — one documents scan, six
+    JVM-side regexp kernels, zero shuffles, zero UDFs; it pipelines
+    into whatever sink follows at scan bandwidth. (Regex cost is
+    linear in characters; at 100 TB this is the cheapest stage of the
+    curation funnel, not a bottleneck.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    pad3 = F.lpad(((F.col("doc_id") * 7) % 1000).cast("string"), 3, "0")
+    pad4 = F.lpad(((F.col("doc_id") * 13) % 10000).cast("string"), 4, "0")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-"),
+        pad3,
+        F.lit("-"),
+        pad4,
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 3) % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 11) % 256).cast("string"),
+    )
+    t = F.when(F.col("doc_id") % 5 == 0, planted).otherwise(F.col("text"))
+    aug = docs.select("doc_id", "lang", t.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_IP_RE,
+        "[IP]",
+    )
+    return aug.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_email"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phone"),
+        F.regexp_count(F.col("t"), F.lit(PII_IP_RE)).cast("bigint").alias("n_ip"),
+        redacted.alias("redacted"),
+    )

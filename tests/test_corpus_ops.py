@@ -893,3 +893,33 @@ def test_semdedup_planted_copies_always_drop(spark):
     # random corpus survives
     kept = sum(1 for r in rows.values() if r["status"] == "kept")
     assert kept >= 400
+
+
+def test_pii_redaction_planted_truth_and_idempotence(spark):
+    """Every doc_id % 5 == 0 row carries exactly one planted email,
+    phone, and IPv4 (ground truth by construction); redaction leaves
+    zero residual matches anywhere and is idempotent."""
+    import re
+
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    rows = registry.QUERIES["pii_redaction_report"](spark, SF).collect()
+    assert len(rows) == 500
+    pats = [re.compile(p) for p in (PII_EMAIL_RE, PII_PHONE_RE, PII_IP_RE)]
+    n_planted = 0
+    for r in rows:
+        if r["doc_id"] % 5 == 0:
+            assert (r["n_email"], r["n_phone"], r["n_ip"]) == (1, 1, 1)
+            for tok in ("[EMAIL]", "[PHONE]", "[IP]"):
+                assert tok in r["redacted"]
+            n_planted += 1
+        else:
+            assert (r["n_email"], r["n_phone"], r["n_ip"]) == (0, 0, 0)
+        # nothing PII-shaped survives, so re-redacting changes nothing
+        for p in pats:
+            assert p.search(r["redacted"]) is None
+    assert n_planted == 100
