@@ -1316,16 +1316,84 @@ def _kmeans_exact_cluster(dfq: DataFrame):
     return _kmeans_exact_assign_expr(c1)
 
 
-def semdedup_fit_centroids(dfq: DataFrame) -> dict:
-    """The integer centroid MODEL `_kmeans_exact_cluster` assigns under
-    (init j = vec_id % 8, one Lloyd update), returned as {j: [64
-    ints]} so it can be frozen — streaming/semdedup_stream.py trains it
-    once on the first batch and versions it as snapshot data."""
+def _semdedup_k(n: int) -> int:
+    """SemDeDup's cluster count as a function of corpus size: k scales
+    so EXPECTED CLUSTER OCCUPANCY stays ~256 vectors (the paper holds
+    occupancy constant — 50k clusters for LAION-440M ≈ 9k/cluster;
+    256 fits this corpus family). This is what bounds the
+    within-cluster quadratic: pair work is n·occupancy, linear in n
+    once k ∝ n. Floor of 8 keeps tiny corpora deterministic and
+    matches the fixed-k oracle replay at the driver's scales."""
+    return max(8, n // 256)
+
+
+def _assign_exact(dfq: DataFrame, cents: dict) -> DataFrame:
+    """(vec_id, xq, j): exact nearest-centroid assignment under the
+    integer model, ties to the lowest cluster id. Two physically
+    different, bit-identical routes: ≤16 centroids uses the literal
+    fold expression (whole-stage codegen, zero Python); larger k — the
+    k ∝ n regime — switches to an Arrow argmin, because a k-fold
+    expression tree grows to thousands of nodes per row (the known
+    pathological shape) while one numpy matmul is flat in k. The
+    distance algebra stays exact int64: d = |x|² − 2·x·c + |c|² with
+    |2·x·c| ≤ 2·64·2^42 ≪ 2^63, and np.argmin's first-minimum rule
+    over centroid rows sorted by j IS the (d, j) tie order."""
+    if len(cents) <= 16:
+        jc, _ = _kmeans_exact_assign_expr(cents)
+        return dfq.select("vec_id", "xq", jc)
+    import numpy as np
+
+    ks = sorted(cents)
+    C = np.array([cents[j] for j in ks], dtype=np.int64)
+    cn2 = (C * C).sum(axis=1)
+    jmap = np.array(ks, dtype=np.int64)
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["xq"].tolist(), dtype=np.int64)
+            d = (X * X).sum(axis=1)[:, None] - 2 * (X @ C.T) + cn2[None, :]
+            jj = jmap[np.argmin(d, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "xq": pdf["xq"],
+                    "j": pd.Series(jj, dtype="int32"),
+                }
+            )
+
+    return dfq.mapInPandas(part, "vec_id bigint, xq array<bigint>, j int")
+
+
+def _kmeans_exact_cluster_k(dfq: DataFrame, k: int) -> DataFrame:
+    """One integer-exact Lloyd round at an arbitrary cluster count
+    (init j = vec_id % k, update, reassign): the k-parametric sibling
+    of `_kmeans_exact_cluster`, returning the assigned (vec_id, xq, j)
+    DataFrame. Identical results at k = 8."""
     c0 = _kmeans_exact_centroids_of(
-        dfq.withColumn("j", (F.col("vec_id") % 8).cast("int"))
+        dfq.withColumn("j", (F.col("vec_id") % k).cast("int"))
     )
-    j1, _ = _kmeans_exact_assign_expr(c0)
-    return _kmeans_exact_centroids_of(dfq.select("vec_id", "xq", j1))
+    a1 = _assign_exact(dfq, c0)
+    c1 = _kmeans_exact_centroids_of(a1)
+    return _assign_exact(dfq, c1)
+
+
+def semdedup_fit_centroids(dfq: DataFrame) -> dict:
+    """The integer centroid MODEL `_kmeans_exact_cluster_k` assigns
+    under (init j = vec_id % k, one Lloyd update) with k scaled to the
+    corpus (`_semdedup_k`), returned as {j: [64 ints]} so it can be
+    frozen — streaming/semdedup_stream.py trains it once on the first
+    batch and versions it as snapshot data."""
+    k = _semdedup_k(dfq.count())
+    c0 = _kmeans_exact_centroids_of(
+        dfq.withColumn("j", (F.col("vec_id") % k).cast("int"))
+    )
+    a1 = _assign_exact(dfq, c0)
+    return _kmeans_exact_centroids_of(a1)
 
 
 def semdedup_group_dups(pdf):
@@ -1399,8 +1467,7 @@ def semdedup_with_centroids(vecs: DataFrame, cents: dict) -> DataFrame:
     production shape once the model is trained: one narrow assignment
     fold, one cluster shuffle, one per-cluster Arrow matmul."""
     dfq = _quantize_vecs(vecs.select("vec_id", "embedding"))
-    jc, _ = _kmeans_exact_assign_expr(cents)
-    asg = dfq.select("vec_id", "xq", jc)
+    asg = _assign_exact(dfq, cents)
     dup = asg.groupBy("j").applyInPandas(
         semdedup_group_dups, "vec_id bigint, dup_of bigint"
     )
@@ -2284,8 +2351,11 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS x
       FROM corpus, (SELECT unnest(range(1, 65)) AS i) t
     ),
+    kk AS (
+      SELECT greatest(8, count(*) // 256) AS k FROM corpus
+    ),
     c0 AS (
-      SELECT vec_id % 8 AS j, i,
+      SELECT vec_id % (SELECT k FROM kk) AS j, i,
              CAST((CAST(sum(x) AS BIGINT)
                    - CAST(sum(x) AS BIGINT) % CAST(count(*) AS BIGINT))
                   / CAST(count(*) AS BIGINT) AS BIGINT) AS c
@@ -2378,12 +2448,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in its source's cluster and always drops with dup_of=source
     unless an even earlier mate qualifies.
 
-    100 TB shape: the cluster assignment is the kmeans-exact path (two
-    narrow folds + model-sized centroid shuffles); the pairwise stage
-    is SemDeDup's inherent within-cluster quadratic, bounded in
-    production by scaling k with corpus size so expected cluster size
-    stays constant (the paper's 50k clusters for LAION-440M) — which
-    is exactly what lets each cluster fit one Arrow batch here: the
+    100 TB shape: the pairwise stage is SemDeDup's inherent
+    within-cluster quadratic, and this implementation applies the
+    paper's bound — k SCALES WITH THE CORPUS (`_semdedup_k`: expected
+    occupancy ~256, the 50k-clusters-for-LAION-440M discipline), so
+    pair work is n·occupancy = linear in n, each cluster fits one
+    Arrow batch, and the 10× lane (BENCH_10X.json `semdedup`) measures
+    the resulting exponent. Assignment is `_assign_exact` (codegen
+    fold at small k, flat-in-k Arrow argmin once k grows); the cluster
     shuffle is ON cluster_id and each group does ONE numpy int64
     matmul instead of |cluster|²·dim codegen HOF steps (measured ~6×
     on this query; the expression-tree form is the known-pathological
@@ -2395,8 +2467,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = vecs.select("vec_id", "embedding").unionByName(planted)
     dfq = _quantize_vecs(corpus)
-    j2, _ = _kmeans_exact_cluster(dfq)
-    asg = dfq.select("vec_id", "xq", j2)
+    k = _semdedup_k(dfq.count())
+    asg = _kmeans_exact_cluster_k(dfq, k)
     dup = asg.groupBy("j").applyInPandas(
         semdedup_group_dups, "vec_id bigint, dup_of bigint"
     )

