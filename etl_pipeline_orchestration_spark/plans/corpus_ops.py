@@ -2962,11 +2962,14 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tiebreak — bit-reproducible across engines, runs, and
     cluster layouts.
 
-    100 TB shape: one documents scan → gram relation; the bucket
-    histogram is 256 rows (map-side combined); ratios are a broadcast
-    join back onto gram instances; the per-doc sum shuffles once on
-    doc_id; selection is TakeOrderedAndProject. Nothing driver-side
-    except the 256-row ratio table."""
+    100 TB shape: one documents scan → gram relation → ONE per-char
+    fold feeding a (doc, bucket) map-side combine (the single
+    evaluation of the dominant cost — tot/hist/score all derive from
+    it); the bucket histogram is 256 rows; ratios are a broadcast join
+    back onto the ≤256-rows-per-doc combine, never onto gram
+    instances; the per-doc sum shuffles once on doc_id; selection is
+    TakeOrderedAndProject. Nothing driver-side except the 256-row
+    ratio table."""
     docs = load_table(spark, sf_dir, "documents")
     ws = text_ops._norm_words("text")
     base = docs.select("doc_id", "lang", ws.alias("ws"))
@@ -2987,13 +2990,30 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(2147483647),
     )
     gb = grams.select("doc_id", "lang", (fold % 256).alias("b"))
-    tot = gb.agg(
-        F.count(F.lit(1)).alias("n_r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+    # Fold the per-char hash ONCE: everything downstream consumes this
+    # per-(doc, bucket) combine. The localCheckpoint is load-bearing,
+    # not cosmetic — hist/tot/scored prune DIFFERENT columns from the
+    # combine, so their exchange subtrees are not identical and
+    # ReusedExchange cannot deduplicate them: without the cut,
+    # the dominant per-char fold runs three times (verified in the
+    # physical plan: three scans). Materializing here costs one
+    # docs×≤256-row table on executor storage — ~10× smaller than the
+    # gram relation — the same in-session reuse discipline as
+    # operators/graph.py pagerank.
+    g1 = (
+        gb.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+        .localCheckpoint()
     )
-    hist = gb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("c_r"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+    hist = g1.groupBy("b").agg(
+        F.sum("m").alias("c_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("m")).otherwise(0)).alias(
+            "c_t"
+        ),
+    )
+    tot = hist.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
     )
     ratios = hist.crossJoin(F.broadcast(tot)).select(
         "b",
@@ -3014,10 +3034,11 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r"),
     )
+    # score = Σ_instances r[b] = Σ_b m·r[b] — the same exact int64 sum.
     scored = (
-        gb.join(F.broadcast(ratios), "b")
+        g1.join(F.broadcast(ratios), "b")
         .groupBy("doc_id", "lang")
-        .agg(F.sum("r").cast("bigint").alias("score"))
+        .agg(F.sum(F.col("m") * F.col("r")).cast("bigint").alias("score"))
     )
     u = (
         (
