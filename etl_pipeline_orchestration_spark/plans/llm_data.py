@@ -1369,31 +1369,30 @@ def _assign_exact(dfq: DataFrame, cents: dict) -> DataFrame:
     return dfq.mapInPandas(part, "vec_id bigint, xq array<bigint>, j int")
 
 
-def _kmeans_exact_cluster_k(dfq: DataFrame, k: int) -> DataFrame:
-    """One integer-exact Lloyd round at an arbitrary cluster count
-    (init j = vec_id % k, update, reassign): the k-parametric sibling
-    of `_kmeans_exact_cluster`, returning the assigned (vec_id, xq, j)
-    DataFrame. Identical results at k = 8."""
-    c0 = _kmeans_exact_centroids_of(
-        dfq.withColumn("j", (F.col("vec_id") % k).cast("int"))
-    )
-    a1 = _assign_exact(dfq, c0)
-    c1 = _kmeans_exact_centroids_of(a1)
-    return _assign_exact(dfq, c1)
-
-
-def semdedup_fit_centroids(dfq: DataFrame) -> dict:
-    """The integer centroid MODEL `_kmeans_exact_cluster_k` assigns
-    under (init j = vec_id % k, one Lloyd update) with k scaled to the
-    corpus (`_semdedup_k`), returned as {j: [64 ints]} so it can be
-    frozen — streaming/semdedup_stream.py trains it once on the first
-    batch and versions it as snapshot data."""
-    k = _semdedup_k(dfq.count())
+def _lloyd_round_centroids(dfq: DataFrame, k: int) -> dict:
+    """The integer centroid MODEL after one Lloyd round (init j =
+    vec_id % k, update, assign, update) — the single copy of the
+    recipe every SemDeDup path trains with."""
     c0 = _kmeans_exact_centroids_of(
         dfq.withColumn("j", (F.col("vec_id") % k).cast("int"))
     )
     a1 = _assign_exact(dfq, c0)
     return _kmeans_exact_centroids_of(a1)
+
+
+def _kmeans_exact_cluster_k(dfq: DataFrame, k: int) -> DataFrame:
+    """One integer-exact Lloyd round at an arbitrary cluster count:
+    the k-parametric sibling of `_kmeans_exact_cluster`, returning the
+    assigned (vec_id, xq, j) DataFrame. Identical results at k = 8."""
+    return _assign_exact(dfq, _lloyd_round_centroids(dfq, k))
+
+
+def semdedup_fit_centroids(dfq: DataFrame) -> dict:
+    """`_lloyd_round_centroids` with k scaled to the corpus
+    (`_semdedup_k`), returned as {j: [64 ints]} so it can be frozen —
+    streaming/semdedup_stream.py trains it once on the first batch and
+    versions it as snapshot data."""
+    return _lloyd_round_centroids(dfq, _semdedup_k(dfq.count()))
 
 
 def semdedup_group_dups(pdf):
@@ -1411,7 +1410,13 @@ def semdedup_group_dups(pdf):
     one, only NEW vectors can drop, and a new vector's qualifying
     mates are every ARCHIVED vector (any id — earlier arrival wins)
     plus lower-id new ones — stream arrival semantics; the two agree
-    whenever arrival order is id order."""
+    whenever arrival order is id order.
+
+    The Gram matrix is RECTANGULAR — new rows × all columns — so the
+    streaming cost per cluster is batch·occupancy, never occupancy²:
+    the archived-by-archived block is never materialized (it would be
+    dead weight recomputed every micro-batch and growing with the
+    archive). Batch mode degenerates to the full square."""
     import numpy as np
     import pandas as pd
 
@@ -1433,21 +1438,28 @@ def semdedup_group_dups(pdf):
     else:
         new = np.ones(n, dtype=bool)
     X = np.array(pdf["xq"].to_numpy()[order].tolist(), dtype=np.int64)
-    G = X @ X.T
-    n2f = np.diagonal(G).astype(np.float64)
+    idx_new = np.nonzero(new)[0]
+    G = X[idx_new] @ X.T  # row=new dropper b, col=any mate a
+    n2 = (X * X).sum(axis=1)
+    n2f = n2.astype(np.float64)
     Gf = G.astype(np.float64)
     cand = (G > 0) & (
-        1e4 * Gf * Gf >= 9025.0 * np.outer(n2f, n2f) * (1.0 - 1e-9)
+        1e4 * Gf * Gf
+        >= 9025.0 * np.outer(n2f[idx_new], n2f) * (1.0 - 1e-9)
     )
-    # row=b (the dropper, must be new), col=a (the mate): lower-id
-    # news are the strict lower triangle; archived mates any column.
-    mate_ok = np.tril(np.ones((n, n), dtype=bool), -1) | ~new[None, :]
-    np.fill_diagonal(mate_ok, False)
-    bs, as_ = np.nonzero(cand & mate_ok & new[:, None])
+    # Mate rule per (row r → global b=idx_new[r], col a): archived
+    # always qualifies; a new mate only when strictly lower-id, which
+    # with ids sorted is the positional test a < idx_new[r]. Equality
+    # (a == idx_new[r]) is excluded by both branches — no self-pairs.
+    mate_ok = ~new[None, :] | (
+        np.arange(n)[None, :] < idx_new[:, None]
+    )
+    rs, as_ = np.nonzero(cand & mate_ok)
     best: dict = {}
-    for bi, ai in zip(bs.tolist(), as_.tolist()):
-        d = int(G[bi, ai])
-        if 10000 * d * d >= 9025 * int(G[ai, ai]) * int(G[bi, bi]):
+    for ri, ai in zip(rs.tolist(), as_.tolist()):
+        bi = int(idx_new[ri])
+        d = int(G[ri, ai])
+        if 10000 * d * d >= 9025 * int(n2[ai]) * int(n2[bi]):
             cur = best.get(bi)
             if cur is None or ids[ai] < cur:
                 best[bi] = int(ids[ai])
@@ -1467,7 +1479,9 @@ def semdedup_with_centroids(vecs: DataFrame, cents: dict) -> DataFrame:
     production shape once the model is trained: one narrow assignment
     fold, one cluster shuffle, one per-cluster Arrow matmul."""
     dfq = _quantize_vecs(vecs.select("vec_id", "embedding"))
-    asg = _assign_exact(dfq, cents)
+    # Two consumers (dup branch + final join) with different prunings:
+    # cut once so the assignment runs once (the dsir lesson).
+    asg = _assign_exact(dfq, cents).localCheckpoint()
     dup = asg.groupBy("j").applyInPandas(
         semdedup_group_dups, "vec_id bigint, dup_of bigint"
     )
@@ -2468,7 +2482,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = vecs.select("vec_id", "embedding").unionByName(planted)
     dfq = _quantize_vecs(corpus)
     k = _semdedup_k(dfq.count())
-    asg = _kmeans_exact_cluster_k(dfq, k)
+    # Checkpointed: the dup branch and the final join would otherwise
+    # each re-run the full two-round assignment pipeline.
+    asg = _kmeans_exact_cluster_k(dfq, k).localCheckpoint()
     dup = asg.groupBy("j").applyInPandas(
         semdedup_group_dups, "vec_id bigint, dup_of bigint"
     )

@@ -112,3 +112,27 @@ def compact_batch_partitions(
     os.rename(scratch, os.path.join(root, f"batch_id={upto}"))
     shutil.rmtree(aside)
     return len(parts)
+
+
+def read_published_partitions(spark, root: str, schema: str, upto: int):
+    """Watermark-pruned union of a store's ``batch_id=*`` partitions —
+    the one read path every per-batch partition store shares
+    (dedup_stream band index, semdedup_stream archive/decisions).
+    Heals any crashed compaction window first; unpublished (orphaned)
+    partitions above ``upto`` are skipped by the partition-column
+    filter, never scanned."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(root):
+        recover_compaction(root)
+    if upto < 0 or not os.path.isdir(root):
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema + ", batch_id bigint")
+        .option("basePath", root)
+        .parquet(root)
+        .filter(F.col("batch_id") <= upto)
+        .drop("batch_id")
+    )

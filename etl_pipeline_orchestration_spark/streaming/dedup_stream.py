@@ -54,7 +54,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from etl_pipeline_orchestration_spark.loader import SnapshotTable, WarehouseLoader
 from etl_pipeline_orchestration_spark.operators.dedup import (
@@ -73,24 +72,17 @@ def read_band_index(
 ) -> DataFrame:
     """Band rows of every PUBLISHED batch: the union of
     ``index_table/batch_id=*`` partitions pruned to the manifest's
-    watermark. The filter is on the partition column, so unpublished
-    (orphaned) partitions are skipped by listing, not scanned."""
+    watermark (compaction.read_published_partitions — the shared read
+    path of every per-batch partition store)."""
     from etl_pipeline_orchestration_spark.streaming.compaction import (
-        recover_compaction,
+        read_published_partitions,
     )
 
-    spark = loader.spark
-    if os.path.isdir(loader._path(index_table)):
-        recover_compaction(loader._path(index_table))
-    upto = index_snaps.applied_upto(app_id)
-    if upto < 0:
-        return spark.createDataFrame([], BAND_SCHEMA)
-    return (
-        spark.read.schema(BAND_SCHEMA + ", batch_id bigint")
-        .option("basePath", loader._path(index_table))
-        .parquet(loader._path(index_table))
-        .filter(F.col("batch_id") <= upto)
-        .drop("batch_id")
+    return read_published_partitions(
+        loader.spark,
+        loader._path(index_table),
+        BAND_SCHEMA,
+        index_snaps.applied_upto(app_id),
     )
 
 

@@ -33,16 +33,27 @@ and a per-cluster exact-integer cosine mate search
    replayed decisions bit-identical); a crash after the flip skips
    the batch entirely.
 
-Scale shape per micro-batch: one narrow assignment fold over the
-batch (model-sized literal centroids, no join), one cluster-pruned
-archive read (only clusters the batch touches — a broadcast semi
-join on at most k cluster ids), one Arrow matmul per touched
-cluster, one O(batch) decisions write + one O(batch) archive append
-+ one model-sized snapshot republish. The per-cluster compare cost
-grows with cluster occupancy — SemDeDup's inherent quadratic — and
-is bounded in production by scaling k with corpus size so expected
-cluster size stays constant (the paper's 50k clusters for
-LAION-440M), the same argument the batch operator documents.
+Scale shape per micro-batch: one narrow assignment pass over the
+batch (model-sized centroids, no join), one cluster-pruned archive
+read (only clusters the batch touches — a broadcast semi join on at
+most k cluster ids), one RECTANGULAR Arrow matmul per touched
+cluster (batch rows × occupancy columns — semdedup_group_dups never
+materializes the archived×archived block), one O(batch) decisions
+write + one O(batch) archive append + one model-sized snapshot
+republish. Per-batch cost is therefore batch·occupancy.
+
+Owned trade-off — the model's k is FROZEN at first-batch scale:
+occupancy grows with the archive, so batch·occupancy drifts upward
+as the stream accumulates (unlike the batch operator, whose
+`_semdedup_k` rescales k per run). Bounding occupancy long-term
+requires a maintenance refit that retrains at the archive's scale
+and RE-BUCKETS the archived vectors under the new model, staged
+under a new lineage so the (centroids, archive) pair flips
+atomically — exactly ann_stream.index_batch_adaptive's rebuild
+discipline, which is the template when a deployment needs it. Until
+then the streamed decisions stay correct (clustering only routes
+candidate generation; the cosine test is cluster-independent) —
+comparisons just get more expensive, they never get wrong.
 """
 
 from __future__ import annotations
@@ -86,25 +97,12 @@ def centroids_from_snapshot(snaps: SnapshotTable) -> dict:
 def _read_partitions(
     loader: WarehouseLoader, table: str, schema: str, upto: int
 ) -> DataFrame:
-    """Union of a table's ``batch_id=*`` partitions pruned to the
-    watermark — unpublished (orphaned) partitions are skipped by the
-    partition-column filter, never scanned."""
     from etl_pipeline_orchestration_spark.streaming.compaction import (
-        recover_compaction,
+        read_published_partitions,
     )
 
-    spark = loader.spark
-    root = loader._path(table)
-    if os.path.isdir(root):
-        recover_compaction(root)
-    if upto < 0 or not os.path.isdir(root):
-        return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema + ", batch_id bigint")
-        .option("basePath", root)
-        .parquet(root)
-        .filter(F.col("batch_id") <= upto)
-        .drop("batch_id")
+    return read_published_partitions(
+        loader.spark, loader._path(table), schema, upto
     )
 
 
@@ -159,7 +157,10 @@ def semdedup_batch(
         cents = semdedup_fit_centroids(dfq)
     else:
         cents = centroids_from_snapshot(cent_snaps)
-    batch_asg = _assign_exact(dfq, cents)
+    # Checkpointed: four consumers (touched-clusters broadcast, the
+    # pool feeding the mate search, the decisions join, the archive
+    # write) would otherwise each re-run the quantize + assignment.
+    batch_asg = _assign_exact(dfq, cents).localCheckpoint()
 
     # Cluster-pruned archive: only clusters the batch touches matter,
     # and there are at most k of them — a broadcast semi join, so the

@@ -950,27 +950,23 @@ def test_semdedup_assign_routes_are_bit_identical(spark):
     }
     # same centroid duplicated at two ids: the tie must break low
     cents[19] = list(cents[3])
-    want = {
-        r["vec_id"]: r["j"]
-        for r in _assign_exact(dfq, {j: cents[j] for j in range(16)}).collect()
-    }
-    via_expr = {
-        r["vec_id"]: r["j"]
-        for r in _assign_exact(dfq, {j: cents[j] for j in range(16)}).collect()
-    }
-    assert want == via_expr  # determinism of the expression route
-    # now the full 20-centroid model through BOTH routes: force the
-    # expression route by monkey-free slicing is impossible at k=20,
-    # so compare the Arrow route against a brute-force python argmin.
+    xq = {r["vec_id"]: list(r["xq"]) for r in dfq.collect()}
+
+    def brute(cdict):
+        return {
+            vid: min(
+                (sum((xi - ci) ** 2 for xi, ci in zip(x, cdict[j])), j)
+                for j in sorted(cdict)
+            )[1]
+            for vid, x in xq.items()
+        }
+
+    # ≤16 centroids exercises the codegen-fold route; >16 the Arrow
+    # argmin route — BOTH against the same independent reference.
+    c16 = {j: cents[j] for j in range(16)}
+    got16 = {r["vec_id"]: r["j"] for r in _assign_exact(dfq, c16).collect()}
+    assert got16 == brute(c16)
     got = {r["vec_id"]: r["j"] for r in _assign_exact(dfq, cents).collect()}
-    xq = {
-        r["vec_id"]: list(r["xq"]) for r in dfq.collect()
-    }
-    for vid, x in xq.items():
-        best = min(
-            (sum((xi - ci) ** 2 for xi, ci in zip(x, cents[j])), j)
-            for j in sorted(cents)
-        )
-        assert got[vid] == best[1], vid
+    assert got == brute(cents)
     # and the duplicated-centroid tie broke to the LOWER id everywhere
     assert 19 not in set(got.values())
