@@ -58,6 +58,7 @@ FAMILIES = {
     # 78 at 10x — the exponent measures the constant-occupancy
     # discipline, not a fixed-k quadratic.
     "semdedup": "semdedup_prune",
+    "pii_scrub": "pii_redaction_report",
 }
 
 
