@@ -79,17 +79,21 @@ def driver_gate_threshold(
     driver gates near the old 2M constant; a 512m driver forces the
     distributed path around 130k edges rather than OOMing.
 
-    Parsing mirrors Spark's ``byteStringAsMb``: an optional trailing
-    'b' is accepted ('8g' == '8gb'), and a SUFFIXLESS value is MiB (the
-    JVM reads 'spark.driver.memory=2048' as 2048 MiB, not bytes). An
-    unparseable string falls back to the 10k floor — a config-format
-    surprise must degrade the gate, not crash connected_components."""
+    Parsing mirrors Spark's ``byteStringAs``: a trailing 'b' AFTER a
+    unit letter is optional ('8g' == '8gb'), a LONE trailing 'b' means
+    BYTES ('1048576b' = 1 MiB, exactly as the JVM parses it), and a
+    SUFFIXLESS value is MiB (the JVM reads 'spark.driver.memory=2048'
+    as 2048 MiB, not bytes). An unparseable string falls back to the
+    10k floor — a config-format surprise must degrade the gate, not
+    crash connected_components."""
     s = driver_memory.strip().lower()
-    if s.endswith("b"):
-        s = s[:-1]
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     try:
-        if s and s[-1] in units:
+        if len(s) >= 2 and s[-1] == "b" and s[-2] in units:
+            mem_bytes = int(float(s[:-2])) * units[s[-2]]
+        elif s.endswith("b"):
+            mem_bytes = int(float(s[:-1]))  # bare 'b' suffix = bytes
+        elif s and s[-1] in units:
             mem_bytes = int(float(s[:-1])) * units[s[-1]]
         else:
             mem_bytes = int(float(s)) << 20  # suffixless = MiB

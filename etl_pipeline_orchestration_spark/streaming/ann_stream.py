@@ -103,24 +103,42 @@ def lineage_from_snapshot(snaps: SnapshotTable) -> int:
 
 
 def read_assignments(
-    loader: WarehouseLoader, assignments_table: str, quant_snaps: SnapshotTable
+    loader: WarehouseLoader,
+    assignments_table: str,
+    quant_snaps: SnapshotTable,
+    app_id: str,
 ) -> DataFrame:
     """Snapshot-consistent assignment read for the ADAPTIVE index:
     resolve the current quantizer's lineage from the snapshot pointer,
-    then read only that lineage's partition subtree. Because a rebuild
-    stages its backfill under ``lineage=L+1`` BEFORE the quantizer
-    pointer flips, a reader can never pair assignments with a
-    mismatched quantizer version — the flip is the single atomic
-    publish for both."""
+    then read only that lineage's partition subtree, watermark-pruned
+    to ``batch_id <= applied_upto(app_id)`` — the same contract as
+    ``compaction.read_published_partitions``. Because a rebuild stages
+    its backfill under ``lineage=L+1`` BEFORE the quantizer pointer
+    flips, a reader can never pair assignments with a mismatched
+    quantizer version — the flip is the single atomic publish for
+    both. The watermark filter closes the remaining crash window: an
+    orphaned partition written between the assignment write and the
+    snapshot flip sits ABOVE the watermark and is invisible until its
+    replay republishes it."""
+    from pyspark.sql import functions as F
+
     from etl_pipeline_orchestration_spark.streaming.compaction import (
         recover_compaction,
     )
 
     lineage = lineage_from_snapshot(quant_snaps)
+    upto = quant_snaps.applied_upto(app_id)
     subtree = os.path.join(loader._path(assignments_table), f"lineage={lineage}")
-    if os.path.isdir(subtree):
-        recover_compaction(subtree)
-    return loader.spark.read.parquet(subtree)
+    if upto < 0 or not os.path.isdir(subtree):
+        return loader.spark.createDataFrame([], ASSIGNMENT_SCHEMA)
+    recover_compaction(subtree)
+    return (
+        loader.spark.read.schema(ASSIGNMENT_SCHEMA + ", batch_id bigint")
+        .option("basePath", subtree)
+        .parquet(subtree)
+        .filter(F.col("batch_id") <= upto)
+        .drop("batch_id")
+    )
 
 
 ASSIGNMENT_SCHEMA = "vec_id bigint, cluster_id int"
@@ -161,16 +179,34 @@ def prune_stale_lineages(
     """GC assignment subtrees of superseded quantizer lineages (they
     stay on disk through the flip so in-flight readers of the old
     lineage finish cleanly; call this once those are drained). Never
-    touches the current lineage. Returns pruned lineage numbers."""
+    touches the current lineage. Returns pruned lineage numbers.
+
+    Only strict ``lineage=<digits>`` directories are candidates: a
+    crashed ``compact_assignments`` leaves ``lineage=N.__compact_tmp``
+    / ``.__compact_old`` siblings in the root, which must be healed
+    (``recover_compaction`` on the subtree), never int()-parsed."""
+    import re
     import shutil
+
+    from etl_pipeline_orchestration_spark.streaming.compaction import (
+        recover_compaction,
+    )
 
     current = lineage_from_snapshot(quant_snaps)
     root = loader._path(assignments_table)
+    found = []
+    for d in os.listdir(root):
+        m = re.fullmatch(r"lineage=(\d+)", d)
+        if m:
+            found.append((int(m.group(1)), os.path.join(root, d)))
     pruned = []
-    for d in sorted(os.listdir(root)):
-        if d.startswith("lineage=") and int(d.split("=")[1]) < current:
-            shutil.rmtree(os.path.join(root, d))
-            pruned.append(int(d.split("=")[1]))
+    for lin, subtree in sorted(found):
+        # Heal any crashed-compaction siblings (tmp/aside) first so the
+        # rmtree below never strands a recoverable window.
+        recover_compaction(subtree)
+        if lin < current:
+            shutil.rmtree(subtree)
+            pruned.append(lin)
     return pruned
 
 

@@ -305,7 +305,7 @@ def test_drifted_stream_triggers_quantizer_rebuild(spark, tmp_path):
     )
 
     assert lineage_from_snapshot(snaps) == 1
-    got = read_assignments(loader, "assign", snaps)
+    got = read_assignments(loader, "assign", snaps, "ck")
     assert got.count() == f0.count() + f1.count()
     # the superseded lineage=0 subtree survives the flip (in-flight
     # readers drain against it) until explicitly pruned
@@ -315,7 +315,7 @@ def test_drifted_stream_triggers_quantizer_rebuild(spark, tmp_path):
     assert os.path.isdir(os.path.join(root, "lineage=0"))
     assert prune_stale_lineages(loader, "assign", snaps) == [0]
     assert not os.path.isdir(os.path.join(root, "lineage=0"))
-    assert read_assignments(loader, "assign", snaps).count() == got.count()
+    assert read_assignments(loader, "assign", snaps, "ck").count() == got.count()
     # replay of batch 1 is skipped by the watermark
     assert (
         index_batch_adaptive(
@@ -350,7 +350,7 @@ def test_drift_without_archive_refuses_rebuild(spark, tmp_path):
         == "appended_degraded"
     )
     assert lineage_from_snapshot(snaps) == 0  # quantizer NOT retrained
-    got = read_assignments(loader, "assign", snaps)
+    got = read_assignments(loader, "assign", snaps, "ck")
     assert got.count() == f0.count() + f1.count()  # nothing lost
     # watermark still advanced: replay is skipped
     assert (
@@ -511,7 +511,7 @@ def test_ann_assignment_compaction_bounds_files(spark, vecs_dir, tmp_path):
         index_batch_adaptive(loader, snaps, "assign", batches[i], i, "ck", **kw)
     before = {
         (r["vec_id"], r["cluster_id"])
-        for r in read_assignments(loader, "assign", snaps).collect()
+        for r in read_assignments(loader, "assign", snaps, "ck").collect()
     }
     assert compact_assignments(loader, "assign", snaps, "ck") == 3
     subtree = os.path.join(loader._path("assign"), "lineage=0")
@@ -520,6 +520,69 @@ def test_ann_assignment_compaction_bounds_files(spark, vecs_dir, tmp_path):
     ]
     after = {
         (r["vec_id"], r["cluster_id"])
-        for r in read_assignments(loader, "assign", snaps).collect()
+        for r in read_assignments(loader, "assign", snaps, "ck").collect()
     }
     assert after == before and len(after) == vecs.count()
+
+
+def test_prune_survives_crashed_compaction_siblings(spark, vecs_dir, tmp_path):
+    """ADVICE r6: a crashed compact_assignments leaves
+    'lineage=N.__compact_tmp' / '.__compact_old' siblings in the
+    assignments root; prune_stale_lineages must heal them (strict
+    lineage=<digits> matching + recover_compaction), not ValueError."""
+    import os
+    import shutil
+
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+    from etl_pipeline_orchestration_spark.streaming.ann_stream import (
+        index_batch_adaptive,
+        prune_stale_lineages,
+        read_assignments,
+    )
+
+    vecs = spark.read.parquet(vecs_dir)
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "quant")
+    kw = dict(n_centroids=2, dim=8, recall_floor=0.0, probe_k=1, n_probe=1)
+    index_batch_adaptive(loader, snaps, "assign", vecs, 0, "ck", **kw)
+    root = loader._path("assign")
+    subtree = os.path.join(root, "lineage=0")
+    # simulate a compaction crash: scratch fully written, aside absent
+    scratch = subtree + ".__compact_tmp"
+    shutil.copytree(subtree, scratch)
+    got = prune_stale_lineages(loader, "assign", snaps)  # must not raise
+    assert got == []  # current lineage untouched
+    assert not os.path.isdir(scratch)  # crash window healed
+    assert read_assignments(loader, "assign", snaps, "ck").count() == vecs.count()
+
+
+def test_read_assignments_skips_orphan_above_watermark(
+    spark, vecs_dir, tmp_path
+):
+    """ADVICE r6: a crash between the assignment-partition write and
+    the quantizer-snapshot flip leaves an orphaned batch_id partition
+    ABOVE the watermark; the snapshot-consistent reader must not see it
+    until its replay republishes (read_published_partitions contract)."""
+    import os
+
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+    from etl_pipeline_orchestration_spark.streaming.ann_stream import (
+        index_batch_adaptive,
+        read_assignments,
+    )
+
+    vecs = spark.read.parquet(vecs_dir)
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "quant")
+    kw = dict(n_centroids=2, dim=8, recall_floor=0.0, probe_k=1, n_probe=1)
+    index_batch_adaptive(loader, snaps, "assign", vecs, 0, "ck", **kw)
+    n = vecs.count()
+    assert read_assignments(loader, "assign", snaps, "ck").count() == n
+    # orphan: assignments written for batch 7, crash before the flip
+    orphan = os.path.join(loader._path("assign"), "lineage=0", "batch_id=7")
+    spark.createDataFrame(
+        [(999_999, 0)], "vec_id bigint, cluster_id int"
+    ).write.mode("overwrite").parquet(orphan)
+    got = read_assignments(loader, "assign", snaps, "ck")
+    assert got.count() == n  # orphan invisible pre-replay
+    assert got.filter(F.col("vec_id") == 999_999).count() == 0

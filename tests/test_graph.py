@@ -76,6 +76,22 @@ def test_driver_gate_parses_like_spark_byte_strings():
     assert driver_gate_threshold("") == 10_000
 
 
+def test_driver_gate_bare_b_suffix_is_bytes():
+    """ADVICE r6: Spark's byteStringAs treats a LONE trailing 'b' as
+    BYTES — '1048576b' is 1 MiB, not 1 TiB. Parsing it as MiB would
+    overstate driver memory ~2^20x and neuter the OOM gate."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        driver_gate_threshold,
+    )
+
+    # 1 MiB expressed in bytes == 1 MiB expressed with the unit suffix
+    assert driver_gate_threshold("1048576b") == driver_gate_threshold("1m")
+    # and is FAR below the same digit-string read as suffixless MiB
+    assert driver_gate_threshold("1048576b") < driver_gate_threshold("1048576")
+    # small byte counts clamp at the floor instead of exploding
+    assert driver_gate_threshold("4096b") == 10_000
+
+
 def test_degree_orientation_reduces_wedges(spark):
     """On the sf0.001 co-purchase graph, orienting edges by (degree, id)
     must generate strictly fewer wedges than raw-id orientation (the

@@ -113,3 +113,28 @@ def test_vendor_path_not_injected_when_real_protobuf_present():
     assert stateful._MINIPROTO_DIR is None or stateful._MINIPROTO_DIR.endswith(
         "miniproto"
     )
+
+
+def test_nested_inplace_mutation_persists(sm):
+    """ADVICE r6: writing through a lazily-created submessage
+    (msg.sub.x = 1) must persist — real protobuf attaches the default
+    submessage to its parent on first write. A detached default that
+    silently discards the write would corrupt any state client that
+    mutates nested messages in place."""
+    req = sm.StateRequest()
+    req.stateVariableRequest.valueStateCall.stateName = "counts"
+    assert req.stateVariableRequest.valueStateCall.stateName == "counts"
+    # the whole chain survives a wire round trip
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    assert back.stateVariableRequest.valueStateCall.stateName == "counts"
+
+
+def test_read_of_unset_submessage_does_not_mark_presence(sm):
+    """Attach-on-WRITE, not cache-on-read: merely reading an unset
+    nested field must not change the serialized bytes (presence), so
+    golden wire outputs stay stable under incidental reads."""
+    req = sm.StateRequest(version=2)
+    before = req.SerializeToString()
+    _ = req.stateVariableRequest.valueStateCall.stateName  # read only
+    assert req.SerializeToString() == before
