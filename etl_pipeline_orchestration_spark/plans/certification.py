@@ -175,6 +175,126 @@ def set_ops_full_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grouping_outer_combo",
+    oracle="""
+    SELECT 'rollup' AS facet, l_returnflag AS k1, l_linestatus AS k2,
+           CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS val
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube' AS facet, o_orderpriority AS k1, o_orderstatus AS k2,
+           CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS val
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    UNION ALL
+    SELECT 'grouping_sets' AS facet, o_orderpriority AS k1,
+           o_orderstatus AS k2,
+           CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS val
+    FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    UNION ALL
+    SELECT 'left_outer' AS facet, CAST(c.c_custkey AS VARCHAR) AS k1,
+           c.c_mktsegment AS k2,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n,
+           round(sum(o.o_totalprice), 2) AS val
+    FROM customer c LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    UNION ALL
+    SELECT 'right_outer' AS facet, CAST(p.p_partkey AS VARCHAR) AS k1,
+           p.p_brand AS k2,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n,
+           round(sum(l.l_extendedprice), 2) AS val
+    FROM lineitem l RIGHT OUTER JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_brand
+    """,
+)
+def grouping_outer_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 A3 (rollup + cube + grouping sets, ALL THREE facets) + J2
+    (left + right outer; full outer stays its own window slot) in one
+    certified plan — closes the last §2 facets that previously had only
+    local-sweep coverage.
+
+    Scale shape: each grouping branch is ONE hash aggregate whose
+    Expand operator replicates rows per grouping set (no extra shuffle
+    beyond the aggregate's own); the outer-join branches are shuffled
+    hash joins on their keys followed by a partial-aggregated groupBy.
+    Branches union independently — Spark runs them as separate stages,
+    nothing is collected.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    def shape(facet: str, df: DataFrame, k1, k2, n, val) -> DataFrame:
+        return df.select(
+            F.lit(facet).alias("facet"),
+            k1.cast("string").alias("k1"),
+            k2.cast("string").alias("k2"),
+            n.alias("n"),
+            val.alias("val"),
+        )
+
+    rollup_b = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("val"),
+    )
+    cube_b = orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("val"),
+    )
+    orders.createOrReplaceTempView("orders_goc")
+    gs_b = spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n, round(sum(o_totalprice), 2) AS val
+        FROM orders_goc
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+    left_b = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("val"),
+        )
+    )
+    right_b = (
+        li.join(part, li.l_partkey == part.p_partkey, "right_outer")
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.count("l_orderkey").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("val"),
+        )
+    )
+    return (
+        shape(
+            "rollup", rollup_b,
+            F.col("l_returnflag"), F.col("l_linestatus"),
+            F.col("n"), F.col("val"),
+        )
+        .unionAll(shape(
+            "cube", cube_b,
+            F.col("o_orderpriority"), F.col("o_orderstatus"),
+            F.col("n"), F.col("val"),
+        ))
+        .unionAll(shape(
+            "grouping_sets", gs_b,
+            F.col("o_orderpriority"), F.col("o_orderstatus"),
+            F.col("n"), F.col("val"),
+        ))
+        .unionAll(shape(
+            "left_outer", left_b,
+            F.col("c_custkey"), F.col("c_mktsegment"),
+            F.col("n"), F.col("val"),
+        ))
+        .unionAll(shape(
+            "right_outer", right_b,
+            F.col("p_partkey"), F.col("p_brand"),
+            F.col("n"), F.col("val"),
+        ))
+    )
+
+
+@query(
     "relational_functions_combo",
     oracle="""
     SELECT p_partkey,

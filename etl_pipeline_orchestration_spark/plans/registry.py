@@ -80,10 +80,11 @@ CERTIFICATION_WINDOW: tuple[str, ...] = (
     "pipeline_hr",
     "pipeline_weblogs",
     "pipeline_health_summary",
-    # aggregates A1-A3
+    # aggregates A1-A3 (A3's rollup+cube+grouping-sets all certified by
+    # the combo, which also closes J2's left/right outer facets)
     "tpch_q1_pricing_summary",
     "distinct_part_supp_counts",
-    "rollup_qty_by_flag_status",
+    "grouping_outer_combo",
     # joins J1-J7
     "join_revenue_by_region",            # J1 + J3 broadcast
     "full_outer_join_monthly_activity",  # J2

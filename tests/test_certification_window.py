@@ -30,9 +30,10 @@ SECTION2_CERTIFIERS = {
     "C1/C2/C3": "clean_dedup_nulldrop",
     "A1": "tpch_q1_pricing_summary",
     "A2": "distinct_part_supp_counts",
-    "A3": "rollup_qty_by_flag_status",
+    "A3": "grouping_outer_combo",          # rollup + cube + grouping sets
     "J1/J3": "join_revenue_by_region",
     "J2": "full_outer_join_monthly_activity",
+    "J2-left/right": "grouping_outer_combo",
     "J4/J5": "semi_anti_join_combo",
     "J6": "range_join_value_tiers",
     "J7": "asof_join_events_orders",
