@@ -69,23 +69,26 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return edges.sparkSession.createDataFrame(rows, schema)
 
 
-def driver_gate_threshold(
-    driver_memory: str, budget_fraction: float = 0.05, bytes_per_edge: int = 200
+def driver_collect_cap(
+    driver_memory: str,
+    budget_fraction: float,
+    bytes_per_item: int,
+    floor: int = 10_000,
 ) -> int:
-    """Max edge count the driver union-find may collect, derived from
-    the configured driver memory instead of a hard constant: spend at
-    most ``budget_fraction`` of the heap, at ~``bytes_per_edge`` per
-    collected edge (Row + two dict entries, measured order). An 8g
-    driver gates near the old 2M constant; a 512m driver forces the
-    distributed path around 130k edges rather than OOMing.
+    """Max items a driver-side ``.collect()`` may materialize, derived
+    from the configured driver memory instead of a hard constant: spend
+    at most ``budget_fraction`` of the heap, at ~``bytes_per_item`` per
+    collected item (measured order-of-magnitude, Row overhead
+    included). Shared by the union-find edge gate and the
+    benchmark-side collect in semantic decontamination.
 
     Parsing mirrors Spark's ``byteStringAs``: a trailing 'b' AFTER a
     unit letter is optional ('8g' == '8gb'), a LONE trailing 'b' means
     BYTES ('1048576b' = 1 MiB, exactly as the JVM parses it), and a
     SUFFIXLESS value is MiB (the JVM reads 'spark.driver.memory=2048'
     as 2048 MiB, not bytes). An unparseable string falls back to the
-    10k floor — a config-format surprise must degrade the gate, not
-    crash connected_components."""
+    ``floor`` — a config-format surprise must degrade the gate, not
+    crash the caller."""
     s = driver_memory.strip().lower()
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     try:
@@ -98,8 +101,19 @@ def driver_gate_threshold(
         else:
             mem_bytes = int(float(s)) << 20  # suffixless = MiB
     except ValueError:
-        return 10_000
-    return max(int(mem_bytes * budget_fraction) // bytes_per_edge, 10_000)
+        return floor
+    return max(int(mem_bytes * budget_fraction) // bytes_per_item, floor)
+
+
+def driver_gate_threshold(
+    driver_memory: str, budget_fraction: float = 0.05, bytes_per_edge: int = 200
+) -> int:
+    """Max edge count the driver union-find may collect (see
+    ``driver_collect_cap``): ~``bytes_per_edge`` per collected edge
+    (Row + two dict entries, measured order). An 8g driver gates near
+    the old 2M constant; a 512m driver forces the distributed path
+    around 130k edges rather than OOMing."""
+    return driver_collect_cap(driver_memory, budget_fraction, bytes_per_edge)
 
 
 def connected_components(

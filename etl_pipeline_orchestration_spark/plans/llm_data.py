@@ -19,9 +19,25 @@ from etl_pipeline_orchestration_spark.plans.registry import QUERIES, query
 from etl_pipeline_orchestration_spark.sources.tables import load_table
 
 # Ceiling on rows any query may .collect() as a "benchmark-sized" side
-# (semantic_decontamination_pairs). Module-level so tests can lower it
-# to pin the fail-fast without materializing a million rows.
-MAX_BENCH_COLLECT = 1_000_000
+# (semantic_decontamination_pairs). None → byte-derived from the
+# session's spark.driver.memory (10% of heap at ~2.5 KB per collected
+# row: 64 boxed floats + list + Row overhead, measured order), so a
+# small-heap driver gates out long before a fixed row count would.
+# Module-level override so tests can pin the fail-fast without
+# materializing a corpus.
+MAX_BENCH_COLLECT: int | None = None
+_BENCH_ROW_BYTES = 2_500
+_BENCH_HEAP_FRACTION = 0.10
+
+
+def _bench_collect_cap(spark: SparkSession) -> int:
+    if MAX_BENCH_COLLECT is not None:
+        return MAX_BENCH_COLLECT
+    return graph.driver_collect_cap(
+        spark.conf.get("spark.driver.memory", "1g"),
+        _BENCH_HEAP_FRACTION,
+        _BENCH_ROW_BYTES,
+    )
 
 
 @query(
@@ -2246,12 +2262,14 @@ def semantic_decontamination_pairs(spark: SparkSession, sf_dir: str) -> DataFram
     # bench side is assumed benchmark-sized, but a mis-pointed call must
     # fail fast, not OOM the driver materializing a corpus.
     n_bench = bench_df.count()
-    if n_bench > MAX_BENCH_COLLECT:
+    cap = _bench_collect_cap(spark)
+    if n_bench > cap:
         raise ValueError(
             f"semantic_decontamination_pairs: benchmark side has {n_bench} "
-            f"rows (> {MAX_BENCH_COLLECT}); it is collected to the driver and "
-            "must be benchmark-sized — point the odd-id filter at the actual "
-            "benchmark table or raise the cap deliberately."
+            f"rows (> {cap}, derived from spark.driver.memory); it is "
+            "collected to the driver and must be benchmark-sized — point "
+            "the odd-id filter at the actual benchmark table or raise the "
+            "cap deliberately."
         )
     bench = [(r["vec_id"], list(r["embedding"])) for r in bench_df.collect()]
     corpus = emb.filter(F.col("vec_id") % 2 == 0)

@@ -748,6 +748,31 @@ def test_semantic_decontamination_bench_collect_guard(spark, monkeypatch):
         registry.QUERIES["semantic_decontamination_pairs"](spark, SF)
 
 
+def test_bench_collect_cap_is_byte_derived(spark, monkeypatch):
+    """VERDICT r6: the guard derives from spark.driver.memory instead
+    of a fixed 1M rows — just under a row-count cap, 1M x 64-float rows
+    are ~0.5 GB of driver heap before Row overhead. A small heap must
+    shrink the cap (to the floor), a big heap must grow it, and the
+    default override stays None so the derivation is live."""
+    from etl_pipeline_orchestration_spark.plans import llm_data
+
+    assert llm_data.MAX_BENCH_COLLECT is None  # derivation is the default
+    monkeypatch.setattr(llm_data, "MAX_BENCH_COLLECT", None)
+
+    def cap_for(mem: str) -> int:
+        return llm_data.graph.driver_collect_cap(
+            mem, llm_data._BENCH_HEAP_FRACTION, llm_data._BENCH_ROW_BYTES
+        )
+
+    assert 10_000 <= cap_for("256m") < 20_000  # small heap → small cap
+    assert cap_for("8g") > 300_000  # 8g heap clears the old regime / 3
+    assert cap_for("8g") < 1_000_000  # but stays under the old blanket 1M
+    assert cap_for("64m") == 10_000  # floor holds on tiny heaps
+    # the live cap respects the session's configured driver memory
+    live = llm_data._bench_collect_cap(spark)
+    assert live == cap_for(spark.conf.get("spark.driver.memory", "1g"))
+
+
 def _substr_corpus(spark):
     """Two docs sharing one 20-token passage at different positions,
     unique filler everywhere else, plus a doc shorter than the shingle
