@@ -1,0 +1,444 @@
+"""Avro Object Container File source/sink.
+
+Preferred path: Spark's own ``avro`` datasource (the spark-avro module
+bundled with full Spark distributions) — JVM-side, splittable,
+column-pruned. This sandbox's pyspark wheel ships WITHOUT spark-avro
+(only the core avro-*.jar libraries) and has no network to fetch the
+package, so ``read_avro`` / ``write_avro`` probe the JVM datasource
+first and fall back to an original pure-python codec for the PUBLIC
+Object Container File format (avro.apache.org/docs/current/
+specification — same vendoring-by-reimplementation precedent as
+``vendor/miniproto``; no upstream code copied).
+
+The fallback stays distributed and Arrow-batched: writes are one OCF
+file per input partition via ``mapInArrow`` (exact null masks and
+int64 — pandas would corrupt both), reads decode whole files per task
+over the ``binaryFile`` source. Honest limits, enforced loudly:
+
+* types: records of boolean/int/long/float/double/string/bytes and
+  ``["null", T]`` unions — the flat-relational subset every table in
+  this repo needs. Arrays/maps/enums/nested records/logical types
+  raise ``NotImplementedError`` (use the JVM datasource).
+* codecs: ``null`` and ``deflate`` (raw zlib, per spec) both ways.
+* ``binaryFile`` loads a whole file per task — fine for
+  connector-sized landings; a 100 TB Avro lake uses spark-avro's
+  splittable reader (sync-marker seeks), which this module selects
+  automatically when present.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------------------
+# primitive wire encoding (Avro binary: zigzag varint longs, LE floats)
+# ---------------------------------------------------------------------------
+
+
+def _write_long(out: bytearray, v: int) -> None:
+    z = (v << 1) ^ (v >> 63)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _write_bytes(out: bytearray, v: bytes) -> None:
+    _write_long(out, len(v))
+    out += v
+
+
+def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_long(buf, pos)
+    return buf[pos : pos + n], pos + n
+
+
+# ---------------------------------------------------------------------------
+# schema mapping (Spark StructType <-> Avro record schema, flat subset)
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_AVRO = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+_AVRO_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def avro_schema_of(schema: T.StructType, name: str = "topLevelRecord") -> dict:
+    """Avro record schema (as a dict) for a flat Spark schema; nullable
+    fields become ``["null", T]`` unions. Unsupported Spark types fail
+    loudly — silently mis-encoding is worse than no Avro."""
+    fields = []
+    for f in schema.fields:
+        prim = _SPARK_TO_AVRO.get(type(f.dataType))
+        if prim is None:
+            raise NotImplementedError(
+                f"avro_io fallback: field {f.name!r} has Spark type "
+                f"{f.dataType.simpleString()}; only flat "
+                f"{sorted(v for v in _SPARK_TO_AVRO.values())} are "
+                "supported — use the spark-avro JVM datasource for "
+                "nested/complex schemas"
+            )
+        typ = ["null", prim] if f.nullable else prim
+        fields.append({"name": f.name, "type": typ})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def spark_schema_of(avro_schema: dict) -> T.StructType:
+    if avro_schema.get("type") != "record":
+        raise NotImplementedError(
+            "avro_io fallback: top-level schema must be a record, got "
+            f"{avro_schema.get('type')!r}"
+        )
+    out = []
+    for f in avro_schema["fields"]:
+        typ = f["type"]
+        nullable = False
+        if isinstance(typ, list):
+            branches = [t for t in typ if t != "null"]
+            if len(branches) != 1 or len(typ) != len(branches) + 1:
+                raise NotImplementedError(
+                    f"avro_io fallback: field {f['name']!r} union {typ} "
+                    "is not a [null, T] pair"
+                )
+            typ, nullable = branches[0], True
+        if not isinstance(typ, str) or typ not in _AVRO_TO_SPARK:
+            raise NotImplementedError(
+                f"avro_io fallback: field {f['name']!r} has type {typ!r}; "
+                f"only {sorted(_AVRO_TO_SPARK)} are supported"
+            )
+        out.append(T.StructField(f["name"], _AVRO_TO_SPARK[typ], nullable))
+    return T.StructType(out)
+
+
+# ---------------------------------------------------------------------------
+# record encoding against a (name, type, nullable) field list
+# ---------------------------------------------------------------------------
+
+
+def _plan(avro_schema: dict) -> list[tuple[str, str, bool]]:
+    plan = []
+    for f in avro_schema["fields"]:
+        typ = f["type"]
+        nullable = isinstance(typ, list)
+        if nullable:
+            typ = [t for t in typ if t != "null"][0]
+        plan.append((f["name"], typ, nullable))
+    return plan
+
+
+def _encode_record(out: bytearray, rec: dict, plan) -> None:
+    import struct
+
+    for name, typ, nullable in plan:
+        v = rec.get(name)
+        if nullable:
+            if v is None:
+                _write_long(out, 0)  # union branch 0 = null
+                continue
+            _write_long(out, 1)
+        elif v is None:
+            raise ValueError(f"avro_io: null in non-nullable field {name!r}")
+        if typ in ("long", "int"):
+            _write_long(out, int(v))
+        elif typ == "string":
+            _write_bytes(out, v.encode("utf-8"))
+        elif typ == "bytes":
+            _write_bytes(out, bytes(v))
+        elif typ == "double":
+            out += struct.pack("<d", float(v))
+        elif typ == "float":
+            out += struct.pack("<f", float(v))
+        elif typ == "boolean":
+            out.append(1 if v else 0)
+        else:  # pragma: no cover - schema validated upstream
+            raise NotImplementedError(typ)
+
+
+def _decode_record(buf: bytes, pos: int, plan) -> tuple[dict, int]:
+    import struct
+
+    rec = {}
+    for name, typ, nullable in plan:
+        if nullable:
+            branch, pos = _read_long(buf, pos)
+            if branch == 0:
+                rec[name] = None
+                continue
+        if typ in ("long", "int"):
+            v, pos = _read_long(buf, pos)
+        elif typ == "string":
+            raw, pos = _read_bytes(buf, pos)
+            v = raw.decode("utf-8")
+        elif typ == "bytes":
+            v, pos = _read_bytes(buf, pos)
+            v = bytes(v)
+        elif typ == "double":
+            v = struct.unpack_from("<d", buf, pos)[0]
+            pos += 8
+        elif typ == "float":
+            v = struct.unpack_from("<f", buf, pos)[0]
+            pos += 4
+        elif typ == "boolean":
+            v = buf[pos] == 1
+            pos += 1
+        else:  # pragma: no cover
+            raise NotImplementedError(typ)
+        rec[name] = v
+    return rec, pos
+
+
+# ---------------------------------------------------------------------------
+# Object Container File framing
+# ---------------------------------------------------------------------------
+
+
+def encode_ocf(
+    records: list[dict],
+    avro_schema: dict,
+    codec: str = "null",
+    sync: bytes = b"\x00" * 16,
+    block_size: int = 4096,
+) -> bytes:
+    """One complete OCF: header (magic, metadata map carrying
+    avro.schema + avro.codec, sync marker) then data blocks of
+    ``block_size`` records each. Pure function of its inputs (callers
+    pick the sync marker), so golden-bytes tests stay byte-exact."""
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro_io: codec {codec!r}")
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    plan = _plan(avro_schema)
+    out = bytearray(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(avro_schema, separators=(",", ":")).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(out, len(meta))
+    for k in sorted(meta):
+        _write_bytes(out, k.encode())
+        _write_bytes(out, meta[k])
+    _write_long(out, 0)  # end of metadata map
+    out += sync
+    for i in range(0, len(records), block_size):
+        chunk = records[i : i + block_size]
+        body = bytearray()
+        for rec in chunk:
+            _encode_record(body, rec, plan)
+        payload = bytes(body)
+        if codec == "deflate":
+            co = zlib.compressobj(wbits=-15)
+            payload = co.compress(payload) + co.flush()
+        _write_long(out, len(chunk))
+        _write_long(out, len(payload))
+        out += payload
+        out += sync
+    return bytes(out)
+
+
+def decode_ocf(data: bytes) -> tuple[dict, list[dict]]:
+    """Parse one OCF into (avro schema dict, records). Verifies magic,
+    per-block sync markers, and codec support."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(data, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count is followed by a byte size
+            n = -n
+            _, pos = _read_long(data, pos)
+        for _ in range(n):
+            k, pos = _read_bytes(data, pos)
+            v, pos = _read_bytes(data, pos)
+            meta[k.decode()] = v
+    sync = data[pos : pos + 16]
+    pos += 16
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro_io: codec {codec!r}")
+    avro_schema = json.loads(meta["avro.schema"])
+    plan = _plan(avro_schema)
+    records: list[dict] = []
+    while pos < len(data):
+        count, pos = _read_long(data, pos)
+        size, pos = _read_long(data, pos)
+        payload = data[pos : pos + size]
+        pos += size
+        if data[pos : pos + 16] != sync:
+            raise ValueError("avro_io: block sync marker mismatch")
+        pos += 16
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        p = 0
+        for _ in range(count):
+            rec, p = _decode_record(payload, p, plan)
+            records.append(rec)
+    return avro_schema, records
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing reader/writer
+# ---------------------------------------------------------------------------
+
+
+def _jvm_avro_missing(err: Exception) -> bool:
+    msg = str(err)
+    return "avro" in msg.lower() and (
+        "FAILED_FIND_DATA_SOURCE" in msg or "Failed to find" in msg
+    )
+
+
+def _pa_schema(schema: T.StructType):
+    import pyarrow as pa
+
+    m = {
+        T.BooleanType: pa.bool_(),
+        T.IntegerType: pa.int32(),
+        T.LongType: pa.int64(),
+        T.FloatType: pa.float32(),
+        T.DoubleType: pa.float64(),
+        T.StringType: pa.string(),
+        T.BinaryType: pa.binary(),
+    }
+    return pa.schema(
+        [
+            pa.field(f.name, m[type(f.dataType)], nullable=f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> str:
+    """Write ``df`` as a directory of .avro container files. Returns
+    "jvm" when the spark-avro datasource handled it, "fallback" when
+    the pure-python codec did (one file per input partition, written
+    executor-side via mapInArrow — nothing is collected)."""
+    try:
+        df.write.format("avro").mode(mode).save(path)
+        return "jvm"
+    except Exception as e:  # noqa: BLE001 - inspect and re-raise below
+        if not _jvm_avro_missing(e):
+            raise
+    avro_schema = avro_schema_of(df.schema)  # validate types up front
+    if mode == "overwrite":
+        shutil.rmtree(path, ignore_errors=True)
+    elif mode == "error" and os.path.exists(path):
+        raise FileExistsError(path)
+    os.makedirs(path, exist_ok=True)
+    plan_fields = [f.name for f in df.schema.fields]
+
+    def part_writer(batches):
+        import uuid
+
+        import pyarrow as pa
+
+        records: list[dict] = []
+        for batch in batches:
+            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            names = batch.schema.names
+            for row in zip(*cols):
+                records.append(dict(zip(names, row)))
+        if records:
+            sync = uuid.uuid4().bytes
+            blob = encode_ocf(records, avro_schema, sync=sync)
+            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+            with open(fname + ".tmp", "wb") as fh:
+                fh.write(blob)
+            os.rename(fname + ".tmp", fname)  # no partial .avro visible
+        yield pa.RecordBatch.from_pydict({"n": [len(records)]})
+
+    # One tiny count row per partition — forces execution, collects
+    # O(partitions), not O(rows).
+    df.select(*plan_fields).mapInArrow(part_writer, "n bigint").collect()
+    return "fallback"
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """Read a directory (or glob) of .avro container files. Uses the
+    spark-avro JVM datasource when present; otherwise decodes with the
+    pure-python fallback: schema from the first file's header (or the
+    caller's ``schema``), whole files decoded per task over the
+    binaryFile source."""
+    try:
+        df = spark.read.format("avro").load(path)
+        df.schema  # force datasource resolution
+        return df
+    except Exception as e:  # noqa: BLE001
+        if not _jvm_avro_missing(e):
+            raise
+    if schema is None:
+        pattern = path if any(c in path for c in "*?[") else os.path.join(
+            path, "*.avro"
+        )
+        files = sorted(glob.glob(pattern))
+        if not files:
+            raise FileNotFoundError(f"no .avro files match {pattern}")
+        with open(files[0], "rb") as fh:
+            head = fh.read()
+        avro_schema, _ = decode_ocf(head)
+        schema = spark_schema_of(avro_schema)
+    else:
+        avro_schema_of(schema)  # validate the subset
+    pa_schema = _pa_schema(schema)
+    field_names = [f.name for f in schema.fields]
+
+    def decoder(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            for blob in batch.column(batch.schema.names.index("content")):
+                _, records = decode_ocf(blob.as_py())
+                cols = {
+                    n: [r.get(n) for r in records] for n in field_names
+                }
+                yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+
+    src = path if any(c in path for c in "*?[") else os.path.join(
+        path, "*.avro"
+    )
+    binary = spark.read.format("binaryFile").load(src).select("content")
+    return binary.mapInArrow(decoder, schema)
