@@ -37,6 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_DOCS = 50_000
 N_VECS = 20_000
 N_ORDERS = 1_500_000  # 10x the sf0.1 orders row count
+N_LINEITEM = 6_000_000  # 10x sf0.1 lineitem; same 4 lines/order shape
+N_PARTS = 200_000
+N_SUPPS = 10_000
 REPLICAS = 10
 
 # Family representative -> registered query (documents/embeddings, plus
@@ -59,6 +62,13 @@ FAMILIES = {
     # discipline, not a fixed-k quadratic.
     "semdedup": "semdedup_prune",
     "pii_scrub": "pii_redaction_report",
+    # graph family (VERDICT r6 item 5): pagerank was the #3 bench query
+    # with no measured exponent; both run on the synthetic 10x lineitem
+    # (same 4-lines/order, uniform part/supplier keys as the testdata,
+    # so edge density per order matches and the pair-generation +
+    # per-iteration shuffles dominate, exactly as at sf0.1).
+    "graph_pagerank": "graph_pagerank_part_supplier",
+    "graph_triangles": "triangle_count_copurchase",
 }
 
 
@@ -102,6 +112,16 @@ def gen_big(spark, d: str) -> None:
         ).alias("o_totalprice"),
     )
     orders.repartition(8).write.parquet(os.path.join(d, "orders.parquet"))
+    # Minimal lineitem (only the graph-family columns) at 10x the sf0.1
+    # row count: 4 lines per order, part/supplier keys uniform like the
+    # testdata (measured: sf0.1 co-purchase edge counts match the
+    # uniform-collision expectation).
+    lineitem = spark.range(N_LINEITEM).select(
+        (F.col("id") / 4).cast("bigint").alias("l_orderkey"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(N_PARTS)).alias("l_partkey"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(N_SUPPS)).alias("l_suppkey"),
+    )
+    lineitem.repartition(16).write.parquet(os.path.join(d, "lineitem.parquet"))
 
 
 def _calib(spark) -> float:
