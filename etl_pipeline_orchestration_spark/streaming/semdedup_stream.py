@@ -42,18 +42,26 @@ materializes the archived×archived block), one O(batch) decisions
 write + one O(batch) archive append + one model-sized snapshot
 republish. Per-batch cost is therefore batch·occupancy.
 
-Owned trade-off — the model's k is FROZEN at first-batch scale:
-occupancy grows with the archive, so batch·occupancy drifts upward
-as the stream accumulates (unlike the batch operator, whose
-`_semdedup_k` rescales k per run). Bounding occupancy long-term
-requires a maintenance refit that retrains at the archive's scale
-and RE-BUCKETS the archived vectors under the new model, staged
-under a new lineage so the (centroids, archive) pair flips
-atomically — exactly ann_stream.index_batch_adaptive's rebuild
-discipline, which is the template when a deployment needs it. Until
-then the streamed decisions stay correct (clustering only routes
-candidate generation; the cosine test is cluster-independent) —
-comparisons just get more expensive, they never get wrong.
+The model's k starts at first-batch scale, so occupancy (and with it
+per-batch cost batch·occupancy) drifts upward as the archive grows —
+``refit_semdedup_model`` is the maintenance op that bounds it:
+retrain centroids at the ARCHIVE's scale (``_semdedup_k(n)``, the
+same constant-occupancy discipline the batch operator applies per
+run), RE-BUCKET the archived vectors under the new model, stage the
+re-bucketed archive under ``lineage=L+1`` (invisible — readers
+resolve the lineage from the centroid snapshot), and flip the
+centroid pointer carrying the new lineage LAST — one atomic publish
+pairs the model with its archive, exactly
+ann_stream.index_batch_adaptive's rebuild discipline. Decisions are
+NEVER re-made by a refit (the archive is append-only evidence;
+clustering only routes candidate generation, the cosine test is
+cluster-independent), so past keep/drop outputs stay immutable while
+future batches get constant-occupancy routing again.
+
+Archive layout is therefore ``archive/lineage=L/batch_id=N``; the
+superseded lineage stays on disk through the flip (in-flight readers
+drain against it) until ``prune_stale_lineages`` — shared verbatim
+with the ANN stream — collects it.
 """
 
 from __future__ import annotations
@@ -66,25 +74,34 @@ from pyspark.sql import functions as F
 from etl_pipeline_orchestration_spark.loader import SnapshotTable, WarehouseLoader
 from etl_pipeline_orchestration_spark.plans.llm_data import (
     _assign_exact,
+    _lloyd_round_centroids,
     _quantize_vecs,
+    _semdedup_k,
     semdedup_fit_centroids,
     semdedup_group_dups,
+)
+from etl_pipeline_orchestration_spark.streaming.ann_stream import (
+    lineage_from_snapshot,
+    prune_stale_lineages,  # noqa: F401 - shared archive-GC surface
 )
 
 ARCHIVE_SCHEMA = "vec_id bigint, xq array<bigint>, j int"
 DECISION_SCHEMA = "vec_id bigint, cluster_id int, status string, dup_of bigint"
 
 
-def centroids_to_df(spark, cents: dict) -> DataFrame:
-    """(j, i, c) relational form of the integer centroid model — the
-    snapshot's DATA, so model versioning rides the same atomic-pointer
-    machinery as any table (ann_stream discipline)."""
+def centroids_to_df(spark, cents: dict, lineage: int = 0) -> DataFrame:
+    """(j, i, c, lineage) relational form of the integer centroid model
+    — the snapshot's DATA, so model versioning rides the same
+    atomic-pointer machinery as any table (ann_stream discipline).
+    ``lineage`` counts refits and names the archive subtree
+    (``<archive>/lineage=L/``) bucketed under THESE centroids, making
+    the (model, archive) pairing resolvable from the pointer alone."""
     rows = [
-        (int(j), int(i), int(c))
+        (int(j), int(i), int(c), int(lineage))
         for j in sorted(cents)
         for i, c in enumerate(cents[j])
     ]
-    return spark.createDataFrame(rows, "j int, i int, c bigint")
+    return spark.createDataFrame(rows, "j int, i int, c bigint, lineage int")
 
 
 def centroids_from_snapshot(snaps: SnapshotTable) -> dict:
@@ -106,14 +123,38 @@ def _read_partitions(
     )
 
 
+def _archive_subtree(
+    loader: WarehouseLoader, archive_table: str, lineage: int
+) -> str:
+    return os.path.join(loader._path(archive_table), f"lineage={lineage}")
+
+
 def read_archive(
     loader: WarehouseLoader,
     archive_table: str,
     cent_snaps: SnapshotTable,
     app_id: str,
 ) -> DataFrame:
-    return _read_partitions(
-        loader, archive_table, ARCHIVE_SCHEMA, cent_snaps.applied_upto(app_id)
+    """Snapshot-consistent archive read: resolve the current model's
+    lineage from the centroid snapshot, then the watermark-pruned union
+    of that lineage's batch partitions. A refit stages its re-bucketed
+    archive under lineage=L+1 BEFORE the pointer flips, so no reader
+    can pair vectors bucketed under one model with another's
+    centroids."""
+    from etl_pipeline_orchestration_spark.streaming.compaction import (
+        read_published_partitions,
+    )
+
+    lineage = (
+        lineage_from_snapshot(cent_snaps)
+        if cent_snaps.current_version() is not None
+        else 0
+    )
+    return read_published_partitions(
+        loader.spark,
+        _archive_subtree(loader, archive_table, lineage),
+        ARCHIVE_SCHEMA,
+        cent_snaps.applied_upto(app_id),
     )
 
 
@@ -155,8 +196,10 @@ def semdedup_batch(
     dfq = _quantize_vecs(batch_vecs.select("vec_id", "embedding"))
     if cent_snaps.current_version() is None:
         cents = semdedup_fit_centroids(dfq)
+        lineage = 0
     else:
         cents = centroids_from_snapshot(cent_snaps)
+        lineage = lineage_from_snapshot(cent_snaps)
     # Checkpointed: four consumers (touched-clusters broadcast, the
     # pool feeding the mate search, the decisions join, the archive
     # write) would otherwise each re-run the quantize + assignment.
@@ -190,10 +233,14 @@ def semdedup_batch(
     decisions.write.mode("overwrite").parquet(dec_dir)
 
     arch_dir = os.path.join(
-        loader._path(archive_table), f"batch_id={batch_id}"
+        _archive_subtree(loader, archive_table, lineage),
+        f"batch_id={batch_id}",
     )
     batch_asg.write.mode("overwrite").parquet(arch_dir)
-    cent_snaps.write(centroids_to_df(spark, cents), marker=(app_id, batch_id))
+    cent_snaps.write(
+        centroids_to_df(spark, cents, lineage=lineage),
+        marker=(app_id, batch_id),
+    )
     return True
 
 
@@ -204,21 +251,95 @@ def compact_archive(
     app_id: str,
     target_files: int = 1,
 ) -> int:
-    """Fold all PUBLISHED archive partitions into one consolidated
-    ``batch_id=watermark`` partition (streaming/compaction.py): bounds
-    the file count of a long-running semdedup stream. Call between
-    micro-batches (the stores are single-writer)."""
+    """Fold all PUBLISHED archive partitions of the CURRENT model
+    lineage into one consolidated ``batch_id=watermark`` partition
+    (streaming/compaction.py): bounds the file count of a long-running
+    semdedup stream. Call between micro-batches (the stores are
+    single-writer); superseded lineages are ``prune_stale_lineages``'s
+    job."""
     from etl_pipeline_orchestration_spark.streaming.compaction import (
         compact_batch_partitions,
     )
 
     return compact_batch_partitions(
         loader.spark,
-        loader._path(archive_table),
+        _archive_subtree(
+            loader, archive_table, lineage_from_snapshot(cent_snaps)
+        ),
         cent_snaps.applied_upto(app_id),
         ARCHIVE_SCHEMA,
         target_files=target_files,
     )
+
+
+def refit_semdedup_model(
+    loader: WarehouseLoader,
+    cent_snaps: SnapshotTable,
+    archive_table: str,
+    app_id: str,
+    *,
+    target_k: int | None = None,
+) -> str:
+    """The occupancy refit (VERDICT r6 item 1): when the archive has
+    outgrown the frozen model's cluster count, retrain at archive
+    scale, re-bucket the archive, and flip — restoring the
+    constant-occupancy (~256) cost shape without touching a single
+    published decision.
+
+    Steps, in crash-safe order (ann_stream.index_batch_adaptive's
+    staged-lineage discipline):
+
+    1. Read the PUBLISHED archive of the current lineage; compute
+       ``new_k = _semdedup_k(n)`` (or the caller's ``target_k``). If
+       ``new_k <= current k`` there is nothing to fix — "skipped".
+    2. Retrain the integer centroid model on the archived quantized
+       vectors at ``new_k`` (same one-Lloyd-round recipe as every
+       other SemDeDup path; init is a pure function of vec_id, so a
+       replayed refit retrains bit-identically).
+    3. Re-bucket: exact nearest-centroid assignment of the whole
+       archive under the new model, STAGED as the consolidated
+       ``lineage=L+1/batch_id=W`` partition (W = current watermark).
+       Invisible: readers resolve the lineage from the snapshot.
+    4. Flip: republish the centroid snapshot carrying ``lineage=L+1``
+       and the UNCHANGED watermark — the single atomic publish that
+       pairs the new model with its re-bucketed archive.
+
+    A crash between 3 and 4 leaves the old (model, archive) pair
+    current; the next refit call recomputes deterministically and
+    overwrites the same staged subtree. Replay protection is
+    untouched — the watermark value never changes, so in-flight
+    micro-batch replays keep skipping exactly what they skipped.
+    Decisions are never re-made: the archive is evidence, not output.
+
+    Cost: one archive scan for the retrain + one for the re-bucket +
+    one consolidated write — paid only when occupancy has genuinely
+    drifted (k grows by >= 1 only after ~256 new vectors per existing
+    cluster). Returns "skipped" or "refit"."""
+    if cent_snaps.current_version() is None:
+        return "skipped"
+    upto = cent_snaps.applied_upto(app_id)
+    if upto < 0:
+        return "skipped"
+    archive = read_archive(loader, archive_table, cent_snaps, app_id)
+    dfq = archive.select("vec_id", "xq").localCheckpoint()
+    n = dfq.count()
+    cur_k = len(centroids_from_snapshot(cent_snaps))
+    new_k = _semdedup_k(n) if target_k is None else target_k
+    if new_k <= cur_k:
+        return "skipped"
+    new_cents = _lloyd_round_centroids(dfq, new_k)
+    rebucketed = _assign_exact(dfq, new_cents)
+    lineage = lineage_from_snapshot(cent_snaps)
+    staged = os.path.join(
+        _archive_subtree(loader, archive_table, lineage + 1),
+        f"batch_id={upto}",
+    )
+    rebucketed.write.mode("overwrite").parquet(staged)
+    cent_snaps.write(
+        centroids_to_df(loader.spark, new_cents, lineage=lineage + 1),
+        marker=(app_id, upto),
+    )
+    return "refit"
 
 
 def stream_semdedup_to_warehouse(

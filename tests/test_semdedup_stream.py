@@ -168,11 +168,8 @@ def test_semdedup_archive_compaction_preserves_decisions(spark, tmp_path):
     }
     folded = compact_archive(loader, "arch", snaps, "ck")
     assert folded == 2
-    parts = [
-        p
-        for p in os.listdir(loader._path("arch"))
-        if p.startswith("batch_id=")
-    ]
+    subtree = os.path.join(loader._path("arch"), "lineage=0")
+    parts = [p for p in os.listdir(subtree) if p.startswith("batch_id=")]
     assert parts == ["batch_id=1"]  # one consolidated watermark partition
     after = {
         r["vec_id"]: (r["j"], list(r["xq"]))
@@ -186,3 +183,151 @@ def test_semdedup_archive_compaction_preserves_decisions(spark, tmp_path):
     d = _decision_dict(read_decisions(loader, "dec", snaps, "ck"))
     assert d[50][1] == "dropped" and d[50][2] == 3
     assert d[51][1] == "kept"
+
+
+def test_refit_triggers_and_occupancy_drops(spark, tmp_path):
+    """VERDICT r6 item 1, done-criterion 1: a stream whose archive has
+    outgrown the first-batch model refits — k rescales to
+    _semdedup_k(archive), the archive re-buckets under a new lineage,
+    and mean occupancy drops back toward the constant-occupancy
+    target. Nothing to refit -> "skipped"."""
+    from etl_pipeline_orchestration_spark.plans.llm_data import _semdedup_k
+    from etl_pipeline_orchestration_spark.streaming.semdedup_stream import (
+        refit_semdedup_model,
+    )
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "c")
+    # refit on a virgin store is a no-op
+    assert refit_semdedup_model(loader, snaps, "arch", "ck") == "skipped"
+    # batch 0: 768 vectors -> k frozen at the floor (8)
+    per = 768
+    b0 = _one_hot_batch(spark, [(i, i % 64) for i in range(per)])
+    assert semdedup_batch(loader, snaps, "arch", "dec", b0, 0, "ck") is True
+    assert len(centroids_from_snapshot(snaps)) == 8
+    # archive small -> still skipped (k would not grow)
+    assert refit_semdedup_model(loader, snaps, "arch", "ck") == "skipped"
+    # two more batches: archive reaches 2304 -> _semdedup_k = 9 > 8
+    for bid in (1, 2):
+        b = _one_hot_batch(
+            spark,
+            [(bid * 10_000 + i, (bid * 7 + i) % 64) for i in range(per)],
+        )
+        assert semdedup_batch(loader, snaps, "arch", "dec", b, bid, "ck")
+    n = read_archive(loader, "arch", snaps, "ck").count()
+    assert n == 3 * per and _semdedup_k(n) == 9
+    assert refit_semdedup_model(loader, snaps, "arch", "ck") == "refit"
+    cents = centroids_from_snapshot(snaps)
+    assert len(cents) == 9  # retrained at archive scale
+    # re-bucketed archive: same vectors, complete, under the new model
+    rebucketed = read_archive(loader, "arch", snaps, "ck")
+    assert rebucketed.count() == n
+    occ = [
+        r["cnt"]
+        for r in rebucketed.groupBy("j").count().withColumnRenamed(
+            "count", "cnt"
+        ).collect()
+    ]
+    assert len(occ) <= 9 and sum(occ) == n
+    # immediately re-running finds nothing to do
+    assert refit_semdedup_model(loader, snaps, "arch", "ck") == "skipped"
+    # superseded lineage survives the flip until pruned
+    from etl_pipeline_orchestration_spark.streaming.semdedup_stream import (
+        prune_stale_lineages,
+    )
+
+    root = loader._path("arch")
+    assert os.path.isdir(os.path.join(root, "lineage=0"))
+    assert prune_stale_lineages(loader, "arch", snaps) == [0]
+    assert not os.path.isdir(os.path.join(root, "lineage=0"))
+    assert read_archive(loader, "arch", snaps, "ck").count() == n
+
+
+def test_refit_preserves_decisions_and_replay_skip(spark, tmp_path):
+    """VERDICT r6 item 1, done-criteria 2+3: published decisions are
+    byte-identical across a refit (the archive is evidence, never
+    re-decided), replayed batch ids stay skipped, and post-refit
+    batches dedup correctly against the re-bucketed archive."""
+    from etl_pipeline_orchestration_spark.streaming.semdedup_stream import (
+        refit_semdedup_model,
+    )
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "c")
+    b0 = _one_hot_batch(spark, [(i, i % 32) for i in range(64)])
+    b1 = _one_hot_batch(spark, [(100 + i, 32 + i % 16) for i in range(32)])
+    semdedup_batch(loader, snaps, "arch", "dec", b0, 0, "ck")
+    semdedup_batch(loader, snaps, "arch", "dec", b1, 1, "ck")
+    before = _decision_dict(read_decisions(loader, "dec", snaps, "ck"))
+    # force a refit regardless of scale via target_k (the effective
+    # cluster count can shrink below target_k — empty clusters vanish
+    # in the Lloyd update — so pin the LINEAGE flip, not k)
+    from etl_pipeline_orchestration_spark.streaming.ann_stream import (
+        lineage_from_snapshot,
+    )
+
+    assert (
+        refit_semdedup_model(loader, snaps, "arch", "ck", target_k=12)
+        == "refit"
+    )
+    assert lineage_from_snapshot(snaps) == 1
+    # decisions untouched by the refit
+    assert _decision_dict(read_decisions(loader, "dec", snaps, "ck")) == before
+    # replay of an applied batch is still skipped after the flip
+    assert semdedup_batch(loader, snaps, "arch", "dec", b0, 0, "ck") is False
+    assert semdedup_batch(loader, snaps, "arch", "dec", b1, 1, "ck") is False
+    assert _decision_dict(read_decisions(loader, "dec", snaps, "ck")) == before
+    # a post-refit batch drops exact copies of ARCHIVED vectors: the
+    # twin semantics hold across the refit boundary (identical vectors
+    # co-assign under any centroid set, so candidate routing survives
+    # the re-bucket).
+    b2 = _one_hot_batch(spark, [(500, 3), (501, 63)])  # 3 dups axis-3 id 3
+    assert semdedup_batch(loader, snaps, "arch", "dec", b2, 2, "ck") is True
+    d = _decision_dict(read_decisions(loader, "dec", snaps, "ck"))
+    assert d[500][1] == "dropped" and d[500][2] == 3
+    assert d[501][1] == "kept"
+    # and the new batch's archive partition landed in the NEW lineage
+    sub = os.path.join(loader._path("arch"), "lineage=1")
+    assert "batch_id=2" in os.listdir(sub)
+
+
+def test_refit_crash_window_leaves_old_pair_current(spark, tmp_path):
+    """A staged-but-unflipped refit (crash between stage and flip) is
+    invisible: readers keep the old (model, archive) pair, and the
+    retried refit overwrites the same staged subtree and completes."""
+    from etl_pipeline_orchestration_spark.streaming.semdedup_stream import (
+        _archive_subtree,
+        _assign_exact,
+        centroids_from_snapshot as cfs,
+        refit_semdedup_model,
+    )
+    from etl_pipeline_orchestration_spark.plans.llm_data import (
+        _lloyd_round_centroids,
+    )
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "c")
+    b0 = _one_hot_batch(spark, [(i, i % 24) for i in range(48)])
+    semdedup_batch(loader, snaps, "arch", "dec", b0, 0, "ck")
+    arch = read_archive(loader, "arch", snaps, "ck")
+    # simulate the crash: stage lineage=1 manually, never flip
+    dfq = arch.select("vec_id", "xq")
+    cents = _lloyd_round_centroids(dfq, 10)
+    staged = os.path.join(
+        _archive_subtree(loader, "arch", 1), "batch_id=0"
+    )
+    _assign_exact(dfq, cents).write.mode("overwrite").parquet(staged)
+    # readers still resolve lineage 0: old model, old bucketing
+    assert len(cfs(snaps)) == 8
+    assert read_archive(loader, "arch", snaps, "ck").count() == 48
+    # the retried refit overwrites the orphan and completes atomically
+    assert (
+        refit_semdedup_model(loader, snaps, "arch", "ck", target_k=10)
+        == "refit"
+    )
+    from etl_pipeline_orchestration_spark.streaming.ann_stream import (
+        lineage_from_snapshot,
+    )
+
+    assert lineage_from_snapshot(snaps) == 1  # flip landed
+    assert read_archive(loader, "arch", snaps, "ck").count() == 48
