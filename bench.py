@@ -137,6 +137,8 @@ HEADLINE = [
     "windows_combo",
     "set_ops_full_combo",
     "relational_functions_combo",
+    "grouping_outer_combo",
+    "avro_roundtrip_doc_stats",
 ]
 
 

@@ -243,3 +243,50 @@ def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("email", r"^[^@]+@", "***@").alias("masked_email"),
         F.regexp_extract("email", r"@(.+)$", 1).alias("email_domain"),
     )
+
+
+@query(
+    "avro_roundtrip_doc_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           CAST(sum(length(text)) AS BIGINT) AS text_len_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def avro_roundtrip_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink under the oracle gate: land the documents table
+    as a directory of Avro object-container files (sources/avro_io —
+    the JVM spark-avro datasource when present, else the pure-python
+    OCF fallback), read it back, and aggregate per language. The
+    DuckDB oracle computes the same aggregate from the original
+    parquet, so a hash match proves the Avro round trip preserves
+    every doc_id/lang/n_chars/text value bit-for-bit — the
+    Kafka-landing-format path is driver-grade verified, not just
+    unit-tested. Scratch dir lifecycle mirrors snapshot_timetravel_diff
+    (lazy read → cleanup at process exit)."""
+    import atexit
+    import os
+    import shutil
+
+    from etl_pipeline_orchestration_spark.sources import avro_io
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    )
+    scratch = tempfile.mkdtemp(prefix="etl_avro_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = os.path.join(scratch, "documents_avro")
+    avro_io.write_avro(docs, path)
+    back = avro_io.read_avro(spark, path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+        F.sum(F.length("text")).cast("bigint").alias("text_len_sum"),
+    )
