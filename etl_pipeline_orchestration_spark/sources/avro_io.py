@@ -275,9 +275,10 @@ def encode_ocf(
     return bytes(out)
 
 
-def decode_ocf(data: bytes) -> tuple[dict, list[dict]]:
-    """Parse one OCF into (avro schema dict, records). Verifies magic,
-    per-block sync markers, and codec support."""
+def _parse_header(data: bytes) -> tuple[dict[str, bytes], bytes, int]:
+    """(metadata map, sync marker, position after header). Raises
+    IndexError when ``data`` is a truncated prefix — callers that read
+    incrementally catch it and fetch more bytes."""
     if data[:4] != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     pos = 4
@@ -294,7 +295,32 @@ def decode_ocf(data: bytes) -> tuple[dict, list[dict]]:
             v, pos = _read_bytes(data, pos)
             meta[k.decode()] = v
     sync = data[pos : pos + 16]
-    pos += 16
+    if len(sync) != 16:
+        raise IndexError("truncated header")
+    return meta, sync, pos + 16
+
+
+def read_ocf_schema(path: str) -> dict:
+    """Avro schema of one container file from its HEADER alone —
+    incremental reads, never the whole file (a schema peek on a
+    multi-GB part file must not decode its blocks)."""
+    size = 4096
+    while True:
+        with open(path, "rb") as fh:
+            head = fh.read(size)
+        try:
+            meta, _, _ = _parse_header(head)
+            return json.loads(meta["avro.schema"])
+        except IndexError:
+            if len(head) < size:  # whole file read and still truncated
+                raise ValueError(f"{path}: truncated Avro header")
+            size *= 4
+
+
+def decode_ocf(data: bytes) -> tuple[dict, list[dict]]:
+    """Parse one OCF into (avro schema dict, records). Verifies magic,
+    per-block sync markers, and codec support."""
+    meta, sync, pos = _parse_header(data)
     codec = meta.get("avro.codec", b"null").decode()
     if codec not in ("null", "deflate"):
         raise NotImplementedError(f"avro_io: codec {codec!r}")
@@ -368,11 +394,20 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> str:
         raise FileExistsError(path)
     os.makedirs(path, exist_ok=True)
     plan_fields = [f.name for f in df.schema.fields]
+    # Driver-generated job token, closed over by every task attempt:
+    # task retries / speculative attempts of ONE write share it (and so
+    # rewrite the same file), while a second append call gets a fresh
+    # one (and so cannot clobber the first call's files).
+    import uuid as _uuid
+
+    job_token = _uuid.uuid4().hex[:12]
 
     def part_writer(batches):
-        import uuid
+        import hashlib
 
         import pyarrow as pa
+
+        from pyspark import TaskContext
 
         records: list[dict] = []
         for batch in batches:
@@ -381,17 +416,31 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> str:
             for row in zip(*cols):
                 records.append(dict(zip(names, row)))
         if records:
-            sync = uuid.uuid4().bytes
+            # Deterministic per-(job, partition) file name: a task
+            # retry (or a speculative attempt) rewrites the SAME file
+            # via atomic rename instead of leaving a duplicate
+            # uuid-named sibling whose records would be read twice.
+            pid = TaskContext.get().partitionId()
+            sync = hashlib.md5(f"{job_token}:{pid}".encode()).digest()
+            fname = os.path.join(path, f"part-{job_token}-{pid:05d}.avro")
             blob = encode_ocf(records, avro_schema, sync=sync)
-            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
-            with open(fname + ".tmp", "wb") as fh:
+            tmp = f"{fname}.tmp-{os.getpid()}"
+            with open(tmp, "wb") as fh:
                 fh.write(blob)
-            os.rename(fname + ".tmp", fname)  # no partial .avro visible
+            os.replace(tmp, fname)  # atomic; no partial .avro visible
         yield pa.RecordBatch.from_pydict({"n": [len(records)]})
 
     # One tiny count row per partition — forces execution, collects
     # O(partitions), not O(rows).
-    df.select(*plan_fields).mapInArrow(part_writer, "n bigint").collect()
+    manifest = df.select(*plan_fields).mapInArrow(part_writer, "n bigint").collect()
+    if sum(r["n"] for r in manifest) == 0 and not glob.glob(
+        os.path.join(path, "*.avro")
+    ):
+        # Empty dataset: land a header-only file (what the JVM
+        # datasource does) so read_avro round-trips an empty frame
+        # instead of failing on an empty glob.
+        with open(os.path.join(path, "part-empty.avro"), "wb") as fh:
+            fh.write(encode_ocf([], avro_schema))
     return "fallback"
 
 
@@ -417,10 +466,7 @@ def read_avro(
         files = sorted(glob.glob(pattern))
         if not files:
             raise FileNotFoundError(f"no .avro files match {pattern}")
-        with open(files[0], "rb") as fh:
-            head = fh.read()
-        avro_schema, _ = decode_ocf(head)
-        schema = spark_schema_of(avro_schema)
+        schema = spark_schema_of(read_ocf_schema(files[0]))
     else:
         avro_schema_of(schema)  # validate the subset
     pa_schema = _pa_schema(schema)

@@ -120,24 +120,14 @@ def read_assignments(
     orphaned partition written between the assignment write and the
     snapshot flip sits ABOVE the watermark and is invisible until its
     replay republishes it."""
-    from pyspark.sql import functions as F
-
     from etl_pipeline_orchestration_spark.streaming.compaction import (
-        recover_compaction,
+        read_published_partitions,
     )
 
     lineage = lineage_from_snapshot(quant_snaps)
-    upto = quant_snaps.applied_upto(app_id)
     subtree = os.path.join(loader._path(assignments_table), f"lineage={lineage}")
-    if upto < 0 or not os.path.isdir(subtree):
-        return loader.spark.createDataFrame([], ASSIGNMENT_SCHEMA)
-    recover_compaction(subtree)
-    return (
-        loader.spark.read.schema(ASSIGNMENT_SCHEMA + ", batch_id bigint")
-        .option("basePath", subtree)
-        .parquet(subtree)
-        .filter(F.col("batch_id") <= upto)
-        .drop("batch_id")
+    return read_published_partitions(
+        loader.spark, subtree, ASSIGNMENT_SCHEMA, quant_snaps.applied_upto(app_id)
     )
 
 

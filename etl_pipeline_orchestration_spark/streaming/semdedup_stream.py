@@ -150,6 +150,17 @@ def read_archive(
         if cent_snaps.current_version() is not None
         else 0
     )
+    root = loader._path(archive_table)
+    if os.path.isdir(root) and any(
+        d.startswith("batch_id=") for d in os.listdir(root)
+    ):
+        # A pre-lineage flat store silently reading as EMPTY would be a
+        # dedup regression (every duplicate of the old archive kept) —
+        # refuse loudly with the one-time migration instead.
+        raise ValueError(
+            f"semdedup archive at {root} uses the pre-lineage flat "
+            "layout; migrate once with: mv batch_id=* lineage=0/"
+        )
     return read_published_partitions(
         loader.spark,
         _archive_subtree(loader, archive_table, lineage),
@@ -256,11 +267,13 @@ def compact_archive(
     (streaming/compaction.py): bounds the file count of a long-running
     semdedup stream. Call between micro-batches (the stores are
     single-writer); superseded lineages are ``prune_stale_lineages``'s
-    job."""
+    job. A virgin store (no snapshot yet) is a no-op, not an error."""
     from etl_pipeline_orchestration_spark.streaming.compaction import (
         compact_batch_partitions,
     )
 
+    if cent_snaps.current_version() is None:
+        return 0
     return compact_batch_partitions(
         loader.spark,
         _archive_subtree(
@@ -330,10 +343,16 @@ def refit_semdedup_model(
     new_cents = _lloyd_round_centroids(dfq, new_k)
     rebucketed = _assign_exact(dfq, new_cents)
     lineage = lineage_from_snapshot(cent_snaps)
-    staged = os.path.join(
-        _archive_subtree(loader, archive_table, lineage + 1),
-        f"batch_id={upto}",
-    )
+    next_subtree = _archive_subtree(loader, archive_table, lineage + 1)
+    # Clear the WHOLE staged subtree first, not just this batch_id: a
+    # refit that crashed at watermark W and is retried after the stream
+    # advanced to W' stages batch_id=W' — without the clear, the orphan
+    # batch_id=W sibling would become visible after the flip and
+    # duplicate every archived vector (review finding r7).
+    import shutil
+
+    shutil.rmtree(next_subtree, ignore_errors=True)
+    staged = os.path.join(next_subtree, f"batch_id={upto}")
     rebucketed.write.mode("overwrite").parquet(staged)
     cent_snaps.write(
         centroids_to_df(loader.spark, new_cents, lineage=lineage + 1),

@@ -7,6 +7,8 @@ report which path ran, and the round-trip assertions hold for either.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -145,3 +147,53 @@ def test_append_mode_accumulates(spark, tmp_path):
     assert avro_io.read_avro(spark, path).count() == 20
     with pytest.raises(FileExistsError):
         avro_io.write_avro(df, path, mode="error")
+
+
+def test_empty_dataframe_round_trip(spark, tmp_path):
+    """Review r7: an empty write must land a header-only file so the
+    read returns an empty frame (the JVM datasource's behavior), not a
+    FileNotFoundError."""
+    df = spark.range(0).select(F.col("id").alias("v"))
+    path = str(tmp_path / "empty")
+    avro_io.write_avro(df, path)
+    back = avro_io.read_avro(spark, path)
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["v"]
+
+
+def test_schema_peek_reads_header_only(tmp_path):
+    """Review r7: the schema probe must parse the header alone, never
+    decode the blocks of a large part file."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    blob = avro_io.encode_ocf([{"x": i} for i in range(10_000)], schema)
+    p = tmp_path / "big.avro"
+    p.write_bytes(blob)
+    assert avro_io.read_ocf_schema(str(p)) == schema
+    # truncated header fails loudly instead of looping
+    (tmp_path / "trunc.avro").write_bytes(blob[:10])
+    with pytest.raises(ValueError, match="truncated"):
+        avro_io.read_ocf_schema(str(tmp_path / "trunc.avro"))
+
+
+def test_partition_file_names_deterministic_per_job(spark, tmp_path):
+    """Review r7: file names derive from (job token, partition id) so
+    a task retry rewrites the same file — and two append jobs never
+    collide."""
+    import re
+
+    df = spark.range(20).select(F.col("id").alias("v")).repartition(2)
+    path = str(tmp_path / "det")
+    avro_io.write_avro(df, path)
+    names = sorted(os.listdir(path))
+    assert all(re.fullmatch(r"part-[0-9a-f]{12}-\d{5}\.avro", n) for n in names)
+    tokens = {n.split("-")[1] for n in names}
+    assert len(tokens) == 1  # one job, one token
+    avro_io.write_avro(df, path, mode="append")
+    tokens2 = {n.split("-")[1] for n in os.listdir(path)}
+    assert len(tokens2) == 2  # second job cannot clobber the first
+    assert avro_io.read_avro(spark, path).count() == 40
+

@@ -138,3 +138,30 @@ def test_read_of_unset_submessage_does_not_mark_presence(sm):
     before = req.SerializeToString()
     _ = req.stateVariableRequest.valueStateCall.stateName  # read only
     assert req.SerializeToString() == before
+
+
+def test_detached_submessage_aliasing_and_repeated_append(sm):
+    """Review r7: repeated reads of an unset message field must alias
+    ONE detached instance (two references must not overwrite each
+    other at attach time), and appends to a nested repeated field must
+    persist."""
+    req = sm.StateRequest()
+    a = req.stateVariableRequest
+    b = req.stateVariableRequest
+    assert a is b  # same detached instance on every read
+    a.valueStateCall.stateName = "x"
+    assert req.stateVariableRequest.valueStateCall.stateName == "x"
+    # nested repeated append persists through the attach chain
+    resp = sm.StateResponseWithTimer()
+    resp.timer.append(sm.TimerInfo(timestampMs=7))
+    back = sm.StateResponseWithTimer()
+    back.ParseFromString(resp.SerializeToString())
+    assert [t.timestampMs for t in back.timer] == [7]
+
+
+def test_parse_into_detached_submessage_marks_presence(sm):
+    """Review r7: msg.sub.ParseFromString(data) must attach sub to its
+    parent (real protobuf sets presence on parse, even empty)."""
+    req = sm.StateRequest()
+    req.stateVariableRequest.ParseFromString(b"")
+    assert "stateVariableRequest" in req._values

@@ -331,3 +331,73 @@ def test_refit_crash_window_leaves_old_pair_current(spark, tmp_path):
 
     assert lineage_from_snapshot(snaps) == 1  # flip landed
     assert read_archive(loader, "arch", snaps, "ck").count() == 48
+
+
+def test_refit_retry_after_watermark_advance_leaves_no_orphan(
+    spark, tmp_path
+):
+    """Review r7: a refit that crashed after staging at watermark W,
+    with the stream then advancing to W+1, must not leave the stale
+    batch_id=W staging visible after the retried refit flips — the
+    whole lineage=L+1 subtree is cleared before re-staging."""
+    from etl_pipeline_orchestration_spark.plans.llm_data import (
+        _lloyd_round_centroids,
+    )
+    from etl_pipeline_orchestration_spark.streaming.semdedup_stream import (
+        _archive_subtree,
+        _assign_exact,
+        refit_semdedup_model,
+    )
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "c")
+    b0 = _one_hot_batch(spark, [(i, i % 24) for i in range(48)])
+    semdedup_batch(loader, snaps, "arch", "dec", b0, 0, "ck")
+    # crashed refit: staged lineage=1/batch_id=0, never flipped
+    arch0 = read_archive(loader, "arch", snaps, "ck")
+    cents = _lloyd_round_centroids(arch0.select("vec_id", "xq"), 10)
+    orphan = os.path.join(_archive_subtree(loader, "arch", 1), "batch_id=0")
+    _assign_exact(arch0.select("vec_id", "xq"), cents).write.mode(
+        "overwrite"
+    ).parquet(orphan)
+    # stream advances: batch 1 lands under lineage 0, watermark -> 1
+    b1 = _one_hot_batch(spark, [(200 + i, 24 + i % 8) for i in range(16)])
+    assert semdedup_batch(loader, snaps, "arch", "dec", b1, 1, "ck") is True
+    n_total = 48 + 16
+    # retried refit stages at batch_id=1 and must CLEAR the orphan
+    assert (
+        refit_semdedup_model(loader, snaps, "arch", "ck", target_k=12)
+        == "refit"
+    )
+    assert not os.path.isdir(orphan)  # stale staging gone
+    got = read_archive(loader, "arch", snaps, "ck")
+    assert got.count() == n_total  # every vector exactly once
+    assert got.select("vec_id").distinct().count() == n_total
+
+
+def test_compact_archive_virgin_store_is_noop(spark, tmp_path):
+    """Review r7: compacting before the first publish must return 0,
+    not raise FileNotFoundError from the snapshot read."""
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "c")
+    assert compact_archive(loader, "arch", snaps, "ck") == 0
+
+
+def test_flat_legacy_archive_layout_refuses_loudly(spark, tmp_path):
+    """Review r7: a pre-lineage flat archive must not silently read as
+    EMPTY (that would keep every duplicate) — it raises with the
+    one-time migration command."""
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "c")
+    b0 = _one_hot_batch(spark, [(i, i % 8) for i in range(16)])
+    semdedup_batch(loader, snaps, "arch", "dec", b0, 0, "ck")
+    # simulate the legacy layout: move lineage=0 partitions to the root
+    import shutil
+
+    root = loader._path("arch")
+    sub = os.path.join(root, "lineage=0")
+    for d in os.listdir(sub):
+        shutil.move(os.path.join(sub, d), os.path.join(root, d))
+    os.rmdir(sub)
+    with pytest.raises(ValueError, match="migrate"):
+        read_archive(loader, "arch", snaps, "ck")
