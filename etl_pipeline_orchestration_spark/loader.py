@@ -209,6 +209,14 @@ class WarehouseLoader:
         return len(pdf)
 
     def read(self, table: str, fmt: str = "parquet") -> DataFrame:
+        if fmt == "avro":
+            # Route through the probing reader: JVM spark-avro when the
+            # module is present, the pure-python OCF fallback otherwise.
+            from etl_pipeline_orchestration_spark.sources.avro_io import (
+                read_avro,
+            )
+
+            return read_avro(self.spark, self._path(table))
         return self.spark.read.format(fmt).load(self._path(table))
 
     def table_count(self, table: str) -> int:

@@ -197,3 +197,16 @@ def test_partition_file_names_deterministic_per_job(spark, tmp_path):
     assert len(tokens2) == 2  # second job cannot clobber the first
     assert avro_io.read_avro(spark, path).count() == 40
 
+
+
+def test_warehouse_loader_reads_avro_tables(spark, tmp_path):
+    """loader.read(table, fmt='avro') routes through the probing
+    reader, so an Avro-landed warehouse table reads back regardless of
+    whether the JVM datasource is installed."""
+    from etl_pipeline_orchestration_spark.loader import WarehouseLoader
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    df = spark.range(7).select(F.col("id").alias("v"))
+    avro_io.write_avro(df, loader._path("t_avro"))
+    assert loader.read("t_avro", fmt="avro").count() == 7
+    assert loader.table_count("missing_avro") == 0  # lenient probe holds

@@ -69,6 +69,12 @@ FAMILIES = {
     # per-iteration shuffles dominate, exactly as at sf0.1).
     "graph_pagerank": "graph_pagerank_part_supplier",
     "graph_triangles": "triangle_count_copurchase",
+    # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
+    # Its entity domain is the p_name VOCABULARY, which does not scale
+    # with corpus size — a 10x part table would scale the name domain
+    # itself, making every levenshtein block quadratically larger, which
+    # measures a scenario the operator's scale model (blocking bounded
+    # by vocabulary) explicitly excludes.
 }
 
 
