@@ -444,6 +444,57 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> str:
     return "fallback"
 
 
+def _decoder_fn(field_names: list[str], pa_schema):
+    def decoder(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            for blob in batch.column(batch.schema.names.index("content")):
+                _, records = decode_ocf(blob.as_py())
+                cols = {
+                    n: [r.get(n) for r in records] for n in field_names
+                }
+                yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
+
+    return decoder
+
+
+def read_avro_stream(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Streaming Avro ingestion — the Kafka-landing-directory shape: as
+    .avro container files land, each micro-batch decodes the new files.
+    ``schema`` is REQUIRED (streaming reads must not infer). Prefers
+    the JVM spark-avro stream when the module is present; otherwise a
+    binaryFile file stream feeds the pure-python decoder (whole file
+    per task — connector-sized landings, same honest limit as
+    read_avro)."""
+    try:
+        df = spark.readStream.schema(schema).format("avro").load(path)
+        df.schema  # force datasource resolution
+        return df
+    except Exception as e:  # noqa: BLE001
+        if not _jvm_avro_missing(e):
+            raise
+    avro_schema_of(schema)  # validate the subset up front
+    binary = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed, but a STREAMING source must
+        # still declare it explicitly.
+        .schema(
+            "path string, modificationTime timestamp,"
+            " length bigint, content binary"
+        )
+        .option("pathGlobFilter", "*.avro")
+        .load(path)
+        .select("content")
+    )
+    return binary.mapInArrow(
+        _decoder_fn([f.name for f in schema.fields], _pa_schema(schema)),
+        schema,
+    )
+
+
 def read_avro(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:
@@ -469,22 +520,11 @@ def read_avro(
         schema = spark_schema_of(read_ocf_schema(files[0]))
     else:
         avro_schema_of(schema)  # validate the subset
-    pa_schema = _pa_schema(schema)
-    field_names = [f.name for f in schema.fields]
-
-    def decoder(batches):
-        import pyarrow as pa
-
-        for batch in batches:
-            for blob in batch.column(batch.schema.names.index("content")):
-                _, records = decode_ocf(blob.as_py())
-                cols = {
-                    n: [r.get(n) for r in records] for n in field_names
-                }
-                yield pa.RecordBatch.from_pydict(cols, schema=pa_schema)
-
     src = path if any(c in path for c in "*?[") else os.path.join(
         path, "*.avro"
     )
     binary = spark.read.format("binaryFile").load(src).select("content")
-    return binary.mapInArrow(decoder, schema)
+    return binary.mapInArrow(
+        _decoder_fn([f.name for f in schema.fields], _pa_schema(schema)),
+        schema,
+    )

@@ -210,3 +210,42 @@ def test_warehouse_loader_reads_avro_tables(spark, tmp_path):
     avro_io.write_avro(df, loader._path("t_avro"))
     assert loader.read("t_avro", fmt="avro").count() == 7
     assert loader.table_count("missing_avro") == 0  # lenient probe holds
+
+
+def test_streaming_avro_ingestion_equals_batch(spark, tmp_path):
+    """Avro file stream (Kafka-landing shape): draining the directory
+    with availableNow yields exactly the batch read's rows, and
+    arrival-ordered chunks land once each."""
+    schema = T.StructType(
+        [
+            T.StructField("v", T.LongType(), False),
+            T.StructField("tag", T.StringType(), True),
+        ]
+    )
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    # three avro files with ascending mtimes (controlled arrival order)
+    for i in range(3):
+        recs = [
+            {"v": i * 10 + j, "tag": f"f{i}"} for j in range(5)
+        ]
+        aschema = avro_io.avro_schema_of(schema)
+        p = os.path.join(land, f"chunk-{i}.avro")
+        with open(p, "wb") as fh:
+            fh.write(avro_io.encode_ocf(recs, aschema))
+        t = 1_700_000_000 + i * 100
+        os.utime(p, (t, t))
+    stream = avro_io.read_avro_stream(spark, land, schema)
+    assert stream.isStreaming
+    got: list[tuple] = []
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(
+            lambda df, bid: got.extend(map(tuple, df.collect()))
+        )
+        .start()
+    )
+    q.awaitTermination(120)
+    want = sorted(map(tuple, avro_io.read_avro(spark, land).collect()))
+    assert sorted(got) == want and len(want) == 15
