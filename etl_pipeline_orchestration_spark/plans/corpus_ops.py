@@ -2152,14 +2152,7 @@ def substring_spans_of(
 
     Returns (doc_id, span_start, span_end, n_tokens), token positions
     1-based inclusive."""
-    base = corpus.select("doc_id", _token_hashes_wide().alias("th"))
-    pos_fp = base.select(
-        "doc_id",
-        F.explode(_shingle_starts("th", window)).alias("pos"),
-        "th",
-    ).select(
-        "doc_id", "pos", _shingle_fold_wide("th", "pos", window).alias("fp")
-    )
+    pos_fp = position_fingerprints_of(corpus, window)
     shared = (
         pos_fp.groupBy("fp")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -2167,6 +2160,30 @@ def substring_spans_of(
         .select("fp")
     )
     marked = pos_fp.join(shared, "fp").select("doc_id", "pos")
+    return spans_from_marked(marked, window, min_tokens)
+
+
+def position_fingerprints_of(corpus: DataFrame, window: int = 8) -> DataFrame:
+    """(doc_id, pos, fp): the 62-bit shingle fingerprint at every token
+    position — the corpus-sized relation every substring-dedup variant
+    (batch both-sides, batch keep-first, streaming incremental) marks
+    against."""
+    base = corpus.select("doc_id", _token_hashes_wide().alias("th"))
+    return base.select(
+        "doc_id",
+        F.explode(_shingle_starts("th", window)).alias("pos"),
+        "th",
+    ).select(
+        "doc_id", "pos", _shingle_fold_wide("th", "pos", window).alias("fp")
+    )
+
+
+def spans_from_marked(
+    marked: DataFrame, window: int = 8, min_tokens: int = 16
+) -> DataFrame:
+    """Maximal islands of consecutive marked positions → spans of
+    >= ``min_tokens`` covered tokens (a run of k shingles covers
+    k + window - 1 tokens). ``marked`` is (doc_id, pos)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = marked.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
@@ -2185,6 +2202,31 @@ def substring_spans_of(
             (F.col("e") - F.col("s") + 1).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def substring_spans_keep_first(
+    corpus: DataFrame, window: int = 8, min_tokens: int = 16
+) -> DataFrame:
+    """KEEP-FIRST substring dedup: a position marks only when its
+    shingle content ALSO occurs in a document with a LOWER doc_id —
+    the removal-policy twin of ``substring_spans_of`` (which marks
+    both sides of a repeat). Cutting these spans keeps exactly one
+    copy of every repeated passage (the earliest document's), the
+    ExactSubstr curation semantics — and it is the batch twin of the
+    STREAMING incremental detector (streaming/substring_stream.py),
+    whose earlier-arrival-wins decisions equal this relation whenever
+    arrival order is id order.
+
+    Same scale shape as substring_spans_of: one fp-keyed aggregate
+    (min doc id per fp), one fp-keyed join, one per-doc window."""
+    pos_fp = position_fingerprints_of(corpus, window)
+    first = pos_fp.groupBy("fp").agg(F.min("doc_id").alias("mn"))
+    marked = (
+        pos_fp.join(first, "fp")
+        .filter(F.col("doc_id") > F.col("mn"))
+        .select("doc_id", "pos")
+    )
+    return spans_from_marked(marked, window, min_tokens)
 
 
 def remove_substring_spans(corpus: DataFrame, spans: DataFrame) -> DataFrame:
@@ -2511,6 +2553,84 @@ def dedup_substring_removal_report(spark: SparkSession, sf_dir: str) -> DataFram
         removed.join(before, "doc_id")
         .join(after, "doc_id")
         .select("doc_id", "n_before", "n_removed", "n_after")
+    )
+
+
+@query(
+    "dedup_substring_spans_keep_first",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT d.doc_id + 1000000000 AS doc_id,
+             array_to_string(
+               list_concat(
+                 list_transform(range(1, 6),
+                                i -> concat('u', d.doc_id, '_', i)),
+                 (string_split_regex(trim(d.text), '\\s+'))[1:24]),
+               ' ') AS text
+      FROM documents d WHERE d.doc_id < 30
+    ),
+    w AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS th1,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 137 + b) % 2147483629)) AS th2
+      FROM corpus
+    ),
+    h AS (
+      SELECT doc_id, t.i AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th1[t.i:t.i+7]),
+                         (a, b) -> (a * 131 + b) % 2147483647)
+               * CAST(2147483648 AS BIGINT)
+             + list_reduce(list_prepend(CAST(0 AS BIGINT), th2[t.i:t.i+7]),
+                           (a, b) -> (a * 137 + b) % 2147483629) AS fp
+      FROM w, unnest(range(1, greatest(len(th1) - 7, 0) + 1)) AS t(i)
+    ),
+    fst AS (
+      SELECT fp, min(doc_id) AS mn FROM h GROUP BY fp
+    ),
+    m AS (
+      SELECT h.doc_id, h.pos,
+             h.pos - row_number() OVER (PARTITION BY h.doc_id
+                                        ORDER BY h.pos) AS grp
+      FROM h JOIN fst ON h.fp = fst.fp
+      WHERE h.doc_id > fst.mn
+    ),
+    s AS (
+      SELECT doc_id, min(pos) AS ss, max(pos) + 7 AS se
+      FROM m GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(ss AS BIGINT) AS span_start,
+           CAST(se AS BIGINT) AS span_end,
+           CAST(se - ss + 1 AS BIGINT) AS n_tokens
+    FROM s WHERE se - ss + 1 >= 16
+    """,
+)
+def dedup_substring_spans_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-first substring dedup over the same planted corpus as
+    dedup_substring_spans: only the LATER copy of a repeated passage
+    reports a span (doc_id > min doc_id sharing the fingerprint), so
+    cutting the relation keeps exactly one copy — the removal-policy
+    variant, and the batch twin the streaming incremental detector
+    (streaming/substring_stream.py) must equal under id-ordered
+    arrival. Here the planted copies (doc_id + 1e9) must report the
+    repeated passage while the originals report NOTHING they didn't
+    also repeat from a lower id."""
+    return substring_spans_keep_first(
+        _planted_substring_corpus(spark, sf_dir), window=8, min_tokens=16
     )
 
 
