@@ -2635,6 +2635,125 @@ def dedup_substring_spans_keep_first(
 
 
 @query(
+    "dedup_substring_keep_first_removal",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT d.doc_id + 1000000000 AS doc_id,
+             array_to_string(
+               list_concat(
+                 list_transform(range(1, 6),
+                                i -> concat('u', d.doc_id, '_', i)),
+                 (string_split_regex(trim(d.text), '\\s+'))[1:24]),
+               ' ') AS text
+      FROM documents d WHERE d.doc_id < 30
+    ),
+    w AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 131 + b) % 2147483647)) AS th1,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+               w -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(w, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 137 + b) % 2147483629)) AS th2
+      FROM corpus
+    ),
+    h AS (
+      SELECT doc_id, t.i AS pos,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), th1[t.i:t.i+7]),
+                         (a, b) -> (a * 131 + b) % 2147483647)
+               * CAST(2147483648 AS BIGINT)
+             + list_reduce(list_prepend(CAST(0 AS BIGINT), th2[t.i:t.i+7]),
+                           (a, b) -> (a * 137 + b) % 2147483629) AS fp
+      FROM w, unnest(range(1, greatest(len(th1) - 7, 0) + 1)) AS t(i)
+    ),
+    fst AS (
+      SELECT fp, min(doc_id) AS mn FROM h GROUP BY fp
+    ),
+    m AS (
+      SELECT h.doc_id, h.pos,
+             h.pos - row_number() OVER (PARTITION BY h.doc_id
+                                        ORDER BY h.pos) AS grp
+      FROM h JOIN fst ON h.fp = fst.fp
+      WHERE h.doc_id > fst.mn
+    ),
+    sp AS (
+      SELECT doc_id, min(pos) AS ss, max(pos) + 7 AS se
+      FROM m GROUP BY doc_id, grp
+      HAVING max(pos) + 7 - min(pos) + 1 >= 16
+    ),
+    tok AS (
+      SELECT doc_id, len(th1) AS n_before FROM w
+    ),
+    pos AS (
+      SELECT w.doc_id, t.i AS i
+      FROM w, unnest(range(1, len(th1) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, count(*) AS c
+      FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sp
+        WHERE sp.doc_id = p.doc_id AND p.i BETWEEN sp.ss AND sp.se
+      )
+      GROUP BY p.doc_id
+    )
+    SELECT r.doc_id,
+           CAST(t.n_before AS BIGINT) AS n_before,
+           r.n_removed,
+           CAST(coalesce(k.c, 0) AS BIGINT) AS n_after
+    FROM (
+      SELECT doc_id, CAST(sum(se - ss + 1) AS BIGINT) AS n_removed
+      FROM sp GROUP BY doc_id
+    ) r
+    JOIN tok t ON r.doc_id = t.doc_id
+    LEFT JOIN kept k ON r.doc_id = k.doc_id
+    """,
+)
+def dedup_substring_keep_first_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The keep-first dedup APPLY step, audited end-to-end: detect
+    keep-first spans, CUT them with remove_substring_spans (reused
+    unchanged — spans are disjoint islands regardless of mark rule),
+    and report per affected doc (n_before, n_removed, n_after). As in
+    the both-sides removal report, the engines derive n_after by
+    different routes (Spark re-tokenizes the rewritten text, the
+    oracle counts positions outside the span set), so a hash match
+    proves the cut rewrote exactly the detected spans. After this cut,
+    exactly ONE copy of every repeated passage survives — the actual
+    production dedup policy, end to end."""
+    corpus = _planted_substring_corpus(spark, sf_dir)
+    spans = substring_spans_keep_first(corpus, window=8, min_tokens=16)
+    cleaned = remove_substring_spans(corpus, spans)
+    ctoks = F.split(F.trim(F.col("text")), r"\s+")
+    before = corpus.select(
+        "doc_id", F.size(ctoks).cast("bigint").alias("n_before")
+    )
+    removed = spans.groupBy("doc_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_removed")
+    )
+    atoks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    after = cleaned.select(
+        "doc_id", F.size(atoks).cast("bigint").alias("n_after")
+    )
+    return (
+        removed.join(before, "doc_id")
+        .join(after, "doc_id")
+        .select("doc_id", "n_before", "n_removed", "n_after")
+    )
+
+
+@query(
     "conditional_entropy_by_lang",
     oracle="""
     WITH w AS (
