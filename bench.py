@@ -139,6 +139,7 @@ HEADLINE = [
     "relational_functions_combo",
     "grouping_outer_combo",
     "avro_roundtrip_doc_stats",
+    "quality_classifier_train",
 ]
 
 

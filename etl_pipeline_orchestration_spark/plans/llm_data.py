@@ -2514,3 +2514,119 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         "dup_of",
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed quality-classifier TRAINING (operators/classifier.py).
+# The oracle unrolls the same TRAIN_ITERS diagonal-Newton iterations as
+# chained CTEs: identical integer features, micro-grid sigmoid,
+# truncated-division updates — the weights themselves are replayed, so
+# a hash match certifies the whole training trajectory, not just the
+# final scores.
+# ---------------------------------------------------------------------------
+
+def _clf_oracle() -> str:
+    from etl_pipeline_orchestration_spark.operators.classifier import (
+        FEATURE_COLS,
+        LABEL_LOGIT_THRESHOLD,
+        TRAIN_ITERS,
+    )
+
+    k = len(FEATURE_COLS)
+    cols = list(FEATURE_COLS)
+    feats = f"""
+    raw AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS w,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS np,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS nd
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, nc, np, nd,
+             CAST(len(w) AS BIGINT) AS nt,
+             CAST(len(list_filter(w, t -> list_contains(
+               ['the','a','an','of','to','and','in','is','it','for',
+                'on','with','as','at','by','be','or','are','was','this'],
+               lower(t)))) AS BIGINT) AS nstop,
+             CAST(len(list_distinct(w)) AS BIGINT) AS ndist
+      FROM raw
+    ), feats AS (
+      SELECT doc_id,
+             CAST(COALESCE((-2.0 + 0.5 * ln(1.0 + CAST(nc AS DOUBLE))
+                   + 6.0 * (nstop / CAST(NULLIF(nt, 0) AS DOUBLE))
+                   + (-8.0) * (np / CAST(NULLIF(nc, 0) AS DOUBLE))
+                   + (-0.12) * ((nc - (nt - 1)) / CAST(NULLIF(nt, 0) AS DOUBLE))
+                   + (-4.0) * (nd / CAST(NULLIF(nc, 0) AS DOUBLE))
+                   + 1.5 * (ndist / CAST(NULLIF(nt, 0) AS DOUBLE)))
+                  > {LABEL_LOGIT_THRESHOLD}, FALSE) AS INT) AS y,
+             CAST(1 AS BIGINT) AS f0,
+             (100 * nstop) // nt AS f1,
+             (100 * np) // GREATEST(nc, 1) AS f2,
+             LEAST(nc // 10, 400) AS f3,
+             LEAST((10 * (nc - (nt - 1))) // nt, 200) AS f4,
+             (100 * ndist) // nt AS f5
+      FROM cnt
+    ), m2 AS (
+      SELECT {", ".join(f"GREATEST(SUM({c} * {c}), 1) AS m{j}" for j, c in enumerate(cols))}
+      FROM feats
+    ), b0 AS (
+      SELECT {", ".join(f"CAST(0 AS BIGINT) AS b{j}" for j in range(k))}
+    )"""
+    iters = []
+    for t in range(1, TRAIN_ITERS + 1):
+        z = " + ".join(f"b.b{j} * f.{c}" for j, c in enumerate(cols))
+        iters.append(f"""
+    p{t} AS (
+      SELECT f.*,
+             CAST(FLOOR(1e6 / (1.0 + EXP(-(CAST(({z}) AS DOUBLE) * 1e-6))) + 0.5) AS BIGINT) AS p
+      FROM feats f CROSS JOIN b{t - 1} b
+    ), g{t} AS (
+      SELECT {", ".join(f"SUM({c} * (CAST(y AS BIGINT) * 1000000 - p)) AS g{j}" for j, c in enumerate(cols))}
+      FROM p{t}
+    ), b{t} AS (
+      SELECT {", ".join(f"b.b{j} + (g.g{j} // m.m{j}) AS b{j}" for j in range(k))}
+      FROM b{t - 1} b CROSS JOIN g{t} g CROSS JOIN m2 m
+    )""")
+    zf = " + ".join(f"b.b{j} * f.{c}" for j, c in enumerate(cols))
+    return f"""
+    WITH {feats},{",".join(iters)}
+    SELECT f.y,
+           CAST(({zf}) >= 0 AS INT) AS pred,
+           COUNT(*) AS n_docs,
+           SUM({zf}) AS sum_score_micro
+    FROM feats f CROSS JOIN b{TRAIN_ITERS} b
+    GROUP BY 1, 2
+    """
+
+
+@query("quality_classifier_train", oracle=_clf_oracle())
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN a document-quality classifier distributed (DCLM/FineWeb
+    recipe: fit a linear classifier on labeled docs, score the corpus
+    with it), then report the confusion matrix against the planted
+    labels with exact integer score sums.
+
+    Training is operators/classifier.py train_logistic_int: six
+    diagonal-Newton logistic iterations where each step is ONE
+    map-side-combined aggregate over a localCheckpoint'ed integer
+    feature relation and the driver only ever touches the 6-element
+    gradient vector. Labels are planted ground truth (the generating
+    quality logit > 1.4), so the learned separator's ~0.9 accuracy is
+    a verifiable convergence fact, not a vibe. The DuckDB oracle
+    replays the ENTIRE training trajectory — identical integer
+    features, micro-grid sigmoid, truncated-division updates — as six
+    unrolled CTE iterations; the hash match certifies every weight.
+
+    100 TB shape: per iteration one scan of an n_docs x 8-int64
+    relation (executor-cached), partial aggregation combines
+    map-side, driver traffic is 6 scalars; scoring reuses the weights
+    as plan literals (no model server, no UDF). Iterations are fixed,
+    not data-dependent — wall cost is iters x scan, embarrassingly
+    scalable."""
+    from etl_pipeline_orchestration_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = classifier.classifier_features(docs)
+    betas, _ = classifier.train_logistic_int(feats)
+    return classifier.confusion_summary(feats, betas)

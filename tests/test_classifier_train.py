@@ -1,0 +1,75 @@
+"""Distributed quality-classifier training (operators/classifier.py).
+
+The oracle sweep already certifies cross-engine weight parity (the
+DuckDB oracle replays all six iterations); these tests pin the LEARNING
+itself: accuracy against the planted labels must improve over
+iterations and beat the majority class, the update must use truncated
+(DuckDB-``//``) division, and the driver must only ever see k scalars.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_orchestration_spark.operators import classifier
+from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_trunc_div_matches_duckdb_semantics():
+    assert classifier._trunc_div(7, 2) == 3
+    assert classifier._trunc_div(-7, 2) == -3  # Python -7 // 2 == -4
+    assert classifier._trunc_div(-6, 2) == -3
+    assert classifier._trunc_div(0, 5) == 0
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    return classifier.classifier_features(docs).localCheckpoint()
+
+
+def _accuracy(feats_df, betas) -> float:
+    cm = classifier.confusion_summary(feats_df, betas).collect()
+    n = sum(r.n_docs for r in cm)
+    good = sum(r.n_docs for r in cm if r.y == r.pred)
+    return good / n
+
+
+def test_labels_are_two_balanced_classes(feats):
+    counts = {r.y: r.n for r in feats.groupBy("y").count().withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {0, 1}
+    n = sum(counts.values())
+    assert 0.3 < counts[1] / n < 0.7, counts
+
+
+def test_training_learns_the_planted_separator(feats):
+    """Accuracy rises from the zero model toward the generating
+    separator and ends far above majority class."""
+    accs = []
+    for iters in (1, 3, classifier.TRAIN_ITERS):
+        betas, _ = classifier.train_logistic_int(feats, iters=iters)
+        accs.append(_accuracy(feats, betas))
+    assert accs[0] < accs[1] < accs[2] + 1e-9, accs
+    assert accs[-1] >= 0.80, accs
+    counts = {r.y: r.n for r in feats.groupBy("y").count().withColumnRenamed("count", "n").collect()}
+    majority = max(counts.values()) / sum(counts.values())
+    assert accs[-1] > majority + 0.2, (accs, majority)
+
+
+def test_m2_guard_handles_degenerate_feature(feats):
+    """The punctuation feature is identically zero on the synthetic
+    corpus; its M2 floors at 1 and its weight stays exactly 0 instead
+    of dividing by zero."""
+    betas, m2 = classifier.train_logistic_int(feats)
+    j = classifier.FEATURE_COLS.index("f2")
+    assert m2[j] == 1
+    assert betas[j] == 0
+
+
+def test_weights_are_deterministic(feats):
+    b1, _ = classifier.train_logistic_int(feats)
+    b2, _ = classifier.train_logistic_int(feats)
+    assert b1 == b2
+    assert all(isinstance(b, int) for b in b1)
