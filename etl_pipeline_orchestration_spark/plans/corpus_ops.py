@@ -112,9 +112,24 @@ def boilerplate_bigram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # Fold the exploded gram relation ONCE to per-(doc, gram)
+    # occurrence counts — both consumers (the doc-frequency side and
+    # the per-doc fraction) derive from this ~|distinct grams per doc|
+    # relation instead of each re-exploding |corpus tokens| rows. The
+    # consumers prune different columns, so ReusedExchange cannot
+    # deduplicate the subtrees (the dsir_importance_resample lesson) —
+    # the localCheckpoint is the cut that makes the fold single-pass.
+    # Doc frequency on the folded relation is a plain count (each
+    # (doc, gram) appears once), replacing the two-phase
+    # count_distinct over the full occurrence stream.
+    dg = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
     common = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("df"))
+        dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .filter(
             F.col("df")
@@ -123,11 +138,14 @@ def boilerplate_bigram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     return (
-        grams.join(F.broadcast(common).withColumn("is_boiler", F.lit(1)), "gram", "left")
+        dg.join(F.broadcast(common).withColumn("is_boiler", F.lit(1)), "gram", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count("is_boiler").alias("n_boiler"),
+            F.sum("cnt").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_boiler").isNotNull(), F.col("cnt"))),
+                F.lit(0),
+            ).cast("bigint").alias("n_boiler"),
         )
         .select(
             "doc_id",

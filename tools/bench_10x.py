@@ -69,6 +69,10 @@ FAMILIES = {
     # per-iteration shuffles dominate, exactly as at sf0.1).
     "graph_pagerank": "graph_pagerank_part_supplier",
     "graph_triangles": "triangle_count_copurchase",
+    # classifier training: fixed 6 iterations x one scan of the integer
+    # feature relation — the exponent certifies iteration cost is
+    # corpus-linear and driver traffic stays at 6 scalars.
+    "classifier_train": "quality_classifier_train",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
