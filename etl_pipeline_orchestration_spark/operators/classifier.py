@@ -188,3 +188,19 @@ def confusion_summary(feats: DataFrame, betas: list[int]) -> DataFrame:
             F.sum("z").cast("bigint").alias("sum_score_micro"),
         )
     )
+
+
+def confusion_by_split(
+    feats: DataFrame, betas: list[int], split: F.Column
+) -> DataFrame:
+    """Confusion matrix per data split (train/holdout) — the
+    generalization report for a model trained on one split only."""
+    z = _z_expr(betas)
+    return (
+        feats.select(split.alias("split"), "y", z.alias("z"))
+        .groupBy("split", "y", (F.col("z") >= 0).cast("int").alias("pred"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("z").cast("bigint").alias("sum_score_micro"),
+        )
+    )

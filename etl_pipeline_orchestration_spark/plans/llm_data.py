@@ -2525,7 +2525,17 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # final scores.
 # ---------------------------------------------------------------------------
 
-def _clf_oracle() -> str:
+# Deterministic 80/20 split for holdout evaluation: identical integer
+# arithmetic on both engines (doc_id is non-negative, so %-sign
+# semantics cannot diverge).
+_CLF_TRAIN_SPLIT_SQL = "(doc_id % 5) <> 0"
+
+
+def _clf_oracle(train_where: str = "TRUE", by_split: bool = False) -> str:
+    """Unrolled-training oracle. ``train_where`` filters the feature
+    rows the gradient aggregates see (holdout eval trains on a split);
+    ``by_split`` adds the train/holdout dimension to the confusion
+    output. Scoring always covers ALL rows."""
     from etl_pipeline_orchestration_spark.operators.classifier import (
         FEATURE_COLS,
         LABEL_LOGIT_THRESHOLD,
@@ -2567,9 +2577,11 @@ def _clf_oracle() -> str:
              LEAST((10 * (nc - (nt - 1))) // nt, 200) AS f4,
              (100 * ndist) // nt AS f5
       FROM cnt
+    ), train AS (
+      SELECT * FROM feats WHERE {train_where}
     ), m2 AS (
       SELECT {", ".join(f"GREATEST(SUM({c} * {c}), 1) AS m{j}" for j, c in enumerate(cols))}
-      FROM feats
+      FROM train
     ), b0 AS (
       SELECT {", ".join(f"CAST(0 AS BIGINT) AS b{j}" for j in range(k))}
     )"""
@@ -2580,7 +2592,7 @@ def _clf_oracle() -> str:
     p{t} AS (
       SELECT f.*,
              CAST(FLOOR(1e6 / (1.0 + EXP(-(CAST(({z}) AS DOUBLE) * 1e-6))) + 0.5) AS BIGINT) AS p
-      FROM feats f CROSS JOIN b{t - 1} b
+      FROM train f CROSS JOIN b{t - 1} b
     ), g{t} AS (
       SELECT {", ".join(f"SUM({c} * (CAST(y AS BIGINT) * 1000000 - p)) AS g{j}" for j, c in enumerate(cols))}
       FROM p{t}
@@ -2589,14 +2601,20 @@ def _clf_oracle() -> str:
       FROM b{t - 1} b CROSS JOIN g{t} g CROSS JOIN m2 m
     )""")
     zf = " + ".join(f"b.b{j} * f.{c}" for j, c in enumerate(cols))
+    split_sel = (
+        f"CASE WHEN {_CLF_TRAIN_SPLIT_SQL} THEN 'train' ELSE 'holdout' END AS split,\n           "
+        if by_split
+        else ""
+    )
+    split_grp = ", 3" if by_split else ""
     return f"""
     WITH {feats},{",".join(iters)}
-    SELECT f.y,
+    SELECT {split_sel}f.y,
            CAST(({zf}) >= 0 AS INT) AS pred,
            COUNT(*) AS n_docs,
            SUM({zf}) AS sum_score_micro
     FROM feats f CROSS JOIN b{TRAIN_ITERS} b
-    GROUP BY 1, 2
+    GROUP BY 1, 2{split_grp}
     """
 
 
@@ -2630,3 +2648,33 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = classifier.classifier_features(docs)
     betas, _ = classifier.train_logistic_int(feats)
     return classifier.confusion_summary(feats, betas)
+
+
+@query(
+    "quality_classifier_holdout",
+    oracle=_clf_oracle(train_where=_CLF_TRAIN_SPLIT_SQL, by_split=True),
+)
+def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout evaluation of the distributed trainer: fit on the
+    deterministic 80% split (doc_id % 5 != 0), score EVERYTHING, and
+    report the confusion matrix per split — the generalization check a
+    production classifier ships with (train accuracy alone can be pure
+    memorization; here the planted separator is linear, so holdout
+    accuracy tracking train accuracy is the expected, and verified,
+    outcome).
+
+    Same training trajectory discipline as quality_classifier_train —
+    the oracle's six unrolled CTE iterations aggregate over the train
+    split only, so the hash certifies that the holdout rows never
+    leaked into the gradient."""
+    from etl_pipeline_orchestration_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = classifier.classifier_features(docs).localCheckpoint()
+    betas, _ = classifier.train_logistic_int(
+        feats.filter((F.col("doc_id") % 5) != 0)
+    )
+    split = F.when((F.col("doc_id") % 5) != 0, F.lit("train")).otherwise(
+        F.lit("holdout")
+    )
+    return classifier.confusion_by_split(feats, betas, split)

@@ -73,3 +73,21 @@ def test_weights_are_deterministic(feats):
     b2, _ = classifier.train_logistic_int(feats)
     assert b1 == b2
     assert all(isinstance(b, int) for b in b1)
+
+
+def test_holdout_generalizes(spark):
+    """Training on the 80% split generalizes to the unseen 20%: holdout
+    accuracy beats majority class by a wide margin and tracks train
+    accuracy (the planted separator is linear, so no memorization gap)."""
+    from etl_pipeline_orchestration_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["quality_classifier_holdout"](spark, SF_DIR).collect()
+    by_split = {}
+    for r in rows:
+        n, good = by_split.get(r.split, (0, 0))
+        by_split[r.split] = (n + r.n_docs, good + (r.n_docs if r.y == r.pred else 0))
+    acc = {s: g / n for s, (n, g) in by_split.items()}
+    assert set(acc) == {"train", "holdout"}
+    assert acc["holdout"] >= 0.75, acc
+    assert abs(acc["train"] - acc["holdout"]) < 0.12, acc
