@@ -94,6 +94,7 @@ HEADLINE = [
     "lang_quantile_drift",
     "mixture_temperature_weights",
     "training_shards",
+    "epoch_shuffle_plan",
     "token_budget_selection",
     "quality_gate_funnel",
     "embedding_topk_ivfpq",

@@ -3480,3 +3480,64 @@ def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(PII_IP_RE)).cast("bigint").alias("n_ip"),
         redacted.alias("redacted"),
     )
+
+
+# Epoch-dependent Knuth hash: the epoch term is mixed in BEFORE the
+# multiplicative scramble. Adding a per-epoch constant AFTER the
+# multiply would only rotate the hash order cyclically (order by
+# (h+c) % M is a rotation of order by h), so consecutive epochs would
+# replay almost the same sequence — the classic multi-epoch shuffle
+# bug. Same overflow discipline as _KNUTH: the pre-multiply operand is
+# reduced mod 2^31, so the product stays under int64 for the full id
+# space under the driver's ANSI session.
+_EPOCH_HASH = (
+    "((((doc_id + 1000003 * epoch) % 2147483648) * 2654435761) % 4294967296)"
+)
+
+
+@query(
+    "epoch_shuffle_plan",
+    oracle=f"""
+    WITH e AS (SELECT unnest(range(3)) AS epoch),
+    x AS (
+      SELECT d.doc_id, CAST(e.epoch AS BIGINT) AS epoch
+      FROM documents d CROSS JOIN e
+    )
+    SELECT epoch, doc_id,
+           CAST({_EPOCH_HASH} % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY epoch, {_EPOCH_HASH} % 8
+                  ORDER BY {_EPOCH_HASH}, doc_id) AS BIGINT) AS pos
+    FROM x
+    """,
+)
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch deterministic global shuffle: every training epoch
+    gets its OWN pseudo-random permutation of the corpus into (shard,
+    position) — reproducible across runs, engines, and executors, with
+    no RNG state to checkpoint. Epoch-to-epoch decorrelation comes from
+    mixing the epoch into the hash before the multiplicative scramble
+    (see _EPOCH_HASH: mixed after, the 'new' epoch order would be a
+    cyclic rotation of the old one).
+
+    100 TB shape: one hash-partitioned shuffle per epoch (the window's
+    partitionBy), spillable per-shard sorts, nothing driver-side; in
+    production each epoch writes repartition(shard) +
+    sortWithinPartitions straight to its shard directory. Epochs here
+    are a fixed explode(sequence(0,2)) so the oracle enumerates the
+    same cross product."""
+    docs = load_table(spark, sf_dir, "documents")
+    withe = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("epoch")
+    ).select("doc_id", F.col("epoch").cast("bigint").alias("epoch"))
+    h = F.expr(_EPOCH_HASH)
+    shard = (h % 8).cast("bigint")
+    return withe.select(
+        "epoch",
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number()
+        .over(Window.partitionBy("epoch", shard).orderBy(h, "doc_id"))
+        .cast("bigint")
+        .alias("pos"),
+    )

@@ -1017,3 +1017,30 @@ def test_substring_span_relation_memoized_and_publishable(spark, tmp_path):
     assert sorted(map(tuple, via.collect())) == sorted(
         map(tuple, a.collect())
     )
+
+
+def test_epoch_shuffle_decorrelates_epochs(spark):
+    """Each epoch is a full permutation and consecutive epochs are NOT
+    near-rotations of each other (the failure mode of mixing the epoch
+    in after the multiplicative scramble)."""
+    from etl_pipeline_orchestration_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["epoch_shuffle_plan"](spark, "/root/testdata/sf0.001").collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append((r.shard, r.pos, r.doc_id))
+    assert set(by_epoch) == {0, 1, 2}
+    n = len(by_epoch[0])
+    orders = {}
+    for e, triples in by_epoch.items():
+        assert len(triples) == n
+        # every (shard, pos) slot filled exactly once per epoch
+        assert len({(s, p) for s, p, _ in triples}) == n
+        orders[e] = [d for _, _, d in sorted(triples)]
+    # decorrelation: the fraction of docs in the same global slot
+    # across epochs should be tiny (a rotation would keep long runs of
+    # relative order; same-slot agreement is the cheap strong proxy)
+    same01 = sum(a == b for a, b in zip(orders[0], orders[1])) / n
+    same12 = sum(a == b for a, b in zip(orders[1], orders[2])) / n
+    assert same01 < 0.05 and same12 < 0.05, (same01, same12)
