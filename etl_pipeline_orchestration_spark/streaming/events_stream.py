@@ -193,3 +193,59 @@ def stream_stream_interval_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def stream_stream_interval_join_left_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap_minutes: int = 5,
+) -> DataFrame:
+    """LEFT OUTER attribution join: every purchase emits exactly once —
+    paired with each qualifying click, or with NULL click columns once
+    the watermark proves no click can still arrive. The interval
+    condition bounds both directions, so the unmatched-side decision is
+    FINALIZABLE: a purchase's state evicts (and its null row emits)
+    when the click watermark passes purchase_ts + gap. An outer join
+    without that bound could never emit a null row, because "no partner
+    yet" would never become "no partner ever".
+
+    Caveat a finite-backlog caller must know (exercised by the twin
+    test): outer NULL rows ride WATERMARK ADVANCE, and with an
+    availableNow trigger the watermark only advances when a later batch
+    brings later events — a tail purchase whose no-match horizon lies
+    beyond the last event's watermark stays pending at stream end. At
+    100 TB scale on a live stream this is a non-issue (events keep
+    coming); finite drains append sentinel events past the horizon on
+    BOTH input legs — the global watermark is the MIN across the two
+    watermark operators, so advancing only one leg pins it — and in two
+    separate trailing batches, because a batch's watermark only takes
+    effect in the next batch's state cleanup (the twin test does both)
+    — or accept that the tail decision arrives with the next day's
+    data."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        )
+    )
+    return p.join(c, cond, "leftOuter").select(
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
