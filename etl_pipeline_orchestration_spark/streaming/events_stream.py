@@ -249,3 +249,46 @@ def stream_stream_interval_join_left_outer(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def stream_stream_interval_join_full_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap_minutes: int = 5,
+) -> DataFrame:
+    """FULL OUTER attribution join: unmatched rows from BOTH legs
+    finalize to NULL-padded rows on watermark passage — unattributed
+    purchases AND dead-end clicks in one stream (funnel diagnostics).
+    Same finalizability requirement and finite-drain caveats as the
+    left-outer variant (min-across-legs watermark, one-batch cleanup
+    lag); the click side's no-match horizon extends ``max_gap_minutes``
+    further, because a click at t can still match purchases up to
+    t + gap."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        )
+    )
+    return p.join(c, cond, "fullOuter").select(
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
