@@ -2645,7 +2645,11 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_pipeline_orchestration_spark.operators import classifier
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = classifier.classifier_features(docs)
+    # Checkpoint once: training and the final scoring pass both consume
+    # the feature relation, and without the cut the expensive
+    # tokenization/regex extraction would run twice (the holdout twin
+    # does the same).
+    feats = classifier.classifier_features(docs).localCheckpoint()
     betas, _ = classifier.train_logistic_int(feats)
     return classifier.confusion_summary(feats, betas)
 

@@ -150,22 +150,17 @@ def enrich_stream_static(stream: DataFrame, dim: DataFrame, on: str) -> DataFram
     return stream.join(F.broadcast(dim), on, "left")
 
 
-def stream_stream_interval_join(
+def _attribution_legs(
     clicks: DataFrame,
     purchases: DataFrame,
-    watermark: str = "10 minutes",
-    max_gap_minutes: int = 5,
-) -> DataFrame:
-    """Stream-stream inner join with an event-time interval condition:
-    pair each purchase with same-user click events at most
-    ``max_gap_minutes`` BEFORE it (the attribution join). Both sides
-    carry watermarks and the join condition bounds event time in BOTH
-    directions — that is what lets Spark compute, per side, how long a
-    row can still find a partner, and EVICT join state past that
-    horizon. An unbounded condition would mean unbounded state: the
-    difference between a join that runs forever at 100 TB/day and one
-    that OOMs on day two.
-    """
+    watermark: str,
+    max_gap_minutes: int,
+):
+    """Shared leg preparation for the three attribution-join variants:
+    watermarked click/purchase projections plus the interval condition
+    (same user, click at most ``max_gap_minutes`` before the purchase).
+    One definition so a change to the gap semantics or watermark
+    handling cannot silently diverge the variants."""
     c = clicks.withWatermark("ts", watermark).select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),
@@ -185,6 +180,26 @@ def stream_stream_interval_join(
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
         )
     )
+    return c, p, cond
+
+
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap_minutes: int = 5,
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition:
+    pair each purchase with same-user click events at most
+    ``max_gap_minutes`` BEFORE it (the attribution join). Both sides
+    carry watermarks and the join condition bounds event time in BOTH
+    directions — that is what lets Spark compute, per side, how long a
+    row can still find a partner, and EVICT join state past that
+    horizon. An unbounded condition would mean unbounded state: the
+    difference between a join that runs forever at 100 TB/day and one
+    that OOMs on day two.
+    """
+    c, p, cond = _attribution_legs(clicks, purchases, watermark, max_gap_minutes)
     return c.join(p, cond).select(
         F.col("p_user").alias("user_id"),
         "click_id",
@@ -223,28 +238,11 @@ def stream_stream_interval_join_left_outer(
     effect in the next batch's state cleanup (the twin test does both)
     — or accept that the tail decision arrives with the next day's
     data."""
-    c = clicks.withWatermark("ts", watermark).select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-    )
-    p = purchases.withWatermark("ts", watermark).select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("value").alias("purchase_value"),
-    )
-    cond = (
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("click_ts") <= F.col("purchase_ts"))
-        & (
-            F.col("click_ts")
-            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
-        )
-    )
+    c, p, cond = _attribution_legs(clicks, purchases, watermark, max_gap_minutes)
     return p.join(c, cond, "leftOuter").select(
         F.col("p_user").alias("user_id"),
         "click_id",
+        "click_ts",
         "purchase_id",
         "purchase_ts",
         "purchase_value",
@@ -265,25 +263,7 @@ def stream_stream_interval_join_full_outer(
     lag); the click side's no-match horizon extends ``max_gap_minutes``
     further, because a click at t can still match purchases up to
     t + gap."""
-    c = clicks.withWatermark("ts", watermark).select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-    )
-    p = purchases.withWatermark("ts", watermark).select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("value").alias("purchase_value"),
-    )
-    cond = (
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("click_ts") <= F.col("purchase_ts"))
-        & (
-            F.col("click_ts")
-            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
-        )
-    )
+    c, p, cond = _attribution_legs(clicks, purchases, watermark, max_gap_minutes)
     return p.join(c, cond, "fullOuter").select(
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
         "click_id",

@@ -101,7 +101,11 @@ def scd2_apply_batch(
         merged = scd2_intervals(changes, key, ts_col, seq_col, payload)
     else:
         cur = snaps.read()
-        affected = changes.select(key).distinct()
+        # One micro-batch's key set is small by construction; broadcast
+        # it so both the copy-through anti-join and the affected-rows
+        # semi-join are single broadcast-hash passes over the history —
+        # never a shuffle of the (corpus-sized) stored table.
+        affected = F.broadcast(changes.select(key).distinct())
         untouched = cur.join(affected, key, "left_anti")
         replay = _to_changes(
             cur.join(affected, key, "semi"), key, ts_col, seq_col, payload
