@@ -228,6 +228,16 @@ class WarehouseLoader:
             return 0
 
 
+LOCK_STALE_SEC = 60.0
+
+
+class SnapshotConflict(RuntimeError):
+    """A CAS publish lost the race: the table's current version moved
+    past ``expect_version`` between read and flip. The staged version
+    directory is left orphaned (self-healing: skipped by the next
+    claim, reclaimed by prune); the caller re-reads and recomputes."""
+
+
 class SnapshotTable:
     """Versioned snapshot table: immutable version directories plus an
     atomically-updated CURRENT pointer — the minimal transactional
@@ -286,10 +296,25 @@ class SnapshotTable:
         df: DataFrame,
         marker: tuple[str, int] | None = None,
         prepare=None,
+        expect_version: int | None | type(...) = ...,
     ) -> int:
         """Publish a new snapshot; returns its version number. The data
         write completes fully before the pointer flips, so a crash at
         any point leaves the previous version current and intact.
+
+        ``expect_version`` (optimistic concurrency): when given, the
+        pointer only flips if the CURRENT version still equals it at
+        flip time — two writers that both read version N and race their
+        merges cannot both win; the loser raises SnapshotConflict with
+        its staged directory left as a harmless orphan (the next claim
+        skips past it) and must re-read + recompute (``merge_publish``
+        wraps that loop). The check-and-flip pair holds a short
+        lockfile so the compare and the ``os.replace`` are one atomic
+        step; the lock is NEVER held across the data write. Version
+        directories themselves are claimed with an atomic ``mkdir``, so
+        concurrent writers stage under distinct numbers instead of
+        overwriting each other's uploads — the unconditional-writer
+        race that existed before this parameter.
 
         ``marker`` = (checkpoint app id, batch id) stamps the version
         with an applied-batch watermark (streaming/watermark.py) INSIDE
@@ -316,9 +341,7 @@ class SnapshotTable:
         cur = self.current_version()
         if marker is None and cur is not None:
             marker = read_marker(self._vdir(cur))
-        # Skip past orphaned directories from crashed writes.
-        nxt = max([v for v in self.versions()] + [cur if cur is not None else -1]) + 1
-        vdir = self._vdir(nxt)
+        nxt, vdir = self._claim_version(cur)
         df.write.mode("overwrite").parquet(vdir)
         if marker is not None:
             write_marker(vdir, marker[0], marker[1])
@@ -327,8 +350,91 @@ class SnapshotTable:
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(nxt))
-        os.replace(tmp, self._pointer())
+        if expect_version is ...:
+            os.replace(tmp, self._pointer())
+        else:
+            with self._flip_lock():
+                if self.current_version() != expect_version:
+                    os.remove(tmp)
+                    raise SnapshotConflict(
+                        f"{self.root}: expected current version "
+                        f"{expect_version}, found {self.current_version()} "
+                        f"(staged v={nxt} left orphaned)"
+                    )
+                os.replace(tmp, self._pointer())
         return nxt
+
+    def _claim_version(self, cur: int | None) -> tuple[int, str]:
+        """Claim a fresh version directory with atomic ``mkdir`` —
+        concurrent writers get DISTINCT numbers instead of both staging
+        into the same ``v=N``. Orphans from crashed or conflicted
+        writes are skipped past (they are in ``versions()``) and
+        reclaimed by ``prune``."""
+        nxt = max(self.versions() + [cur if cur is not None else -1]) + 1
+        while True:
+            try:
+                vdir = self._vdir(nxt)
+                os.mkdir(vdir)
+                return nxt, vdir
+            except FileExistsError:
+                nxt += 1
+
+    def _flip_lock(self):
+        """Short-lived lockfile making (compare, flip) atomic for CAS
+        publishes. Held only around pointer metadata — never the data
+        write. A lock abandoned by a killed process goes stale after
+        LOCK_STALE_SEC and is broken by the next writer."""
+        import contextlib
+        import time
+
+        path = os.path.join(self.root, "_FLIP_LOCK")
+
+        @contextlib.contextmanager
+        def lock():
+            deadline = time.monotonic() + 30.0
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(path) > LOCK_STALE_SEC:
+                            os.remove(path)
+                            continue
+                    except FileNotFoundError:
+                        continue
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(f"flip lock stuck: {path}")
+                    time.sleep(0.05)
+            try:
+                yield
+            finally:
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+
+        return lock()
+
+    def merge_publish(self, fn, marker=None, prepare=None, retries: int = 5) -> int:
+        """Optimistic read-merge-publish loop: ``fn(current_df_or_None)
+        -> DataFrame`` recomputes from the version observed at loop
+        entry; a SnapshotConflict (someone else published first) means
+        re-read and recompute, never blind overwrite — the lost-update
+        protection a multi-writer table needs."""
+        for _ in range(retries):
+            base = self.current_version()
+            df = fn(self.read(base) if base is not None else None)
+            try:
+                return self.write(
+                    df, marker=marker, prepare=prepare, expect_version=base
+                )
+            except SnapshotConflict:
+                continue
+        raise SnapshotConflict(
+            f"{self.root}: lost the publish race {retries} times"
+        )
 
     def applied_upto(self, app_id: str) -> int:
         """Watermark of the CURRENT version (-1 when no snapshot or no

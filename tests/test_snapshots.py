@@ -58,3 +58,70 @@ def test_prune_never_drops_current(spark, snaps):
     dropped = snaps.prune(keep=1)
     assert 3 not in dropped and snaps.read().count() == 4
     assert snaps.versions() == [3]
+
+
+def test_cas_publish_refuses_lost_update(spark, snaps):
+    """Two writers read version 0 and race: the second flip must refuse
+    (SnapshotConflict), leaving the winner's data current and the
+    loser's staged directory a harmless orphan."""
+    from etl_pipeline_orchestration_spark.loader import SnapshotConflict
+
+    snaps.write(spark.range(10))
+    base = snaps.current_version()
+    # writer A wins
+    va = snaps.write(spark.range(11), expect_version=base)
+    assert snaps.current_version() == va
+    # writer B staged against the same base: must lose, not overwrite
+    with pytest.raises(SnapshotConflict):
+        snaps.write(spark.range(99), expect_version=base)
+    assert snaps.current_version() == va
+    assert snaps.read().count() == 11
+    # the loser's orphan is skipped by the next claim
+    v_next = snaps.write(spark.range(12))
+    assert v_next > va and snaps.read().count() == 12
+
+
+def test_concurrent_claims_get_distinct_versions(spark, snaps):
+    """Version directories are claimed with atomic mkdir: two in-flight
+    writers stage under DISTINCT numbers instead of overwriting each
+    other's upload."""
+    snaps.write(spark.range(3))
+    cur = snaps.current_version()
+    n1, d1 = snaps._claim_version(cur)
+    n2, d2 = snaps._claim_version(cur)
+    assert n1 != n2 and d1 != d2
+    assert os.path.isdir(d1) and os.path.isdir(d2)
+
+
+def test_merge_publish_retries_and_merges_both_increments(spark, snaps):
+    """The read-merge-publish loop: a competing publish between read
+    and flip forces a retry that recomputes from the NEW current —
+    both writers' effects land (no lost update)."""
+    snaps.write(spark.range(5))
+    interfered = {"done": False}
+
+    def add_one_row(cur_df):
+        n = cur_df.count()
+        if not interfered["done"]:
+            interfered["done"] = True
+            # competitor publishes first, invalidating our base read
+            snaps.write(spark.range(n + 100))
+        return spark.range(snaps.read().count() + 1)
+
+    snaps.merge_publish(add_one_row)
+    assert snaps.read().count() == 106  # 105 from competitor, +1 merged
+
+
+def test_flip_lock_breaks_stale_lock(spark, snaps, monkeypatch):
+    """A lockfile abandoned by a killed process must not wedge the
+    table: locks older than LOCK_STALE_SEC are broken."""
+    import etl_pipeline_orchestration_spark.loader as loader_mod
+
+    snaps.write(spark.range(2))
+    lock_path = os.path.join(snaps.root, "_FLIP_LOCK")
+    open(lock_path, "w").close()
+    old = os.path.getmtime(lock_path) - loader_mod.LOCK_STALE_SEC - 5
+    os.utime(lock_path, (old, old))
+    v = snaps.write(spark.range(4), expect_version=snaps.current_version())
+    assert snaps.current_version() == v
+    assert not os.path.exists(lock_path)
