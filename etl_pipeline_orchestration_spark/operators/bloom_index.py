@@ -1,0 +1,198 @@
+"""Bloom-filter data-skipping sidecar: point lookups on a
+NON-partition column that read only the partitions that may contain
+the key.
+
+Partition pruning is free when the filter hits the partition column;
+the classic 100 TB pain is the other lookup — find one user in a table
+laid out by date. Transactional formats solve it with file-level bloom
+indexes (Delta's bloom filter index, Iceberg/Parquet bloom filters);
+this module is that feature for the snapshot warehouse:
+
+* ``build``: one distributed pass — every key explodes to its
+  ``n_hashes`` bit positions (``xxhash64(key, seed=i) pmod m_bits``,
+  JVM-side), distinct (partition, bit), then one Arrow-batched
+  ``applyInPandas`` per partition packs the positions into an m-bit
+  numpy bitmap. The sidecar is tiny (n_partitions x m_bits/8 bytes)
+  and publishes ATOMICALLY with nothing to keep consistent besides
+  itself — it lives in its own SnapshotTable version, stamped with the
+  indexed table's fingerprint so a stale sidecar REFUSES to prune
+  (fail-safe: bloom false negatives are the one unforgivable error).
+* ``lookup``: reads the (small) sidecar, recomputes the probe key's
+  bit positions with the SAME JVM xxhash64 (a 1-row Spark job — never
+  a Python reimplementation that could drift), prunes the partition
+  list driver-side (metadata-scale, like any format's stats pruning),
+  and scans ONLY candidate partitions via a partition-column isin
+  filter the parquet source turns into PartitionFilters. A final
+  ``key == probe`` filter removes bloom false positives; false
+  negatives cannot occur (every indexed key set every one of its
+  bits).
+
+Scale shape: build is a narrow map + one distinct shuffle on
+(partition, bit) — bounded by distinct keys x n_hashes — plus a tiny
+grouped pack; lookup is sidecar-read (KBs) + a pruned scan. The
+false-positive rate is the textbook (1 - e^{-kn/m})^k; the default
+2^15 bits / 5 hashes holds ~2% at 3k distinct keys per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_orchestration_spark.loader import SnapshotTable, WarehouseLoader
+
+DEFAULT_M_BITS = 1 << 15
+DEFAULT_N_HASHES = 5
+
+
+def _bit_positions(key_col: F.Column, m_bits: int, n_hashes: int) -> F.Column:
+    """Array of ``n_hashes`` bit positions for a key — xxhash64 with
+    distinct seeds, pmod to the bitmap width. JVM-side on build AND
+    probe, so the two can never drift. The key is canonicalized
+    through a string cast first: xxhash64 hashes INT and BIGINT
+    differently, so a Python probe literal (int -> IntegerType) would
+    otherwise probe different bits than the table's bigint column set
+    (observed: zero candidates for every present key)."""
+    canon = key_col.cast("string")
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(canon, F.lit(i)), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def _pack_bitmap(m_bits: int):
+    import numpy as np
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        pos = pdf["bit"].to_numpy()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {"part": [pdf["part"].iloc[0]], "bloom": [bits.tobytes()]}
+        )
+
+    return pack
+
+
+def table_fingerprint(df: DataFrame, key_col: str, part_col: str) -> int:
+    """Order-independent fingerprint of the indexed (partition, key)
+    content — the sidecar stores it and lookup refuses to prune when
+    the table has drifted (a stale bloom could yield false negatives)."""
+    row = df.select(
+        F.sum(
+            F.xxhash64(F.col(part_col).cast("string"), F.col(key_col))
+        ).alias("fp")
+    ).head()
+    return int(row["fp"] or 0)
+
+
+def build(
+    loader: WarehouseLoader,
+    df: DataFrame,
+    index_table: str,
+    key_col: str,
+    part_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+) -> int:
+    """Build/refresh the sidecar; returns the published version."""
+    if m_bits % 8 != 0:
+        raise ValueError(f"m_bits must be byte-aligned, got {m_bits}")
+    pos = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(part_col).cast("string").alias("part"),
+            F.explode(
+                _bit_positions(F.col(key_col), m_bits, n_hashes)
+            ).alias("bit"),
+        )
+        .distinct()
+    )
+    blooms = pos.groupBy("part").applyInPandas(
+        _pack_bitmap(m_bits), "part string, bloom binary"
+    )
+    meta = blooms.withColumns(
+        {
+            "m_bits": F.lit(m_bits).cast("int"),
+            "n_hashes": F.lit(n_hashes).cast("int"),
+            "fingerprint": F.lit(
+                table_fingerprint(df, key_col, part_col)
+            ).cast("bigint"),
+        }
+    )
+    return SnapshotTable(loader, index_table).write(meta)
+
+
+def candidate_partitions(
+    spark: SparkSession,
+    loader: WarehouseLoader,
+    index_table: str,
+    probe_key,
+    expect_fingerprint: int | None = None,
+) -> list[str]:
+    """Partitions whose bloom may contain ``probe_key`` (string-cast
+    partition values). Raises on a fingerprint mismatch instead of
+    returning a possibly-false-negative pruning."""
+    side = SnapshotTable(loader, index_table).read().collect()
+    if not side:
+        return []
+    m_bits = side[0]["m_bits"]
+    n_hashes = side[0]["n_hashes"]
+    if expect_fingerprint is not None:
+        stored = side[0]["fingerprint"]
+        if stored != expect_fingerprint:
+            raise ValueError(
+                f"stale bloom sidecar {index_table}: fingerprint {stored} "
+                f"!= table {expect_fingerprint}; rebuild before pruning"
+            )
+    pos_row = (
+        spark.range(1)
+        .select(_bit_positions(F.lit(probe_key), m_bits, n_hashes).alias("p"))
+        .head()
+    )
+    probes = list(pos_row["p"])
+    out = []
+    for r in side:
+        bits = r["bloom"]
+        if all(bits[p >> 3] & (1 << (p & 7)) for p in probes):
+            out.append(r["part"])
+    return out
+
+
+def lookup(
+    spark: SparkSession,
+    loader: WarehouseLoader,
+    table: str,
+    index_table: str,
+    key_col: str,
+    part_col: str,
+    probe_key,
+    expect_fingerprint: int | None = None,
+) -> DataFrame:
+    """Point lookup through the sidecar: the scan is built from the
+    candidate partition DIRECTORIES only (``basePath`` keeps the
+    partition column) — the skipping is physical, not an isin filter
+    the planner may or may not push, and ``inputFiles()`` provably
+    lists only candidate files (the plan-shape test relies on that).
+    A final exact filter drops bloom false positives. Partition values
+    ride the hive directory names, so this supports the plain
+    string-safe values hive layouts use."""
+    root = loader._path(table)
+    cands = candidate_partitions(
+        spark, loader, index_table, probe_key, expect_fingerprint
+    )
+    if not cands:
+        return (
+            spark.read.parquet(root).filter(F.lit(False))
+        )
+    import os
+
+    paths = [os.path.join(root, f"{part_col}={p}") for p in cands]
+    return (
+        spark.read.option("basePath", root)
+        .parquet(*paths)
+        .filter(F.col(key_col) == F.lit(probe_key))
+    )

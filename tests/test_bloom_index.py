@@ -1,0 +1,120 @@
+"""Bloom-filter data-skipping sidecar (operators/bloom_index.py):
+no false negatives ever, real partition pruning, fail-safe staleness
+refusal."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_pipeline_orchestration_spark.loader import WarehouseLoader
+from etl_pipeline_orchestration_spark.operators import bloom_index
+from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    """Orders laid out by month (the natural partition), bloom-indexed
+    on o_custkey (the non-partition lookup column)."""
+    wh = str(tmp_path_factory.mktemp("bloom_wh"))
+    loader = WarehouseLoader(spark, wh)
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    loader.load(orders, "orders_by_month", if_exists="replace",
+                partition_by=["month"])
+    df = spark.read.parquet(loader._path("orders_by_month"))
+    bloom_index.build(loader, df, "orders_custkey_bloom", "o_custkey", "month")
+    return loader, df
+
+
+def test_lookup_equals_full_scan_for_every_probe(spark, warehouse):
+    """No false negatives: for many probe keys the pruned lookup must
+    return exactly the rows a full-scan filter returns."""
+    loader, df = warehouse
+    keys = [r.o_custkey for r in df.select("o_custkey").distinct().limit(25).collect()]
+    for k in keys:
+        got = sorted(
+            r.o_orderkey
+            for r in bloom_index.lookup(
+                spark, loader, "orders_by_month", "orders_custkey_bloom",
+                "o_custkey", "month", k,
+            ).collect()
+        )
+        want = sorted(
+            r.o_orderkey for r in df.filter(F.col("o_custkey") == k).collect()
+        )
+        assert got == want and len(want) > 0
+
+
+def test_absent_key_prunes_everything_or_almost(spark, warehouse):
+    """A key that exists nowhere should prune to (near) zero candidate
+    partitions — the bloom's whole point; with 2^15 bits the expected
+    false-positive rate is ~per-mille here, so over 50 absent probes
+    the average candidate count must be far below the partition count."""
+    loader, df = warehouse
+    n_parts = df.select("month").distinct().count()
+    total = 0
+    for k in range(10_000_000, 10_000_050):
+        cands = bloom_index.candidate_partitions(
+            spark, loader, "orders_custkey_bloom", k
+        )
+        rows = bloom_index.lookup(
+            spark, loader, "orders_by_month", "orders_custkey_bloom",
+            "o_custkey", "month", k,
+        ).count()
+        assert rows == 0  # false positives never surface rows
+        total += len(cands)
+    assert total / 50 < n_parts / 4, (total / 50, n_parts)
+
+
+def test_present_key_scans_fewer_partitions_than_table(spark, warehouse):
+    """Pruning is real: a present key's candidate set is limited to
+    partitions that can contain it (<= its true partition count plus
+    rare false positives), not the whole table."""
+    loader, df = warehouse
+    k = df.select("o_custkey").distinct().head()[0]
+    true_parts = {
+        r.month
+        for r in df.filter(F.col("o_custkey") == k).select("month").distinct().collect()
+    }
+    cands = set(
+        bloom_index.candidate_partitions(spark, loader, "orders_custkey_bloom", k)
+    )
+    n_parts = df.select("month").distinct().count()
+    assert true_parts <= cands  # no false negatives at partition level
+    assert len(cands) < n_parts  # and it actually pruned something
+
+
+def test_pruned_scan_reads_fewer_files(spark, warehouse):
+    """The isin filter reaches the source as partition pruning: the
+    lookup plan's inputFiles are a strict subset of the full scan's."""
+    loader, df = warehouse
+    k = df.select("o_custkey").distinct().head()[0]
+    pruned = bloom_index.lookup(
+        spark, loader, "orders_by_month", "orders_custkey_bloom",
+        "o_custkey", "month", k,
+    )
+    n_all = len(spark.read.parquet(loader._path("orders_by_month")).inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert 0 < n_pruned < n_all, (n_pruned, n_all)
+
+
+def test_stale_sidecar_refuses_to_prune(spark, warehouse, tmp_path):
+    """Fail-safe: pruning with a fingerprint that no longer matches the
+    sidecar's stored one must raise, because a stale bloom could
+    silently drop rows (the unforgivable false negative)."""
+    loader, df = warehouse
+    fp = bloom_index.table_fingerprint(df, "o_custkey", "month")
+    k = df.select("o_custkey").distinct().head()[0]
+    # correct fingerprint: fine
+    bloom_index.candidate_partitions(
+        spark, loader, "orders_custkey_bloom", k, expect_fingerprint=fp
+    )
+    with pytest.raises(ValueError, match="stale bloom"):
+        bloom_index.candidate_partitions(
+            spark, loader, "orders_custkey_bloom", k, expect_fingerprint=fp + 1
+        )
