@@ -196,3 +196,117 @@ def lookup(
         .parquet(*paths)
         .filter(F.col(key_col) == F.lit(probe_key))
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone maps: the min/max complement to the bloom. Blooms answer point
+# membership; zone maps answer RANGE overlap (date windows, id ranges)
+# — together they are the two halves of format-level data skipping
+# (parquet row-group stats, Delta file stats, ClickHouse minmax
+# indexes). Same sidecar discipline: SnapshotTable publish,
+# fingerprint-stamped, stale => refuse to prune.
+# ---------------------------------------------------------------------------
+
+
+def build_minmax(
+    loader: WarehouseLoader,
+    df: DataFrame,
+    index_table: str,
+    key_col: str,
+    part_col: str,
+) -> int:
+    """Per-partition (min, max, has_null) of ``key_col`` — one
+    aggregate pass; the sidecar keeps the key's native type so range
+    comparison semantics are the column's own."""
+    side = (
+        df.groupBy(F.col(part_col).cast("string").alias("part"))
+        .agg(
+            F.min(key_col).alias("mn"),
+            F.max(key_col).alias("mx"),
+            F.max(F.col(key_col).isNull().cast("int")).alias("has_null"),
+        )
+        .withColumn(
+            "fingerprint",
+            F.lit(table_fingerprint(df, key_col, part_col)).cast("bigint"),
+        )
+    )
+    return SnapshotTable(loader, index_table).write(side)
+
+
+def range_candidates(
+    loader: WarehouseLoader,
+    index_table: str,
+    lo=None,
+    hi=None,
+    expect_fingerprint: int | None = None,
+) -> list[str]:
+    """Partitions whose [mn, mx] overlaps [lo, hi] (either bound may
+    be open). An all-NULL partition has mn = mx = NULL and never
+    overlaps — correct, since a range predicate excludes NULLs."""
+    rows = SnapshotTable(loader, index_table).read().collect()
+    if rows and expect_fingerprint is not None:
+        stored = rows[0]["fingerprint"]
+        if stored != expect_fingerprint:
+            raise ValueError(
+                f"stale minmax sidecar {index_table}: fingerprint {stored} "
+                f"!= table {expect_fingerprint}; rebuild before pruning"
+            )
+    sample = next((r["mn"] for r in rows if r["mn"] is not None), None)
+    lo = _align_bound(lo, sample)
+    hi = _align_bound(hi, sample)
+    out = []
+    for r in rows:
+        if r["mn"] is None:
+            continue
+        if lo is not None and r["mx"] < lo:
+            continue
+        if hi is not None and r["mn"] > hi:
+            continue
+        out.append(r["part"])
+    return out
+
+
+def _align_bound(bound, sample):
+    """Driver-side stats comparison is strict Python: a DATE probe
+    against TIMESTAMP-typed stats (or vice versa) raises TypeError, so
+    align the probe to the stored type — midnight widening matches the
+    SQL coercion the exact filter applies."""
+    import datetime as dt
+
+    if bound is None or sample is None:
+        return bound
+    is_dt = isinstance(sample, dt.datetime)
+    if is_dt and type(bound) is dt.date:
+        return dt.datetime.combine(bound, dt.time.min)
+    if not is_dt and isinstance(sample, dt.date) and isinstance(bound, dt.datetime):
+        return bound.date()
+    return bound
+
+
+def range_scan(
+    spark: SparkSession,
+    loader: WarehouseLoader,
+    table: str,
+    index_table: str,
+    key_col: str,
+    part_col: str,
+    lo=None,
+    hi=None,
+    expect_fingerprint: int | None = None,
+) -> DataFrame:
+    """Range scan through the zone map: candidate partition
+    directories only, then the exact range filter (zone overlap is
+    necessary, not sufficient)."""
+    import os
+
+    root = loader._path(table)
+    cands = range_candidates(loader, index_table, lo, hi, expect_fingerprint)
+    if not cands:
+        return spark.read.parquet(root).filter(F.lit(False))
+    paths = [os.path.join(root, f"{part_col}={p}") for p in cands]
+    out = spark.read.option("basePath", root).parquet(*paths)
+    if lo is not None:
+        out = out.filter(F.col(key_col) >= F.lit(lo))
+    if hi is not None:
+        out = out.filter(F.col(key_col) <= F.lit(hi))
+    return out

@@ -28,6 +28,8 @@ def warehouse(spark, tmp_path_factory):
                 partition_by=["month"])
     df = spark.read.parquet(loader._path("orders_by_month"))
     bloom_index.build(loader, df, "orders_custkey_bloom", "o_custkey", "month")
+    bloom_index.build_minmax(loader, df, "orders_date_mm", "o_orderdate", "month")
+    bloom_index.build_minmax(loader, df, "orders_price_mm", "o_totalprice", "month")
     return loader, df
 
 
@@ -117,4 +119,66 @@ def test_stale_sidecar_refuses_to_prune(spark, warehouse, tmp_path):
     with pytest.raises(ValueError, match="stale bloom"):
         bloom_index.candidate_partitions(
             spark, loader, "orders_custkey_bloom", k, expect_fingerprint=fp + 1
+        )
+
+
+def test_range_scan_equals_full_scan(spark, warehouse):
+    """Zone maps: for correlated (order date vs month) and
+    uncorrelated (total price) keys alike, the pruned range scan must
+    equal the full-scan range filter — pruning may differ, rows may
+    not."""
+    import datetime
+
+    loader, df = warehouse
+    lo, hi = datetime.date(1995, 3, 1), datetime.date(1995, 9, 30)
+    got = sorted(
+        r.o_orderkey
+        for r in bloom_index.range_scan(
+            spark, loader, "orders_by_month", "orders_date_mm",
+            "o_orderdate", "month", lo, hi,
+        ).collect()
+    )
+    want = sorted(
+        r.o_orderkey
+        for r in df.filter(
+            (F.col("o_orderdate") >= F.lit(lo)) & (F.col("o_orderdate") <= F.lit(hi))
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    got_p = sorted(
+        r.o_orderkey
+        for r in bloom_index.range_scan(
+            spark, loader, "orders_by_month", "orders_price_mm",
+            "o_totalprice", "month", 1000.0, 5000.0,
+        ).collect()
+    )
+    want_p = sorted(
+        r.o_orderkey
+        for r in df.filter(F.col("o_totalprice").between(1000.0, 5000.0)).collect()
+    )
+    assert got_p == want_p and len(want_p) > 0
+
+
+def test_range_scan_prunes_correlated_key(spark, warehouse):
+    """A date window over the month-partitioned table must prune to
+    roughly the window's months (the zone map's whole point when the
+    key correlates with layout)."""
+    import datetime
+
+    loader, df = warehouse
+    n_parts = df.select("month").distinct().count()
+    cands = bloom_index.range_candidates(
+        loader, "orders_date_mm",
+        datetime.date(1995, 3, 1), datetime.date(1995, 9, 30),
+    )
+    assert 0 < len(cands) <= 8, cands
+    assert len(cands) < n_parts / 4
+
+
+def test_minmax_stale_refusal(spark, warehouse):
+    loader, df = warehouse
+    fp = bloom_index.table_fingerprint(df, "o_orderdate", "month")
+    with pytest.raises(ValueError, match="stale minmax"):
+        bloom_index.range_candidates(
+            loader, "orders_date_mm", None, None, expect_fingerprint=fp + 1
         )
