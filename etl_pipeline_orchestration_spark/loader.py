@@ -151,7 +151,12 @@ class WarehouseLoader:
             .parquet(self._path(table))
         )
 
-    def compact(self, table: str, target_files: int) -> None:
+    def compact(
+        self,
+        table: str,
+        target_files: int,
+        partition_by: list[str] | None = None,
+    ) -> None:
         """Rewrite a table to ``target_files`` parquet files. Streaming
         appends and fine-grained partition writes accumulate small files
         that tax the file index and starve scan vectorization; periodic
@@ -163,7 +168,16 @@ class WarehouseLoader:
         in ``__compact_old_<table>``), and the recovery preamble below
         rolls that aside directory back on the next call, so the window
         self-heals (the original rmtree-then-rename order could lose
-        the table outright; same fix as streaming/upsert.py)."""
+        the table outright; same fix as streaming/upsert.py).
+
+        ``partition_by``: for hive-layout tables, pass the partition
+        columns so compaction PRESERVES the layout — the rewrite
+        shuffles on the partition key (``target_files`` files per
+        partition via repartition on key + a salt bucket) and writes
+        ``partitionBy`` again; a plain repartition would flatten the
+        directory structure and silently destroy downstream partition
+        pruning (OPTIMIZE in table formats is per-partition for the
+        same reason)."""
         import shutil
 
         src = self._path(table)
@@ -173,9 +187,20 @@ class WarehouseLoader:
         # the data lives only in the aside path; restore it first.
         if not os.path.exists(src) and os.path.exists(old):
             os.rename(old, src)
-        self.spark.read.parquet(src).repartition(target_files).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        df = self.spark.read.parquet(src)
+        if partition_by:
+            bucket = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(max(target_files, 1)),
+            )
+            writer = (
+                df.repartition(*[F.col(c) for c in partition_by], bucket)
+                .write.mode("overwrite")
+                .partitionBy(*partition_by)
+            )
+        else:
+            writer = df.repartition(target_files).write.mode("overwrite")
+        writer.parquet(tmp)
         if os.path.exists(old):
             shutil.rmtree(old)
         os.rename(src, old)

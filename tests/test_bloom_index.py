@@ -182,3 +182,36 @@ def test_minmax_stale_refusal(spark, warehouse):
         bloom_index.range_candidates(
             loader, "orders_date_mm", None, None, expect_fingerprint=fp + 1
         )
+
+
+def test_partitioned_compact_preserves_layout(spark, tmp_path):
+    """Partition-aware compaction: many small appended files collapse
+    to few per hive partition, the month=... layout (and thus
+    partition pruning) survives, and content is unchanged."""
+    import os
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    for i in range(6):  # six small appends -> many files per partition
+        loader.load(
+            orders.filter(F.col("o_orderkey") % 6 == i).repartition(4),
+            "orders_small", if_exists="append", partition_by=["month"],
+        )
+    path = loader._path("orders_small")
+    before_files = len(spark.read.parquet(path).inputFiles())
+    before = sorted(r.o_orderkey for r in spark.read.parquet(path).collect())
+    loader.compact("orders_small", target_files=2, partition_by=["month"])
+    after_df = spark.read.parquet(path)
+    assert sorted(r.o_orderkey for r in after_df.collect()) == before
+    assert "month" in after_df.columns  # hive layout survived
+    assert any(d.startswith("month=") for d in os.listdir(path))
+    after_files = len(after_df.inputFiles())
+    assert after_files < before_files / 3, (before_files, after_files)
+    # each hive partition holds at most target_files files
+    for d in os.listdir(path):
+        if d.startswith("month="):
+            n = len([f for f in os.listdir(os.path.join(path, d))
+                     if f.endswith(".parquet")])
+            assert n <= 2, (d, n)
