@@ -134,6 +134,7 @@ HEADLINE = [
     "dsir_importance_resample",
     "semdedup_prune",
     "pii_redaction_report",
+    "url_canonical_dedup",
     "semi_anti_join_combo",
     "windows_combo",
     "set_ops_full_combo",

@@ -3541,3 +3541,109 @@ def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pos"),
     )
+
+
+@query(
+    "url_canonical_dedup",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               upper(list_extract(['example.com','news.site.org','blog.example.net',
+                 'spam.example','docs.portal.io','ads.tracker.net','wiki.open.org',
+                 'shop.store.com'], CAST(doc_id % 8 AS INT) + 1))
+             ELSE
+               list_extract(['example.com','news.site.org','blog.example.net',
+                 'spam.example','docs.portal.io','ads.tracker.net','wiki.open.org',
+                 'shop.store.com'], CAST(doc_id % 8 AS INT) + 1)
+             END AS host,
+             '/p/' || CAST(doc_id % 97 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN
+                    '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 4 AS VARCHAR)
+                       || '&id=' || CAST(doc_id % 13 AS VARCHAR)
+                  WHEN doc_id % 7 = 0 THEN '?id=' || CAST(doc_id % 13 AS VARCHAR)
+                  ELSE '' END AS path
+      FROM documents
+    ), canon AS (
+      SELECT doc_id, lower(host) AS domain,
+             regexp_replace(
+               regexp_replace('https://' || lower(host) || path,
+                              'utm_[a-z]+=[^&]*&?', '', 'g'),
+               '[?&]$', '') AS curl
+      FROM aug
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_unique_urls,
+           CAST(count(*) - count(DISTINCT curl) AS BIGINT) AS n_dup_dropped,
+           domain IN ('spam.example', 'ads.tracker.net') AS is_blocked,
+           CASE WHEN domain IN ('spam.example', 'ads.tracker.net')
+                THEN 0 ELSE CAST(count(DISTINCT curl) AS BIGINT) END AS n_kept
+    FROM canon
+    GROUP BY domain
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup + domain blocklist — the curation
+    stage every public web-corpus pipeline runs before content dedup
+    (C4 dropped bad-word domains, RefinedWeb's URL filtering + exact
+    URL dedup precede MinHash). Synthetic URLs derive deterministically
+    from doc_id (the pii_redaction_report augmentation precedent — the
+    corpus has no URL column, and both engines replay the derivation,
+    so the canonicalization logic is what the hash certifies):
+    mixed-case hosts (doc_id%5), utm tracking params (doc_id%3), plain
+    query params (doc_id%7). Canonical form lowercases the host,
+    strips utm_* params, and trims a dangling separator; dedup keys on
+    the canonical URL; two domains are blocklisted.
+
+    100 TB shape: pure narrow string kernels (JVM regexp) + one
+    aggregate with a distinct count on the canonical URL — the same
+    two-phase shape as every dedup reporter; no UDF, no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    hosts = F.array(*[F.lit(h) for h in (
+        "example.com", "news.site.org", "blog.example.net", "spam.example",
+        "docs.portal.io", "ads.tracker.net", "wiki.open.org", "shop.store.com",
+    )])
+    host_raw = F.element_at(hosts, (F.col("doc_id") % 8).cast("int") + 1)
+    host = F.when(F.col("doc_id") % 5 == 0, F.upper(host_raw)).otherwise(host_raw)
+    path = F.concat(
+        F.lit("/p/"), (F.col("doc_id") % 97).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=c"),
+                (F.col("doc_id") % 4).cast("string"),
+                F.lit("&id="), (F.col("doc_id") % 13).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("?id="), (F.col("doc_id") % 13).cast("string")),
+        )
+        .otherwise(F.lit("")),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.concat(F.lit("https://"), F.lower(host), path),
+            r"utm_[a-z]+=[^&]*&?", ""),
+        r"[?&]$", "")
+    blocked_domains = ("spam.example", "ads.tracker.net")
+    agg = (
+        docs.select(F.lower(host).alias("domain"), curl.alias("curl"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("curl").alias("n_unique_urls"),
+        )
+    )
+    is_blocked = F.col("domain").isin(*blocked_domains)
+    return agg.select(
+        "domain",
+        "n_docs",
+        "n_unique_urls",
+        (F.col("n_docs") - F.col("n_unique_urls")).alias("n_dup_dropped"),
+        is_blocked.alias("is_blocked"),
+        F.when(is_blocked, F.lit(0)).otherwise(F.col("n_unique_urls"))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
