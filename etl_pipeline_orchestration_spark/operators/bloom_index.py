@@ -310,3 +310,57 @@ def range_scan(
     if hi is not None:
         out = out.filter(F.col(key_col) <= F.lit(hi))
     return out
+
+
+def refresh_partitions(
+    loader: WarehouseLoader,
+    df: DataFrame,
+    index_table: str,
+    key_col: str,
+    part_col: str,
+    parts: list[str],
+) -> int:
+    """Incrementally refresh the bloom sidecar for ``parts`` only —
+    the post-append maintenance step: a batch that landed in a handful
+    of partitions rebuilds a handful of bitmaps, while every untouched
+    partition's row carries forward verbatim from the current sidecar
+    version. The published version stores the CURRENT table
+    fingerprint, so a refresh that silently missed a touched partition
+    is caught by the next fingerprint-checked lookup (fail-safe
+    inherited from build/lookup).
+
+    At 100 TB: the rebuild scans ONLY the touched partitions (explicit
+    directory reads would also work; the filter prunes on the
+    partition column here because ``df`` is the caller's handle), the
+    carry-forward is a metadata-sized anti-join, and the publish is
+    one snapshot flip."""
+    if not parts:
+        raise ValueError("refresh_partitions: empty partition list")
+    snaps = SnapshotTable(loader, index_table)
+    side = snaps.read()
+    m_bits = int(side.select("m_bits").head()["m_bits"])
+    n_hashes = int(side.select("n_hashes").head()["n_hashes"])
+    touched = df.filter(F.col(part_col).cast("string").isin(parts))
+    pos = (
+        touched.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(part_col).cast("string").alias("part"),
+            F.explode(
+                _bit_positions(F.col(key_col), m_bits, n_hashes)
+            ).alias("bit"),
+        )
+        .distinct()
+    )
+    rebuilt = pos.groupBy("part").applyInPandas(
+        _pack_bitmap(m_bits), "part string, bloom binary"
+    )
+    fp = table_fingerprint(df, key_col, part_col)
+    carried = side.filter(~F.col("part").isin(parts)).select("part", "bloom")
+    meta = carried.unionByName(rebuilt).withColumns(
+        {
+            "m_bits": F.lit(m_bits).cast("int"),
+            "n_hashes": F.lit(n_hashes).cast("int"),
+            "fingerprint": F.lit(fp).cast("bigint"),
+        }
+    )
+    return snaps.write(meta)

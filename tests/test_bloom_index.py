@@ -215,3 +215,67 @@ def test_partitioned_compact_preserves_layout(spark, tmp_path):
             n = len([f for f in os.listdir(os.path.join(path, d))
                      if f.endswith(".parquet")])
             assert n <= 2, (d, n)
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, tmp_path):
+    """Append rows into TWO partitions, refresh only those two: the
+    sidecar must behave identically to a from-scratch rebuild (same
+    candidates for every probe), and the untouched partitions' bitmaps
+    must carry forward byte-for-byte."""
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    loader.load(base, "t", if_exists="replace", partition_by=["month"])
+    df0 = spark.read.parquet(loader._path("t"))
+    bloom_index.build(loader, df0, "t_bloom", "o_custkey", "month")
+    old_side = {
+        r.part: bytes(r.bloom)
+        for r in __import__(
+            "etl_pipeline_orchestration_spark.loader", fromlist=["SnapshotTable"]
+        ).SnapshotTable(loader, "t_bloom").read().collect()
+    }
+    # Append odd orders belonging to two specific months
+    extra = orders.filter(
+        (F.col("o_orderkey") % 2 == 1) & F.col("month").isin("1995-03", "1996-07")
+    )
+    assert extra.count() > 0
+    loader.load(extra, "t", if_exists="append", partition_by=["month"])
+    df1 = spark.read.parquet(loader._path("t"))
+    bloom_index.refresh_partitions(
+        loader, df1, "t_bloom", "o_custkey", "month", ["1995-03", "1996-07"]
+    )
+    # full rebuild reference
+    bloom_index.build(loader, df1, "t_bloom_ref", "o_custkey", "month")
+    fp = bloom_index.table_fingerprint(df1, "o_custkey", "month")
+    keys = [r.o_custkey for r in extra.select("o_custkey").distinct().limit(10).collect()]
+    for k in keys:
+        got = sorted(bloom_index.candidate_partitions(
+            spark, loader, "t_bloom", k, expect_fingerprint=fp))
+        ref = sorted(bloom_index.candidate_partitions(
+            spark, loader, "t_bloom_ref", k, expect_fingerprint=fp))
+        assert got == ref
+    # untouched partitions carried forward byte-for-byte
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+
+    new_side = {
+        r.part: bytes(r.bloom)
+        for r in SnapshotTable(loader, "t_bloom").read().collect()
+    }
+    for part, bits in old_side.items():
+        if part not in ("1995-03", "1996-07"):
+            assert new_side[part] == bits, part
+    # lookups through the refreshed sidecar find the appended rows
+    k = extra.select("o_custkey").head()[0]
+    got_rows = sorted(
+        r.o_orderkey
+        for r in bloom_index.lookup(
+            spark, loader, "t", "t_bloom", "o_custkey", "month", k,
+            expect_fingerprint=fp,
+        ).collect()
+    )
+    want_rows = sorted(
+        r.o_orderkey for r in df1.filter(F.col("o_custkey") == k).collect()
+    )
+    assert got_rows == want_rows and len(want_rows) > 0
