@@ -94,8 +94,20 @@ def scd2_apply_batch(
     checkpoint replay (batch id at or below the watermark)."""
     if batch_id <= snaps.applied_upto(app_id):
         return False
-    changes = batch.select(key, ts_col, seq_col, *payload).dropDuplicates(
-        [key, ts_col, seq_col]
+    # Deterministic dedup: dropDuplicates keeps a PARTITION-ORDER-
+    # dependent survivor, which is fine for exact replays but would
+    # make the maintained history run-dependent if an ill-formed feed
+    # ever carried two payloads under one (key, ts, seq). max_by on
+    # the payload struct pins the survivor to the lexicographically
+    # greatest payload — stable across runs, cluster layouts, and the
+    # stream==batch twin.
+    changes = (
+        batch.select(key, ts_col, seq_col, *payload)
+        .groupBy(key, ts_col, seq_col)
+        .agg(
+            F.max(F.struct(*payload)).alias("__p__"),
+        )
+        .select(key, ts_col, seq_col, *[f"__p__.{c}" for c in payload])
     )
     if snaps.current_version() is None:
         merged = scd2_intervals(changes, key, ts_col, seq_col, payload)
