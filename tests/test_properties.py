@@ -177,3 +177,76 @@ def test_jaccard_prefix_join_exact_on_random_corpora(spark, token_lists, thresho
         if inter / len(sa | sb) >= threshold:
             want[(a, b)] = inter
     assert got == want
+
+
+@given(
+    a=st.integers(min_value=-(10**15), max_value=10**15),
+    b=st.integers(min_value=1, max_value=10**12),
+)
+@settings(max_examples=200, deadline=None)
+def test_trunc_div_matches_duckdb_integer_division(a, b):
+    """The classifier's update divisor must be DuckDB's `//` (truncate
+    toward zero) for any sign of gradient — Python's floor `//` differs
+    on negatives, which would silently diverge every trained weight."""
+    import duckdb
+
+    from etl_pipeline_orchestration_spark.operators.classifier import _trunc_div
+
+    want = duckdb.sql(f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)").fetchone()[0]
+    assert _trunc_div(a, b) == int(want)
+
+
+@given(
+    positions=st.lists(
+        st.integers(min_value=0, max_value=(1 << 15) - 1),
+        min_size=1, max_size=400,
+    ),
+    probe=st.integers(min_value=0, max_value=(1 << 15) - 1),
+)
+@settings(max_examples=100, deadline=None)
+def test_bloom_pack_has_no_false_negatives(positions, probe):
+    """Every packed bit is readable back (the no-false-negative
+    invariant the bloom index rests on); bits never set read as
+    absent unless they collide with a set one."""
+    import pandas as pd
+
+    from etl_pipeline_orchestration_spark.operators.bloom_index import _pack_bitmap
+
+    m_bits = 1 << 15
+    pdf = pd.DataFrame({"part": ["p"] * len(positions), "bit": positions})
+    packed = _pack_bitmap(m_bits)(pdf)["bloom"].iloc[0]
+    for p in positions:
+        assert packed[p >> 3] & (1 << (p & 7)), p
+    if probe not in set(positions):
+        # absent bits MAY collide within a byte but only at the exact
+        # bit position of a set one — check the precise bit
+        assert not (packed[probe >> 3] & (1 << (probe & 7))) or any(
+            q == probe for q in positions
+        )
+
+
+@given(
+    y=st.integers(min_value=1995, max_value=1999),
+    m=st.integers(min_value=1, max_value=12),
+    d=st.integers(min_value=1, max_value=28),
+    as_datetime_stats=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_align_bound_is_order_preserving(y, m, d, as_datetime_stats):
+    """Zone-map bound alignment never changes which side of a stat a
+    bound falls on: aligning a DATE probe to TIMESTAMP stats widens to
+    midnight, matching SQL coercion."""
+    import datetime as dt
+
+    from etl_pipeline_orchestration_spark.operators.bloom_index import _align_bound
+
+    bound = dt.date(y, m, d)
+    if as_datetime_stats:
+        sample = dt.datetime(1997, 6, 15, 12, 30)
+        aligned = _align_bound(bound, sample)
+        assert isinstance(aligned, dt.datetime)
+        assert aligned == dt.datetime(y, m, d, 0, 0)
+    else:
+        sample = dt.date(1997, 6, 15)
+        aligned = _align_bound(bound, sample)
+        assert aligned == bound
