@@ -253,9 +253,6 @@ class WarehouseLoader:
             return 0
 
 
-LOCK_STALE_SEC = 60.0
-
-
 class SnapshotConflict(RuntimeError):
     """A CAS publish lost the race: the table's current version moved
     past ``expect_version`` between read and flip. The staged version
@@ -367,7 +364,12 @@ class SnapshotTable:
         if marker is None and cur is not None:
             marker = read_marker(self._vdir(cur))
         nxt, vdir = self._claim_version(cur)
-        df.write.mode("overwrite").parquet(vdir)
+        # APPEND into the freshly-claimed (empty) directory: overwrite
+        # mode would DELETE the path at job start and recreate it,
+        # reopening the claim race the mkdir exists to close (a
+        # concurrent _claim_version listing during that window sees the
+        # number free and both writers stage into it).
+        df.write.mode("append").parquet(vdir)
         if marker is not None:
             write_marker(vdir, marker[0], marker[1])
         if prepare is not None:
@@ -375,18 +377,20 @@ class SnapshotTable:
         tmp = self._pointer() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(nxt))
-        if expect_version is ...:
+        # EVERY flip holds the lock: a plain write's unguarded replace
+        # landing between a CAS writer's compare and ITS replace would
+        # be silently overwritten — the precise lost update the CAS
+        # parameter exists to prevent. The lock wraps pointer metadata
+        # only, never the data write.
+        with self._flip_lock():
+            if expect_version is not ... and self.current_version() != expect_version:
+                os.remove(tmp)
+                raise SnapshotConflict(
+                    f"{self.root}: expected current version "
+                    f"{expect_version}, found {self.current_version()} "
+                    f"(staged v={nxt} left orphaned)"
+                )
             os.replace(tmp, self._pointer())
-        else:
-            with self._flip_lock():
-                if self.current_version() != expect_version:
-                    os.remove(tmp)
-                    raise SnapshotConflict(
-                        f"{self.root}: expected current version "
-                        f"{expect_version}, found {self.current_version()} "
-                        f"(staged v={nxt} left orphaned)"
-                    )
-                os.replace(tmp, self._pointer())
         return nxt
 
     def _claim_version(self, cur: int | None) -> tuple[int, str]:
@@ -405,40 +409,37 @@ class SnapshotTable:
                 nxt += 1
 
     def _flip_lock(self):
-        """Short-lived lockfile making (compare, flip) atomic for CAS
-        publishes. Held only around pointer metadata — never the data
-        write. A lock abandoned by a killed process goes stale after
-        LOCK_STALE_SEC and is broken by the next writer."""
+        """Advisory ``flock`` making (compare, flip) atomic across
+        writers. flock has no staleness problem at all — the kernel
+        releases it when the holding process dies, so there is no
+        mtime-based lock breaking and therefore no check-then-remove
+        TOCTOU (the create/EXCL + break-if-stale pattern lets a waiter
+        delete a FRESHLY acquired lock and admit two writers). The
+        lock file itself is permanent metadata; only the flock on its
+        fd matters. Held only around pointer metadata — never the data
+        write."""
         import contextlib
+        import fcntl
         import time
 
         path = os.path.join(self.root, "_FLIP_LOCK")
 
         @contextlib.contextmanager
         def lock():
+            fd = os.open(path, os.O_CREAT | os.O_WRONLY, 0o644)
             deadline = time.monotonic() + 30.0
-            while True:
-                try:
-                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.close(fd)
-                    break
-                except FileExistsError:
-                    try:
-                        if time.time() - os.path.getmtime(path) > LOCK_STALE_SEC:
-                            os.remove(path)
-                            continue
-                    except FileNotFoundError:
-                        continue
-                    if time.monotonic() > deadline:
-                        raise TimeoutError(f"flip lock stuck: {path}")
-                    time.sleep(0.05)
             try:
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except BlockingIOError:
+                        if time.monotonic() > deadline:
+                            raise TimeoutError(f"flip lock stuck: {path}")
+                        time.sleep(0.02)
                 yield
             finally:
-                try:
-                    os.remove(path)
-                except FileNotFoundError:
-                    pass
+                os.close(fd)  # releases the flock
 
         return lock()
 

@@ -80,13 +80,32 @@ def _pack_bitmap(m_bits: int):
 def table_fingerprint(df: DataFrame, key_col: str, part_col: str) -> int:
     """Order-independent fingerprint of the indexed (partition, key)
     content — the sidecar stores it and lookup refuses to prune when
-    the table has drifted (a stale bloom could yield false negatives)."""
+    the table has drifted (a stale bloom could yield false negatives).
+
+    ADDITIVE by construction (a sum of per-row hashes reduced mod
+    2^61), so maintenance can update it incrementally:
+    ``fingerprint(old ∪ batch) = fp_add(fp_old, fingerprint(batch))``.
+    The sum runs in DECIMAL(38,0) — an int64 sum of xxhash64 values
+    overflows after two rows and THROWS under the driver's ANSI
+    session; decimal carries ~1e12 rows x |hash| and the modular
+    reduction happens driver-side in Python ints."""
     row = df.select(
         F.sum(
-            F.xxhash64(F.col(part_col).cast("string"), F.col(key_col))
+            F.xxhash64(F.col(part_col).cast("string"), F.col(key_col)).cast(
+                "decimal(38,0)"
+            )
         ).alias("fp")
     ).head()
-    return int(row["fp"] or 0)
+    return int(row["fp"] or 0) % FP_MOD
+
+
+#: Modulus for the additive fingerprint (fits int64 storage).
+FP_MOD = 1 << 61
+
+
+def fp_add(a: int, b: int) -> int:
+    """Combine two additive fingerprints (disjoint row sets)."""
+    return (a + b) % FP_MOD
 
 
 def build(
@@ -97,10 +116,12 @@ def build(
     part_col: str,
     m_bits: int = DEFAULT_M_BITS,
     n_hashes: int = DEFAULT_N_HASHES,
+    marker: tuple[str, int] | None = None,
 ) -> int:
     """Build/refresh the sidecar; returns the published version."""
     if m_bits % 8 != 0:
         raise ValueError(f"m_bits must be byte-aligned, got {m_bits}")
+    _check_key_type(df, key_col)
     pos = (
         df.filter(F.col(key_col).isNotNull())
         .select(
@@ -123,7 +144,42 @@ def build(
             ).cast("bigint"),
         }
     )
-    return SnapshotTable(loader, index_table).write(meta)
+    return SnapshotTable(loader, index_table).write(meta, marker=marker)
+
+
+def _check_key_type(df: DataFrame, key_col: str) -> None:
+    """Refuse float/decimal key columns: the build hashes the COLUMN's
+    string cast while the probe hashes a PYTHON literal's, and
+    1000.00 (decimal) vs 1000.0 (double) stringify differently —
+    a silent bloom false negative, the one unforgivable error. Integer,
+    string, date, timestamp, and boolean keys stringify canonically on
+    both paths."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[key_col].dataType
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        raise TypeError(
+            f"bloom index key {key_col!r} has type {dt.simpleString()}: "
+            "float/decimal string casts differ between column values and "
+            "probe literals; cast the key to string or integer yourself"
+        )
+
+
+# Hive partition-path escaping (mirrors Spark's ExternalCatalogUtils
+# .escapePathName): these characters are %XX-encoded in partition
+# directory names, so a path built from the RAW value would miss the
+# directory (':' in timestamps) or be misread as a glob ('[', '*').
+_HIVE_ESCAPE = set('"#%\'*/:=?{[]^')
+
+
+def _escape_hive(value: str) -> str:
+    out = []
+    for ch in value:
+        if ch in _HIVE_ESCAPE or ord(ch) < 0x20:
+            out.append("%{:02X}".format(ord(ch)))
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def candidate_partitions(
@@ -136,8 +192,24 @@ def candidate_partitions(
     """Partitions whose bloom may contain ``probe_key`` (string-cast
     partition values). Raises on a fingerprint mismatch instead of
     returning a possibly-false-negative pruning."""
+    if isinstance(probe_key, float):
+        raise TypeError(
+            "bloom probe keys must not be floats: F.lit(1000.0) casts to "
+            "'1000.0' while an integer column value casts to '1000' — a "
+            "silent false negative; probe with the column's own type"
+        )
     side = SnapshotTable(loader, index_table).read().collect()
     if not side:
+        # An empty sidecar means the table was EMPTY at build time
+        # (fingerprint 0). Returning [] before the staleness check
+        # would bypass the fail-safe for a table that has since gained
+        # rows — the silent-false-negative path.
+        if expect_fingerprint not in (None, 0):
+            raise ValueError(
+                f"stale bloom sidecar {index_table}: built on an empty "
+                f"table, table fingerprint now {expect_fingerprint}; "
+                f"rebuild before pruning"
+            )
         return []
     m_bits = side[0]["m_bits"]
     n_hashes = side[0]["n_hashes"]
@@ -190,7 +262,9 @@ def lookup(
         )
     import os
 
-    paths = [os.path.join(root, f"{part_col}={p}") for p in cands]
+    paths = [
+        os.path.join(root, f"{part_col}={_escape_hive(p)}") for p in cands
+    ]
     return (
         spark.read.option("basePath", root)
         .parquet(*paths)
@@ -303,7 +377,9 @@ def range_scan(
     cands = range_candidates(loader, index_table, lo, hi, expect_fingerprint)
     if not cands:
         return spark.read.parquet(root).filter(F.lit(False))
-    paths = [os.path.join(root, f"{part_col}={p}") for p in cands]
+    paths = [
+        os.path.join(root, f"{part_col}={_escape_hive(p)}") for p in cands
+    ]
     out = spark.read.option("basePath", root).parquet(*paths)
     if lo is not None:
         out = out.filter(F.col(key_col) >= F.lit(lo))
@@ -319,6 +395,8 @@ def refresh_partitions(
     key_col: str,
     part_col: str,
     parts: list[str],
+    fingerprint: int | None = None,
+    marker: tuple[str, int] | None = None,
 ) -> int:
     """Incrementally refresh the bloom sidecar for ``parts`` only —
     the post-append maintenance step: a batch that landed in a handful
@@ -338,8 +416,15 @@ def refresh_partitions(
         raise ValueError("refresh_partitions: empty partition list")
     snaps = SnapshotTable(loader, index_table)
     side = snaps.read()
-    m_bits = int(side.select("m_bits").head()["m_bits"])
-    n_hashes = int(side.select("n_hashes").head()["n_hashes"])
+    head = side.limit(1).collect()
+    if not head:
+        # Sidecar was built on an empty table (zero rows — no stored
+        # m_bits to inherit): a refresh is a first real build.
+        return build(
+            loader, df, index_table, key_col, part_col, marker=marker
+        )
+    m_bits = int(head[0]["m_bits"])
+    n_hashes = int(head[0]["n_hashes"])
     touched = df.filter(F.col(part_col).cast("string").isin(parts))
     pos = (
         touched.filter(F.col(key_col).isNotNull())
@@ -354,7 +439,15 @@ def refresh_partitions(
     rebuilt = pos.groupBy("part").applyInPandas(
         _pack_bitmap(m_bits), "part string, bloom binary"
     )
-    fp = table_fingerprint(df, key_col, part_col)
+    # ``fingerprint``: callers that KNOW the post-change fingerprint
+    # (streaming maintenance adds the batch delta to the stored value —
+    # the fingerprint is additive) pass it and skip the O(table)
+    # recompute; ad-hoc refreshes recompute from the handle.
+    fp = (
+        fingerprint
+        if fingerprint is not None
+        else table_fingerprint(df, key_col, part_col)
+    )
     carried = side.filter(~F.col("part").isin(parts)).select("part", "bloom")
     meta = carried.unionByName(rebuilt).withColumns(
         {
@@ -363,4 +456,19 @@ def refresh_partitions(
             "fingerprint": F.lit(fp).cast("bigint"),
         }
     )
-    return snaps.write(meta)
+    return snaps.write(meta, marker=marker)
+
+
+def stored_fingerprint(loader: WarehouseLoader, index_table: str) -> int:
+    """The fingerprint the current sidecar version is stamped with
+    (0 for an empty sidecar — the empty-table fingerprint)."""
+    rows = SnapshotTable(loader, index_table).read().limit(1).collect()
+    return int(rows[0]["fingerprint"]) if rows else 0
+
+
+def null_candidates(loader: WarehouseLoader, index_table: str) -> list[str]:
+    """Partitions that may contain NULL keys (the ``has_null`` zone-map
+    stat) — the pruning set for an ``IS NULL`` point lookup, which
+    min/max alone cannot answer (NULLs never enter mn/mx)."""
+    rows = SnapshotTable(loader, index_table).read().collect()
+    return [r["part"] for r in rows if r["has_null"]]

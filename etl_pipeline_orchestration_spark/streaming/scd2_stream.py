@@ -100,7 +100,17 @@ def scd2_apply_batch(
     # ever carried two payloads under one (key, ts, seq). max_by on
     # the payload struct pins the survivor to the lexicographically
     # greatest payload — stable across runs, cluster layouts, and the
-    # stream==batch twin.
+    # stream==batch twin. That requires ORDERABLE payload types; fail
+    # loudly up front for maps rather than at plan time mid-stream.
+    from pyspark.sql import types as T
+
+    for c in payload:
+        if isinstance(batch.schema[c].dataType, T.MapType):
+            raise TypeError(
+                f"SCD2 payload column {c!r} is a map: max_by dedup needs "
+                "orderable types — serialize the map (to_json / sorted "
+                "entries) before streaming it into the dimension"
+            )
     changes = (
         batch.select(key, ts_col, seq_col, *payload)
         .groupBy(key, ts_col, seq_col)

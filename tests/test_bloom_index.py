@@ -279,3 +279,63 @@ def test_incremental_refresh_equals_full_rebuild(spark, tmp_path):
         r.o_orderkey for r in df1.filter(F.col("o_custkey") == k).collect()
     )
     assert got_rows == want_rows and len(want_rows) > 0
+
+
+def test_float_and_decimal_keys_fail_fast(spark, warehouse):
+    """The unforgivable-false-negative guards: float/decimal key
+    COLUMNS refuse at build, float PROBES refuse at lookup."""
+    loader, df = warehouse
+    with pytest.raises(TypeError, match="float/decimal"):
+        bloom_index.build(loader, df, "bad_bloom", "o_totalprice", "month")
+    k = df.select("o_custkey").head()[0]
+    with pytest.raises(TypeError, match="must not be floats"):
+        bloom_index.candidate_partitions(
+            spark, loader, "orders_custkey_bloom", float(k)
+        )
+
+
+def test_empty_sidecar_fails_safe_once_table_has_rows(spark, tmp_path):
+    """A sidecar built on an EMPTY table must refuse fingerprint-
+    checked pruning after rows appear — not silently return zero
+    candidates."""
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    empty = orders.filter(F.lit(False))
+    loader.load(empty, "t", if_exists="replace", partition_by=["month"])
+    bloom_index.build(loader, empty, "t_bloom", "o_custkey", "month")
+    # table gains rows; sidecar is now stale
+    loader.load(orders, "t", if_exists="append", partition_by=["month"])
+    df = spark.read.parquet(loader._path("t"))
+    fp = bloom_index.table_fingerprint(df, "o_custkey", "month")
+    with pytest.raises(ValueError, match="empty"):
+        bloom_index.candidate_partitions(
+            spark, loader, "t_bloom", 1, expect_fingerprint=fp
+        )
+
+
+def test_hive_escaping_of_partition_values():
+    from etl_pipeline_orchestration_spark.operators.bloom_index import (
+        _escape_hive,
+    )
+
+    assert _escape_hive("2024-01-01 00:00:00") == "2024-01-01 00%3A00%3A00"
+    assert _escape_hive("a/b*c[d]") == "a%2Fb%2Ac%5Bd%5D"
+    assert _escape_hive("plain-1.2_x") == "plain-1.2_x"
+
+
+def test_null_candidates_consumes_has_null(spark, tmp_path):
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    ).withColumn(
+        "maybe_key",
+        F.when(F.col("month") == "1995-01", F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_custkey")),
+    )
+    loader.load(orders, "t", if_exists="replace", partition_by=["month"])
+    df = spark.read.parquet(loader._path("t"))
+    bloom_index.build_minmax(loader, df, "t_mm", "maybe_key", "month")
+    nulls = bloom_index.null_candidates(loader, "t_mm")
+    assert nulls == ["1995-01"]

@@ -92,21 +92,32 @@ def test_replay_skips_append_but_refreshes(spark, tmp_path):
 
 
 def test_crash_window_fails_safe_then_heals(spark, tmp_path):
-    """Simulate a crash AFTER the batch-1 append, BEFORE its refresh:
-    the fingerprint-checked lookup must refuse (stale sidecar), and
-    the checkpoint-style replay of batch 1 heals it."""
+    """Simulate a crash AFTER the batch-1 append completed (done
+    marker written), BEFORE its refresh: the fingerprint-checked
+    lookup must refuse (stale sidecar), and the checkpoint-style
+    replay of batch 1 skips the append and heals the sidecar."""
+    import os
+
+    from etl_pipeline_orchestration_spark.streaming.bloom_stream import (
+        _done_marker,
+    )
+
     ev = _events_with_day(spark).filter(F.col("user_id") % 20 == 0)
     loader = WarehouseLoader(spark, str(tmp_path / "wh"))
     b0 = ev.filter(F.col("event_id") % 2 == 0)
     b1 = ev.filter(F.col("event_id") % 2 == 1)
     append_batch_with_bloom(loader, "t", "t_b", b0, 0, "user_id", "day")
-    # crash half: append batch 1's data directly, no refresh
+    # crash half: batch 1's append completed (data + done marker) but
+    # the refresh never ran
+    root = loader._path("t")
     (
         b1.withColumn("ingest_batch", F.lit(1))
         .write.mode("append").partitionBy("day", "ingest_batch")
-        .parquet(loader._path("t"))
+        .parquet(root)
     )
-    df = spark.read.parquet(loader._path("t")).drop("ingest_batch")
+    os.makedirs(os.path.dirname(_done_marker(root, 1)), exist_ok=True)
+    open(_done_marker(root, 1), "w").write("done")
+    df = spark.read.parquet(root).drop("ingest_batch")
     fp_now = bloom_index.table_fingerprint(df, "user_id", "day")
     k = b1.select("user_id").head()[0]
     with pytest.raises(ValueError, match="stale bloom"):
@@ -114,7 +125,7 @@ def test_crash_window_fails_safe_then_heals(spark, tmp_path):
             spark, loader, "t", "t_b", "user_id", "day", k,
             expect_fingerprint=fp_now,
         )
-    # replay batch 1: append skipped (dirs exist), refresh heals
+    # replay batch 1: append skipped (marker present), refresh heals
     assert not append_batch_with_bloom(loader, "t", "t_b", b1, 1, "user_id", "day")
     got = sorted(
         r.event_id
@@ -125,3 +136,39 @@ def test_crash_window_fails_safe_then_heals(spark, tmp_path):
     )
     want = sorted(r.event_id for r in ev.filter(F.col("user_id") == k).collect())
     assert got == want
+
+
+def test_partial_commit_replay_reappends_cleanly(spark, tmp_path):
+    """A mid-commit crash leaves SOME ingest_batch dirs but no done
+    marker: the replay must remove the partials and re-append the FULL
+    batch — no lost partitions, no duplicate rows."""
+    ev = _events_with_day(spark).filter(F.col("user_id") % 20 == 0)
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    append_batch_with_bloom(loader, "t", "t_b", b0, 0, "user_id", "day")
+    # crash half: only ONE of batch 1's partitions got committed, and
+    # no done marker was written
+    days = sorted(r.day for r in b1.select("day").distinct().collect())
+    assert len(days) >= 2, "fixture needs multiple touched partitions"
+    partial = b1.filter(F.col("day") == days[0])
+    (
+        partial.withColumn("ingest_batch", F.lit(1))
+        .write.mode("append").partitionBy("day", "ingest_batch")
+        .parquet(loader._path("t"))
+    )
+    # replay: partial removed, full batch appended
+    assert append_batch_with_bloom(loader, "t", "t_b", b1, 1, "user_id", "day")
+    df = spark.read.parquet(loader._path("t")).drop("ingest_batch")
+    assert df.count() == ev.count()  # nothing lost, nothing doubled
+    fp = bloom_index.table_fingerprint(df, "user_id", "day")
+    k = b1.filter(F.col("day") == days[1]).select("user_id").head()[0]
+    got = sorted(
+        r.event_id
+        for r in bloom_index.lookup(
+            spark, loader, "t", "t_b", "user_id", "day", k,
+            expect_fingerprint=fp,
+        ).collect()
+    )
+    want = sorted(r.event_id for r in ev.filter(F.col("user_id") == k).collect())
+    assert got == want and len(want) > 0

@@ -112,16 +112,38 @@ def test_merge_publish_retries_and_merges_both_increments(spark, snaps):
     assert snaps.read().count() == 106  # 105 from competitor, +1 merged
 
 
-def test_flip_lock_breaks_stale_lock(spark, snaps, monkeypatch):
-    """A lockfile abandoned by a killed process must not wedge the
-    table: locks older than LOCK_STALE_SEC are broken."""
-    import etl_pipeline_orchestration_spark.loader as loader_mod
+def test_leftover_lock_file_does_not_wedge(spark, snaps):
+    """The flip lock is an flock, not file existence: a lock FILE left
+    behind by a killed process holds no kernel lock, so the next
+    writer acquires immediately — no staleness protocol, no TOCTOU."""
+    snaps.write(spark.range(2))
+    lock_path = os.path.join(snaps.root, "_FLIP_LOCK")
+    open(lock_path, "w").close()  # simulate a killed process's leftover
+    v = snaps.write(spark.range(4), expect_version=snaps.current_version())
+    assert snaps.current_version() == v
+
+
+def test_held_flock_blocks_cas_flip(spark, snaps):
+    """A LIVE flock (another writer mid-flip) must block the CAS flip
+    until released — proven by timing out a flip attempted while this
+    process holds the lock from another fd."""
+    import fcntl
+    import threading
 
     snaps.write(spark.range(2))
     lock_path = os.path.join(snaps.root, "_FLIP_LOCK")
-    open(lock_path, "w").close()
-    old = os.path.getmtime(lock_path) - loader_mod.LOCK_STALE_SEC - 5
-    os.utime(lock_path, (old, old))
-    v = snaps.write(spark.range(4), expect_version=snaps.current_version())
-    assert snaps.current_version() == v
-    assert not os.path.exists(lock_path)
+    fd = os.open(lock_path, os.O_CREAT | os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    state = {}
+
+    def attempt():
+        with snaps._flip_lock():
+            state["entered"] = True
+
+    t = threading.Thread(target=attempt, daemon=True)
+    t.start()
+    t.join(timeout=0.5)
+    assert "entered" not in state  # blocked while held
+    os.close(fd)  # release
+    t.join(timeout=10)
+    assert state.get("entered") is True
