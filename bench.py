@@ -40,6 +40,7 @@ HEADLINE = [
     "tumbling_window_events",
     "dedup_exact_hash",
     "dedup_minhash_verified",
+    "dedup_minhash_crossengine",
     "dedup_simhash_pairs",
     "embedding_near_dup_pairs",
     "token_stats",

@@ -517,3 +517,137 @@ def jaccard_all_pairs_prefix(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+# Cross-engine MinHash constants: base-131 char fold mod the Mersenne
+# prime 2^31-1 (the winnowing/doc_fingerprints_poly hash), and an
+# affine permutation family (a_i*h + b_i) mod p whose products stay
+# under 2^62 — int64-safe under ANSI sessions on BOTH engines.
+XENGINE_P = 2147483647
+
+
+def xengine_affine(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        ((2654435761 * (i + 1)) % XENGINE_P, (40503 * i + 9973) % XENGINE_P)
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs_crossengine(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int = 1_000,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """The FULL MinHash-LSH pipeline — signatures, banding, mega-bucket
+    guard, candidate join, exact-Jaccard verify — built on the
+    cross-engine polynomial hash instead of xxhash64, so every stage is
+    replayable in SQL and the ENTIRE pipeline is oracle-verifiable by
+    value (the xxhash64 sibling ``minhash_lsh_candidates`` is stronger
+    per-bit and stays the production path, but can only be
+    rows-checked). Same trade as doc_fingerprints_poly vs
+    doc_fingerprints.
+
+    Output: (id_a, id_b, n_bands_matched, intersect_size, n_a, n_b,
+    jaccard) for verified pairs with Jaccard >= ``threshold`` —
+    all-integer except the single int/int division, which is
+    bit-identical across engines.
+
+    Plan shape is the production one: per-row codegen'd folds (no
+    UDF), one explode to the (band, hash) relation, the windowed
+    mega-bucket guard on the join key's own shuffle, the bucket
+    self-join, and a candidates-only verify join — nothing all-pairs.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    ab = xengine_affine(num_hashes)
+    p = F.lit(XENGINE_P)
+
+    base = ensure_min_partitions(docs).filter(
+        F.size(_tokens(text_col)) >= F.lit(shingle_k)
+    )
+    sets = base.select(
+        F.col(id_col).alias("id"), _shingles(text_col, shingle_k).alias("sh")
+    ).localCheckpoint()  # three consumers (sigs, tok, sz); narrow plan
+
+    def charfold(s):
+        return F.aggregate(
+            F.filter(F.split(s, ""), lambda c: c != F.lit("")),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 131 + F.ascii(c)) % p,
+        )
+
+    hs = sets.select("id", F.transform("sh", charfold).alias("hv"))
+
+    def _perm(a: int, b: int):
+        # factory closure: PySpark inspects the lambda's arity, so
+        # capturing (a, b) via default args would read as a 3-arg HOF
+        return lambda h: (F.lit(a) * h + F.lit(b)) % p
+
+    sigs = hs.select(
+        "id",
+        *[
+            F.array_min(F.transform("hv", _perm(a, b))).alias(f"s{i}")
+            for i, (a, b) in enumerate(ab)
+        ],
+    )
+    band_structs = []
+    for bi in range(bands):
+        bh = F.lit(0).cast("long")
+        for r in range(rows):
+            bh = (bh * 131 + F.col(f"s{bi * rows + r}")) % p
+        band_structs.append(
+            F.struct(F.lit(bi).alias("band_id"), bh.alias("band_hash"))
+        )
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+    wb = W.partitionBy("band_id", "band_hash")
+    banded = (
+        banded.withColumn("__bn__", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bn__") <= max_bucket)
+        .drop("__bn__")
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+    tok = sets.select(F.col("id"), F.explode("sh").alias("s"))
+    sz = sets.select("id", F.size("sh").alias("n"))
+    inter = (
+        cand.join(tok.alias("ta"), F.col("id_a") == F.col("ta.id"))
+        .join(
+            tok.alias("tb"),
+            (F.col("id_b") == F.col("tb.id")) & (F.col("ta.s") == F.col("tb.s")),
+        )
+        .groupBy("id_a", "id_b", "n_bands_matched")
+        .agg(F.count(F.lit(1)).alias("intersect_size"))
+    )
+    jac = F.col("intersect_size").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("intersect_size")
+    )
+    return (
+        inter.join(sz.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.col("n_bands_matched").cast("bigint").alias("n_bands_matched"),
+            F.col("intersect_size").cast("bigint").alias("intersect_size"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )

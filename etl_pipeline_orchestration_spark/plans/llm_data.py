@@ -2682,3 +2682,109 @@ def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("holdout")
     )
     return classifier.confusion_by_split(feats, betas, split)
+
+
+def _minhash_xengine_oracle(
+    num_hashes: int = 32, bands: int = 8, shingle_k: int = 3,
+    max_bucket: int = 1000, threshold: float = 0.4,
+) -> str:
+    from etl_pipeline_orchestration_spark.operators.dedup import (
+        XENGINE_P,
+        xengine_affine,
+    )
+
+    rows = num_hashes // bands
+    p = XENGINE_P
+    ab = xengine_affine(num_hashes)
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {p})) AS s{i}"
+        for i, (a, b) in enumerate(ab)
+    )
+    band_selects = []
+    for bi in range(bands):
+        bh = "CAST(0 AS BIGINT)"
+        for r in range(rows):
+            bh = f"(({bh}) * 131 + s{bi * rows + r}) % {p}"
+        band_selects.append(
+            f"SELECT id, {bi} AS band_id, {bh} AS band_hash FROM sig"
+        )
+    bands_union = "\n      UNION ALL ".join(band_selects)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), ok AS (
+      SELECT id, ws FROM toks WHERE len(ws) >= {shingle_k}
+    ), sets AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, len(ws) - {shingle_k - 2}),
+               i -> {" || ' ' || ".join(f"ws[i+{j}]" for j in range(shingle_k))}))
+               AS sh
+      FROM ok
+    ), hs AS (
+      SELECT id,
+             list_transform(sh, s -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(s, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % {p})) AS hv
+      FROM sets
+    ), sig AS (
+      SELECT id,
+             {sig_exprs}
+      FROM hs
+    ), bands AS (
+      {bands_union}
+    ), guarded AS (
+      SELECT id, band_id, band_hash FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_hash) AS bn
+        FROM bands
+      ) WHERE bn <= {max_bucket}
+    ), cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands_matched
+      FROM guarded a
+      JOIN guarded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                     AND a.id < b.id
+      GROUP BY 1, 2
+    ), tok AS (
+      SELECT id, unnest(sh) AS s FROM sets
+    ), sz AS (
+      SELECT id, len(sh) AS n FROM sets
+    ), inter AS (
+      SELECT c.id_a, c.id_b, c.n_bands_matched, count(*) AS isz
+      FROM cand c
+      JOIN tok a ON a.id = c.id_a
+      JOIN tok b ON b.id = c.id_b AND b.s = a.s
+      GROUP BY 1, 2, 3
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.n_bands_matched AS BIGINT) AS n_bands_matched,
+           CAST(i.isz AS BIGINT) AS intersect_size,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(i.isz AS DOUBLE) / (sa.n + sb.n - i.isz) AS jaccard
+    FROM inter i
+    JOIN sz sa ON i.id_a = sa.id
+    JOIN sz sb ON i.id_b = sb.id
+    WHERE CAST(i.isz AS DOUBLE) / (sa.n + sb.n - i.isz) >= {threshold}
+    """
+
+
+@query("dedup_minhash_crossengine", oracle=_minhash_xengine_oracle())
+def dedup_minhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash-LSH near-dup pipeline, hash-verified by value:
+    signatures (32 cross-engine affine permutations over base-131
+    shingle folds), 8-band bucketing, the mega-bucket guard, the
+    banded candidate join, and the exact-Jaccard verify — the DuckDB
+    oracle replays every stage, so banding arithmetic, bucket-join
+    semantics, and the verify threshold all get hash-equality coverage
+    instead of the row count the xxhash64 production sibling
+    (dedup_minhash_verified) is limited to. Retires the rows-only
+    status of the LSH lane's correctness story; the xxhash64 variant
+    remains the production path (stronger per-bit hash at identical
+    plan shape)."""
+    from etl_pipeline_orchestration_spark.operators.dedup import (
+        minhash_lsh_pairs_crossengine,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs_crossengine(docs)

@@ -108,7 +108,7 @@ CERTIFICATION_WINDOW: tuple[str, ...] = (
     "apply_in_pandas_order_zscore",
     # LLM-data: dedup family
     "dedup_exact_hash",
-    "dedup_minhash_verified",
+    "dedup_minhash_crossengine",
     "dedup_simhash",
     "dedup_jaccard_exact_pairs",
     "dedup_clusters_cc_distributed",

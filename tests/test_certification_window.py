@@ -50,7 +50,7 @@ SECTION2_CERTIFIERS = {
     "U2": "apply_in_pandas_order_zscore",
     "U3-mapInPandas": "multimodal_jpeg_decode",
     "L-exact-dedup": "dedup_exact_hash",
-    "L-minhash-lsh": "dedup_minhash_verified",
+    "L-minhash-lsh": "dedup_minhash_crossengine",
     "L-simhash": "dedup_simhash",
     "L-jaccard-join": "dedup_jaccard_exact_pairs",
     "L-dup-clusters": "dedup_clusters_cc_distributed",
@@ -73,7 +73,6 @@ SECTION2_CERTIFIERS = {
 # Approximate/randomized ops where a DuckDB oracle cannot be exact; the
 # driver records rows-only and correctness lives in planted-truth tests.
 ALLOWED_ROWS_ONLY = {
-    "dedup_minhash_verified",
     "dedup_simhash",
     "embedding_topk_ivfpq",
     "embedding_near_dup_pairs",
