@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_minhash_verified",
     "dedup_minhash_crossengine",
+    "dedup_simhash_crossengine",
     "dedup_simhash_pairs",
     "embedding_near_dup_pairs",
     "token_stats",

@@ -651,3 +651,79 @@ def minhash_lsh_pairs_crossengine(
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
     )
+
+
+#: Cross-engine simhash band layout over the 31-bit fold hash:
+#: (offset, width) — pigeonhole over 4 bands proves hamming <= 3 pairs
+#: share at least one exact band.
+XENGINE_SIMHASH_BANDS = ((0, 8), (8, 8), (16, 8), (24, 7))
+
+
+def simhash_crossengine_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """SimHash near-dup pairs on the CROSS-ENGINE hash: 31-bit base-131
+    char folds per token (multiset-weighted, classic simhash), majority
+    vote per bit, pigeonhole banding over (8,8,8,7)-bit chunks, exact
+    ``bit_count(xor)`` verify — every stage integer arithmetic both
+    engines evaluate identically, so the whole pipeline is
+    hash-verifiable by value (the xxhash64 sibling
+    ``simhash_near_dup_pairs`` is the stronger production path, rows-
+    checked + planted-truth-tested). Bit convention: bit j set iff the
+    signed bit-j sum is STRICTLY positive (ties at 0 -> 0)."""
+    p = F.lit(XENGINE_P)
+    toks = (
+        ensure_min_partitions(docs)
+        .select(F.col(id_col).alias("id"), F.explode(_tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    h = F.aggregate(
+        F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % p,
+    )
+    t = toks.select("id", h.alias("h"))
+    per_doc = t.groupBy("id").agg(
+        *[
+            F.sum(F.expr(f"((h >> {j}) & 1) * 2 - 1")).alias(f"b{j}")
+            for j in range(31)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(31):
+        fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    fps = per_doc.select("id", fp.alias("fp"))
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.expr(f"(fp >> {off}) & {(1 << width) - 1}").alias("band_key"),
+            )
+            for bi, (off, width) in enumerate(XENGINE_SIMHASH_BANDS)
+        ]
+    )
+    banded = fps.select("id", "fp", F.explode(chunks).alias("c")).select(
+        "id", "fp",
+        F.col("c.band_id").alias("band_id"),
+        F.col("c.band_key").alias("band_key"),
+    )
+    wb = W.partitionBy("band_id", "band_key")
+    banded = (
+        banded.withColumn("__bn__", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bn__") <= max_bucket)
+        .drop("__bn__")
+    )
+    a = banded.select("band_id", "band_key", F.col("id").alias("id_a"), F.col("fp").alias("fp_a"))
+    b = banded.select("band_id", "band_key", F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("fp_a").bitwiseXOR(F.col("fp_b")).alias("x"))
+        .distinct()
+        .select("id_a", "id_b", F.bit_count("x").cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )

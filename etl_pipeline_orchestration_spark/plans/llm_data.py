@@ -2788,3 +2788,73 @@ def dedup_minhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_lsh_pairs_crossengine(docs)
+
+
+def _simhash_xengine_oracle(max_hamming: int = 3, max_bucket: int = 10_000) -> str:
+    from etl_pipeline_orchestration_spark.operators.dedup import (
+        XENGINE_P,
+        XENGINE_SIMHASH_BANDS,
+    )
+
+    p = XENGINE_P
+    bit_sums = ",\n             ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(31)
+    )
+    fp_expr = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(31)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT id, fp, {bi} AS band_id, (fp >> {off}) & {(1 << w) - 1} AS band_key FROM fps"
+        for bi, (off, w) in enumerate(XENGINE_SIMHASH_BANDS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ), th AS (
+      SELECT id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(w, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % {p}) AS h
+      FROM tok WHERE w <> ''
+    ), sums AS (
+      SELECT id,
+             {bit_sums}
+      FROM th GROUP BY id
+    ), fps AS (
+      SELECT id, CAST({fp_expr} AS BIGINT) AS fp FROM sums
+    ), bands AS (
+      {band_selects}
+    ), guarded AS (
+      SELECT id, fp, band_id, band_key FROM (
+        SELECT *, count(*) OVER (PARTITION BY band_id, band_key) AS bn
+        FROM bands
+      ) WHERE bn <= {max_bucket}
+    ), pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, xor(a.fp, b.fp) AS x
+      FROM guarded a
+      JOIN guarded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                     AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(bit_count(x) AS BIGINT) AS hamming
+    FROM pairs WHERE bit_count(x) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_crossengine", oracle=_simhash_xengine_oracle())
+def dedup_simhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL SimHash near-dup pipeline, hash-verified by value:
+    31-bit cross-engine token folds, multiset majority vote per bit,
+    pigeonhole banding over (8,8,8,7)-bit chunks, mega-bucket guard,
+    exact bit_count(xor) verify — the DuckDB oracle replays every
+    stage, upgrading the SimHash lane's driver row from rows-only to
+    hash-certified (the xxhash64 sibling dedup_simhash stays the
+    production path; same trade as dedup_minhash_crossengine)."""
+    from etl_pipeline_orchestration_spark.operators.dedup import (
+        simhash_crossengine_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_crossengine_pairs(docs)

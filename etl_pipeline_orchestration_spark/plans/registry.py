@@ -109,7 +109,7 @@ CERTIFICATION_WINDOW: tuple[str, ...] = (
     # LLM-data: dedup family
     "dedup_exact_hash",
     "dedup_minhash_crossengine",
-    "dedup_simhash",
+    "dedup_simhash_crossengine",
     "dedup_jaccard_exact_pairs",
     "dedup_clusters_cc_distributed",
     "dedup_substring_spans",             # round-5 flagship

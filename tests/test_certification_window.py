@@ -51,7 +51,7 @@ SECTION2_CERTIFIERS = {
     "U3-mapInPandas": "multimodal_jpeg_decode",
     "L-exact-dedup": "dedup_exact_hash",
     "L-minhash-lsh": "dedup_minhash_crossengine",
-    "L-simhash": "dedup_simhash",
+    "L-simhash": "dedup_simhash_crossengine",
     "L-jaccard-join": "dedup_jaccard_exact_pairs",
     "L-dup-clusters": "dedup_clusters_cc_distributed",
     "L-substring-dedup": "dedup_substring_spans",
@@ -73,7 +73,6 @@ SECTION2_CERTIFIERS = {
 # Approximate/randomized ops where a DuckDB oracle cannot be exact; the
 # driver records rows-only and correctness lives in planted-truth tests.
 ALLOWED_ROWS_ONLY = {
-    "dedup_simhash",
     "embedding_topk_ivfpq",
     "embedding_near_dup_pairs",
 }
