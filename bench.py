@@ -144,6 +144,7 @@ HEADLINE = [
     "grouping_outer_combo",
     "avro_roundtrip_doc_stats",
     "quality_classifier_train",
+    "cdc_envelope_apply",
 ]
 
 

@@ -225,3 +225,106 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@query(
+    "cdc_envelope_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), env AS (
+      SELECT '{"op":"c","seq":1,"key":' || CAST(k AS VARCHAR)
+             || ',"price_cents":' || CAST(cents AS VARCHAR) || '}' AS payload
+      FROM base
+      UNION ALL
+      SELECT '{"op":"u","seq":2,"key":' || CAST(k AS VARCHAR)
+             || ',"price_cents":' || CAST(cents + 150 AS VARCHAR) || '}'
+      FROM base WHERE k % 3 = 0
+      UNION ALL
+      SELECT '{"op":"d","seq":3,"key":' || CAST(k AS VARCHAR) || '}'
+      FROM base WHERE k % 7 = 0
+    ), parsed AS (
+      SELECT json_extract_string(payload, '$.op') AS op,
+             CAST(json_extract(payload, '$.seq') AS INT) AS seq,
+             CAST(json_extract(payload, '$.key') AS BIGINT) AS k,
+             CAST(json_extract(payload, '$.price_cents') AS BIGINT)
+               AS price_cents
+      FROM env
+    ), latest AS (
+      SELECT k, op, seq, price_cents,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_events
+      FROM parsed
+    )
+    SELECT k AS o_orderkey, price_cents, op AS last_op, n_events
+    FROM latest WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def cdc_envelope_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style CDC ENVELOPE decoding + apply: change events
+    arrive as JSON envelopes carrying (op, seq, key, after-payload);
+    the consumer parses them (from_json — the F6 surface doing real
+    protocol work), takes the latest op per key by sequence, and
+    materializes the surviving state (create/update wins, delete
+    removes). Envelope strings are CONSTRUCTED identically on both
+    engines (integer-only fields — float formatting would diverge)
+    from a deterministic orders-derived feed, so the JSON parse, the
+    sequence semantics, and the tombstone handling are all
+    hash-certified.
+
+    100 TB shape: narrow parse + one window shuffle on the key —
+    identical to the streaming upsert's per-batch merge; at scale the
+    same decode feeds streaming/upsert.py's sequence-aware merge
+    instead of a window."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    j = F.concat
+    creates = base.select(
+        j(
+            F.lit('{"op":"c","seq":1,"key":'), F.col("k").cast("string"),
+            F.lit(',"price_cents":'), F.col("cents").cast("string"), F.lit("}"),
+        ).alias("payload")
+    )
+    updates = base.filter(F.col("k") % 3 == 0).select(
+        j(
+            F.lit('{"op":"u","seq":2,"key":'), F.col("k").cast("string"),
+            F.lit(',"price_cents":'), (F.col("cents") + 150).cast("string"),
+            F.lit("}"),
+        ).alias("payload")
+    )
+    deletes = base.filter(F.col("k") % 7 == 0).select(
+        j(
+            F.lit('{"op":"d","seq":3,"key":'), F.col("k").cast("string"),
+            F.lit("}"),
+        ).alias("payload")
+    )
+    env = creates.unionByName(updates).unionByName(deletes)
+    parsed = env.select(
+        F.from_json(
+            "payload", "op string, seq int, key bigint, price_cents bigint"
+        ).alias("e")
+    ).select(
+        F.col("e.op").alias("op"),
+        F.col("e.seq").alias("seq"),
+        F.col("e.key").alias("k"),
+        F.col("e.price_cents").alias("price_cents"),
+    )
+    w = Window.partitionBy("k")
+    latest = parsed.select(
+        "k", "op", "price_cents",
+        F.row_number().over(w.orderBy(F.desc("seq"))).alias("rn"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_events"),
+    )
+    return latest.filter((F.col("rn") == 1) & (F.col("op") != "d")).select(
+        F.col("k").alias("o_orderkey"),
+        "price_cents",
+        F.col("op").alias("last_op"),
+        "n_events",
+    )
