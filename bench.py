@@ -145,6 +145,9 @@ HEADLINE = [
     "avro_roundtrip_doc_stats",
     "quality_classifier_train",
     "cdc_envelope_apply",
+    "heavy_hitters_topk",
+    "global_contiguous_ids_docs",
+    "hard_negative_mining",
 ]
 
 
