@@ -58,14 +58,18 @@ def mg_merge(counters: Counter, capacity: int) -> Counter:
     return Counter({t: c - dec for t, c in counters.items() if c > dec})
 
 
-def misra_gries_candidates(
+def misra_gries_summary(
     docs: DataFrame, capacity: int, text_col: str = "text"
 ) -> DataFrame:
     """Per-partition Misra–Gries summaries over whitespace tokens,
-    returned as a DISTINCT candidate-token relation (≤ P·capacity
-    rows). The summary state lives across Arrow batches inside the
-    partition iterator, so memory is O(capacity) per task no matter
-    how many tokens stream through."""
+    returned as (token, cnt) rows — ≤ capacity rows PER PARTITION, so
+    ≤ P·capacity total. The summary state lives across Arrow batches
+    inside the partition iterator, so memory is O(capacity) per task
+    no matter how many tokens stream through. Counts are MG
+    lower-bound estimates (undercount ≤ N_p/(capacity+1)); they merge
+    additively (Counter addition + mg_merge prune) with any other MG
+    summary — the mergeable-summaries property the streaming
+    maintenance layer relies on."""
 
     def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: Counter = Counter()
@@ -77,12 +81,68 @@ def misra_gries_candidates(
                 if len(counters) > 4 * capacity:
                     counters = mg_merge(counters, capacity)
         counters = mg_merge(counters, capacity)
-        yield pd.DataFrame({"token": list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                "token": list(counters.keys()),
+                "cnt": [int(c) for c in counters.values()],
+            }
+        )
 
+    return docs.select(text_col).mapInPandas(_mg, schema="token string, cnt long")
+
+
+def misra_gries_candidates(
+    docs: DataFrame, capacity: int, text_col: str = "text"
+) -> DataFrame:
+    """DISTINCT candidate tokens from the per-partition MG summaries
+    (≤ P·capacity rows)."""
     return (
-        docs.select(text_col)
-        .mapInPandas(_mg, schema="token string")
+        misra_gries_summary(docs, capacity, text_col=text_col)
+        .select("token")
         .distinct()
+    )
+
+
+def verify_topk(
+    docs: DataFrame,
+    candidates: DataFrame,
+    capacity: int,
+    k: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Phase 2: exact broadcast-semi-join counts of ``candidates`` over
+    the corpus, floor-filtered at N/(capacity+1) so the emitted prefix
+    is provably the true global top-k (see module docstring). Output
+    is IDENTICAL for any candidate relation that (a) is a superset of
+    every token above the floor and (b) contains only real tokens —
+    sub-floor candidates are filtered out, so differently-pruned MG
+    runs (batch vs streamed merge order) converge to the same rows."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    # Total token count: one narrow agg (no explode — size(split) folds
+    # per document), scalar to the driver.
+    n_total = docs.select(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n")
+    ).first()[0]
+    exact = (
+        tok.join(F.broadcast(candidates.select("token")), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    # Integer-exact guarantee floor: cnt*(m+1) > N  <=>  cnt > N/(m+1).
+    floor_ok = exact.filter(
+        F.col("cnt") * F.lit(capacity + 1) > F.lit(int(n_total))
+    )
+    # ≤ capacity rows can exceed the floor, so this single-partition
+    # window is size-bounded by construction.
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        floor_ok.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "token", "cnt")
     )
 
 
@@ -96,29 +156,5 @@ def exact_heavy_hitters(
     memory: Misra–Gries candidates, exact broadcast-semi-join counts,
     then the N/(capacity+1) floor filter that makes the prefix exact.
     Ties break on token ascending (deterministic on both engines)."""
-    from pyspark.sql import Window
-
     cands = misra_gries_candidates(docs, capacity, text_col=text_col)
-    tok = docs.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("token")
-    )
-    # Total token count: one narrow agg (no explode — size(split) folds
-    # per document), scalar to the driver.
-    n_total = docs.select(
-        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n")
-    ).first()[0]
-    exact = (
-        tok.join(F.broadcast(cands), "token")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    # Integer-exact guarantee floor: cnt*(m+1) > N  <=>  cnt > N/(m+1).
-    floor_ok = exact.filter(
-        F.col("cnt") * F.lit(capacity + 1) > F.lit(int(n_total))
-    )
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return (
-        floor_ok.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "token", "cnt")
-    )
+    return verify_topk(docs, cands, capacity, k, text_col=text_col)
