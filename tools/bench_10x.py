@@ -73,6 +73,16 @@ FAMILIES = {
     # feature relation — the exponent certifies iteration cost is
     # corpus-linear and driver traffic stays at 6 scalars.
     "classifier_train": "quality_classifier_train",
+    # heavy hitters: the exponent certifies phase 1 stays one narrow
+    # Arrow pass (O(capacity) memory) and phase 2's shuffle stays at
+    # candidate-set size, not vocabulary size.
+    "heavy_hitters": "heavy_hitters_topk",
+    # contiguous ids: certifies the distributed row_number never
+    # degrades into a global single-partition sort as rows grow.
+    "contiguous_ids": "global_contiguous_ids_docs",
+    # hard negatives: brute-force probe fan-out — linear in corpus,
+    # constant in probes.
+    "hard_negatives": "hard_negative_mining",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
