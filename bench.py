@@ -148,6 +148,11 @@ HEADLINE = [
     "heavy_hitters_topk",
     "global_contiguous_ids_docs",
     "hard_negative_mining",
+    "referential_integrity_audit",
+    "grouped_ols_discount_elasticity",
+    "ewma_daily_revenue",
+    "cusum_changepoints_daily",
+    "naive_bayes_lang_confusion",
 ]
 
 

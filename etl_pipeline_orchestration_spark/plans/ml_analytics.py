@@ -1,0 +1,644 @@
+"""Closed-form ML & data-governance analytics: referential-integrity
+audit, grouped least-squares, exponential smoothing, CUSUM changepoint
+detection, Naive-Bayes language classification.
+
+These extend the reference's health-metrics/data-quality layer
+(`/root/reference/etl_pipeline.py:248-351` computes per-source row
+counts and failure isolation) to the model-adjacent checks a training
+pipeline runs over a 100 TB corpus: FK-orphan audits before a join
+fans out garbage, drift/changepoint alarms on ingest volume, and a
+trained-from-counts classifier — each expressed as one declarative
+Spark plan with an exact DuckDB oracle.
+
+Cross-engine determinism discipline (established by DSIR /
+quality_classifier_train in plans/corpus_ops.py): every aggregate is
+an exact integer/decimal; floats appear only as (a) casts of exact
+values — correctly rounded in both engines — and (b) identical
+arithmetic-expression shapes evaluated on those casts, so results are
+bit-equal without any tolerance.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_orchestration_spark.plans.registry import query
+from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# referential integrity audit
+# ---------------------------------------------------------------------------
+
+# (fk_name, child table, child key, parent table, parent key) — the full
+# FK graph of the TPC-H-ish test schema.
+_FK_EDGES: tuple[tuple[str, str, str, str, str], ...] = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for name, child, ck, parent, pk in _FK_EDGES:
+        parts.append(
+            f"""
+    SELECT '{name}' AS fk_name,
+           CAST((SELECT count(*) FROM {child}) AS BIGINT) AS child_rows,
+           CAST((SELECT count(*) FROM {child} WHERE {ck} IS NULL) AS BIGINT)
+             AS null_keys,
+           CAST((SELECT count(*) FROM {child}
+                 WHERE {ck} IS NOT NULL
+                   AND {ck} NOT IN (SELECT {pk} FROM {parent}
+                                    WHERE {pk} IS NOT NULL)) AS BIGINT)
+             AS orphan_rows"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("referential_integrity_audit", oracle=_fk_oracle())
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-foreign-key audit over every FK edge of the schema: per
+    edge, the child row count, NULL-key count, and the count of
+    non-NULL keys with no matching parent — the pre-join data-quality
+    gate that catches referential rot BEFORE a 100 TB star join
+    silently drops (inner) or null-fans (outer) the orphans.
+
+    Plan: each child table is scanned ONCE no matter how many FK
+    edges leave it — lineitem's three edges share one scan. The scan
+    chains a left join per edge against the DISTINCT parent key set
+    (distinct is deliberate: an audit must not trust parent-side
+    uniqueness — duplicate parents would otherwise fan out child rows
+    and corrupt every count), then ONE aggregate produces all the
+    edge counts, exploded into per-edge rows from that single-row
+    relation (array-of-structs, so the aggregate subtree exists once
+    in the plan — no per-edge recompute). Catalyst broadcasts every
+    parent key set that fits; at 100 TB the orders side of
+    lineitem->orders becomes a shuffled join, which is the correct
+    strategy — AQE picks it by size, not by us. Nothing but one row
+    of scalars per child ever leaves the aggregate."""
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
+    for name, child, ck, parent, pk in _FK_EDGES:
+        by_child.setdefault(child, []).append((name, ck, parent, pk))
+    out = None
+    for child, edges in by_child.items():
+        df = load_table(spark, sf_dir, child).select(
+            *[F.col(ck).alias(f"k{i}") for i, (_, ck, _, _) in enumerate(edges)]
+        )
+        for i, (_, _, parent, pk) in enumerate(edges):
+            pkeys = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"pk{i}"))
+                .where(F.col(f"pk{i}").isNotNull())
+                .distinct()
+            )
+            df = df.join(pkeys, df[f"k{i}"] == pkeys[f"pk{i}"], "left")
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("child_rows")]
+        for i in range(len(edges)):
+            aggs.append(
+                F.sum(F.when(F.col(f"k{i}").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"nulls{i}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col(f"k{i}").isNotNull() & F.col(f"pk{i}").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"orph{i}")
+            )
+        onerow = df.agg(*aggs)
+        edge_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("fk_name"),
+                    F.col("child_rows").alias("child_rows"),
+                    F.col(f"nulls{i}").alias("null_keys"),
+                    F.col(f"orph{i}").alias("orphan_rows"),
+                )
+                for i, (name, _, _, _) in enumerate(edges)
+            ]
+        )
+        rows = onerow.select(F.explode(edge_structs).alias("e")).select(
+            "e.fk_name", "e.child_rows", "e.null_keys", "e.orphan_rows"
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# grouped closed-form least squares
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouped_ols_discount_elasticity",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM d GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS var_x_n,
+             CAST(n * syy - sy * sy AS DOUBLE) AS var_y_n,
+             CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d,
+             CAST(n AS DOUBLE) AS n_d
+      FROM s
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           cov_n / var_x_n AS slope_cents_per_pct,
+           (sy_d - (cov_n / var_x_n) * sx_d) / n_d AS intercept_cents,
+           (cov_n * cov_n) / (var_x_n * var_y_n) AS r2
+    FROM m
+    """,
+)
+def grouped_ols_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression in closed form: for each
+    return flag, the least-squares slope/intercept/R² of extended
+    price (cents) against discount (integer percent) — the
+    sufficient-statistics formulation (n, Σx, Σy, Σxy, Σx², Σy²)
+    that turns model fitting into ONE distributed aggregate.
+
+    Exactness: x and y are frozen to integers via the double→DECIMAL
+    cast (correctly rounded in both engines), the six moments are
+    exact DECIMAL(38,0) sums (DuckDB: HUGEINT — same integers), and
+    the n-scaled centered moments n·Σxy−Σx·Σy stay within 38 digits.
+    The float boundary is the final cast of those exact integers to
+    double plus an IDENTICAL arithmetic shape on both engines, so
+    slope/intercept/R² are bit-equal — no tolerance needed.
+
+    100 TB shape: a single scan with map-side partial aggregation into
+    ≤ |groups| rows of 7 numbers; no shuffle larger than the group
+    count, no iteration, no driver math. This is why normal-equations
+    regression (p small) belongs in the engine while gradient descent
+    does not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    d = li.select(
+        "l_returnflag",
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = d.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+    )
+    m = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        .alias("cov_n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double")
+        .alias("var_x_n"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("var_y_n"),
+        F.col("sx").cast("double").alias("sx_d"),
+        F.col("sy").cast("double").alias("sy_d"),
+        F.col("n").cast("double").alias("n_d"),
+    )
+    slope = F.col("cov_n") / F.col("var_x_n")
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope_cents_per_pct"),
+        ((F.col("sy_d") - slope * F.col("sx_d")) / F.col("n_d")).alias(
+            "intercept_cents"
+        ),
+        ((F.col("cov_n") * F.col("cov_n")) / (F.col("var_x_n") * F.col("var_y_n"))).alias(
+            "r2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exponential smoothing (EWMA) over the gap-filled daily series
+# ---------------------------------------------------------------------------
+
+# Half-life-1-day exponential weights 2^-i, i=0..13, truncated at 14
+# days — pre-scaled by 2^13 so every weight is the INTEGER 2^(13-i):
+# numerator and denominator are exact int64 sums (the 2^13 factor
+# cancels in the ratio), and the only float op is the final division
+# of two exact integers — the whole reason alpha = 1/2 was chosen.
+_EWMA_W = [2 ** (13 - i) for i in range(14)]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"COALESCE(lag(rev_cents, {i}) OVER w * {w}, 0)"
+        for i, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(day, {i}) OVER w IS NOT NULL THEN {w} ELSE 0 END"
+        for i, w in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY day
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                    (SELECT max(day) FROM daily),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    filled AS (
+      SELECT s.day, COALESCE(d.rev_cents, 0) AS rev_cents
+      FROM spine s LEFT JOIN daily d USING (day)
+    ),
+    sm AS (
+      SELECT day, rev_cents,
+             CAST({num} AS BIGINT) AS num, CAST({den} AS BIGINT) AS den
+      FROM filled WINDOW w AS (ORDER BY day)
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, rev_cents,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma_cents
+    FROM sm
+    """
+
+
+@query("ewma_daily_revenue", oracle=_ewma_oracle())
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted daily revenue (half-life one day,
+    truncated at 14 lags) over the gap-filled calendar — the smoothing
+    pass that precedes any drift alarm on ingest volume.
+
+    Exactness: alpha = 1/2 with the weights pre-scaled by 2^13 makes
+    every weight the integer 2^(13-i); revenue is exact cents; so
+    numerator/denominator are exact int64 sums in both engines (the
+    scale factor cancels in the ratio) and the single float op is
+    their division. The recursion is unrolled into 14 lag() terms —
+    a closed form, not a stateful scan. (A first draft used exact
+    DECIMAL(·,13) weights instead; Spark's 14-term decimal add chain
+    hit the precision-38 cap and silently REDUCED SCALE — the
+    documented allowPrecisionLoss behavior — shearing ~1e-7 off each
+    sum. Integer scaling sidesteps the cap entirely.)
+
+    100 TB shape: the fact table collapses to a day-cardinality
+    aggregate FIRST (distributed scan + one shuffle); the unpartitioned
+    window then runs over a few-thousand-row series — the documented
+    legitimate SinglePartition shape (PLANS.md §SP): windowing the raw
+    fact would sort terabytes to produce the same series."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    spine = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = spine.join(F.broadcast(daily), "day", "left").select(
+        "day",
+        F.coalesce("rev_cents", F.lit(0)).cast("bigint").alias("rev_cents"),
+    )
+    w = Window.orderBy("day")
+    num = None
+    den = None
+    for i, wt in enumerate(_EWMA_W):
+        term = F.coalesce(F.lag("rev_cents", i).over(w) * F.lit(wt), F.lit(0))
+        dterm = F.when(F.lag("day", i).over(w).isNotNull(), F.lit(wt)).otherwise(
+            F.lit(0)
+        )
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    sm = filled.select(
+        "day",
+        "rev_cents",
+        num.cast("bigint").alias("num"),
+        den.cast("bigint").alias("den"),
+    )
+    return sm.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "rev_cents",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "ewma_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan (closed form: running sum minus running min)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cusum_changepoints_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY day
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                    (SELECT max(day) FROM daily),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    filled AS (
+      SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders
+      FROM spine s LEFT JOIN daily d USING (day)
+    ),
+    k AS (
+      SELECT CAST((2 * sum(n_orders) + count(*)) // (2 * count(*)) AS BIGINT)
+        AS kref
+      FROM filled
+    ),
+    pfxd AS (
+      SELECT day, n_orders, kref,
+             sum(n_orders - kref) OVER w AS pfx
+      FROM filled, k
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    pre AS (
+      SELECT day, n_orders, kref, pfx,
+             min(pfx) OVER w AS run_min,
+             max(pfx) OVER w AS run_max
+      FROM pfxd
+      WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, n_orders, kref,
+           CAST(pfx - least(run_min, 0) AS BIGINT) AS cusum_pos,
+           CAST(greatest(run_max, 0) - pfx AS BIGINT) AS cusum_neg,
+           CAST(pfx - least(run_min, 0) > 5 * kref
+                OR greatest(run_max, 0) - pfx > 5 * kref AS BOOLEAN) AS alarm
+    FROM pre
+    """,
+)
+def cusum_changepoints_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint statistics over daily order volume: the
+    classic S_t = max(0, S_{t-1} + (x_t - k)) upward scan (and its
+    downward mirror), computed in CLOSED FORM as
+    prefix_t - min(0, min_{j<=t} prefix_j) — a running sum and a
+    running min of that sum — so the sequential recursion becomes two
+    stacked window aggregates instead of a stateful loop. Alarm fires
+    when either side exceeds 5·k (k = mean daily volume, rounded to
+    integer with half-up integer arithmetic).
+
+    Integer-exact end to end: counts, k, prefixes, and both CUSUM
+    sides are int64 in both engines — no float anywhere.
+
+    100 TB shape: same as ewma_daily_revenue — the fact collapses to
+    the day series first; the unpartitioned windows run over ~2.4k
+    rows (legitimate SP shape). The stacked windows (running min/max
+    OVER the running sum) share one ordering, so Spark chains the two
+    Window operators over a single sort without re-exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    spine = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = spine.join(F.broadcast(daily), "day", "left").select(
+        "day", F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders")
+    )
+    # `div` (not /) on both engines: float division + floor could land
+    # on the wrong side of an exact integer boundary; integer division
+    # of positive ints is identical truncation in Spark and DuckDB.
+    k = filled.agg(F.sum("n_orders").alias("s"), F.count(F.lit(1)).alias("c")).select(
+        F.expr("(2 * s + c) div (2 * c)").cast("bigint").alias("kref")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pfxd = filled.crossJoin(F.broadcast(k)).select(
+        "day",
+        "n_orders",
+        "kref",
+        F.sum(F.col("n_orders") - F.col("kref")).over(w).alias("pfx"),
+    )
+    pre = pfxd.select(
+        "day",
+        "n_orders",
+        "kref",
+        "pfx",
+        F.min("pfx").over(w).alias("run_min"),
+        F.max("pfx").over(w).alias("run_max"),
+    )
+    cpos = F.col("pfx") - F.least(F.col("run_min"), F.lit(0))
+    cneg = F.greatest(F.col("run_max"), F.lit(0)) - F.col("pfx")
+    return pre.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_orders",
+        "kref",
+        cpos.cast("bigint").alias("cusum_pos"),
+        cneg.cast("bigint").alias("cusum_neg"),
+        ((cpos > 5 * F.col("kref")) | (cneg > 5 * F.col("kref"))).alias("alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classifier (trained from counts, integer scoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "naive_bayes_lang_confusion",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS ws
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(t.w, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) % 128 AS b
+      FROM w, unnest(ws) AS t(w)
+    ),
+    train AS (SELECT * FROM tok WHERE doc_id % 10 < 8),
+    classes AS (
+      SELECT lang,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS d_l,
+             CAST(count(*) AS BIGINT) AS n_l
+      FROM train GROUP BY lang
+    ),
+    counts AS (
+      SELECT lang, b, CAST(count(*) AS BIGINT) AS c
+      FROM train GROUP BY lang, b
+    ),
+    model AS (
+      SELECT cl.lang, g.b AS b,
+             CAST(floor(ln((CAST(COALESCE(ct.c, 0) AS DOUBLE) + 1) /
+                           (CAST(cl.n_l AS DOUBLE) + 128)) * 1e6 + 0.5)
+                  AS BIGINT) AS r
+      FROM classes cl
+      CROSS JOIN (SELECT unnest(range(0, 128)) AS b) g
+      LEFT JOIN counts ct ON ct.lang = cl.lang AND ct.b = g.b
+    ),
+    priors AS (
+      SELECT lang,
+             CAST(floor(ln(CAST(d_l AS DOUBLE) /
+                           CAST((SELECT sum(d_l) FROM classes) AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT) AS p
+      FROM classes
+    ),
+    tb AS (
+      SELECT doc_id, lang AS lang_true, b, CAST(count(*) AS BIGINT) AS m
+      FROM tok WHERE doc_id % 10 >= 8 GROUP BY doc_id, lang, b
+    ),
+    scored AS (
+      SELECT tb.doc_id, tb.lang_true, model.lang AS lang_cand,
+             CAST(sum(tb.m * model.r) AS BIGINT) + any_value(priors.p) AS score
+      FROM tb
+      JOIN model USING (b)
+      JOIN priors ON priors.lang = model.lang
+      GROUP BY tb.doc_id, tb.lang_true, model.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang_true, lang_cand AS lang_pred,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang_cand ASC) AS rk
+      FROM scored
+    )
+    SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rk = 1
+    GROUP BY lang_true, lang_pred
+    """,
+)
+def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained FROM COUNTS
+    inside the engine — no gradient loop: class priors and per-bucket
+    token likelihoods (add-1 smoothing over 128 hashed-unigram
+    buckets) come from one aggregate over the 80% train split
+    (doc_id % 10 < 8); the 20% holdout is scored and the result is
+    the 5x5 confusion matrix. The Bayes-from-sufficient-statistics
+    twin of grouped_ols_discount_elasticity: both turn "fit a model"
+    into a distributed GROUP BY.
+
+    Determinism discipline (DSIR precedent, plans/corpus_ops.py):
+    token buckets use the cross-engine base-131 char fold; smoothed
+    log-likelihoods and log-priors are computed from exact integer
+    counts and frozen to INTEGER micro-nats (floor(ln(·)·1e6 + 0.5)),
+    so each candidate score is an exact int64 dot product immune to
+    float summation order; argmax ties break on lang ascending via
+    row_number — bit-reproducible across engines and cluster layouts.
+
+    100 TB shape: one documents scan → token fold → (doc, bucket)
+    map-side combine; the model is 5 classes x 128 buckets = 640 rows
+    built from a second combine over the train side and BROADCAST back
+    onto the holdout combine (never onto raw tokens); per-doc scoring
+    shuffles once on doc_id; the confusion matrix is a 25-row final
+    aggregate. Nothing driver-side at any scale."""
+    from etl_pipeline_orchestration_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold = F.aggregate(
+        F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % F.lit(2147483647),
+    )
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(text_ops._norm_words("text")).alias("w"),
+    ).select("doc_id", "lang", (fold % 128).alias("b"))
+    train = tok.filter(F.col("doc_id") % 10 < 8)
+    classes = train.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("d_l"),
+        F.count(F.lit(1)).cast("bigint").alias("n_l"),
+    )
+    counts = train.groupBy("lang", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    buckets = spark.range(0, 128).select(F.col("id").cast("bigint").alias("b"))
+    model = (
+        classes.crossJoin(buckets)
+        .join(counts, ["lang", "b"], "left")
+        .select(
+            "lang",
+            "b",
+            F.floor(
+                F.ln(
+                    (F.coalesce("c", F.lit(0)).cast("double") + 1)
+                    / (F.col("n_l").cast("double") + 128)
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    d_tot = classes.agg(F.sum("d_l").alias("d_tot"))
+    priors = classes.crossJoin(F.broadcast(d_tot)).select(
+        "lang",
+        F.floor(
+            F.ln(F.col("d_l").cast("double") / F.col("d_tot").cast("double"))
+            * 1e6
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("p"),
+    )
+    tb = (
+        tok.filter(F.col("doc_id") % 10 >= 8)
+        .groupBy("doc_id", F.col("lang").alias("lang_true"), "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    )
+    scored = (
+        tb.join(F.broadcast(model), "b")
+        .join(F.broadcast(priors), "lang")
+        .groupBy("doc_id", "lang_true", F.col("lang").alias("lang_cand"))
+        .agg(
+            (F.sum(F.col("m") * F.col("r")).cast("bigint") + F.first("p")).alias(
+                "score"
+            )
+        )
+    )
+    pred = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), F.col("lang_cand").asc()
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return (
+        pred.groupBy("lang_true", F.col("lang_cand").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -54,6 +54,7 @@ def load_all() -> None:
     import etl_pipeline_orchestration_spark.plans.corpus_ops  # noqa: F401
     import etl_pipeline_orchestration_spark.plans.certification  # noqa: F401
     import etl_pipeline_orchestration_spark.plans.scale_primitives  # noqa: F401
+    import etl_pipeline_orchestration_spark.plans.ml_analytics  # noqa: F401
 
 
 # The driver's per-round CORRECTNESS check samples the FIRST 50 registry

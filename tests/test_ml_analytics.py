@@ -1,0 +1,179 @@
+"""Semantics tests for plans/ml_analytics.py — beyond the oracle-equality
+sweep, these pin the MEANING of each operator: planted FK orphans are
+counted, the closed-form CUSUM equals the textbook sequential recursion,
+the unrolled EWMA equals a direct weighted replay, grouped OLS matches
+numpy's least squares, and the Naive-Bayes classifier actually recovers
+planted class vocabularies (the sf corpus has no real lang signal, so
+oracle equality alone would never catch a broken argmax)."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+
+from etl_pipeline_orchestration_spark.plans import registry
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _q(name):
+    return registry.QUERIES[name]
+
+
+# ---------------------------------------------------------------------------
+# referential integrity
+# ---------------------------------------------------------------------------
+
+
+def test_fk_audit_counts_planted_orphans(spark, tmp_path):
+    import duckdb
+
+    for t in ("lineitem", "orders", "part", "supplier", "customer", "nation", "region"):
+        shutil.copy(f"{SF}/{t}.parquet", tmp_path / f"{t}.parquet")
+    con = duckdb.connect()
+    # 3 orphaned l_orderkey values + 2 NULLs, planted deterministically.
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN l_orderkey % 1000 = 7 AND l_linenumber = 1
+                 THEN -999 ELSE l_orderkey END AS l_orderkey
+          ) FROM read_parquet('{SF}/lineitem.parquet')
+        ) TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    planted = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{SF}/lineitem.parquet')
+            WHERE l_orderkey % 1000 = 7 AND l_linenumber = 1"""
+    ).fetchone()[0]
+    assert planted > 0
+    rows = {
+        r.fk_name: r
+        for r in _q("referential_integrity_audit")(spark, str(tmp_path)).collect()
+    }
+    li = rows["lineitem.l_orderkey->orders"]
+    assert li.orphan_rows == planted
+    assert li.null_keys == 0
+    clean = rows["nation.n_regionkey->region"]
+    assert clean.orphan_rows == 0 and clean.null_keys == 0
+
+
+# ---------------------------------------------------------------------------
+# CUSUM == textbook sequential recursion
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_closed_form_equals_sequential_recursion(spark):
+    rows = sorted(
+        _q("cusum_changepoints_daily")(spark, SF).collect(), key=lambda r: r.day
+    )
+    k = rows[0].kref
+    s_pos = s_neg = 0
+    for r in rows:
+        s_pos = max(0, s_pos + (r.n_orders - k))
+        s_neg = max(0, s_neg - (r.n_orders - k))
+        assert r.cusum_pos == s_pos, r.day
+        assert r.cusum_neg == s_neg, r.day
+        assert r.alarm == (s_pos > 5 * k or s_neg > 5 * k)
+    # non-vacuous: volume drifts enough somewhere that one side moves
+    assert any(r.cusum_pos > 0 for r in rows) or any(r.cusum_neg > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# EWMA == direct weighted replay
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_equals_direct_weighted_replay(spark):
+    rows = sorted(_q("ewma_daily_revenue")(spark, SF).collect(), key=lambda r: r.day)
+    revs = [r.rev_cents for r in rows]
+    for t, r in enumerate(rows):
+        num = sum(revs[t - i] * (2 ** (13 - i)) for i in range(14) if t - i >= 0)
+        den = sum(2 ** (13 - i) for i in range(14) if t - i >= 0)
+        assert r.ewma_cents == num / den, r.day
+    # the calendar was gap-filled: spine is dense
+    assert len(rows) == (rows[-1].day - rows[0].day).days + 1
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS == numpy least squares
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_ols_matches_numpy(spark):
+    import duckdb
+
+    got = {
+        r.l_returnflag: r
+        for r in _q("grouped_ols_discount_elasticity")(spark, SF).collect()
+    }
+    con = duckdb.connect()
+    raw = con.execute(
+        f"""SELECT l_returnflag,
+                   CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+    ).fetchall()
+    by_flag: dict[str, list[tuple[int, int]]] = {}
+    for f, x, y in raw:
+        by_flag.setdefault(f, []).append((x, y))
+    assert set(by_flag) == set(got)
+    for f, xy in by_flag.items():
+        x = np.array([p[0] for p in xy], dtype=float)
+        y = np.array([p[1] for p in xy], dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert got[f].n == len(xy)
+        assert got[f].slope_cents_per_pct == pytest.approx(slope, rel=1e-9)
+        assert got[f].intercept_cents == pytest.approx(intercept, rel=1e-9)
+        r = np.corrcoef(x, y)[0, 1]
+        assert got[f].r2 == pytest.approx(r * r, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes recovers planted vocabularies
+# ---------------------------------------------------------------------------
+
+
+def test_naive_bayes_recovers_planted_vocab(spark, tmp_path):
+    import duckdb
+
+    vocab = {
+        "aa": ["alpha", "anchor", "apple", "arrow"],
+        "bb": ["bravo", "bridge", "basket", "button"],
+        "cc": ["cargo", "candle", "copper", "circle"],
+    }
+    rows = []
+    for li, (lang, words) in enumerate(sorted(vocab.items())):
+        for j in range(40):
+            doc_id = li * 40 + j
+            text = " ".join(words[(j + k) % 4] for k in range(6))
+            rows.append((doc_id, text, lang, "src0", len(text)))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
+    con.execute(f"COPY d TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)")
+    got = _q("naive_bayes_lang_confusion")(spark, str(tmp_path)).collect()
+    by = {(r.lang_true, r.lang_pred): r.n_docs for r in got}
+    # disjoint vocabularies -> perfect diagonal; 20% of 40 docs per class
+    assert by == {("aa", "aa"): 8, ("bb", "bb"): 8, ("cc", "cc"): 8}
+
+
+def test_naive_bayes_partitions_whole_test_split(spark):
+    got = _q("naive_bayes_lang_confusion")(spark, SF).collect()
+    import duckdb
+
+    n_test = duckdb.connect().execute(
+        f"""SELECT count(*) FROM read_parquet('{SF}/documents.parquet')
+            WHERE doc_id % 10 >= 8"""
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in got) == n_test
+    langs = {"de", "en", "es", "fr", "zh"}
+    assert {r.lang_true for r in got} <= langs
+    assert {r.lang_pred for r in got} <= langs
