@@ -153,6 +153,7 @@ HEADLINE = [
     "ewma_daily_revenue",
     "cusum_changepoints_daily",
     "naive_bayes_lang_confusion",
+    "mmr_diverse_rerank",
 ]
 
 

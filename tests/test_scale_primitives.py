@@ -108,3 +108,58 @@ def test_assign_contiguous_ids_no_global_single_partition_sort(spark):
     # bucket. A global orderBy over the full input would show a
     # rangepartitioning exchange into a Sort over all rows.
     assert "rangepartitioning(k" not in plan.lower().replace(" ", "")
+
+
+def test_mmr_rerank_matches_independent_numpy_greedy(spark):
+    """Recompute MMR greedily from the raw embeddings with numpy (a
+    DIFFERENT summation order than both engines) — selections must
+    agree, and scores within float-reassociation tolerance. This is
+    the independent check the oracle can't give (oracle parity proves
+    both engines share the formula, not that the formula is MMR)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_orchestration_spark.plans import registry
+    from etl_pipeline_orchestration_spark.plans.scale_primitives import (
+        _MMR_K,
+        _MMR_POOL,
+        _MMR_QUERIES,
+    )
+
+    registry.load_all()
+    got = registry.QUERIES["mmr_diverse_rerank"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    by_id = {i: vecs[j] for j, i in enumerate(ids)}
+
+    expect = {}
+    for qid in range(_MMR_QUERIES):
+        q = by_id[qid]
+        rels = sorted(
+            ((float(by_id[i] @ q), -i) for i in ids if i != qid), reverse=True
+        )
+        pool = {-mi: r for r, mi in rels[:_MMR_POOL]}
+        selected = []
+        for rank in range(1, _MMR_K + 1):
+            best = None
+            for c in sorted(pool):
+                if c in selected:
+                    continue
+                ms = max(
+                    (float(by_id[c] @ by_id[s]) for s in selected), default=0.0
+                )
+                sc = pool[c] - ms
+                if best is None or sc > best[0] + 1e-9:
+                    best = (sc, c)
+            selected.append(best[1])
+            expect[(qid, rank)] = best
+    assert len(got) == _MMR_QUERIES * _MMR_K
+    for r in got:
+        sc, vid = expect[(r.query_id, r.rank)]
+        assert r.vec_id == vid, (r.query_id, r.rank)
+        assert abs(r.mmr_score - sc) < 1e-6
