@@ -313,24 +313,38 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     window then runs over a few-thousand-row series — the documented
     legitimate SinglePartition shape (PLANS.md §SP): windowing the raw
     fact would sort terabytes to produce the same series."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(
-            F.sum(
-                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("rev_cents")
-        )
+    daily = daily_orders_aggregate(load_table(spark, sf_dir, "orders"))
+    return ewma_report(gapfill_days(daily))
+
+
+def daily_orders_aggregate(orders: DataFrame) -> DataFrame:
+    """The mergeable sufficient statistic for BOTH drift reports: per
+    day, order count and exact revenue cents. Additive on day — any
+    chopping of the order stream into micro-batches sums to the same
+    relation, which is what makes the streaming maintenance
+    (streaming/drift_stream.py) arrival-order independent."""
+    return orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
     )
+
+
+def gapfill_days(daily: DataFrame) -> DataFrame:
+    """Dense calendar spine over [min(day), max(day)], zero-filled."""
     spine = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
         F.explode(F.sequence("d0", "d1")).alias("day")
     )
-    filled = spine.join(F.broadcast(daily), "day", "left").select(
+    return spine.join(F.broadcast(daily), "day", "left").select(
         "day",
+        F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
         F.coalesce("rev_cents", F.lit(0)).cast("bigint").alias("rev_cents"),
     )
+
+
+def ewma_report(filled: DataFrame) -> DataFrame:
+    """(day, rev_cents, ewma_cents) from the gap-filled day series."""
     w = Window.orderBy("day")
     num = None
     den = None
@@ -424,17 +438,13 @@ def cusum_changepoints_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (legitimate SP shape). The stacked windows (running min/max
     OVER the running sum) share one ordering, so Spark chains the two
     Window operators over a single sort without re-exchange."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = (
-        orders.groupBy(F.to_date("o_orderdate").alias("day"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-    )
-    spine = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1")).select(
-        F.explode(F.sequence("d0", "d1")).alias("day")
-    )
-    filled = spine.join(F.broadcast(daily), "day", "left").select(
-        "day", F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders")
-    )
+    daily = daily_orders_aggregate(load_table(spark, sf_dir, "orders"))
+    return cusum_report(gapfill_days(daily))
+
+
+def cusum_report(filled: DataFrame) -> DataFrame:
+    """(day, n_orders, kref, cusum_pos, cusum_neg, alarm) from the
+    gap-filled day series."""
     # `div` (not /) on both engines: float division + floor could land
     # on the wrong side of an exact integer boundary; integer division
     # of positive ints is identical truncation in Spark and DuckDB.

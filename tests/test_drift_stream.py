@@ -1,0 +1,122 @@
+"""Streaming drift maintenance: the published EWMA/CUSUM reports must
+equal the one-shot batch queries over the same archive, under BOTH
+in-order and reversed file arrival (the day aggregate is additive, so
+arrival order must be provably irrelevant), and the additive merge
+must be replay-safe."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from etl_pipeline_orchestration_spark.loader import SnapshotTable, WarehouseLoader
+from etl_pipeline_orchestration_spark.plans import registry
+from etl_pipeline_orchestration_spark.streaming.drift_stream import (
+    merge_daily_batch,
+    published_cusum,
+    published_ewma,
+    read_orders_stream,
+    stream_drift_to_warehouse,
+)
+
+registry.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _chunked_orders_dir(tmp_path_factory, reverse: bool) -> str:
+    """orders.parquet split into 4 date-ordered chunks with controlled
+    mtimes; ``reverse=True`` makes NEWEST data arrive FIRST."""
+    name = "drift_rev" if reverse else "drift_fwd"
+    d = str(tmp_path_factory.mktemp(name))
+    t = pq.read_table(f"{SF}/orders.parquet")
+    idx = sorted(
+        range(t.num_rows), key=lambda i: t["o_orderdate"][i].as_py()
+    )
+    per = (len(idx) + 3) // 4
+    chunks = [idx[i * per : (i + 1) * per] for i in range(4)]
+    if reverse:
+        chunks = chunks[::-1]
+    for i, chunk in enumerate(chunks):
+        path = os.path.join(d, f"part-{i}.parquet")
+        pq.write_table(t.take(pa.array(chunk, pa.int64())), path)
+        mt = 1_700_000_000 + i * 100
+        os.utime(path, (mt, mt))
+    return d
+
+
+@pytest.fixture(scope="module")
+def fwd_dir(tmp_path_factory):
+    return _chunked_orders_dir(tmp_path_factory, reverse=False)
+
+
+@pytest.fixture(scope="module")
+def rev_dir(tmp_path_factory):
+    return _chunked_orders_dir(tmp_path_factory, reverse=True)
+
+
+def _drain(spark, orders_dir, tmp_path):
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    stream = read_orders_stream(spark, orders_dir, max_files_per_trigger=1)
+    return stream_drift_to_warehouse(
+        stream, loader, "daily_drift", str(tmp_path / "ckpt")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _batch_reports(spark):
+    return (
+        _rows(registry.QUERIES["ewma_daily_revenue"](spark, SF)),
+        _rows(registry.QUERIES["cusum_changepoints_daily"](spark, SF)),
+    )
+
+
+def test_streamed_reports_equal_batch_in_order(spark, fwd_dir, tmp_path):
+    snaps = _drain(spark, fwd_dir, tmp_path)
+    assert len(snaps.versions()) == 4  # one merge per file
+    ewma_b, cusum_b = _batch_reports(spark)
+    assert _rows(published_ewma(snaps)) == ewma_b
+    assert _rows(published_cusum(snaps)) == cusum_b
+
+
+def test_streamed_reports_equal_batch_reversed_arrival(spark, rev_dir, tmp_path):
+    snaps = _drain(spark, rev_dir, tmp_path)
+    ewma_b, cusum_b = _batch_reports(spark)
+    assert _rows(published_ewma(snaps)) == ewma_b
+    assert _rows(published_cusum(snaps)) == cusum_b
+
+
+def test_additive_merge_skips_replayed_batch(spark, tmp_path):
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "daily_drift")
+    batch = spark.read.parquet(f"{SF}/orders.parquet")
+    assert merge_daily_batch(snaps, batch, 0, "app") is True
+    before = _rows(snaps.read())
+    # replayed batch id: must be a no-op, not a double count
+    assert merge_daily_batch(snaps, batch, 0, "app") is False
+    assert _rows(snaps.read()) == before
+    assert merge_daily_batch(snaps, batch, 1, "app") is True
+    after = {r[0]: (r[1], r[2]) for r in _rows(snaps.read())}
+    assert all(after[d] == (2 * n, 2 * c) for d, n, c in before)
+
+
+def test_stored_state_is_day_cardinality(spark, fwd_dir, tmp_path):
+    snaps = _drain(spark, fwd_dir, tmp_path)
+    import duckdb
+
+    n_days = snaps.read().count()
+    distinct_days = duckdb.connect().execute(
+        f"""SELECT count(DISTINCT CAST(o_orderdate AS DATE))
+            FROM read_parquet('{SF}/orders.parquet')"""
+    ).fetchone()[0]
+    # state is EXACTLY the distinct-day relation (∝ calendar, not corpus
+    # — at sf0.001 the toy corpus is barely larger than its calendar,
+    # so the meaningful bound is equality, one row per observed day)
+    assert n_days == distinct_days
+    assert snaps.read().groupBy("day").count().filter("count > 1").count() == 0
