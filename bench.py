@@ -154,6 +154,9 @@ HEADLINE = [
     "cusum_changepoints_daily",
     "naive_bayes_lang_confusion",
     "mmr_diverse_rerank",
+    "label_propagation_communities",
+    "chi_square_lang_source",
+    "welch_ttest_event_value",
 ]
 
 

@@ -28,7 +28,7 @@ are orders of magnitude smaller than the corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -382,3 +382,50 @@ def pagerank(
         else:
             sparse, base = new_sparse, new_base
     return densify(sparse, base)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, public
+    method) over an undirected edge list, made DETERMINISTIC: every
+    node starts labeled with itself; each round every node adopts its
+    neighbors' most frequent label, ties broken toward the SMALLEST
+    label (classic LPA breaks ties randomly — useless for a
+    reproducible pipeline). Fixed ``rounds`` sync updates rather than
+    convergence detection keeps the plan finite and the result
+    bit-stable. Returns (node, label).
+
+    Scale shape: one shuffle per round (the neighbor-label count on
+    node), counts bounded by edge count; the per-node argmax is a
+    window over each node's neighbor-label histogram — partitioned by
+    node, never global. localCheckpoint truncates per-round lineage
+    exactly as pagerank does; state is one (node, label) row per node.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    sym = sym.localCheckpoint()
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("nbl"))
+    for _ in range(rounds):
+        counts = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(F.col("src").alias("node"), F.col("label").alias("nbl"))
+            .groupBy("node", "nbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nbl").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

@@ -652,3 +652,322 @@ def naive_bayes_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.groupBy("lang_true", F.col("lang_cand").alias("lang_pred"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for t in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""
+    cnt{t} AS MATERIALIZED (
+      SELECT s.a AS node, l.label AS nbl, count(*) AS c
+      FROM sym s JOIN l{t - 1} l ON l.node = s.b
+      GROUP BY s.a, l.label
+    ),
+    l{t} AS MATERIALIZED (
+      SELECT node, nbl AS label FROM (
+        SELECT node, nbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, nbl ASC) AS rn
+        FROM cnt{t}) WHERE rn = 1
+    )"""
+        )
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+    ),
+    l0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node, a AS label FROM sym
+    ),{",".join(rounds)}
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l{_LPA_ROUNDS} GROUP BY label
+    """
+
+
+@query("label_propagation_communities", oracle=_lpa_oracle())
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation over the co-purchase graph (edge = part pair bought
+    together in >= 2 orders — the same graph triangle_count_copurchase
+    measures): {T} rounds of adopt-the-most-frequent-neighbor-label
+    with min-label tie-breaks, then community sizes. The fourth graph
+    algorithm family next to connected components, PageRank, and
+    triangle counting — unlike CC it separates densely-linked regions
+    that are merely touching, which is what a curation pipeline wants
+    when it groups near-duplicate product clusters.
+
+    Determinism: integer counts, (count DESC, label ASC) argmax via
+    row_number, fixed round count — no randomness, no floats; the
+    oracle unrolls every round as MATERIALIZED CTEs (the MMR lesson:
+    DuckDB inlines chained CTEs exponentially otherwise).
+
+    100 TB shape: one node-keyed shuffle per round over the
+    neighbor-label histogram (bounded by edge count); the argmax
+    window partitions by node — never global; per-round
+    localCheckpoint truncates lineage exactly as pagerank does."""
+    from etl_pipeline_orchestration_spark.operators.graph import label_propagation
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    labels = label_propagation(edges, rounds=_LPA_ROUNDS)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence test (lang x source)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chi_square_lang_source",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS obs
+      FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS rt FROM o GROUP BY lang),
+    c AS (SELECT source, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY source),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o),
+    cells AS (
+      -- full R x C grid: absent combinations observe 0 but still
+      -- contribute E to the statistic
+      SELECT r.lang, c.source, COALESCE(o.obs, 0) AS obs,
+             CAST(r.rt * c.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS expected
+      FROM r CROSS JOIN c CROSS JOIN n
+      LEFT JOIN o ON o.lang = r.lang AND o.source = c.source
+    ),
+    terms AS (
+      SELECT lang, source, obs, expected,
+             (CAST(obs AS DOUBLE) - expected) / sqrt(expected) AS std_residual,
+             CAST(floor((CAST(obs AS DOUBLE) - expected)
+                        * (CAST(obs AS DOUBLE) - expected) / expected
+                        * 1e9 + 0.5) AS BIGINT) AS term_nano
+      FROM cells
+    ),
+    summary AS (
+      SELECT CAST(sum(term_nano) AS BIGINT) AS chi2_nano,
+             CAST(((SELECT count(*) FROM r) - 1)
+                  * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof
+      FROM terms
+    )
+    SELECT t.lang, t.source, t.obs AS observed, t.expected, t.std_residual,
+           s.chi2_nano, s.dof
+    FROM terms t CROSS JOIN summary s
+    """,
+)
+def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between document
+    language and source, with per-cell standardized residuals — the
+    statistical audit that tells a corpus curator whether sources are
+    language-skewed (and WHICH cells drive the skew) before mixture
+    weighting. The full R x C grid participates: absent combinations
+    observe 0 but still contribute their expectation.
+
+    Determinism: observed/row/column/total counts are exact ints;
+    expected and residuals are single identical float expressions per
+    cell (no summation). The chi-square SUM would be float-order-
+    dependent, so each cell's term is frozen to integer NANO-units
+    (floor(x*1e9 + 0.5) — the micro-nat discipline at 1000x finer
+    grain, since terms range to ~1e3) and summed as int64: exact on
+    both engines.
+
+    100 TB shape: one documents scan -> (lang, source) combine; the
+    grid, margins, and statistic all live at R x C cardinality. The
+    statistic broadcast-joins back onto the cells."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    o = o.localCheckpoint()  # margins + cells prune differently
+    r = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("ct"))
+    n = o.agg(F.sum("obs").cast("bigint").alias("n"))
+    cells = (
+        r.crossJoin(c)
+        .crossJoin(F.broadcast(n))
+        .join(o, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+            (
+                (F.col("rt") * F.col("ct")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("expected"),
+        )
+    )
+    od = F.col("obs").cast("double")
+    terms = cells.select(
+        "lang",
+        "source",
+        "obs",
+        "expected",
+        ((od - F.col("expected")) / F.sqrt("expected")).alias("std_residual"),
+        F.floor(
+            (od - F.col("expected"))
+            * (od - F.col("expected"))
+            / F.col("expected")
+            * 1e9
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("term_nano"),
+    )
+    terms = terms.localCheckpoint()  # summary + output prune differently
+    dof = (
+        (r.count() - 1) * (c.count() - 1)
+    )  # R, C are catalog-sized scalars; counting them is driver-safe
+    summary = terms.agg(
+        F.sum("term_nano").cast("bigint").alias("chi2_nano"),
+        F.lit(dof).cast("bigint").alias("dof"),
+    )
+    return terms.crossJoin(F.broadcast(summary)).select(
+        "lang",
+        "source",
+        F.col("obs").alias("observed"),
+        "expected",
+        "std_residual",
+        "chi2_nano",
+        "dof",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test from exact moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "welch_ttest_event_value",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM d GROUP BY event_type
+    ),
+    m AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_micro,
+             CAST(n * sxx - sx * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_micro
+      FROM s
+    ),
+    w AS (
+      SELECT p.n AS n_purchase, v.n AS n_view,
+             p.mean_micro - v.mean_micro AS mean_diff_micro,
+             p.var_micro / CAST(p.n AS DOUBLE)
+               + v.var_micro / CAST(v.n AS DOUBLE) AS se2
+      FROM (SELECT * FROM m WHERE event_type = 'purchase') p,
+           (SELECT * FROM m WHERE event_type = 'view') v
+    )
+    SELECT n_purchase, n_view, mean_diff_micro,
+           mean_diff_micro / sqrt(se2) AS t_stat
+    FROM w
+    """,
+)
+def welch_ttest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t statistic comparing event
+    value between 'purchase' and 'view' events — the A/B-comparison
+    primitive, computed entirely from exact sufficient statistics
+    (n, Σx, Σx² per group) in one aggregate, like
+    grouped_ols_discount_elasticity.
+
+    Determinism: values freeze to integer micro-units via the
+    double→DECIMAL cast; n/Σx/Σx² are exact DECIMAL(38,0)/HUGEINT;
+    means, variances (n·Σx²−(Σx)² form), and the t statistic are
+    identical float-expression shapes over casts of those exact
+    integers — bit-equal, no tolerance. Reported in micro-units
+    (mean_diff_micro); t is scale-invariant so it needs no unscaling.
+
+    100 TB shape: one events scan, two-group partial aggregation,
+    driver sees nothing — the whole test is 2 rows of 3 numbers."""
+    d38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    d = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint").alias("x"),
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+    )
+    m = s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean_micro"
+        ),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n") - F.lit(1).cast(d38)).cast("double")
+            )
+        ).alias("var_micro"),
+    )
+    p = m.filter(F.col("event_type") == "purchase").alias("p")
+    v = m.filter(F.col("event_type") == "view").alias("v")
+    w = p.crossJoin(v).select(
+        F.col("p.n").alias("n_purchase"),
+        F.col("v.n").alias("n_view"),
+        (F.col("p.mean_micro") - F.col("v.mean_micro")).alias("mean_diff_micro"),
+        (
+            F.col("p.var_micro") / F.col("p.n").cast("double")
+            + F.col("v.var_micro") / F.col("v.n").cast("double")
+        ).alias("se2"),
+    )
+    return w.select(
+        "n_purchase",
+        "n_view",
+        "mean_diff_micro",
+        (F.col("mean_diff_micro") / F.sqrt("se2")).alias("t_stat"),
+    )

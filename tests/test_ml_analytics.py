@@ -177,3 +177,103 @@ def test_naive_bayes_partitions_whole_test_split(spark):
     langs = {"de", "en", "es", "fr", "zh"}
     assert {r.lang_true for r in got} <= langs
     assert {r.lang_pred for r in got} <= langs
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_separates_planted_cliques(spark):
+    """Two 5-cliques joined by a single bridge edge: LPA must keep them
+    as two communities labeled by each clique's min node — exactly the
+    separation connected components CANNOT give (CC would merge them
+    through the bridge)."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    cliq_a = [(i, j) for i in range(5) for j in range(5) if i < j]
+    cliq_b = [(i, j) for i in range(10, 15) for j in range(10, 15) if i < j]
+    bridge = [(4, 10)]
+    edges = spark.createDataFrame(cliq_a + cliq_b + bridge, "a long, b long")
+    labels = {r.node: r.label for r in label_propagation(edges, rounds=4).collect()}
+    assert {labels[i] for i in range(5)} == {0}
+    assert {labels[i] for i in range(10, 15)} == {10}
+    # the contrast that motivates LPA: CC merges everything via the bridge
+    cc = connected_components(edges.selectExpr("a AS src", "b AS dst"))
+    assert len({r["component"] for r in cc.collect()}) == 1
+
+
+def test_label_propagation_is_deterministic(spark):
+    from etl_pipeline_orchestration_spark.operators.graph import label_propagation
+
+    # a tie-heavy graph: a 4-cycle (bipartite, classic LPA oscillator)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "a long, b long"
+    )
+    a = sorted((r.node, r.label) for r in label_propagation(edges, 4).collect())
+    b = sorted((r.node, r.label) for r in label_propagation(edges, 4).collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# chi-square / Welch vs scipy-free reference formulas
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_matches_direct_computation(spark):
+    import duckdb
+
+    rows = _q("chi_square_lang_source")(spark, SF).collect()
+    obs = duckdb.connect().execute(
+        f"""SELECT lang, source, count(*) FROM
+            read_parquet('{SF}/documents.parquet') GROUP BY 1, 2"""
+    ).fetchall()
+    o = {(l, s): c for l, s, c in obs}
+    langs = sorted({l for l, _, _ in obs})
+    srcs = sorted({s for _, s, _ in obs})
+    n = sum(o.values())
+    rt = {l: sum(c for (ll, _), c in o.items() if ll == l) for l in langs}
+    ct = {s: sum(c for (_, ss), c in o.items() if ss == s) for s in srcs}
+    chi2 = 0.0
+    for l in langs:
+        for s in srcs:
+            e = rt[l] * ct[s] / n
+            chi2 += (o.get((l, s), 0) - e) ** 2 / e
+    got = rows[0]
+    assert got.dof == (len(langs) - 1) * (len(srcs) - 1)
+    assert got.chi2_nano / 1e9 == pytest.approx(chi2, rel=1e-6)
+    assert len(rows) == len(langs) * len(srcs)
+    cell = {(r.lang, r.source): r for r in rows}
+    for (l, s), r in cell.items():
+        e = rt[l] * ct[s] / n
+        assert r.expected == pytest.approx(e, rel=1e-12)
+        assert r.std_residual == pytest.approx(
+            (o.get((l, s), 0) - e) / e**0.5, rel=1e-12
+        )
+
+
+def test_welch_t_matches_direct_computation(spark):
+    import duckdb
+
+    got = _q("welch_ttest_event_value")(spark, SF).collect()[0]
+    vals = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                    AS BIGINT)
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE event_type IN ('purchase', 'view')"""
+    ).fetchall()
+    p = [x for t, x in vals if t == "purchase"]
+    v = [x for t, x in vals if t == "view"]
+
+    def var(xs):
+        n = len(xs)
+        return (n * sum(x * x for x in xs) - sum(xs) ** 2) / (n * (n - 1))
+
+    md = sum(p) / len(p) - sum(v) / len(v)
+    t = md / (var(p) / len(p) + var(v) / len(v)) ** 0.5
+    assert got.n_purchase == len(p) and got.n_view == len(v)
+    assert got.mean_diff_micro == pytest.approx(md, rel=1e-9)
+    assert got.t_stat == pytest.approx(t, rel=1e-9)
