@@ -157,6 +157,8 @@ HEADLINE = [
     "label_propagation_communities",
     "chi_square_lang_source",
     "welch_ttest_event_value",
+    "mann_whitney_u_event_value",
+    "ks_test_event_value",
 ]
 
 

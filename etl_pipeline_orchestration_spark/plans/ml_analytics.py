@@ -971,3 +971,205 @@ def welch_ttest_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_diff_micro",
         (F.col("mean_diff_micro") / F.sqrt("se2")).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rank statistics: Mann-Whitney U and Kolmogorov-Smirnov D
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mann_whitney_u_event_value",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    h AS (
+      SELECT x,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS c1,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS c2
+      FROM d GROUP BY x
+    ),
+    r AS (
+      SELECT x, c1, c2,
+             CAST(COALESCE(sum(c1 + c2) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below
+      FROM h
+    ),
+    agg AS (
+      -- midrank*2 = 2*below + (ties+1); rank-sum doubled stays integer
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(c1 * (2 * below + (c1 + c2) + 1)) AS BIGINT)
+               AS r1_x2
+      FROM r
+    )
+    SELECT n1, n2, r1_x2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+           CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2 AS u_mean
+    FROM agg
+    """,
+)
+def mann_whitney_u_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) statistic comparing purchase
+    vs view event values — the nonparametric sibling of
+    welch_ttest_event_value: distribution-free, driven entirely by
+    ranks, which are EXACT integers.
+
+    Rank trick: no per-row ranking (a 100 TB sort) — values collapse
+    to a per-value histogram first, and the doubled midrank of a value
+    is 2·(count below) + ties + 1, an integer; the doubled rank-sum
+    r1_x2 is then one exact aggregate over the histogram. U1 derives
+    from it in closed form. The only window runs over the DISTINCT-
+    value relation (documented-legitimate SP shape at histogram
+    cardinality; at true scale this window becomes the contiguous-ids
+    prefix-sum pattern over value buckets).
+
+    Determinism: every quantity through r1_x2 is int64-exact; u1 and
+    u_mean are single identical float divisions of exact integers."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    d = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint").alias("x"),
+    )
+    h = d.groupBy("x").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    r = h.select(
+        "x",
+        "c1",
+        "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("below"),
+    )
+    agg = r.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+        F.sum(
+            F.col("c1") * (2 * F.col("below") + (F.col("c1") + F.col("c2")) + 1)
+        )
+        .cast("bigint")
+        .alias("r1_x2"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        "r1_x2",
+        (
+            (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+        ).alias("u1"),
+        (F.col("n1").cast("double") * F.col("n2").cast("double") / 2).alias(
+            "u_mean"
+        ),
+    )
+
+
+@query(
+    "ks_test_event_value",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    h AS (
+      SELECT x,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS c1,
+             CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS c2
+      FROM d GROUP BY x
+    ),
+    n AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM h
+    ),
+    c AS (
+      SELECT x,
+             CAST(sum(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum2
+      FROM h
+    ),
+    gaps AS (
+      -- |cum1/n1 - cum2/n2| compared EXACTLY: common denominator
+      -- n1*n2 keeps the argmax integer — no float enters the ordering
+      SELECT x, cum1, cum2,
+             abs(cum1 * n.n2 - cum2 * n.n1) AS gap_num
+      FROM c, n
+    )
+    SELECT n.n1, n.n2, g.x AS d_at_value_micro,
+           CAST(g.gap_num AS DOUBLE)
+             / (CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE)) AS ks_d
+    FROM n, (SELECT x, gap_num FROM gaps
+             ORDER BY gap_num DESC, x ASC LIMIT 1) g
+    """,
+)
+def ks_test_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic (purchase vs view event
+    value): D = max over values of |F1 - F2|, with the value where the
+    gap peaks. Shares the per-value-histogram machinery with
+    mann_whitney_u_event_value — the same two running sums.
+
+    Determinism: the ECDF gap is compared as the EXACT integer
+    |cum1·n2 - cum2·n1| (common denominator n1·n2), so the argmax —
+    the part where a float ulp could flip the winning value — is pure
+    integer ordering with an x tiebreak; only the final reported D
+    divides the winning integers, an identical float op. Scale: one
+    window over the distinct-value histogram, then a top-1."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    d = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint").alias("x"),
+    )
+    h = d.groupBy("x").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c2"),
+    )
+    h = h.localCheckpoint()  # totals + cums prune differently
+    n = h.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "x",
+        F.sum("c1").over(w).cast("bigint").alias("cum1"),
+        F.sum("c2").over(w).cast("bigint").alias("cum2"),
+    )
+    gaps = c.crossJoin(F.broadcast(n)).select(
+        "x",
+        "n1",
+        "n2",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")).alias(
+            "gap_num"
+        ),
+    )
+    top = gaps.orderBy(F.desc("gap_num"), F.asc("x")).limit(1)
+    return top.select(
+        "n1",
+        "n2",
+        F.col("x").alias("d_at_value_micro"),
+        (
+            F.col("gap_num").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("ks_d"),
+    )

@@ -277,3 +277,57 @@ def test_welch_t_matches_direct_computation(spark):
     assert got.n_purchase == len(p) and got.n_view == len(v)
     assert got.mean_diff_micro == pytest.approx(md, rel=1e-9)
     assert got.t_stat == pytest.approx(t, rel=1e-9)
+
+
+def test_mann_whitney_matches_direct_ranking(spark):
+    import duckdb
+
+    got = _q("mann_whitney_u_event_value")(spark, SF).collect()[0]
+    vals = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                    AS BIGINT)
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE event_type IN ('purchase', 'view')"""
+    ).fetchall()
+    allv = sorted(x for _, x in vals)
+    # direct midranks (1-based, ties averaged) — the textbook definition
+    from collections import Counter
+
+    cnt = Counter(allv)
+    start = {}
+    pos = 1
+    for v in sorted(cnt):
+        start[v] = pos
+        pos += cnt[v]
+    midrank = {v: start[v] + (cnt[v] - 1) / 2 for v in cnt}
+    r1 = sum(midrank[x] for t, x in vals if t == "purchase")
+    n1 = sum(1 for t, _ in vals if t == "purchase")
+    n2 = sum(1 for t, _ in vals if t == "view")
+    assert got.n1 == n1 and got.n2 == n2
+    assert got.r1_x2 == int(2 * r1)
+    assert got.u1 == pytest.approx(r1 - n1 * (n1 + 1) / 2, rel=1e-12)
+
+
+def test_ks_matches_direct_ecdf_scan(spark):
+    import duckdb
+
+    got = _q("ks_test_event_value")(spark, SF).collect()[0]
+    vals = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                                    AS BIGINT)
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE event_type IN ('purchase', 'view')"""
+    ).fetchall()
+    p = sorted(x for t, x in vals if t == "purchase")
+    v = sorted(x for t, x in vals if t == "view")
+    import bisect
+
+    best = (-1, None)
+    for x in sorted(set(p) | set(v)):
+        gap = abs(
+            bisect.bisect_right(p, x) * len(v) - bisect.bisect_right(v, x) * len(p)
+        )
+        if gap > best[0]:
+            best = (gap, x)
+    assert got.d_at_value_micro == best[1]
+    assert got.ks_d == pytest.approx(best[0] / (len(p) * len(v)), rel=1e-12)
