@@ -83,6 +83,17 @@ FAMILIES = {
     # hard negatives: brute-force probe fan-out — linear in corpus,
     # constant in probes.
     "hard_negatives": "hard_negative_mining",
+    # Naive Bayes: one token-fold scan + a 640-row broadcast model —
+    # the exponent certifies the model join lands on the (doc, bucket)
+    # combine, never on raw tokens.
+    "naive_bayes": "naive_bayes_lang_confusion",
+    # label propagation: 4 rounds x one node-keyed shuffle over the
+    # co-purchase neighbor-label histogram — certifies round cost is
+    # edge-linear on the 10x lineitem graph.
+    "lpa_communities": "label_propagation_communities",
+    # MMR rerank: certifies the candidate-pool cut keeps pairwise work
+    # C^2-bounded while the rels fan-out scales linearly in vectors.
+    "mmr_rerank": "mmr_diverse_rerank",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
