@@ -159,6 +159,7 @@ HEADLINE = [
     "welch_ttest_event_value",
     "mann_whitney_u_event_value",
     "ks_test_event_value",
+    "poisson_bootstrap_revenue_ci",
 ]
 
 

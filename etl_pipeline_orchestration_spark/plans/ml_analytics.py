@@ -1173,3 +1173,132 @@ def ks_test_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n1").cast("double") * F.col("n2").cast("double"))
         ).alias("ks_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (one scan, B counters)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# Cumulative Poisson(1) CDF frozen to the integer 1e-6 grid:
+# P(W <= k) * 1e6, k = 0..9 (the tail beyond 9 is < 1e-6 and rounds
+# into the last threshold). W = #thresholds <= u for u uniform on
+# [0, 1e6) reproduces the pmf exactly on this grid — pure integer
+# comparisons, no float RNG anywhere.
+_BOOT_CDF = (367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990, 999999)
+
+
+def _boot_oracle() -> str:
+    cdf = ", ".join(str(t) for t in _BOOT_CDF)
+    return f"""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM orders
+    ),
+    fan AS (
+      SELECT d.o_orderkey, d.x, r.replica,
+             ((d.o_orderkey % 2147483648) * 2654435761
+              + r.replica * 40503) % 4294967296 % 1000000 AS u
+      FROM d, (SELECT unnest(range(0, {_BOOT_B})) AS replica) r
+    ),
+    wts AS (
+      SELECT replica, x,
+             (SELECT count(*) FROM unnest([{cdf}]) AS t(th)
+              WHERE t.th <= fan.u) AS w
+      FROM fan
+    ),
+    reps AS (
+      SELECT CAST(replica AS BIGINT) AS replica,
+             CAST(sum(w) AS BIGINT) AS n_resampled,
+             CAST(CAST(sum(w * x) AS HUGEINT) AS DOUBLE)
+               / CAST(sum(w) AS DOUBLE) AS mean_cents
+      FROM wts GROUP BY replica
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY mean_cents ASC, replica ASC)
+               AS rk
+      FROM reps
+    ),
+    ci AS (
+      SELECT max(CASE WHEN rk = 2 THEN mean_cents END) AS ci_lo,
+             max(CASE WHEN rk = {_BOOT_B - 1} THEN mean_cents END) AS ci_hi
+      FROM ranked
+    )
+    SELECT r.replica, r.n_resampled, r.mean_cents, ci.ci_lo, ci.ci_hi
+    FROM reps r CROSS JOIN ci
+    """
+
+
+@query("poisson_bootstrap_revenue_ci", oracle=_boot_oracle())
+def poisson_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value via the
+    POISSON bootstrap (Chamandy et al. 2012, public method) — the
+    resampling scheme that works in ONE distributed scan: instead of
+    drawing B full resamples (impossible at 100 TB), every row
+    contributes an independent Poisson(1) count to each of B = {B}
+    replicas; replica means then spread exactly like bootstrap means.
+    The CI is the [2nd, {B}-1th] order statistic of the replica means
+    (~94% coverage at B = 32).
+
+    Determinism: the Poisson draw is NOT random — each (row, replica)
+    maps through the Knuth multiplicative hash to a uniform integer on
+    the 1e-6 grid, compared against the frozen integer Poisson CDF
+    thresholds (pure int compares, DSIR's Gumbel discipline); weighted
+    sums are exact ints; replica means are single identical divisions;
+    the CI order statistics are selections over identical doubles.
+
+    100 TB shape: one scan fans each row out {B}x (a narrow explode,
+    no shuffle growth — the fan-out collapses immediately into the
+    per-replica partial aggregate), leaving B rows of exact integers.
+    Nothing else moves; the CI window runs over {B} rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+    )
+    fan = d.select(
+        "o_orderkey",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("replica"),
+    ).select(
+        "x",
+        "replica",
+        (
+            (
+                (F.col("o_orderkey") % F.lit(2147483648)) * F.lit(2654435761)
+                + F.col("replica") * F.lit(40503)
+            )
+            % F.lit(4294967296)
+            % F.lit(1000000)
+        ).alias("u"),
+    )
+    w_expr = None
+    for t in _BOOT_CDF:
+        term = F.when(F.lit(t) <= F.col("u"), 1).otherwise(0)
+        w_expr = term if w_expr is None else w_expr + term
+    wts = fan.select("replica", "x", w_expr.alias("w"))
+    reps = wts.groupBy("replica").agg(
+        F.sum("w").cast("bigint").alias("n_resampled"),
+        (
+            F.sum((F.col("w") * F.col("x")).cast("decimal(38,0)"))
+            .cast("double")
+            / F.sum("w").cast("double")
+        ).alias("mean_cents"),
+    )
+    reps = reps.select(
+        F.col("replica").cast("bigint").alias("replica"),
+        "n_resampled",
+        "mean_cents",
+    ).localCheckpoint()  # consumed twice (rows + ranked CI)
+    wr = Window.orderBy(F.asc("mean_cents"), F.asc("replica"))
+    ranked = reps.withColumn("rk", F.row_number().over(wr))
+    ci = ranked.agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_cents"))).alias("ci_lo"),
+        F.max(F.when(F.col("rk") == _BOOT_B - 1, F.col("mean_cents"))).alias(
+            "ci_hi"
+        ),
+    )
+    return reps.crossJoin(F.broadcast(ci))

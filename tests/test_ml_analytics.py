@@ -331,3 +331,53 @@ def test_ks_matches_direct_ecdf_scan(spark):
             best = (gap, x)
     assert got.d_at_value_micro == best[1]
     assert got.ks_d == pytest.approx(best[0] / (len(p) * len(v)), rel=1e-12)
+
+
+def test_poisson_bootstrap_weights_and_ci_semantics(spark):
+    rows = _q("poisson_bootstrap_revenue_ci")(spark, SF).collect()
+    assert len(rows) == 32
+    import duckdb
+
+    n, true_mean = duckdb.connect().execute(
+        f"""SELECT count(*), avg(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                      AS BIGINT))
+            FROM read_parquet('{SF}/orders.parquet')"""
+    ).fetchone()
+    means = sorted(r.mean_cents for r in rows)
+    # CI = [2nd, 31st] order statistics, identical on every row
+    assert {(r.ci_lo, r.ci_hi) for r in rows} == {(means[1], means[-2])}
+    assert means[1] < means[-2]
+    # Poisson(1) resample sizes concentrate near n (sd ~ sqrt(n))
+    for r in rows:
+        assert abs(r.n_resampled - n) < 6 * n**0.5
+    # the replica spread brackets the truth and scales like sqrt(n):
+    # a broken hash (constant weights) would collapse the spread to 0
+    assert means[0] < true_mean < means[-1]
+    spread = means[-1] - means[0]
+    assert spread > 0
+
+
+def test_poisson_bootstrap_weight_distribution_matches_pmf(spark):
+    """The hash-derived integer weights must reproduce the Poisson(1)
+    pmf on the 1e-6 grid — chi-square-style bound on the 0/1/2 bins."""
+    import math
+
+    from etl_pipeline_orchestration_spark.plans.ml_analytics import _BOOT_CDF
+
+    # direct replay of the weight derivation for one replica
+    import duckdb
+
+    ws = duckdb.connect().execute(
+        f"""WITH d AS (SELECT o_orderkey FROM
+              read_parquet('{SF}/orders.parquet')),
+            u AS (SELECT ((o_orderkey % 2147483648) * 2654435761)
+                         % 4294967296 % 1000000 AS u FROM d)
+            SELECT (SELECT count(*) FROM unnest([{", ".join(map(str, _BOOT_CDF))}])
+                    AS t(th) WHERE t.th <= u.u) AS w, count(*)
+            FROM u GROUP BY 1"""
+    ).fetchall()
+    total = sum(c for _, c in ws)
+    freq = {w: c / total for w, c in ws}
+    for k in (0, 1, 2):
+        expect = math.exp(-1) / math.factorial(k)
+        assert abs(freq.get(k, 0.0) - expect) < 0.05
