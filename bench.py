@@ -160,6 +160,9 @@ HEADLINE = [
     "mann_whitney_u_event_value",
     "ks_test_event_value",
     "poisson_bootstrap_revenue_ci",
+    "quality_classifier_auc",
+    "quality_classifier_calibration",
+    "quality_classifier_isotonic",
 ]
 
 

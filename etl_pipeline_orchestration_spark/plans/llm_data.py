@@ -2531,11 +2531,16 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLF_TRAIN_SPLIT_SQL = "(doc_id % 5) <> 0"
 
 
-def _clf_oracle(train_where: str = "TRUE", by_split: bool = False) -> str:
-    """Unrolled-training oracle. ``train_where`` filters the feature
-    rows the gradient aggregates see (holdout eval trains on a split);
-    ``by_split`` adds the train/holdout dimension to the confusion
-    output. Scoring always covers ALL rows."""
+def _clf_with_prefix(train_where: str = "TRUE") -> tuple[str, str]:
+    """Shared unrolled-training oracle prefix: returns ``(with_clause,
+    z_expr)`` where ``with_clause`` is the full ``WITH ...`` chain —
+    integer features, planted labels, and TRAIN_ITERS unrolled
+    diagonal-Newton iterations over the ``train_where`` split — and
+    ``z_expr`` is the final-weights score expression over a feature
+    row aliased ``f`` joined to the last beta CTE aliased ``b``.
+    Every classifier-derived oracle (confusion, AUC, calibration,
+    isotonic) appends its own final SELECT to this one trajectory, so
+    a hash match on any of them certifies the identical weights."""
     from etl_pipeline_orchestration_spark.operators.classifier import (
         FEATURE_COLS,
         LABEL_LOGIT_THRESHOLD,
@@ -2601,6 +2606,17 @@ def _clf_oracle(train_where: str = "TRUE", by_split: bool = False) -> str:
       FROM b{t - 1} b CROSS JOIN g{t} g CROSS JOIN m2 m
     )""")
     zf = " + ".join(f"b.b{j} * f.{c}" for j, c in enumerate(cols))
+    return f"WITH {feats},{','.join(iters)}", zf
+
+
+def _clf_oracle(train_where: str = "TRUE", by_split: bool = False) -> str:
+    """Unrolled-training oracle. ``train_where`` filters the feature
+    rows the gradient aggregates see (holdout eval trains on a split);
+    ``by_split`` adds the train/holdout dimension to the confusion
+    output. Scoring always covers ALL rows."""
+    from etl_pipeline_orchestration_spark.operators.classifier import TRAIN_ITERS
+
+    with_clause, zf = _clf_with_prefix(train_where)
     split_sel = (
         f"CASE WHEN {_CLF_TRAIN_SPLIT_SQL} THEN 'train' ELSE 'holdout' END AS split,\n           "
         if by_split
@@ -2608,7 +2624,7 @@ def _clf_oracle(train_where: str = "TRUE", by_split: bool = False) -> str:
     )
     split_grp = ", 3" if by_split else ""
     return f"""
-    WITH {feats},{",".join(iters)}
+    {with_clause}
     SELECT {split_sel}f.y,
            CAST(({zf}) >= 0 AS INT) AS pred,
            COUNT(*) AS n_docs,
@@ -2675,13 +2691,364 @@ def quality_classifier_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = classifier.classifier_features(docs).localCheckpoint()
-    betas, _ = classifier.train_logistic_int(
-        feats.filter((F.col("doc_id") % 5) != 0)
-    )
+    betas = _betas_trained_on_split(feats, sf_dir)
     split = F.when((F.col("doc_id") % 5) != 0, F.lit("train")).otherwise(
         F.lit("holdout")
     )
     return classifier.confusion_by_split(feats, betas, split)
+
+
+#: Per-process memo of the split-trained weights, keyed by sf_dir. The
+#: trainer is a pure deterministic function of the input tables, so the
+#: four consumers (holdout confusion, AUC, calibration, isotonic) share
+#: one training trajectory instead of re-running 7 whole-table
+#: aggregates each — the materialize-once discipline the substring-span
+#: memo set (plans/corpus_ops.py).
+_SPLIT_BETAS_MEMO: dict[str, list[int]] = {}
+
+
+def _betas_trained_on_split(feats: DataFrame, sf_dir: str) -> list[int]:
+    from etl_pipeline_orchestration_spark.operators import classifier
+
+    key = str(sf_dir)
+    if key not in _SPLIT_BETAS_MEMO:
+        betas, _ = classifier.train_logistic_int(
+            feats.filter((F.col("doc_id") % 5) != 0)
+        )
+        _SPLIT_BETAS_MEMO[key] = betas
+    return _SPLIT_BETAS_MEMO[key]
+
+
+def _clf_split_scored(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[split, y, z] relation under the split-trained weights — the
+    shared input of the AUC / calibration / isotonic evaluations."""
+    from etl_pipeline_orchestration_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = classifier.classifier_features(docs).localCheckpoint()
+    betas = _betas_trained_on_split(feats, sf_dir)
+    split = F.when((F.col("doc_id") % 5) != 0, F.lit("train")).otherwise(
+        F.lit("holdout")
+    )
+    return feats.select(
+        split.alias("split"), "y", classifier._z_expr(betas).alias("z")
+    )
+
+
+def _clf_scored_sql() -> str:
+    """Oracle CTE chain ending in ``scored(split, y, z)`` — the
+    unrolled training trajectory plus split-tagged scoring."""
+    from etl_pipeline_orchestration_spark.operators.classifier import TRAIN_ITERS
+
+    with_clause, zf = _clf_with_prefix(_CLF_TRAIN_SPLIT_SQL)
+    return f"""
+    {with_clause},
+    scored AS (
+      SELECT CASE WHEN {_CLF_TRAIN_SPLIT_SQL} THEN 'train' ELSE 'holdout' END
+               AS split,
+             f.y, CAST(({zf}) AS BIGINT) AS z
+      FROM feats f CROSS JOIN b{TRAIN_ITERS} b
+    )"""
+
+
+def _clf_auc_oracle() -> str:
+    return f"""
+    {_clf_scored_sql()},
+    h AS (
+      SELECT split, z,
+             CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS c1,
+             CAST(sum(1 - CAST(y AS BIGINT)) AS BIGINT) AS c2
+      FROM scored GROUP BY split, z
+    ),
+    r AS (
+      SELECT split, c1, c2,
+             CAST(COALESCE(sum(c1 + c2) OVER (PARTITION BY split ORDER BY z
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS below
+      FROM h
+    ),
+    agg AS (
+      SELECT split, CAST(sum(c1) AS BIGINT) AS n_pos,
+             CAST(sum(c2) AS BIGINT) AS n_neg,
+             CAST(sum(c1 * (2 * below + (c1 + c2) + 1)) AS BIGINT) AS r1_x2
+      FROM r GROUP BY split
+    )
+    SELECT split, n_pos, n_neg, r1_x2,
+           CAST(r1_x2 - n_pos * (n_pos + 1) AS DOUBLE) / 2
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+    FROM agg
+    """
+
+
+@query("quality_classifier_auc", oracle=_clf_auc_oracle())
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the split-trained quality classifier, per split —
+    the threshold-free ranking metric a curation pipeline tracks
+    alongside the confusion matrix (accuracy moves with the 0-cut;
+    AUC certifies the whole score ordering separates the classes).
+
+    AUC = U / (n_pos * n_neg) via the Mann-Whitney identity, computed
+    with the midrank-histogram discipline of
+    mann_whitney_u_event_value (plans/ml_analytics.py): scores
+    collapse to a per-(split, z) histogram, doubled midranks derive
+    from the running below-count (2*below + ties + 1), and the
+    doubled rank-sum is one exact int64 aggregate — NO per-row
+    ranking, ties handled exactly. The lone windows run at score-
+    histogram cardinality (bounded by the integer score grid, not by
+    corpus size).
+
+    100 TB shape: training is the memoized split trajectory (7
+    map-side-combined aggregates, driver sees 6-vectors); scoring is
+    a narrow map; the histogram is one map-side-combined GROUP BY.
+    The oracle replays the full training as unrolled CTEs, so the
+    hash certifies weights AND ranking jointly."""
+    scored = _clf_split_scored(spark, sf_dir)
+    h = scored.groupBy("split", "z").agg(
+        F.sum(F.col("y").cast("bigint")).cast("bigint").alias("c1"),
+        F.sum(F.lit(1) - F.col("y").cast("bigint")).cast("bigint").alias("c2"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("split")
+        .orderBy("z")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = h.select(
+        "split",
+        "c1",
+        "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("below"),
+    )
+    agg = r.groupBy("split").agg(
+        F.sum("c1").cast("bigint").alias("n_pos"),
+        F.sum("c2").cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("c1")
+            * (2 * F.col("below") + (F.col("c1") + F.col("c2")) + 1)
+        )
+        .cast("bigint")
+        .alias("r1_x2"),
+    )
+    return agg.select(
+        "split",
+        "n_pos",
+        "n_neg",
+        "r1_x2",
+        (
+            (
+                F.col("r1_x2") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / 2
+            / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )
+
+
+def _clf_calibration_oracle() -> str:
+    return f"""
+    {_clf_scored_sql()},
+    pm AS (
+      SELECT split, y,
+             CAST(FLOOR(1e6 / (1.0 + EXP(-(CAST(z AS DOUBLE) * 1e-6))) + 0.5)
+                  AS BIGINT) AS p
+      FROM scored
+    ),
+    bins AS (
+      SELECT split, LEAST(p // 100000, 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+             CAST(sum(p) AS BIGINT) AS sum_p_micro
+      FROM pm GROUP BY 1, 2
+    )
+    SELECT split, bin, n_docs, n_pos, sum_p_micro,
+           CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS acc,
+           CAST(sum_p_micro AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6 AS conf,
+           ABS(CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)
+               - CAST(sum_p_micro AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1e6)
+             AS gap
+    FROM bins
+    """
+
+
+@query("quality_classifier_calibration", oracle=_clf_calibration_oracle())
+def quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram (calibration bins) of the split-trained
+    classifier: scores map through the micro-grid sigmoid to
+    probabilities, bucket into 10 confidence deciles, and each
+    (split, bin) reports count, positives, exact summed confidence,
+    and the |accuracy - confidence| gap whose n-weighted sum is ECE —
+    the check that tells you whether the classifier's probabilities
+    can be TRUSTED as sampling weights (a miscalibrated quality score
+    silently distorts any p-weighted data mixture).
+
+    Determinism: p is the exact integer micro-grid sigmoid
+    (operators/classifier.py _p_micro, same accepted last-ulp
+    exposure as training itself); bins are integer division; acc /
+    conf / gap are identical float-expression shapes over exact int64
+    sums. 100 TB shape: one narrow map + one map-side-combined
+    20-group aggregate; nothing driver-side."""
+    scored = _clf_split_scored(spark, sf_dir)
+    from etl_pipeline_orchestration_spark.operators.classifier import _p_micro
+
+    pm = scored.select("split", "y", _p_micro(F.col("z")).alias("p"))
+    bins = pm.groupBy(
+        "split", F.expr("least(p div 100000, 9)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("y").cast("bigint")).cast("bigint").alias("n_pos"),
+        F.sum("p").cast("bigint").alias("sum_p_micro"),
+    )
+    acc = F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+    conf = (
+        F.col("sum_p_micro").cast("double")
+        / F.col("n_docs").cast("double")
+        / F.lit(1e6)
+    )
+    return bins.select(
+        "split",
+        "bin",
+        "n_docs",
+        "n_pos",
+        "sum_p_micro",
+        acc.alias("acc"),
+        conf.alias("conf"),
+        F.abs(acc - conf).alias("gap"),
+    )
+
+
+def _clf_isotonic_oracle() -> str:
+    return f"""
+    {_clf_scored_sql()},
+    pm AS (
+      SELECT y,
+             CAST(FLOOR(1e6 / (1.0 + EXP(-(CAST(z AS DOUBLE) * 1e-6))) + 0.5)
+                  AS BIGINT) AS p
+      FROM scored WHERE split = 'holdout'
+    ),
+    bins AS (
+      SELECT LEAST(p // 50000, 19) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+      FROM pm GROUP BY 1
+    ),
+    pre AS (
+      SELECT bin, n_docs, n_pos,
+             CAST(sum(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             CAST(sum(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cpos
+      FROM bins
+    ),
+    iv AS (
+      SELECT j.bin AS jb, k.bin AS kb,
+             CAST(k.cpos - (j.cpos - j.n_pos) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n_docs) AS DOUBLE) AS avg_jk
+      FROM pre j JOIN pre k ON j.bin <= k.bin
+    ),
+    mn AS (
+      SELECT i.bin AS bin, iv.jb, min(iv.avg_jk) AS m
+      FROM pre i JOIN iv ON iv.jb <= i.bin AND i.bin <= iv.kb
+      GROUP BY 1, 2
+    ),
+    iso AS (
+      SELECT bin, max(m) AS iso_rate FROM mn GROUP BY bin
+    )
+    SELECT p.bin, p.n_docs, p.n_pos,
+           CAST(p.n_pos AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS raw_rate,
+           i.iso_rate
+    FROM pre p JOIN iso i ON i.bin = p.bin
+    """
+
+
+@query("quality_classifier_isotonic", oracle=_clf_isotonic_oracle())
+def quality_classifier_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of the holdout scores over 20
+    confidence bins — the standard post-hoc calibrator when the
+    reliability diagram shows a monotone-but-warped curve. Fitted
+    values come from the pool-adjacent-violators MINIMAX identity
+    iso(i) = max_{{j<=i}} min_{{k>=i}} avg(y[j..k]) (Robertson,
+    Wright & Dykstra 1988; public result), evaluated exactly over the
+    binned sufficient statistics: interval averages are single
+    divisions of exact int64 prefix-sum differences, and min/max
+    select over identical doubles — bit-equal across engines, no
+    iterative pooling loop to replay.
+
+    100 TB shape: the corpus collapses to <=20 (bin, n, pos) rows in
+    one map-side-combined aggregate; the cubic minimax runs on that
+    20-row relation (<=8000 interval-bin triples, broadcast joins) —
+    driver never sees a row, and the cost is invariant in corpus
+    size."""
+    scored = _clf_split_scored(spark, sf_dir)
+    from etl_pipeline_orchestration_spark.operators.classifier import _p_micro
+
+    pm = scored.filter(F.col("split") == "holdout").select(
+        "y", _p_micro(F.col("z")).alias("p")
+    )
+    bins = pm.groupBy(F.expr("least(p div 50000, 19)").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("y").cast("bigint")).cast("bigint").alias("n_pos"),
+    )
+    from pyspark.sql import Window
+
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # <=20 rows consumed by three joins below — cut once so the corpus
+    # scan behind it runs once (different column pruning per consumer
+    # defeats ReusedExchange; the established legitimate-checkpoint
+    # case).
+    pre = (
+        bins.select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            F.sum("n_docs").over(wb).cast("bigint").alias("cn"),
+            F.sum("n_pos").over(wb).cast("bigint").alias("cpos"),
+        )
+        .localCheckpoint()
+    )
+    j = pre.select(
+        F.col("bin").alias("jb"),
+        (F.col("cpos") - F.col("n_pos")).alias("jpos0"),
+        (F.col("cn") - F.col("n_docs")).alias("jn0"),
+    )
+    k = pre.select(
+        F.col("bin").alias("kb"), F.col("cpos").alias("kpos"),
+        F.col("cn").alias("kn"),
+    )
+    iv = j.join(F.broadcast(k), F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kpos") - F.col("jpos0")).cast("double")
+            / (F.col("kn") - F.col("jn0")).cast("double")
+        ).alias("avg_jk"),
+    )
+    i = pre.select(F.col("bin").alias("bin"))
+    mn = (
+        i.join(
+            F.broadcast(iv),
+            (F.col("jb") <= F.col("bin")) & (F.col("bin") <= F.col("kb")),
+        )
+        .groupBy("bin", "jb")
+        .agg(F.min("avg_jk").alias("m"))
+    )
+    iso = mn.groupBy("bin").agg(F.max("m").alias("iso_rate"))
+    return (
+        pre.join(F.broadcast(iso), "bin")
+        .select(
+            "bin",
+            "n_docs",
+            "n_pos",
+            (
+                F.col("n_pos").cast("double") / F.col("n_docs").cast("double")
+            ).alias("raw_rate"),
+            "iso_rate",
+        )
+    )
 
 
 def _minhash_xengine_oracle(

@@ -91,3 +91,103 @@ def test_holdout_generalizes(spark):
     assert set(acc) == {"train", "holdout"}
     assert acc["holdout"] >= 0.75, acc
     assert abs(acc["train"] - acc["holdout"]) < 0.12, acc
+
+def _q(name):
+    from etl_pipeline_orchestration_spark.plans.registry import QUERIES, load_all
+
+    load_all()
+    return QUERIES[name]
+
+
+def test_auc_matches_brute_force_pair_count(spark):
+    """The midrank-histogram AUC equals the definitional pairwise
+    P(score_pos > score_neg) + 0.5*P(tie), brute-forced per split."""
+    rows = _q("quality_classifier_auc")(spark, SF_DIR).collect()
+    from etl_pipeline_orchestration_spark.plans.llm_data import (
+        _clf_split_scored,
+    )
+
+    scored = _clf_split_scored(spark, SF_DIR).collect()
+    got = {r.split: r for r in rows}
+    assert set(got) == {"train", "holdout"}
+    for split in ("train", "holdout"):
+        pos = sorted(r.z for r in scored if r.split == split and r.y == 1)
+        neg = sorted(r.z for r in scored if r.split == split and r.y == 0)
+        import bisect
+
+        wins = sum(bisect.bisect_left(neg, z) for z in pos)
+        ties = sum(
+            bisect.bisect_right(neg, z) - bisect.bisect_left(neg, z)
+            for z in pos
+        )
+        auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        r = got[split]
+        assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+        assert r.auc == pytest.approx(auc, rel=1e-12)
+        # the planted separator is learnable: ranking is far from random
+        assert r.auc > 0.85, (split, r.auc)
+
+
+def test_calibration_bins_partition_the_corpus(spark):
+    rows = _q("quality_classifier_calibration")(spark, SF_DIR).collect()
+    from etl_pipeline_orchestration_spark.plans.llm_data import (
+        _clf_split_scored,
+    )
+
+    totals = {
+        r.split: r.n
+        for r in _clf_split_scored(spark, SF_DIR)
+        .groupBy("split")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for split in ("train", "holdout"):
+        bins = [r for r in rows if r.split == split]
+        assert sum(r.n_docs for r in bins) == totals[split]
+        for r in bins:
+            assert 0 <= r.bin <= 9
+            assert 0.0 <= r.acc <= 1.0
+            assert 0.0 <= r.conf <= 1.0 + 1e-9
+            assert r.gap == pytest.approx(abs(r.acc - r.conf), abs=1e-15)
+            # confidence must sit inside its decile (micro-grid exact)
+            assert r.bin * 100000 <= r.sum_p_micro / r.n_docs
+
+
+def test_isotonic_matches_reference_pava_and_is_monotone(spark):
+    """The minimax fitted values equal classic stack-based PAVA, are
+    monotone non-decreasing, and preserve the weighted total (PAVA is
+    an L2 projection, so pooled blocks keep their mass)."""
+    rows = sorted(
+        _q("quality_classifier_isotonic")(spark, SF_DIR).collect(),
+        key=lambda r: r.bin,
+    )
+    n = [r.n_docs for r in rows]
+    pos = [r.n_pos for r in rows]
+    # reference PAVA: pool adjacent violators on (sum, weight) blocks
+    blocks = []  # [sum_pos, sum_n]
+    for p, w in zip(pos, n):
+        blocks.append([p, w])
+        while (
+            len(blocks) > 1
+            and blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+    # expand blocks back to per-bin fitted values
+    fitted = []
+    for p, w in blocks:
+        rate = p / w
+        remaining = w
+        while remaining > 0:
+            take = n[len(fitted)]
+            fitted.append(rate)
+            remaining -= take
+    got = [r.iso_rate for r in rows]
+    assert got == pytest.approx(fitted, rel=1e-12)
+    for a, b in zip(got, got[1:]):
+        assert a <= b + 1e-15
+    assert sum(g * w for g, w in zip(got, n)) == pytest.approx(
+        sum(pos), rel=1e-12
+    )
