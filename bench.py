@@ -163,6 +163,8 @@ HEADLINE = [
     "quality_classifier_auc",
     "quality_classifier_calibration",
     "quality_classifier_isotonic",
+    "kaplan_meier_reorder_gaps",
+    "blocklist_filter_report",
 ]
 
 

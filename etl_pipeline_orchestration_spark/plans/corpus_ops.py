@@ -3647,3 +3647,93 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# blocklist keyword filter
+# ---------------------------------------------------------------------------
+
+#: Frozen substring blocklist — the bad-phrase gate of a curation
+#: pipeline (spam phrases, banned strings). Multi-word entries
+#: exercise cross-token matching.
+BLOCKLIST_TERMS: tuple[str, ...] = (
+    "slow merge",
+    "dup",
+    "batch batch",
+    "spark spark",
+    "stream",
+    "big big",
+)
+
+
+def _blocklist_oracle() -> str:
+    parts = []
+    for term in BLOCKLIST_TERMS:
+        esc = term.replace("'", "''")
+        parts.append(
+            f"""
+    SELECT source, '{esc}' AS term,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE hits > 0) AS BIGINT) AS docs_flagged,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(count(*) FILTER (WHERE hits > 0) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS flag_rate
+    FROM (
+      SELECT source,
+             (length(lower(text)) - length(replace(lower(text), '{esc}', '')))
+               // {len(term)} AS hits
+      FROM documents
+    ) GROUP BY source"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("blocklist_filter_report", oracle=_blocklist_oracle())
+def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-blocklist audit over the corpus: for every (source,
+    term) pair, how many documents contain the banned phrase, how many
+    total occurrences, and the flag rate — the report a curation
+    pipeline reviews before dropping/redacting blocklisted content
+    (the gate itself is `hits == 0`).
+
+    Occurrence counting uses the replace-length identity
+    (len(t) - len(replace(t, term, ''))) / len(term) — exact integer
+    arithmetic with IDENTICAL semantics on both engines (counts
+    non-overlapping left-to-right matches), deliberately avoiding
+    regex whose dialect/greediness can diverge cross-engine. One scan
+    computes every term's count as parallel JVM kernels; the unpivot
+    to (term, count) rows happens AFTER the narrow map, so the corpus
+    is read once regardless of blocklist size.
+
+    100 TB shape: pure narrow map + one map-side-combined aggregate at
+    (source x terms) cardinality; the blocklist is a plan literal. At
+    blocklists beyond a few hundred terms the right plan changes
+    shape: tokenize once and semi-join tokens against a broadcast
+    blocklist relation (phrases via shingle join) — the
+    decontaminate_ngram_overlap machinery; this query is the
+    literal-kernel variant appropriate for curated short lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    pairs = []
+    for i, term in enumerate(BLOCKLIST_TERMS):
+        hits = (
+            (F.length(lt) - F.length(F.replace(lt, F.lit(term), F.lit(""))))
+            / F.lit(len(term))
+        ).cast("bigint")
+        pairs.append(F.lit(term))
+        pairs.append(hits)
+    per_doc = docs.select(
+        "source",
+        F.explode(F.create_map(*pairs)).alias("term", "hits"),
+    )
+    return per_doc.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("hits") > 0).cast("bigint"))
+        .cast("bigint")
+        .alias("docs_flagged"),
+        F.sum("hits").cast("bigint").alias("total_hits"),
+        (
+            F.sum((F.col("hits") > 0).cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("flag_rate"),
+    )

@@ -1302,3 +1302,141 @@ def poisson_bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return reps.crossJoin(F.broadcast(ci))
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival over customer reorder gaps
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kaplan_meier_reorder_gaps",
+    oracle="""
+    WITH d AS (SELECT DISTINCT o_custkey, o_orderdate FROM orders),
+    mx AS (SELECT max(o_orderdate) AS m FROM orders),
+    seq AS (
+      SELECT o_custkey, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate) AS nxt
+      FROM d
+    ),
+    dur AS (
+      SELECT CAST(date_diff('day', o_orderdate,
+                            COALESCE(nxt, (SELECT m FROM mx))) AS BIGINT) AS t,
+             CAST(nxt IS NOT NULL AS INT) AS ev
+      FROM seq
+    ),
+    h AS (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d_events,
+             CAST(sum(1 - ev) AS BIGINT) AS c_censored
+      FROM dur GROUP BY t
+    ),
+    r AS (
+      SELECT t, d_events, c_censored,
+             CAST(sum(d_events + c_censored) OVER ()
+                  - COALESCE(sum(d_events + c_censored) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM h
+    ),
+    tm AS (
+      SELECT t, d_events, c_censored, n_risk,
+             CASE WHEN d_events = 0 THEN 0
+                  WHEN n_risk > d_events THEN
+                    CAST(FLOOR(ln(CAST(n_risk - d_events AS DOUBLE)
+                                  / CAST(n_risk AS DOUBLE)) * 1e6 + 0.5)
+                         AS BIGINT)
+                  ELSE -1000000000000 END AS term
+      FROM tm_base
+    )
+    SELECT t AS gap_days, n_risk, d_events, c_censored,
+           CAST(sum(term) OVER (ORDER BY t) AS BIGINT) AS log_surv_micro
+    FROM tm
+    """.replace("tm_base", "r"),
+)
+def kaplan_meier_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of the customer REORDER gap — the
+    right-censored "how long until the next order" analysis behind
+    churn/retention dashboards. Durations are gaps between a
+    customer's consecutive DISTINCT order dates (event = the next
+    order happened); each customer's final date is right-censored at
+    the corpus max order date (the standard administrative-censoring
+    convention, deaths-before-censorings at ties: a duration censored
+    at t is still in the risk set at t).
+
+    Cross-engine determinism: the survival product S(t) = prod(1 -
+    d_i/n_i) is carried in LOG space with each per-time hazard term
+    frozen to INTEGER micro-nats (floor(ln((n-d)/n)*1e6 + 0.5) — the
+    DSIR discipline), so the cumulative sum is exact int64 and immune
+    to float summation order; a fully-dying risk set (n == d, S = 0)
+    maps to the exact sentinel -1e12 rather than -inf. Output is all
+    BIGINT — hash-exact.
+
+    100 TB shape: distinct + the per-customer lead shuffle on
+    o_custkey; durations collapse immediately to a gap-days histogram
+    (map-side combine, cardinality = max gap in days, thousands); the
+    risk-set and survival windows run at histogram cardinality only —
+    the same histogram-window discipline as mann_whitney_u.
+
+    Reference parity: extends /root/reference/etl_pipeline.py's
+    customer-activity transforms (192-214) with the time-to-event view
+    of the same orders relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select("o_custkey", "o_orderdate").distinct()
+    mx = orders.agg(F.max("o_orderdate").alias("m"))
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    seq = d.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(wc).alias("nxt"),
+    )
+    dur = seq.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.coalesce("nxt", "m"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("t"),
+        F.col("nxt").isNotNull().cast("int").alias("ev"),
+    )
+    h = dur.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d_events"),
+        F.sum(F.lit(1) - F.col("ev")).cast("bigint").alias("c_censored"),
+    )
+    w_all = Window.partitionBy()
+    w_below = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = h.select(
+        "t",
+        "d_events",
+        "c_censored",
+        (
+            F.sum(F.col("d_events") + F.col("c_censored")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(w_below),
+                F.lit(0),
+            )
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    term = (
+        F.when(F.col("d_events") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("n_risk") > F.col("d_events"),
+            F.floor(
+                F.ln(
+                    (F.col("n_risk") - F.col("d_events")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * 1e6
+                + 0.5
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(-1000000000000).cast("bigint"))
+    )
+    tm = r.select("t", "d_events", "c_censored", "n_risk", term.alias("term"))
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return tm.select(
+        F.col("t").alias("gap_days"),
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.sum("term").over(w_cum).cast("bigint").alias("log_surv_micro"),
+    )

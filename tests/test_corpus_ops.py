@@ -1044,3 +1044,54 @@ def test_epoch_shuffle_decorrelates_epochs(spark):
     same01 = sum(a == b for a, b in zip(orders[0], orders[1])) / n
     same12 = sum(a == b for a, b in zip(orders[1], orders[2])) / n
     assert same01 < 0.05 and same12 < 0.05, (same01, same12)
+
+
+# ----------------------------------------------------------------- blocklist
+
+
+def test_blocklist_counts_nonoverlapping_and_planted(spark):
+    """The replace-length identity counts non-overlapping
+    left-to-right occurrences — pinned on planted strings — and the
+    corpus report covers every (source, term) cell with sane rates."""
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        BLOCKLIST_TERMS,
+        blocklist_filter_report,
+    )
+    from pyspark.sql import functions as F
+
+    # planted semantics: 'dupdupdup' has 3 'dup's; 'batch batch batch'
+    # has ONE non-overlapping 'batch batch' (left-to-right consumption)
+    planted = spark.createDataFrame(
+        [
+            (1, "dupdupdup here", "s1"),
+            (2, "batch batch batch", "s1"),
+            (3, "no hits at all", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    lt = F.lower(F.col("text"))
+
+    def hits(term):
+        return (
+            (F.length(lt) - F.length(F.replace(lt, F.lit(term), F.lit(""))))
+            / F.lit(len(term))
+        ).cast("bigint")
+
+    got = {
+        r.doc_id: (r.h_dup, r.h_bb)
+        for r in planted.select(
+            "doc_id", hits("dup").alias("h_dup"),
+            hits("batch batch").alias("h_bb"),
+        ).collect()
+    }
+    assert got == {1: (3, 0), 2: (0, 1), 3: (0, 0)}
+
+    rows = blocklist_filter_report(spark, SF).collect()
+    sources = {r.source for r in rows}
+    assert len(rows) == len(sources) * len(BLOCKLIST_TERMS)
+    for r in rows:
+        assert 0 <= r.docs_flagged <= r.n_docs
+        assert r.total_hits >= r.docs_flagged
+        assert r.flag_rate == pytest.approx(r.docs_flagged / r.n_docs)
+    # the list is non-trivial on this corpus: some term actually fires
+    assert any(r.docs_flagged > 0 for r in rows)

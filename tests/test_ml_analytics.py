@@ -381,3 +381,69 @@ def test_poisson_bootstrap_weight_distribution_matches_pmf(spark):
     for k in (0, 1, 2):
         expect = math.exp(-1) / math.factorial(k)
         assert abs(freq.get(k, 0.0) - expect) < 0.05
+
+
+def test_kaplan_meier_structure_and_direct_replay(spark):
+    """Structural KM invariants plus a direct-Python replay of the
+    estimator from the raw durations."""
+    import math
+
+    rows = sorted(
+        _q("kaplan_meier_reorder_gaps")(spark, SF).collect(),
+        key=lambda r: r.gap_days,
+    )
+    import duckdb
+
+    durs = duckdb.connect().execute(
+        f"""WITH d AS (SELECT DISTINCT o_custkey, o_orderdate
+                       FROM read_parquet('{SF}/orders.parquet')),
+            mx AS (SELECT max(o_orderdate) AS m
+                   FROM read_parquet('{SF}/orders.parquet')),
+            seq AS (SELECT o_custkey, o_orderdate,
+                           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate) AS nxt FROM d)
+            SELECT date_diff('day', o_orderdate,
+                             COALESCE(nxt, (SELECT m FROM mx))) AS t,
+                   (nxt IS NOT NULL)::INT AS ev FROM seq"""
+    ).fetchall()
+    n_customers = duckdb.connect().execute(
+        f"SELECT count(DISTINCT o_custkey) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()[0]
+    # structural invariants
+    assert rows[0].n_risk == len(durs)
+    assert sum(r.d_events + r.c_censored for r in rows) == len(durs)
+    assert sum(r.c_censored for r in rows) == n_customers
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_risk > b.n_risk or (
+            a.n_risk - (a.d_events + a.c_censored) == b.n_risk
+        )
+        assert a.log_surv_micro >= b.log_surv_micro  # survival non-increasing
+    # direct replay: risk sets, events, survival
+    from collections import Counter
+
+    dcnt = Counter(t for t, ev in durs if ev == 1)
+    ccnt = Counter(t for t, ev in durs if ev == 0)
+    times = sorted(set(dcnt) | set(ccnt))
+    assert [r.gap_days for r in rows] == times
+    at_risk = len(durs)
+    log_s = 0.0
+    dead = False
+    for r, t in zip(rows, times):
+        assert r.d_events == dcnt.get(t, 0)
+        assert r.c_censored == ccnt.get(t, 0)
+        assert r.n_risk == at_risk
+        if r.d_events and r.n_risk == r.d_events:
+            dead = True  # risk set fully dies: S = 0, sentinel -1e12
+        elif r.d_events:
+            log_s += math.log((r.n_risk - r.d_events) / r.n_risk)
+        if dead:
+            assert r.log_surv_micro <= -1_000_000_000_000 + abs(log_s) * 1e6
+        else:
+            # frozen-micro cumulative sum tracks the float log-survival
+            # to within half a micro-nat per event term
+            assert abs(r.log_surv_micro / 1e6 - log_s) < 1e-6 * len(times)
+        at_risk -= r.d_events + r.c_censored
+    assert dead == (rows[-1].log_surv_micro <= -999_000_000_000)
+    # the curve is a genuine survival function: S(0..) within (0, 1]
+    assert all(r.log_surv_micro <= 0 for r in rows)
+    assert math.exp(rows[-1].log_surv_micro / 1e6) < 0.5
