@@ -165,6 +165,8 @@ HEADLINE = [
     "quality_classifier_isotonic",
     "kaplan_meier_reorder_gaps",
     "blocklist_filter_report",
+    "acf_daily_revenue",
+    "link_prediction_jaccard",
 ]
 
 

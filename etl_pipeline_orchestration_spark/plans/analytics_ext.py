@@ -2931,3 +2931,76 @@ def zorder_values_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", zorder_value(a, b).cast("bigint").alias("z_value")
     )
+
+
+@query(
+    "recursive_cte_order_chain",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS pos,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+    FROM orders
+    """,
+)
+def recursive_cte_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-chain walk written as a RECURSIVE CTE
+    (Spark 4's WITH RECURSIVE — iterative plans in pure SQL): each
+    customer's orders form a functional next-pointer graph (ordered by
+    date then key), and the recursion walks every chain from its head
+    assigning the hop index and an exact running spend in integer
+    cents.
+
+    The oracle is deliberately a DIFFERENT formulation — plain window
+    functions (row_number + running sum) with no recursion — so the
+    hash match certifies Spark's recursive execution (anchor, step
+    join, termination) against independent semantics rather than a
+    mirrored plan.
+
+    100 TB shape: the recursion is over a FUNCTIONAL graph (out-degree
+    1), so the working set never exceeds the number of live chains and
+    each of the (max-chain-length, here ~25; cteRecursionLevelLimit
+    100) iterations is one equi-join of the frontier against the
+    next-pointer relation on its key — no fan-out, unlike BFS over a
+    dense graph where UNION-ALL recursion would enumerate paths
+    (Spark does not yet support UNION-distinct recursion; a dense
+    traversal belongs to the pointer-jump machinery in
+    operators/graph.py instead)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # Materialize the next-pointer relation ONCE: a plain CTE inside
+    # the recursion would be re-derived (window + projection) on every
+    # iteration, multiplying the pre-recursion cost by the chain depth.
+    nxt = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.row_number().over(wc).alias("rn"),
+            F.lead("o_orderkey").over(wc).alias("next_key"),
+        )
+        .localCheckpoint()
+    )
+    nxt.createOrReplaceTempView("order_chain_nxt")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        chain(o_custkey, o_orderkey, pos, cum_cents, next_key) AS (
+          SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT), cents, next_key
+          FROM order_chain_nxt WHERE rn = 1
+          UNION ALL
+          SELECT n.o_custkey, n.o_orderkey, c.pos + 1,
+                 c.cum_cents + n.cents, n.next_key
+          FROM chain c JOIN order_chain_nxt n ON n.o_orderkey = c.next_key
+        )
+        SELECT o_custkey, o_orderkey, pos, cum_cents FROM chain
+        """
+    )

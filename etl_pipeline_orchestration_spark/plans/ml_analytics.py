@@ -1440,3 +1440,292 @@ def kaplan_meier_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_censored",
         F.sum("term").over(w_cum).cast("bigint").alias("log_surv_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation function of daily revenue
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 14
+
+
+@query(
+    "acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM orders GROUP BY o_orderdate
+    ),
+    cal AS (
+      SELECT unnest(generate_series((SELECT min(d) FROM daily),
+                                    (SELECT max(d) FROM daily),
+                                    INTERVAL 1 DAY))::DATE AS d
+    ),
+    series AS (
+      SELECT cal.d, COALESCE(daily.r, 0) AS r
+      FROM cal LEFT JOIN daily ON daily.d = cal.d
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(r) AS BIGINT) AS tot
+      FROM series
+    ),
+    c AS (
+      SELECT d, CAST(s.nd * series.r - s.tot AS BIGINT) AS c
+      FROM series CROSS JOIN stats s
+    ),
+    lagged AS (
+      SELECT l.lag,
+             c.c AS c0,
+             lag(c.c, l.lag) OVER (PARTITION BY l.lag ORDER BY c.d) AS ck
+      FROM c CROSS JOIN (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag) l
+    ),
+    den AS (
+      SELECT sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS den FROM c
+    )
+    SELECT CAST(l.lag AS BIGINT) AS lag,
+           CAST(count(l.ck) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(l.c0 AS HUGEINT) * CAST(l.ck AS HUGEINT)) AS DOUBLE)
+             / CAST(d.den AS DOUBLE) AS acf
+    FROM lagged l CROSS JOIN den d
+    WHERE l.ck IS NOT NULL
+    GROUP BY l.lag, d.den
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the gap-filled daily-revenue series
+    at lags 1..14 — the seasonality fingerprint (weekly cycles show as
+    a lag-7 bump) a forecasting pipeline inspects before model choice,
+    and the diagnostics layer over the same series ewma_daily_revenue
+    and cusum_changepoints_daily monitor.
+
+    Exactness: daily revenue is integer cents; centering multiplies
+    up instead of dividing (c_d = D*r_d - total, exact int64), so all
+    numerators/denominators are exact sums of DECIMAL(38,0)/HUGEINT
+    cross-products (the welch_ttest wide-integer discipline) and each
+    acf value is ONE identical double division. Zero-revenue calendar
+    gaps are filled explicitly: ACF over a series with silently
+    missing rows is a different (wrong) statistic.
+
+    100 TB shape: orders collapse to the daily histogram at source
+    (map-side combine); everything after runs at calendar cardinality
+    (the lag windows partition by lag over ~thousands of rows — the
+    mann_whitney histogram-window discipline). Lags and the calendar
+    are plan-time constants."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("r")
+    )
+    bounds = daily.agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    series = cal.join(daily, "d", "left").select(
+        "d", F.coalesce("r", F.lit(0)).cast("bigint").alias("r")
+    )
+    stats = series.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("r").cast("bigint").alias("tot"),
+    )
+    c = series.crossJoin(F.broadcast(stats)).select(
+        "d", (F.col("nd") * F.col("r") - F.col("tot")).cast("bigint").alias("c")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("bigint").alias("lag")
+    )
+    # Spark's lag() needs a foldable offset, so the shifted series
+    # comes from a date equi-join instead: on the GAP-FILLED contiguous
+    # calendar, the row lag days earlier is exactly the row at
+    # date - lag (identical semantics to the oracle's windowed lag).
+    b = c.select(F.col("d").alias("d2"), F.col("c").alias("ck"))
+    lagged = (
+        c.select(F.col("d"), F.col("c").alias("c0"))
+        .crossJoin(F.broadcast(lags))
+        .select(
+            "lag",
+            "c0",
+            F.date_add("d", F.col("lag").cast("int")).alias("d_shift"),
+        )
+        .join(b, F.col("d_shift") == F.col("d2"))
+        .select("lag", "c0", "ck")
+    )
+    den = c.agg(
+        F.sum(
+            F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+        ).alias("den")
+    )
+    return (
+        lagged.crossJoin(F.broadcast(den))
+        .groupBy("lag", "den")
+        .agg(
+            F.count("ck").cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.col("c0").cast("decimal(19,0)")
+                * F.col("ck").cast("decimal(19,0)")
+            ).alias("num"),
+        )
+        .select(
+            "lag",
+            "n_pairs",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "acf"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# link prediction: neighbor-set Jaccard over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_LP_TOP_DEG = 50
+_LP_TOP_PAIRS = 100
+
+
+@query(
+    "link_prediction_jaccard",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS x
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+      SELECT a, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a
+    ),
+    t AS (
+      SELECT a, deg FROM (
+        SELECT a, deg,
+               row_number() OVER (ORDER BY deg DESC, a ASC) AS rk
+        FROM deg
+      ) WHERE rk <= {_LP_TOP_DEG}
+    ),
+    common AS (
+      SELECT ea.a AS pa, eb.a AS pb, CAST(count(*) AS BIGINT) AS common
+      FROM e ea JOIN e eb ON ea.x = eb.x AND ea.a < eb.a
+      WHERE ea.a IN (SELECT a FROM t) AND eb.a IN (SELECT a FROM t)
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.pa, c.pb, da.deg AS deg_a, db.deg AS deg_b, c.common,
+             CAST(c.common AS DOUBLE)
+               / CAST(da.deg + db.deg - c.common AS DOUBLE) AS jaccard
+      FROM common c
+      JOIN t da ON da.a = c.pa
+      JOIN t db ON db.a = c.pb
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, pa, pb, deg_a, deg_b, common, jaccard
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY jaccard DESC, pa ASC, pb ASC)
+               AS rk
+      FROM scored
+    ) WHERE rk <= {_LP_TOP_PAIRS}
+    """,
+)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: for the
+    {_LP_TOP_DEG} highest-degree parts, the neighbor-set Jaccard of
+    every candidate pair, top {_LP_TOP_PAIRS} by score — the classic
+    common-neighbors recommender ("parts bought with the same parts")
+    and the graph twin of market_basket_part_pairs (which scores
+    DIRECT co-occurrence; this scores NEIGHBORHOOD overlap, catching
+    substitutes that are never bought together).
+
+    Exactness: degrees and common-neighbor counts are exact int64
+    (distinct edges, one triangle-style join through the shared
+    neighbor — never a per-pair set materialization); Jaccard =
+    common / (deg_a + deg_b - common) is one identical double
+    division; the top-{_LP_TOP_PAIRS} cut orders by (jaccard DESC,
+    pa, pb) — both engines rank the same doubles, ties broken on
+    exact ints.
+
+    100 TB shape: the full all-pairs Jaccard is quadratic and
+    deliberately NOT computed — the top-degree restriction bounds the
+    pair space at plan time (the hub parts are where link prediction
+    is asked in practice), and the common-neighbor join runs through
+    the shared-neighbor key x with both sides pre-filtered by the
+    broadcast hub set, so work is sum_x cnt_hub(x)^2 <= |hubs|^2 per
+    neighbor, not |V|^2. The hub set itself is one degree aggregate +
+    top-k."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("x")
+        )
+        .distinct()
+        # Three consumers (degree ranking + both sides of the
+        # common-neighbor join) prune different columns, so the
+        # expensive per-order self-join + distinct would run three
+        # times without the cut (the dsir multi-consumer case).
+        .localCheckpoint()
+    )
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    wd = Window.orderBy(F.desc("deg"), F.asc("a"))
+    t = (
+        deg.select("a", "deg", F.row_number().over(wd).alias("rk"))
+        .filter(F.col("rk") <= _LP_TOP_DEG)
+        .drop("rk")
+        .localCheckpoint()  # tiny hub relation, consumed by 3 joins
+    )
+    hub = F.broadcast(t.select("a"))
+    ea = e.join(hub, "a").select(F.col("a").alias("pa"), "x")
+    eb = e.join(hub, "a").select(F.col("a").alias("pb"), "x")
+    common = (
+        ea.join(eb, "x")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    scored = (
+        common.join(
+            F.broadcast(t.select(F.col("a").alias("pa"), F.col("deg").alias("deg_a"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(t.select(F.col("a").alias("pb"), F.col("deg").alias("deg_b"))),
+            "pb",
+        )
+        .select(
+            "pa",
+            "pb",
+            "deg_a",
+            "deg_b",
+            "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+    wr = Window.orderBy(F.desc("jaccard"), F.asc("pa"), F.asc("pb"))
+    return (
+        scored.select(
+            F.row_number().over(wr).cast("bigint").alias("rk"),
+            "pa",
+            "pb",
+            "deg_a",
+            "deg_b",
+            "common",
+            "jaccard",
+        )
+        .filter(F.col("rk") <= _LP_TOP_PAIRS)
+    )

@@ -447,3 +447,116 @@ def test_kaplan_meier_structure_and_direct_replay(spark):
     # the curve is a genuine survival function: S(0..) within (0, 1]
     assert all(r.log_surv_micro <= 0 for r in rows)
     assert math.exp(rows[-1].log_surv_micro / 1e6) < 0.5
+
+
+def test_acf_matches_numpy_replay_and_bounds(spark):
+    import numpy as np
+
+    rows = {r.lag: r for r in _q("acf_daily_revenue")(spark, SF).collect()}
+    assert set(rows) == set(range(1, 15))
+    import duckdb
+
+    series = duckdb.connect().execute(
+        f"""WITH daily AS (
+              SELECT o_orderdate AS d,
+                     sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                              AS BIGINT)) AS r
+              FROM read_parquet('{SF}/orders.parquet') GROUP BY 1),
+            cal AS (SELECT unnest(generate_series((SELECT min(d) FROM daily),
+                          (SELECT max(d) FROM daily), INTERVAL 1 DAY))::DATE AS d)
+            SELECT COALESCE(daily.r, 0)
+            FROM cal LEFT JOIN daily ON daily.d = cal.d ORDER BY cal.d"""
+    ).fetchall()
+    x = np.array([int(v[0]) for v in series], dtype=np.float64)
+    c = x - x.mean()
+    den = float((c * c).sum())
+    for lag, r in rows.items():
+        expect = float((c[:-lag] * c[lag:]).sum()) / den
+        assert r.n_pairs == len(x) - lag
+        assert r.acf == pytest.approx(expect, rel=1e-9, abs=1e-12)
+        assert -1.0 <= r.acf <= 1.0
+
+
+def test_recursive_cte_chain_covers_orders_exactly_once(spark):
+    """Spark WITH RECURSIVE semantics: the chain walk visits every
+    order exactly once, terminal positions equal per-customer order
+    counts, and the final cumulative spend equals the customer total."""
+    from etl_pipeline_orchestration_spark.plans.registry import QUERIES
+
+    rows = QUERIES["recursive_cte_order_chain"](spark, SF).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    n_orders, = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF}/orders.parquet')"
+    ).fetchone()
+    assert len(rows) == n_orders
+    assert len({r.o_orderkey for r in rows}) == n_orders
+    by_cust = {}
+    for r in rows:
+        cur = by_cust.get(r.o_custkey)
+        if cur is None or r.pos > cur.pos:
+            by_cust[r.o_custkey] = r
+    totals = dict(
+        con.execute(
+            f"""SELECT o_custkey,
+                       sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT))
+                FROM read_parquet('{SF}/orders.parquet') GROUP BY 1"""
+        ).fetchall()
+    )
+    counts = dict(
+        con.execute(
+            f"SELECT o_custkey, count(*) FROM read_parquet('{SF}/orders.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    for ck, last in by_cust.items():
+        assert last.pos == counts[ck]
+        assert last.cum_cents == int(totals[ck])
+
+
+def test_link_prediction_jaccard_planted_graph(spark, tmp_path):
+    """Hand-built co-purchase graph with known neighbor sets: parts 1
+    and 2 are never co-purchased directly but share both neighbors
+    (the substitute-detection case direct co-occurrence misses)."""
+    import duckdb
+
+    # orders: {101: [1,3], 102: [1,4], 103: [2,3], 104: [2,4], 105: [3,4]}
+    rows = [(101, 1), (101, 3), (102, 1), (102, 4), (103, 2), (103, 3),
+            (104, 2), (104, 4), (105, 3), (105, 4)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE li (l_orderkey BIGINT, l_partkey BIGINT)")
+    con.executemany("INSERT INTO li VALUES (?,?)", rows)
+    con.execute(
+        f"""COPY (SELECT l_orderkey, l_partkey, 1::BIGINT AS l_suppkey,
+                         1::BIGINT AS l_linenumber, 1.0 AS l_quantity,
+                         1.0 AS l_extendedprice, 0.0 AS l_discount,
+                         0.0 AS l_tax, 'N' AS l_returnflag,
+                         'O' AS l_linestatus, DATE '1996-01-01' AS l_shipdate
+                  FROM li)
+            TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    got = {
+        (r.pa, r.pb): r
+        for r in _q("link_prediction_jaccard")(spark, str(tmp_path)).collect()
+    }
+    # neighbor sets: N(1)={3,4}, N(2)={3,4}, N(3)={1,2,4}, N(4)={1,2,3}
+    expect = {
+        (1, 2): (2, 2, 2, 1.0),          # identical neighborhoods
+        (3, 4): (3, 3, 2, 0.5),          # {1,2,4} vs {1,2,3}
+        (1, 3): (2, 3, 1, 0.25),         # {3,4} vs {1,2,4} -> {4}
+        (1, 4): (2, 3, 1, 0.25),
+        (2, 3): (2, 3, 1, 0.25),
+        (2, 4): (2, 3, 1, 0.25),
+    }
+    assert set(got) == set(expect)
+    for pair, (da, db, common, jac) in expect.items():
+        r = got[pair]
+        assert (r.deg_a, r.deg_b, r.common) == (da, db, common)
+        assert r.jaccard == pytest.approx(jac, rel=1e-15)
+    # ranking: (1,2) is rank 1, (3,4) rank 2, then the four 0.25 ties
+    # ordered by (pa, pb)
+    order = sorted(got.values(), key=lambda r: r.rk)
+    assert [(r.pa, r.pb) for r in order] == [
+        (1, 2), (3, 4), (1, 3), (1, 4), (2, 3), (2, 4)
+    ]
