@@ -167,6 +167,8 @@ HEADLINE = [
     "blocklist_filter_report",
     "acf_daily_revenue",
     "link_prediction_jaccard",
+    "rank_correlation_discount_quantity",
+    "join_key_discovery",
 ]
 
 

@@ -1729,3 +1729,359 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= _LP_TOP_PAIRS)
     )
+
+
+# ---------------------------------------------------------------------------
+# rank correlation: Spearman rho + Kendall tau-b from one contingency grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rank_correlation_discount_quantity",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS xv,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS yv,
+             CAST(count(*) AS BIGINT) AS n_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mx AS (
+      SELECT xv, CAST(sum(n_c) AS BIGINT) AS nx,
+             CAST(2 * COALESCE(sum(sum(n_c)) OVER (ORDER BY xv
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + sum(n_c) + 1 AS BIGINT) AS r2x
+      FROM cells GROUP BY xv
+    ),
+    my AS (
+      SELECT yv, CAST(sum(n_c) AS BIGINT) AS ny,
+             CAST(2 * COALESCE(sum(sum(n_c)) OVER (ORDER BY yv
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + sum(n_c) + 1 AS BIGINT) AS r2y
+      FROM cells GROUP BY yv
+    ),
+    sums AS (
+      SELECT CAST(sum(c.n_c) AS BIGINT) AS n,
+             sum(CAST(c.n_c AS HUGEINT) * mx.r2x) AS sx,
+             sum(CAST(c.n_c AS HUGEINT) * my.r2y) AS sy,
+             sum(CAST(c.n_c AS HUGEINT) * mx.r2x * mx.r2x) AS sxx,
+             sum(CAST(c.n_c AS HUGEINT) * my.r2y * my.r2y) AS syy,
+             sum(CAST(c.n_c AS HUGEINT) * mx.r2x * my.r2y) AS sxy
+      FROM cells c JOIN mx ON mx.xv = c.xv JOIN my ON my.yv = c.yv
+    ),
+    cd AS (
+      SELECT
+        sum(CASE WHEN (a.xv < b.xv AND a.yv < b.yv)
+                   OR (a.xv > b.xv AND a.yv > b.yv)
+                 THEN CAST(a.n_c AS HUGEINT) * b.n_c ELSE 0 END) / 2
+          AS concordant,
+        sum(CASE WHEN (a.xv < b.xv AND a.yv > b.yv)
+                   OR (a.xv > b.xv AND a.yv < b.yv)
+                 THEN CAST(a.n_c AS HUGEINT) * b.n_c ELSE 0 END) / 2
+          AS discordant
+      FROM cells a JOIN cells b
+        ON a.xv <> b.xv AND a.yv <> b.yv
+    ),
+    ties AS (
+      SELECT (SELECT sum(CAST(nx AS HUGEINT) * (nx - 1)) / 2 FROM mx) AS tx,
+             (SELECT sum(CAST(ny AS HUGEINT) * (ny - 1)) / 2 FROM my) AS ty
+    )
+    SELECT s.n,
+           (CAST(s.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+              - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+             / (sqrt(CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+                     - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+                * sqrt(CAST(s.n AS DOUBLE) * CAST(s.syy AS DOUBLE)
+                       - CAST(s.sy AS DOUBLE) * CAST(s.sy AS DOUBLE)))
+             AS spearman_rho,
+           CAST(cd.concordant AS DOUBLE) - CAST(cd.discordant AS DOUBLE)
+             AS cd_gap,
+           (CAST(cd.concordant AS DOUBLE) - CAST(cd.discordant AS DOUBLE))
+             / (sqrt(CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1) / 2
+                     - CAST(t.tx AS DOUBLE))
+                * sqrt(CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1) / 2
+                       - CAST(t.ty AS DOUBLE)))
+             AS kendall_tau_b
+    FROM sums s CROSS JOIN cd CROSS JOIN ties t
+    """,
+)
+def rank_correlation_discount_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rho AND Kendall tau-b between line-item discount and
+    quantity, both derived from ONE contingency grid — the
+    nonparametric dependence measures a pricing analysis reaches for
+    when Pearson's linearity assumption is off the table.
+
+    NO per-row ranking anywhere: both variables are low-cardinality
+    (integer-cents canonicalized), so the corpus collapses to an
+    (x, y) contingency grid in one map-side-combined aggregate.
+    Spearman's doubled midranks (2*below + ties + 1, the mann_whitney
+    identity) come from the grid's marginals; the five moment sums are
+    exact HUGEINT/DECIMAL(38,0) accumulations over grid cells; rho is
+    one identical float-expression shape. Kendall's concordant /
+    discordant pair counts are exact products over the grid
+    self-join (pairs of CELLS, not rows — ~550^2), halved after
+    counting both orientations; tau-b applies the standard tie
+    correction. Exactness bound: moment magnitudes grow as 4n^4, so
+    DECIMAL(38,0) carries them exactly to n ~ 4e9 rows per slice —
+    beyond that the sums must drop to doubles (documented, not
+    silent).
+
+    100 TB shape: everything after the first aggregate runs at grid
+    cardinality (11 x 50 here; bounded by value-domain size, not
+    corpus size); the grid self-join and marginal windows are
+    broadcast-scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            (F.col("l_discount").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("xv"),
+            (F.col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("yv"),
+        )
+        .groupBy("xv", "yv")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+        .localCheckpoint()  # tiny grid, consumed by marginals + sums + CD
+    )
+    wx = Window.orderBy("xv").rowsBetween(Window.unboundedPreceding, -1)
+    mx = (
+        cells.groupBy("xv")
+        .agg(F.sum("n_c").cast("bigint").alias("nx"))
+        .select(
+            "xv",
+            "nx",
+            (
+                2 * F.coalesce(F.sum("nx").over(wx), F.lit(0))
+                + F.col("nx")
+                + 1
+            )
+            .cast("bigint")
+            .alias("r2x"),
+        )
+    )
+    wy = Window.orderBy("yv").rowsBetween(Window.unboundedPreceding, -1)
+    my = (
+        cells.groupBy("yv")
+        .agg(F.sum("n_c").cast("bigint").alias("ny"))
+        .select(
+            "yv",
+            "ny",
+            (
+                2 * F.coalesce(F.sum("ny").over(wy), F.lit(0))
+                + F.col("ny")
+                + 1
+            )
+            .cast("bigint")
+            .alias("r2y"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = (
+        cells.join(F.broadcast(mx), "xv")
+        .join(F.broadcast(my), "yv")
+        .agg(
+            F.sum("n_c").cast("bigint").alias("n"),
+            F.sum(dec(F.col("n_c") * F.col("r2x"))).alias("sx"),
+            F.sum(dec(F.col("n_c") * F.col("r2y"))).alias("sy"),
+            F.sum(dec(F.col("n_c")) * dec(F.col("r2x")) * dec(F.col("r2x"))).alias("sxx"),
+            F.sum(dec(F.col("n_c")) * dec(F.col("r2y")) * dec(F.col("r2y"))).alias("syy"),
+            F.sum(dec(F.col("n_c")) * dec(F.col("r2x")) * dec(F.col("r2y"))).alias("sxy"),
+        )
+    )
+    a = cells.select(
+        F.col("xv").alias("ax"), F.col("yv").alias("ay"), F.col("n_c").alias("an")
+    )
+    b = cells.select(
+        F.col("xv").alias("bx"), F.col("yv").alias("by"), F.col("n_c").alias("bn")
+    )
+    conc = (
+        (F.col("ax") < F.col("bx")) & (F.col("ay") < F.col("by"))
+    ) | ((F.col("ax") > F.col("bx")) & (F.col("ay") > F.col("by")))
+    disc = (
+        (F.col("ax") < F.col("bx")) & (F.col("ay") > F.col("by"))
+    ) | ((F.col("ax") > F.col("bx")) & (F.col("ay") < F.col("by")))
+    cd = (
+        a.join(
+            F.broadcast(b),
+            (F.col("ax") != F.col("bx")) & (F.col("ay") != F.col("by")),
+        )
+        .agg(
+            (
+                F.sum(
+                    F.when(conc, dec(F.col("an")) * dec(F.col("bn"))).otherwise(
+                        F.lit(0).cast("decimal(38,0)")
+                    )
+                )
+                / 2
+            ).alias("concordant"),
+            (
+                F.sum(
+                    F.when(disc, dec(F.col("an")) * dec(F.col("bn"))).otherwise(
+                        F.lit(0).cast("decimal(38,0)")
+                    )
+                )
+                / 2
+            ).alias("discordant"),
+        )
+    )
+    ties = mx.agg(
+        (F.sum(dec(F.col("nx")) * dec(F.col("nx") - 1)) / 2).alias("tx")
+    ).crossJoin(
+        my.agg(
+            (F.sum(dec(F.col("ny")) * dec(F.col("ny") - 1)) / 2).alias("ty")
+        )
+    )
+    nf = F.col("n").cast("double")
+    num_rho = nf * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den_rho = F.sqrt(
+        nf * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        nf * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    cd_gap = F.col("concordant").cast("double") - F.col("discordant").cast(
+        "double"
+    )
+    n0f = nf * (nf - 1) / 2
+    den_tau = F.sqrt(n0f - F.col("tx").cast("double")) * F.sqrt(
+        n0f - F.col("ty").cast("double")
+    )
+    return (
+        sums.crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            (num_rho / den_rho).alias("spearman_rho"),
+            cd_gap.alias("cd_gap"),
+            (cd_gap / den_tau).alias("kendall_tau_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-key discovery (containment profiling)
+# ---------------------------------------------------------------------------
+
+#: (tag, table, column) — the integer key columns profiled for
+#: containment. Discovering this graph is the profiling step that
+#: JUSTIFIES the FK edges referential_integrity_audit assumes.
+_JK_COLUMNS: tuple[tuple[str, str, str], ...] = (
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("orders.o_orderkey", "orders", "o_orderkey"),
+    ("customer.c_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey", "customer", "c_nationkey"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("part.p_partkey", "part", "p_partkey"),
+    ("supplier.s_suppkey", "supplier", "s_suppkey"),
+    ("supplier.s_nationkey", "supplier", "s_nationkey"),
+    ("nation.n_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey", "nation", "n_regionkey"),
+    ("region.r_regionkey", "region", "r_regionkey"),
+)
+
+
+def _jk_oracle() -> str:
+    tagged = "\n      UNION ALL ".join(
+        f"SELECT '{tag}' AS col, CAST({col} AS BIGINT) AS v FROM {tbl} "
+        f"WHERE {col} IS NOT NULL GROUP BY 2"
+        for tag, tbl, col in _JK_COLUMNS
+    )
+    return f"""
+    WITH tagged AS (
+      {tagged}
+    ),
+    sizes AS (
+      SELECT col, CAST(count(*) AS BIGINT) AS n_distinct
+      FROM tagged GROUP BY col
+    ),
+    common AS (
+      SELECT a.col AS col_a, b.col AS col_b, CAST(count(*) AS BIGINT) AS common
+      FROM tagged a JOIN tagged b ON a.v = b.v AND a.col <> b.col
+      GROUP BY 1, 2
+    )
+    SELECT sa.col AS col_a, sb.col AS col_b,
+           sa.n_distinct AS distinct_a, sb.n_distinct AS distinct_b,
+           CAST(COALESCE(c.common, 0) AS BIGINT) AS common,
+           CAST(COALESCE(c.common, 0) AS DOUBLE)
+             / CAST(sa.n_distinct AS DOUBLE) AS containment,
+           COALESCE(c.common, 0) = sa.n_distinct AS is_subset
+    FROM sizes sa JOIN sizes sb ON sa.col <> sb.col
+    LEFT JOIN common c ON c.col_a = sa.col AND c.col_b = sb.col
+    """
+
+
+@query("join_key_discovery", oracle=_jk_oracle())
+def join_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key discovery by containment profiling: for every ordered
+    pair of candidate key columns across the schema, the distinct-set
+    intersection size and the containment coefficient
+    |A ∩ B| / |A| — the signal schema-matching uses to propose FK
+    edges (containment 1.0 = every value of A exists in B, i.e. A
+    references B). This DISCOVERS the FK graph that
+    referential_integrity_audit then enforces.
+
+    Plan: each column contributes its distinct non-null values ONCE
+    (map-side partial distinct per column), the tagged union is
+    self-joined on the VALUE (per-value fan-out is bounded by the
+    number of candidate columns, never by row count), and zero-overlap
+    pairs are restored by the final left join against the size
+    relation — so absent pairs are reported as 0.0 containment, not
+    silently dropped.
+
+    100 TB shape: one distinct per column (combiner-friendly), one
+    value-keyed shuffle of the tagged distinct union, then everything
+    runs at (columns x columns) cardinality. Column list is a plan
+    literal; no driver loops over tables."""
+    tagged = None
+    for tag, tbl, col in _JK_COLUMNS:
+        part = (
+            load_table(spark, sf_dir, tbl)
+            .filter(F.col(col).isNotNull())
+            .select(
+                F.lit(tag).alias("col"), F.col(col).cast("bigint").alias("v")
+            )
+            .distinct()
+        )
+        tagged = part if tagged is None else tagged.unionAll(part)
+    tagged = tagged.localCheckpoint()  # sizes + both join sides
+    sizes = tagged.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    a = tagged.select(F.col("col").alias("col_a"), "v")
+    b = tagged.select(F.col("col").alias("col_b"), "v")
+    common = (
+        a.join(b, "v")
+        .filter(F.col("col_a") != F.col("col_b"))
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    sa = sizes.select(
+        F.col("col").alias("col_a"), F.col("n_distinct").alias("distinct_a")
+    )
+    sb = sizes.select(
+        F.col("col").alias("col_b"), F.col("n_distinct").alias("distinct_b")
+    )
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .filter(F.col("col_a") != F.col("col_b"))
+        .join(F.broadcast(common), ["col_a", "col_b"], "left")
+        .select(
+            "col_a",
+            "col_b",
+            "distinct_a",
+            "distinct_b",
+            F.coalesce("common", F.lit(0)).cast("bigint").alias("common"),
+            (
+                F.coalesce("common", F.lit(0)).cast("double")
+                / F.col("distinct_a").cast("double")
+            ).alias("containment"),
+            (
+                F.coalesce("common", F.lit(0)) == F.col("distinct_a")
+            ).alias("is_subset"),
+        )
+    )

@@ -560,3 +560,95 @@ def test_link_prediction_jaccard_planted_graph(spark, tmp_path):
     assert [(r.pa, r.pb) for r in order] == [
         (1, 2), (3, 4), (1, 3), (1, 4), (2, 3), (2, 4)
     ]
+
+
+def test_rank_correlation_matches_numpy_replay(spark):
+    """Spearman via numpy midranks + Pearson; Kendall via a brute
+    O(n^2) numpy pair count — both independent of the grid method."""
+    import duckdb
+    import numpy as np
+
+    r = _q("rank_correlation_discount_quantity")(spark, SF).collect()[0]
+    xy = duckdb.connect().execute(
+        f"""SELECT CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT),
+                   CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+            FROM read_parquet('{SF}/lineitem.parquet')"""
+    ).fetchall()
+    x = np.array([p[0] for p in xy], dtype=np.int64)
+    y = np.array([p[1] for p in xy], dtype=np.int64)
+    assert r.n == len(x)
+
+    def midranks(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=np.float64)
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        return ranks
+
+    rx, ry = midranks(x), midranks(y)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert r.spearman_rho == pytest.approx(float(rho), rel=1e-9)
+    # Kendall tau-b, brute-forced in chunks
+    conc = disc = 0
+    tx = ty = 0
+    n = len(x)
+    for i in range(0, n, 500):
+        xi = x[i : i + 500, None]
+        yi = y[i : i + 500, None]
+        dx = np.sign(xi - x[None, :])
+        dy = np.sign(yi - y[None, :])
+        s = dx * dy
+        conc += int((s > 0).sum())
+        disc += int((s < 0).sum())
+        tx += int(((dx == 0) & (dy != 0)).sum())
+        ty += int(((dy == 0) & (dx != 0)).sum())
+    conc //= 2  # each unordered pair counted twice (self pairs give 0)
+    disc //= 2
+    assert r.cd_gap == pytest.approx(float(conc - disc), rel=1e-12)
+    from math import sqrt
+
+    vals_x, cnt_x = np.unique(x, return_counts=True)
+    vals_y, cnt_y = np.unique(y, return_counts=True)
+    n0 = n * (n - 1) / 2
+    tiex = float((cnt_x * (cnt_x - 1) // 2).sum())
+    tiey = float((cnt_y * (cnt_y - 1) // 2).sum())
+    tau = (conc - disc) / (sqrt(n0 - tiex) * sqrt(n0 - tiey))
+    assert r.kendall_tau_b == pytest.approx(tau, rel=1e-9)
+    assert -1.0 <= r.kendall_tau_b <= 1.0 and -1.0 <= r.spearman_rho <= 1.0
+
+
+def test_join_key_discovery_recovers_fk_graph(spark):
+    """Containment must recover the known FK edges (child fully
+    contained in parent) and reject a known non-edge."""
+    rows = {
+        (r.col_a, r.col_b): r
+        for r in _q("join_key_discovery")(spark, SF).collect()
+    }
+    assert len(rows) == 13 * 12
+    fk_edges = [
+        ("orders.o_custkey", "customer.c_custkey"),
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("lineitem.l_partkey", "part.p_partkey"),
+        ("lineitem.l_suppkey", "supplier.s_suppkey"),
+        ("customer.c_nationkey", "nation.n_nationkey"),
+        ("supplier.s_nationkey", "nation.n_nationkey"),
+        ("nation.n_regionkey", "region.r_regionkey"),
+    ]
+    for child, parent in fk_edges:
+        r = rows[(child, parent)]
+        assert r.is_subset and r.containment == 1.0, (child, parent)
+    # non-edge: order keys are not part keys
+    r = rows[("lineitem.l_orderkey", "part.p_partkey")]
+    assert not r.is_subset
+    # intersection is symmetric even though containment is directional
+    for (ca, cb), r in rows.items():
+        assert r.common == rows[(cb, ca)].common
+    for r in rows.values():
+        assert 0.0 <= r.containment <= 1.0
+        assert r.common <= min(r.distinct_a, r.distinct_b)
