@@ -169,6 +169,8 @@ HEADLINE = [
     "link_prediction_jaccard",
     "rank_correlation_discount_quantity",
     "join_key_discovery",
+    "sql_udf_pricing_summary",
+    "sql_aggregate_surface_combo",
 ]
 
 

@@ -3004,3 +3004,114 @@ def recursive_cte_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey, o_orderkey, pos, cum_cents FROM chain
         """
     )
+
+
+@query(
+    "sql_udf_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS gross_cents,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)
+                    - CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)
+                      * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                             AS BIGINT) // 100) AS BIGINT) AS net_cents
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_udf_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary computed through SQL-language UDFs (Spark 4
+    ``CREATE FUNCTION ... RETURN <expr>``) — reusable business logic
+    declared once in SQL and inlined by Catalyst, so it optimizes like
+    any expression (predicate pushdown and codegen intact, unlike
+    opaque Python UDFs). ``cents`` freezes a price to exact integer
+    cents; ``net_cents`` applies the discount in pure integer
+    arithmetic (cents - cents*disc_pct // 100, truncated division with
+    non-negative operands — floor == trunc on both engines).
+
+    The oracle inlines the identical expressions textually: the hash
+    match certifies Spark's SQL UDF resolution + inlining is
+    semantics-preserving. 100 TB shape: narrow map + one
+    map-side-combined 6-group aggregate; UDFs are plan-time
+    rewrites, zero runtime dispatch."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents(p DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(CAST(p AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_cents(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN cents(p) - cents(p) * cents(d) div 100"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqludf"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(cents(l_extendedprice)) AS BIGINT) AS gross_cents,
+               CAST(sum(net_cents(l_extendedprice, l_discount)) AS BIGINT)
+                 AS net_cents
+        FROM lineitem_sqludf
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "sql_aggregate_surface_combo",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(bit_and(o_custkey) AS BIGINT) AS band,
+           CAST(bit_or(o_custkey) AS BIGINT) AS bor,
+           CAST(bit_xor(o_custkey) AS BIGINT) AS bxor,
+           bool_and(o_totalprice > 1000) AS all_above_1k,
+           bool_or(o_totalprice > 400000) AS any_above_400k,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_large,
+           median(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+             AS median_cents,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_aggregate_surface_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregate exercising the long tail of the SQL aggregate
+    surface per order priority: bitwise AND/OR/XOR reductions,
+    bool_and / bool_or predicates, count_if, exact interpolated
+    median over integer cents, and an order-deterministic distinct
+    string rollup (sorted collect_set + concat_ws == DuckDB's
+    string_agg DISTINCT ... ORDER BY).
+
+    Determinism notes: the string rollup sorts EXPLICITLY (an
+    unordered collect would hash-diverge run to run); the median over
+    int64 cents interpolates to exact halves, representable in double
+    on both engines for values < 2^52. All bit/bool/count aggregates
+    are exact. 100 TB shape: everything is map-side combinable except
+    the exact median, which Spark evaluates per group at 5-group
+    cardinality — at real scale swap to approx_percentile or the
+    distributed exact-quantile operator (functions/scalar.py) if the
+    group count explodes."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("bit_and(o_custkey)").cast("bigint").alias("band"),
+        F.expr("bit_or(o_custkey)").cast("bigint").alias("bor"),
+        F.expr("bit_xor(o_custkey)").cast("bigint").alias("bxor"),
+        F.expr("bool_and(o_totalprice > 1000)").alias("all_above_1k"),
+        F.expr("bool_or(o_totalprice > 400000)").alias("any_above_400k"),
+        F.expr("count_if(o_totalprice > 150000)")
+        .cast("bigint")
+        .alias("n_large"),
+        F.median(cents).alias("median_cents"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("o_orderstatus"))
+        ).alias("statuses"),
+    )

@@ -652,3 +652,74 @@ def test_join_key_discovery_recovers_fk_graph(spark):
     for r in rows.values():
         assert 0.0 <= r.containment <= 1.0
         assert r.common <= min(r.distinct_a, r.distinct_b)
+
+
+def test_sql_udf_inlines_to_exact_integer_arithmetic(spark):
+    """The SQL-UDF path equals an independent DataFrame-API replay of
+    the same integer-cents arithmetic."""
+    from pyspark.sql import functions as F
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+    got = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in _q("sql_udf_pricing_summary")(spark, SF).collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+        "bigint"
+    )
+    dpct = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
+    ref = {
+        (r.l_returnflag, r.l_linestatus): r
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents).alias("gross"),
+            F.sum(cents - F.expr(
+                "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+                " * cast(cast(l_discount as decimal(18,2)) * 100 as bigint)"
+                " div 100"
+            )).alias("net"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k, r in got.items():
+        assert r.gross_cents == ref[k].gross
+        assert r.net_cents == ref[k].net
+        assert r.net_cents <= r.gross_cents
+
+
+def test_aggregate_combo_matches_python_reduce(spark):
+    import duckdb
+    from functools import reduce
+    import statistics
+
+    rows = {
+        r.o_orderpriority: r
+        for r in _q("sql_aggregate_surface_combo")(spark, SF).collect()
+    }
+    raw = duckdb.connect().execute(
+        f"""SELECT o_orderpriority, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+                   o_orderstatus
+            FROM read_parquet('{SF}/orders.parquet')"""
+    ).fetchall()
+    by: dict = {}
+    for p, ck, cents, st in raw:
+        by.setdefault(p, []).append((ck, cents, st))
+    assert set(rows) == set(by)
+    for p, items in by.items():
+        r = rows[p]
+        cks = [i[0] for i in items]
+        cents = [i[1] for i in items]
+        assert r.n == len(items)
+        assert r.band == reduce(lambda a, b: a & b, cks)
+        assert r.bor == reduce(lambda a, b: a | b, cks)
+        assert r.bxor == reduce(lambda a, b: a ^ b, cks)
+        assert r.all_above_1k == all(c > 100000 for c in cents)
+        assert r.any_above_400k == any(c > 40000000 for c in cents)
+        assert r.n_large == sum(1 for c in cents if c > 15000000)
+        assert r.median_cents == pytest.approx(
+            float(statistics.median(cents)), rel=1e-15
+        )
+        assert r.statuses == ",".join(sorted({i[2] for i in items}))
