@@ -171,6 +171,7 @@ HEADLINE = [
     "join_key_discovery",
     "sql_udf_pricing_summary",
     "sql_aggregate_surface_combo",
+    "multimodal_dhash_neardup",
 ]
 
 

@@ -1454,3 +1454,136 @@ def decode_sampled_frames(media: DataFrame, stride: int = 2) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         dec, schema=FRAME_DECODE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (dHash) — image near-duplicate detection
+# ---------------------------------------------------------------------------
+
+#: dHash geometry: images reduce to a DHASH_COLS+1 x DHASH_ROWS cell
+#: grid; each bit compares horizontally adjacent cells -> 64 bits.
+DHASH_ROWS = 8
+DHASH_COLS = 8
+
+#: Fixture geometry: 18x16 divides evenly into the 9x8 cell grid
+#: (2x2 pixel blocks), so cell sums are exact integers — no
+#: resampling float appears anywhere in the hash.
+NEARDUP_W = 18
+NEARDUP_H = 16
+
+
+def _neardup_base_pixel(g: int, x: int, y: int) -> int:
+    """Pseudo-random per-group texture in [0, 100] — bounded so the
+    contrast member (x2) never clips and therefore provably preserves
+    every adjacent-cell comparison."""
+    seed = (g * 2654435761) % 100003
+    return (
+        x * x * (seed % 13 + 3)
+        + y * y * ((seed // 13) % 17 + 5)
+        + x * y * (seed % 7 + 1)
+        + x * ((seed // 91) % 29)
+        + y * ((seed // 7) % 31)
+        + seed
+    ) % 101
+
+
+def synth_png_neardup_media(docs: DataFrame) -> DataFrame:
+    """Planted near-duplicate PNG fixture: docs group by doc_id // 4;
+    member 0 is the base texture, member 1 adds uniform brightness +7
+    (dHash EXACTLY invariant — differences unchanged), member 2 scales
+    contrast x2 without clipping (sign of every difference preserved —
+    also hash-identical), member 3 bumps one pixel by +50 (perturbs at
+    most two cells in one row: Hamming <= 2). Cross-group textures are
+    independent. This is the re-encode/brightness-shift duplicate
+    family a byte-level hash (dedup_exact_hash) is BLIND to."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, m = d // 4, d % 4
+                rows = []
+                for y in range(NEARDUP_H):
+                    row = []
+                    for x in range(NEARDUP_W):
+                        p = _neardup_base_pixel(g, x, y)
+                        if m == 1:
+                            p += 7
+                        elif m == 2:
+                            p *= 2
+                        elif m == 3 and x == 3 and y == 3:
+                            p += 50
+                        row.append(p)
+                    rows.append(bytes(row))
+                payloads.append(png_encode_gray(rows))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    encoded = docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("media_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.xxhash64("payload").alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def dhash64(rows: list[bytes]) -> int:
+    """64-bit difference hash of a greyscale image: average down to a
+    (DHASH_COLS+1) x DHASH_ROWS cell grid (integer BLOCK SUMS — since
+    every cell covers the same number of pixels, comparing sums equals
+    comparing means with zero float error), then bit (r, c) = 1 iff
+    cell(r, c) > cell(r, c+1). Returns a SIGNED int64 (bit 63 may be
+    set) so it maps directly onto Spark LongType for xor/bit_count.
+
+    dHash is Krawetz's public algorithm (hackerfactor.com, 2013);
+    implementation is original."""
+    h = len(rows)
+    w = len(rows[0])
+    gw, gh = DHASH_COLS + 1, DHASH_ROWS
+    sums = [[0] * gw for _ in range(gh)]
+    counts = [[0] * gw for _ in range(gh)]
+    for y in range(h):
+        ry = y * gh // h
+        row = rows[y]
+        for x in range(w):
+            sums[ry][x * gw // w] += row[x]
+            counts[ry][x * gw // w] += 1
+    bits = 0
+    for r in range(gh):
+        for c in range(DHASH_COLS):
+            # compare means as cross-multiplied integer sums (cell
+            # pixel counts can differ when w % gw != 0)
+            left = sums[r][c] * counts[r][c + 1]
+            right = sums[r][c + 1] * counts[r][c]
+            bits = (bits << 1) | (1 if left > right else 0)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+def dhash_batch(media: DataFrame) -> DataFrame:
+    """Arrow-batched dHash over PNG payloads: real stdlib decode +
+    integer block-sum hash, one narrow map — [doc_id, dhash long]."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                _, _, _, rows = png_decode_pixels(bytes(payload))
+                hashes.append(dhash64(rows))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash": pd.array(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema="doc_id long, dhash long")

@@ -3225,3 +3225,82 @@ def dedup_simhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_crossengine_pairs(docs)
+
+
+_DHASH_BANDS = 4
+_DHASH_MAX_HAMMING = 3
+
+
+@query("multimodal_dhash_neardup")
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash: REAL PNG
+    decode → 64-bit dHash (integer block-sum difference hash,
+    operators/multimodal.py:dhash64) → banded LSH candidate join →
+    exact Hamming verify. Catches the duplicate family byte-hashing is
+    blind to — re-encodes, uniform brightness shifts, contrast scaling
+    (dHash provably invariant to the latter two) and small local edits
+    (Hamming <= {mh}) — over a planted fixture whose group structure
+    the tests pin exactly.
+
+    Scale shape (the simhash discipline): candidates come from
+    {bands} x 16-bit band-equality buckets (pigeonhole: Hamming <=
+    {mh} < {bands} bands forces at least one identical band, so recall
+    at the threshold is GUARANTEED, not probabilistic), the verify is
+    JVM-side bit_count(xor) on int64 — never an all-pairs join; the
+    decode+hash pass is one Arrow-batched narrow map. No SQL oracle —
+    DuckDB cannot decode PNGs — so this is a rows-only driver entry
+    backed by planted-truth pytest (the accepted precedent for
+    codec-dependent ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_png_neardup_media(docs)
+    hashes = multimodal.dhash_batch(media).localCheckpoint()
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright("dhash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(_DHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "dhash", "band.band_id", "band.band_val")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("dhash").alias("h_a"),
+        "band_id",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("dhash").alias("h_b"),
+        "band_id",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("h_a").bitwiseXOR(F.col("h_b"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _DHASH_MAX_HAMMING)
+    )
+
+
+multimodal_dhash_neardup.__doc__ = multimodal_dhash_neardup.__doc__.format(
+    mh=_DHASH_MAX_HAMMING, bands=_DHASH_BANDS
+)

@@ -441,3 +441,106 @@ def test_decode_image_batch_dispatches_jpeg(spark):
             for by in range(h // 8)
         )
         assert got[d] == (w, h, want)
+
+
+# ------------------------------------------------------------------ dHash
+
+
+def test_dhash_invariances_and_locality():
+    """dHash must be exactly invariant to uniform brightness and
+    positive contrast scaling, and a single-pixel edit must move few
+    bits — the properties the near-dup query's fixture plants."""
+    from etl_pipeline_orchestration_spark.operators import multimodal as M
+
+    rows = [
+        bytes(M._neardup_base_pixel(42, x, y) for x in range(M.NEARDUP_W))
+        for y in range(M.NEARDUP_H)
+    ]
+    base = M.dhash64(rows)
+    bright = M.dhash64([bytes(p + 7 for p in r) for r in rows])
+    contrast = M.dhash64([bytes(p * 2 for p in r) for r in rows])
+    assert base == bright == contrast
+    # the one-pixel edit moves at most 3 bits; for SOME group it must
+    # actually move bits (locality is small but not always zero)
+    flipped = []
+    for g in range(10):
+        rows_g = [
+            bytes(M._neardup_base_pixel(g, x, y) for x in range(M.NEARDUP_W))
+            for y in range(M.NEARDUP_H)
+        ]
+        noisy = [bytearray(r) for r in rows_g]
+        noisy[3][3] += 50
+        d = M.dhash64(rows_g) ^ M.dhash64([bytes(r) for r in noisy])
+        flipped.append(bin(d & ((1 << 64) - 1)).count("1"))
+    assert all(f <= 3 for f in flipped)
+    assert any(f > 0 for f in flipped)
+    # int64-signed mapping round-trips
+    assert -(1 << 63) <= base < (1 << 63)
+
+
+def test_dhash_uneven_cells_use_exact_mean_compare():
+    """When width doesn't divide the 9-cell grid, cells carry unequal
+    pixel counts; the cross-multiplied sum compare must equal the
+    float mean compare."""
+    from etl_pipeline_orchestration_spark.operators import multimodal as M
+
+    w, h = 20, 11  # 20 % 9 != 0, 11 % 8 != 0
+    rows = [bytes((x * 7 + y * 13 + x * y) % 101 for x in range(w)) for y in range(h)]
+    got = M.dhash64(rows)
+    # float replay
+    gw, gh = M.DHASH_COLS + 1, M.DHASH_ROWS
+    sums = [[0.0] * gw for _ in range(gh)]
+    cnt = [[0] * gw for _ in range(gh)]
+    for y in range(h):
+        for x in range(w):
+            sums[y * gh // h][x * gw // w] += rows[y][x]
+            cnt[y * gh // h][x * gw // w] += 1
+    bits = 0
+    for r in range(gh):
+        for c in range(M.DHASH_COLS):
+            bits = (bits << 1) | (
+                1 if sums[r][c] / cnt[r][c] > sums[r][c + 1] / cnt[r][c + 1] else 0
+            )
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    assert got == bits
+
+
+def test_dhash_neardup_recovers_planted_groups(spark):
+    """The banded join + Hamming verify returns EXACTLY the planted
+    within-group pairs: all 6 pairs per group of 4 (brightness and
+    contrast members hash-identical to base; the noisy member within
+    Hamming 3 of every sibling), zero cross-group pairs."""
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["multimodal_dhash_neardup"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    import duckdb
+
+    n_docs = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    full_groups = {
+        g for g in range(n_docs // 4 + 2)
+        if all(g * 4 + m < n_docs for m in range(4))
+    }
+    expected = {
+        (g * 4 + a, g * 4 + b)
+        for g in full_groups
+        for a in range(4)
+        for b in range(4)
+        if a < b
+    }
+    got = {(r.id_a, r.id_b) for r in rows}
+    # every planted pair found (recall is GUARANTEED by pigeonhole),
+    # and nothing outside a group leaks in
+    assert expected <= got
+    assert all(a // 4 == b // 4 for a, b in got)
+    # hash-identical members: base/bright/contrast pairs at hamming 0
+    ham = {(r.id_a, r.id_b): r.hamming for r in rows}
+    for g in sorted(full_groups)[:20]:
+        assert ham[(g * 4, g * 4 + 1)] == 0
+        assert ham[(g * 4, g * 4 + 2)] == 0
+        assert ham[(g * 4, g * 4 + 3)] <= 3
