@@ -172,6 +172,7 @@ HEADLINE = [
     "sql_udf_pricing_summary",
     "sql_aggregate_surface_combo",
     "multimodal_dhash_neardup",
+    "multimodal_audio_spectral",
 ]
 
 

@@ -1587,3 +1587,60 @@ def dhash_batch(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema="doc_id long, dhash long")
+
+
+AUDIO_SPECTRAL_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, dom_freq_hz double,"
+    " centroid_hz double, rolloff85_hz double"
+)
+
+
+def audio_spectral_batch(media: DataFrame) -> DataFrame:
+    """REAL spectral feature extraction: decode WAV PCM and compute the
+    frequency-domain surface a speech/audio curation pass filters on —
+    dominant frequency (FFT power argmax), spectral centroid, and the
+    85% rolloff. One numpy rfft per clip inside an Arrow-batched
+    ``mapInPandas`` — the mapInPandas shape a torchaudio pipeline
+    would use, with the stdlib codec in place of its decoder.
+
+    DC is excluded from the power spectrum (a constant offset is
+    loudness, not pitch). Ties in the argmax resolve to the LOWEST
+    bin via numpy's first-maximum rule — deterministic. Floats here
+    are genuinely spectral (no SQL oracle can replay an FFT), so the
+    query surface is rows-only + planted-frequency pytest, the same
+    contract as the other codec-dependent ops."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "dom_freq_hz",
+                "centroid_hz", "rolloff85_hz",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                sr, n, pcm = wav_decode(bytes(payload))
+                x = pcm.astype(np.float64)
+                spec = np.abs(np.fft.rfft(x)) ** 2
+                spec[0] = 0.0
+                freqs = np.arange(spec.shape[0]) * (sr / n)
+                total = float(spec.sum())
+                if total > 0:
+                    k = int(np.argmax(spec))
+                    dom = float(freqs[k])
+                    centroid = float((freqs * spec).sum() / total)
+                    cum = np.cumsum(spec)
+                    ri = int(np.searchsorted(cum, 0.85 * total))
+                    rolloff = float(freqs[min(ri, len(freqs) - 1)])
+                else:
+                    dom = centroid = rolloff = 0.0
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["dom_freq_hz"].append(dom)
+                out["centroid_hz"].append(centroid)
+                out["rolloff85_hz"].append(rolloff)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=AUDIO_SPECTRAL_SCHEMA
+    )

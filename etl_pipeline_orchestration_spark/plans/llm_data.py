@@ -3304,3 +3304,19 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 multimodal_dhash_neardup.__doc__ = multimodal_dhash_neardup.__doc__.format(
     mh=_DHASH_MAX_HAMMING, bands=_DHASH_BANDS
 )
+
+
+@query("multimodal_audio_spectral")
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features over the WAV fixture: dominant
+    frequency, spectral centroid, 85% rolloff per clip (operators/
+    multimodal.py:audio_spectral_batch) — the pitch/timbre layer on
+    top of multimodal_wav_features' time-domain pass (RMS, zero
+    crossings). The fixture plants a pure sine per document, so the
+    tests assert the FFT argmax recovers the planted frequency to
+    within one bin (sr/n) — genuine signal recovery, not just
+    plumbing. Rows-only driver entry (an FFT has no SQL oracle), the
+    codec-dependent precedent."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_wav_media(docs)
+    return multimodal.audio_spectral_batch(media)

@@ -544,3 +544,28 @@ def test_dhash_neardup_recovers_planted_groups(spark):
         assert ham[(g * 4, g * 4 + 1)] == 0
         assert ham[(g * 4, g * 4 + 2)] == 0
         assert ham[(g * 4, g * 4 + 3)] <= 3
+
+
+# ------------------------------------------------------- audio spectral
+
+
+def test_audio_spectral_recovers_planted_frequency(spark):
+    """The FFT dominant bin must land within one frequency-resolution
+    step (sr/n) of the planted sine for EVERY clip; centroid and
+    rolloff sit near the tone for a pure sine."""
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["multimodal_audio_spectral"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 500
+    for r in rows:
+        f = 200 + (r.doc_id % 20) * 20
+        resolution = r.sample_rate / r.n_samples
+        assert abs(r.dom_freq_hz - f) <= resolution + 1e-9, (r.doc_id, f)
+        # pure tone: nearly all energy at f -> centroid/rolloff nearby
+        assert abs(r.centroid_hz - f) <= 3 * resolution, (r.doc_id, f)
+        assert abs(r.rolloff85_hz - f) <= 2 * resolution, (r.doc_id, f)
+        assert r.sample_rate == 8000
+        assert r.n_samples == 400 + (r.doc_id % 5) * 200
