@@ -173,6 +173,8 @@ HEADLINE = [
     "sql_aggregate_surface_combo",
     "multimodal_dhash_neardup",
     "multimodal_audio_spectral",
+    "kmv_distinct_by_source",
+    "corpus_overlap_kmv",
 ]
 
 

@@ -3737,3 +3737,267 @@ def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("flag_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct / overlap sketches
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_M = 2147483647  # XENGINE_P — the cross-engine poly-hash modulus
+
+_KMV_SHINGLE_SQL = """
+    toks AS (
+      SELECT source, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      FROM toks WHERE len(ws) >= 3
+    ),
+    rel AS (
+      SELECT DISTINCT source,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(s, ''),
+                                c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) AS h
+      FROM (SELECT source, unnest(sh) AS s FROM sh)
+    )"""
+
+
+def _kmv_est_sql(kth: str, sk_n: str) -> str:
+    return (
+        f"CASE WHEN {sk_n} < {_KMV_K} THEN CAST({sk_n} AS DOUBLE) "
+        f"ELSE CAST({_KMV_K - 1} AS DOUBLE) * {_KMV_M} "
+        f"/ CAST({kth} AS DOUBLE) END"
+    )
+
+
+@query(
+    "kmv_distinct_by_source",
+    oracle=f"""
+    WITH {_KMV_SHINGLE_SQL},
+    exact AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_distinct FROM rel GROUP BY source
+    ),
+    sk AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM rel
+    ),
+    kth AS (
+      SELECT source, CAST(max(h) AS BIGINT) AS kth_min,
+             CAST(count(*) AS BIGINT) AS sketch_size
+      FROM sk WHERE rk <= {_KMV_K} GROUP BY source
+    )
+    SELECT e.source, e.n_distinct, k.sketch_size, k.kth_min,
+           {_kmv_est_sql("k.kth_min", "k.sketch_size")} AS est_distinct,
+           ABS({_kmv_est_sql("k.kth_min", "k.sketch_size")}
+               - CAST(e.n_distinct AS DOUBLE))
+             / CAST(e.n_distinct AS DOUBLE) AS rel_err
+    FROM exact e JOIN kth k ON k.source = e.source
+    """,
+)
+def kmv_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-shingle cardinality: EXACT count next to a
+    KMV (k-minimum-values, Bar-Yossef et al. 2002) sketch estimate
+    (k-1)·M / kth_min — the mergeable bottom-k sketch that answers
+    distinct-count and set-overlap questions from k values per group
+    instead of the full value set. Built on the cross-engine
+    polynomial hash (the dedup_minhash_crossengine discipline), so
+    EVERY stage — fold, bottom-k, estimator — replays in SQL and the
+    driver hash certifies the sketch, not just its row count; the
+    exact column doubles as the in-row accuracy oracle (rel_err).
+
+    100 TB shape: shingle fold + distinct are one map-side-combined
+    pass; the bottom-k window runs per source AFTER the distinct
+    combine (input = per-source distinct hashes). At extreme
+    per-group cardinality the window input is pruned by a per-
+    partition bottom-k first — the standard two-stage top-k; the
+    estimator itself reads k values per group."""
+    from etl_pipeline_orchestration_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.lit(_KMV_M)
+    charfold = F.aggregate(
+        F.filter(F.split(F.col("s"), ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % p,
+    )
+    rel = (
+        docs.filter(F.size(dedup_ops._tokens("text")) >= 3)
+        .select("source", F.explode(dedup_ops._shingles("text", 3)).alias("s"))
+        .select("source", charfold.alias("h"))
+        .distinct()
+        .localCheckpoint()  # exact count + sketch both consume it
+    )
+    exact = rel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct")
+    )
+    wk = Window.partitionBy("source").orderBy("h")
+    kth = (
+        rel.select("source", "h", F.row_number().over(wk).alias("rk"))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("source")
+        .agg(
+            F.max("h").cast("bigint").alias("kth_min"),
+            F.count(F.lit(1)).cast("bigint").alias("sketch_size"),
+        )
+    )
+    est = F.when(
+        F.col("sketch_size") < _KMV_K, F.col("sketch_size").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * _KMV_M / F.col("kth_min").cast("double")
+    )
+    return exact.join(kth, "source").select(
+        "source",
+        "n_distinct",
+        "sketch_size",
+        "kth_min",
+        est.alias("est_distinct"),
+        (
+            F.abs(est - F.col("n_distinct").cast("double"))
+            / F.col("n_distinct").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+@query(
+    "corpus_overlap_kmv",
+    oracle=f"""
+    WITH {_KMV_SHINGLE_SQL},
+    a AS (SELECT h FROM rel WHERE source = 'src0'),
+    b AS (SELECT h FROM rel WHERE source = 'src1'),
+    ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+                           FROM a) WHERE rk <= {_KMV_K}),
+    skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rk
+                           FROM b) WHERE rk <= {_KMV_K}),
+    u AS (SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk
+            FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+          ) WHERE rk <= {_KMV_K}),
+    ustat AS (
+      SELECT CAST(max(h) AS BIGINT) AS kth_u,
+             CAST(count(*) AS BIGINT) AS u_n,
+             CAST(count(*) FILTER (WHERE h IN (SELECT h FROM ska)
+                                     AND h IN (SELECT h FROM skb))
+                  AS BIGINT) AS u_both
+      FROM u
+    ),
+    ex AS (
+      SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+             CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+             CAST((SELECT count(*) FROM a WHERE h IN (SELECT h FROM b))
+                  AS BIGINT) AS inter_exact
+    )
+    SELECT ex.n_a, ex.n_b, ex.inter_exact,
+           CAST(ex.n_a + ex.n_b - ex.inter_exact AS BIGINT) AS union_exact,
+           CAST(ex.inter_exact AS DOUBLE)
+             / CAST(ex.n_a + ex.n_b - ex.inter_exact AS DOUBLE)
+             AS jaccard_exact,
+           u.u_both, u.u_n,
+           CAST(u.u_both AS DOUBLE) / CAST(u.u_n AS DOUBLE) AS jaccard_est,
+           {_kmv_est_sql("u.kth_u", "u.u_n")} AS est_union,
+           CAST(u.u_both AS DOUBLE) / CAST(u.u_n AS DOUBLE)
+             * ({_kmv_est_sql("u.kth_u", "u.u_n")}) AS est_intersection
+    FROM ex CROSS JOIN ustat u
+    """,
+)
+def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus overlap between two sources from their KMV sketches: the
+    union sketch is the bottom-k of the two sketches' union (the KMV
+    closure property), Jaccard is estimated by the fraction of union-
+    sketch values present in BOTH side sketches, and the intersection
+    estimate is jaccard_est x est_union — the sketch algebra that
+    answers "how much does source A overlap source B" from 2k values
+    instead of a full distinct join. Exact counts ride along as the
+    in-row accuracy oracle. Same cross-engine poly-hash discipline as
+    kmv_distinct_by_source: the driver hash certifies every sketch
+    value.
+
+    100 TB shape: full-side relations exist only to report the exact
+    baseline (a test-scale luxury); the ESTIMATOR path touches 2k
+    int64s — at production scale you persist per-source sketches
+    (mergeable, tiny) and answer any pairwise overlap without
+    re-scanning the corpus."""
+    from etl_pipeline_orchestration_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.lit(_KMV_M)
+    charfold = F.aggregate(
+        F.filter(F.split(F.col("s"), ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % p,
+    )
+    rel = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .filter(F.size(dedup_ops._tokens("text")) >= 3)
+        .select("source", F.explode(dedup_ops._shingles("text", 3)).alias("s"))
+        .select("source", charfold.alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = rel.filter(F.col("source") == "src0").select("h")
+    b = rel.filter(F.col("source") == "src1").select("h")
+
+    def bottomk(df):
+        w = Window.orderBy("h")
+        return (
+            df.select("h", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= _KMV_K)
+            .select("h")
+        )
+
+    ska = bottomk(a).localCheckpoint()
+    skb = bottomk(b).localCheckpoint()
+    u = bottomk(ska.union(skb).distinct()).localCheckpoint()
+    both = (
+        u.join(ska.withColumnRenamed("h", "ha"), u.h == F.col("ha"), "left")
+        .join(skb.withColumnRenamed("h", "hb"), u.h == F.col("hb"), "left")
+        .agg(
+            F.max("h").cast("bigint").alias("kth_u"),
+            F.count(F.lit(1)).cast("bigint").alias("u_n"),
+            F.sum(
+                (F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("u_both"),
+        )
+    )
+    inter = a.join(b, "h", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("inter_exact")
+    )
+    ex = (
+        a.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+        .crossJoin(b.agg(F.count(F.lit(1)).cast("bigint").alias("n_b")))
+        .crossJoin(inter)
+    )
+    est_union = F.when(
+        F.col("u_n") < _KMV_K, F.col("u_n").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) * _KMV_M / F.col("kth_u").cast("double")
+    )
+    jac_est = F.col("u_both").cast("double") / F.col("u_n").cast("double")
+    union_exact = (
+        F.col("n_a") + F.col("n_b") - F.col("inter_exact")
+    ).cast("bigint")
+    return ex.crossJoin(F.broadcast(both)).select(
+        "n_a",
+        "n_b",
+        "inter_exact",
+        union_exact.alias("union_exact"),
+        (
+            F.col("inter_exact").cast("double")
+            / union_exact.cast("double")
+        ).alias("jaccard_exact"),
+        "u_both",
+        "u_n",
+        jac_est.alias("jaccard_est"),
+        est_union.alias("est_union"),
+        (jac_est * est_union).alias("est_intersection"),
+    )

@@ -1095,3 +1095,63 @@ def test_blocklist_counts_nonoverlapping_and_planted(spark):
         assert r.flag_rate == pytest.approx(r.docs_flagged / r.n_docs)
     # the list is non-trivial on this corpus: some term actually fires
     assert any(r.docs_flagged > 0 for r in rows)
+
+
+# ----------------------------------------------------------------- KMV
+
+
+def test_kmv_estimates_are_accurate_and_merge_law_holds(spark):
+    """KMV accuracy on real data (rel_err small at k=256) plus the
+    closure property: the union sketch computed from two side sketches
+    equals the bottom-k of the union of the FULL hash sets."""
+    rows = _run(spark, "kmv_distinct_by_source").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.sketch_size == min(256, r.n_distinct)
+        # deterministic given the fixed corpus: comfortably under the
+        # ~3/sqrt(k) coarse bound
+        assert r.rel_err < 0.20, (r.source, r.rel_err, r.n_distinct)
+    # median error should be solidly tight
+    errs = sorted(r.rel_err for r in rows)
+    assert errs[len(errs) // 2] < 0.10
+
+    ov = _run(spark, "corpus_overlap_kmv").collect()[0]
+    assert ov.u_n == 256
+    # estimates track the exact baselines
+    assert abs(ov.est_union - ov.union_exact) / ov.union_exact < 0.15
+    assert abs(ov.jaccard_est - ov.jaccard_exact) < 0.1
+    # at tiny Jaccard the intersection estimate is Poisson-noisy in
+    # the ~J*k matched sketch values; the meaningful bound is absolute,
+    # relative to the union size (not relative to the tiny overlap)
+    assert abs(ov.est_intersection - ov.inter_exact) / ov.union_exact < 0.05
+    # merge law: union sketch == bottom-k of the union of full sides
+    import duckdb
+
+    full = duckdb.connect().execute(
+        """
+        WITH toks AS (
+          SELECT source, string_split_regex(trim(text), '\\s+') AS ws
+          FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+          WHERE source IN ('src0', 'src1')
+        ),
+        sh AS (
+          SELECT source,
+                 list_distinct(list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+          FROM toks WHERE len(ws) >= 3
+        ),
+        rel AS (
+          SELECT DISTINCT list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(s, ''),
+                                    c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 131 + b) % 2147483647) AS h
+          FROM (SELECT source, unnest(sh) AS s FROM sh)
+        )
+        SELECT h FROM rel ORDER BY h LIMIT 256
+        """
+    ).fetchall()
+    kth_full = max(h for (h,) in full)
+    # the query's union-sketch kth equals the full-union bottom-k kth
+    # (KMV closure), certified indirectly through est_union
+    assert ov.est_union == 255 * 2147483647 / kth_full
