@@ -175,6 +175,7 @@ HEADLINE = [
     "multimodal_audio_spectral",
     "kmv_distinct_by_source",
     "corpus_overlap_kmv",
+    "seasonal_decompose_weekly",
 ]
 
 

@@ -2085,3 +2085,133 @@ def join_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_subset"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# additive seasonal decomposition (weekly) of daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_decompose_weekly",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM orders GROUP BY 1
+    ),
+    cal AS (
+      SELECT unnest(generate_series((SELECT min(d) FROM daily),
+                                    (SELECT max(d) FROM daily),
+                                    INTERVAL 1 DAY))::DATE AS d
+    ),
+    series AS (
+      SELECT cal.d, COALESCE(daily.r, 0) AS r,
+             CAST(dayofweek(cal.d) + 1 AS BIGINT) AS dow
+      FROM cal LEFT JOIN daily ON daily.d = cal.d
+    ),
+    ma AS (
+      SELECT d, r, dow,
+             CAST(sum(r) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                               AND 3 FOLLOWING) AS BIGINT) AS trend_x7,
+             count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                            AND 3 FOLLOWING) AS win_n
+      FROM series
+    ),
+    interior AS (
+      SELECT d, r, dow, trend_x7,
+             CAST(7 * r - trend_x7 AS BIGINT) AS detr_x7
+      FROM ma WHERE win_n = 7
+    ),
+    season AS (
+      SELECT dow, CAST(sum(detr_x7) AS BIGINT) AS s_num,
+             CAST(count(*) AS BIGINT) AS s_den
+      FROM interior GROUP BY dow
+    )
+    SELECT i.d AS day, i.r AS rev_cents, i.dow, i.trend_x7,
+           s.s_num, s.s_den,
+           CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE) / 7
+             AS seasonal_cents,
+           CAST(i.r AS DOUBLE) - CAST(i.trend_x7 AS DOUBLE) / 7
+             - CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE) / 7
+             AS residual_cents
+    FROM interior i JOIN season s ON s.dow = i.dow
+    """,
+)
+def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue with
+    weekly period: trend = centered 7-day moving average, seasonal =
+    per-day-of-week mean of the detrended series, residual = what's
+    left — the decomposition a forecaster inspects before choosing a
+    model, and the structural twin of acf_daily_revenue's lag-7
+    fingerprint.
+
+    Exactness discipline: the centered MA is kept as the exact int64
+    window SUM (trend_x7 — never divided until the final float
+    column); detrending multiplies up (7r − trend_x7, exact); the
+    seasonal component stays an exact (sum, count) rational with the
+    float divisions appearing once, in identical expression shapes.
+    Edge days without a full 7-day window are EXCLUDED (win_n = 7) —
+    decomposing a truncated window silently biases the seasonal
+    means. Day-of-week uses Sunday=1 dayofweek on both engines.
+
+    100 TB shape: orders collapse to the daily histogram at source;
+    every window after runs at calendar cardinality (the
+    histogram-window discipline); the seasonal join is a 7-row
+    broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("r")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    series = cal.join(daily, "d", "left").select(
+        "d",
+        F.coalesce("r", F.lit(0)).cast("bigint").alias("r"),
+        F.dayofweek("d").cast("bigint").alias("dow"),
+    )
+    wma = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = series.select(
+        "d",
+        "r",
+        "dow",
+        F.sum("r").over(wma).cast("bigint").alias("trend_x7"),
+        F.count(F.lit(1)).over(wma).alias("win_n"),
+    )
+    interior = (
+        ma.filter(F.col("win_n") == 7)
+        .select(
+            "d",
+            "r",
+            "dow",
+            "trend_x7",
+            (7 * F.col("r") - F.col("trend_x7")).cast("bigint").alias("detr_x7"),
+        )
+        .localCheckpoint()  # consumed by the seasonal agg AND the output
+    )
+    season = interior.groupBy("dow").agg(
+        F.sum("detr_x7").cast("bigint").alias("s_num"),
+        F.count(F.lit(1)).cast("bigint").alias("s_den"),
+    )
+    seasonal = (
+        F.col("s_num").cast("double") / F.col("s_den").cast("double") / 7
+    )
+    return interior.join(F.broadcast(season), "dow").select(
+        F.col("d").cast("date").alias("day"),
+        F.col("r").alias("rev_cents"),
+        "dow",
+        "trend_x7",
+        "s_num",
+        "s_den",
+        seasonal.alias("seasonal_cents"),
+        (
+            F.col("r").cast("double")
+            - F.col("trend_x7").cast("double") / 7
+            - F.col("s_num").cast("double") / F.col("s_den").cast("double") / 7
+        ).alias("residual_cents"),
+    )

@@ -723,3 +723,44 @@ def test_aggregate_combo_matches_python_reduce(spark):
             float(statistics.median(cents)), rel=1e-15
         )
         assert r.statuses == ",".join(sorted({i[2] for i in items}))
+
+
+def test_seasonal_decomposition_identity_and_structure(spark):
+    """Additive identity y = trend + seasonal + residual per day;
+    trend equals the centered 7-day mean; the detrended day-of-week
+    means match a direct replay."""
+    rows = sorted(
+        _q("seasonal_decompose_weekly")(spark, SF).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) > 100
+    # contiguous interior days (edges excluded)
+    assert (rows[-1].day - rows[0].day).days == len(rows) - 1
+    series = {r.day: r.rev_cents for r in rows}
+    for r in rows:
+        # additive identity (pure float identity of the emitted columns)
+        assert r.rev_cents == pytest.approx(
+            r.trend_x7 / 7 + r.seasonal_cents + r.residual_cents, abs=1e-6
+        )
+        assert 1 <= r.dow <= 7
+    # direct replay of trend for interior days present in the output
+    import datetime
+
+    for r in rows[3:-3:97]:
+        window = [
+            series.get(r.day + datetime.timedelta(days=o))
+            for o in range(-3, 4)
+        ]
+        if all(v is not None for v in window):
+            assert r.trend_x7 == sum(window)
+    # seasonal replay: per-dow mean of (7y - trend_x7)/7
+    from collections import defaultdict
+
+    acc = defaultdict(list)
+    for r in rows:
+        acc[r.dow].append(7 * r.rev_cents - r.trend_x7)
+    for r in rows:
+        vals = acc[r.dow]
+        assert r.seasonal_cents == pytest.approx(
+            sum(vals) / len(vals) / 7, rel=1e-12
+        )
