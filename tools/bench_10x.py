@@ -94,6 +94,18 @@ FAMILIES = {
     # MMR rerank: certifies the candidate-pool cut keeps pairwise work
     # C^2-bounded while the rels fan-out scales linearly in vectors.
     "mmr_rerank": "mmr_diverse_rerank",
+    # KMV sketch: certifies the bottom-k window input is the per-source
+    # DISTINCT hash set (combiner-shrunk) and the word-fold keeps char
+    # work token-linear.
+    "kmv_sketch": "kmv_distinct_by_source",
+    # link prediction: certifies the top-degree hub cut keeps the
+    # common-neighbor join bounded by sum_x cnt_hub(x)^2 while the edge
+    # relation grows linearly with orders.
+    "link_prediction": "link_prediction_jaccard",
+    # perceptual hash: decode+dHash is one Arrow map (linear); the
+    # banded self-join must stay at bucket-collision size, never
+    # all-pairs, as the image corpus grows.
+    "dhash_neardup": "multimodal_dhash_neardup",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
