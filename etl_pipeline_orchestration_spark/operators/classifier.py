@@ -204,3 +204,53 @@ def confusion_by_split(
             F.sum("z").cast("bigint").alias("sum_score_micro"),
         )
     )
+
+
+def train_logistic_int_folds(
+    feats: DataFrame, k: int = 5, iters: int = TRAIN_ITERS
+) -> dict[int, list[int]]:
+    """K-fold variant of ``train_logistic_int`` with ONE scan per
+    iteration for ALL folds: each aggregate computes the k x |features|
+    masked gradient sums (fold f sums rows with doc_id % k != f) as
+    parallel conditional-sum expressions, so cross-validation costs
+    iters + 1 scans instead of k * (iters + 1). The arithmetic per
+    fold is bit-identical to k separate trainings — same integer
+    features, same micro-grid sigmoid, same truncated-division
+    updates — only the job count changes."""
+    fdf = feats
+    fold = F.col("doc_id") % k
+
+    def masked(f: int, col: F.Column) -> F.Column:
+        return F.sum(
+            F.when(fold != f, col).otherwise(F.lit(0).cast("bigint"))
+        )
+
+    m2_row = fdf.agg(
+        *[
+            F.greatest(
+                masked(f, F.col(c).cast("bigint") * F.col(c)), F.lit(1)
+            ).alias(f"m_{f}_{c}")
+            for f in range(k)
+            for c in FEATURE_COLS
+        ]
+    ).collect()[0]
+    m2 = {
+        f: [int(m2_row[f"m_{f}_{c}"]) for c in FEATURE_COLS] for f in range(k)
+    }
+    betas = {f: [0] * len(FEATURE_COLS) for f in range(k)}
+    for _ in range(iters):
+        exprs = []
+        for f in range(k):
+            p = _p_micro(_z_expr(betas[f]))
+            resid = F.col("y").cast("bigint") * F.lit(1_000_000) - p
+            exprs.extend(
+                masked(f, F.col(c) * resid).alias(f"g_{f}_{c}")
+                for c in FEATURE_COLS
+            )
+        g_row = fdf.agg(*exprs).collect()[0]
+        for f in range(k):
+            betas[f] = [
+                b + _trunc_div(int(g_row[f"g_{f}_{c}"]), m)
+                for b, m, c in zip(betas[f], m2[f], FEATURE_COLS)
+            ]
+    return betas

@@ -3320,3 +3320,63 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synth_wav_media(docs)
     return multimodal.audio_spectral_batch(media)
+
+
+def _clf_cv_oracle(k: int = 5) -> str:
+    """UNION of k independent unrolled training trajectories — fold f
+    trains on doc_id % k != f and reports the confusion on its held-out
+    fold only."""
+    from etl_pipeline_orchestration_spark.operators.classifier import TRAIN_ITERS
+
+    parts = []
+    for f in range(k):
+        with_clause, zf = _clf_with_prefix(f"(doc_id % {k}) <> {f}")
+        parts.append(
+            f"""
+    SELECT * FROM (
+    {with_clause}
+    SELECT CAST({f} AS BIGINT) AS fold, y.y,
+           CAST(({zf.replace('f.', 'y.')}) >= 0 AS INT) AS pred,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM feats y CROSS JOIN b{TRAIN_ITERS} b
+    WHERE (y.doc_id % {k}) = {f}
+    GROUP BY 1, 2, 3
+    )"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("quality_classifier_cv", oracle=_clf_cv_oracle())
+def quality_classifier_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the quality-classifier trainer: each
+    fold trains on the other four (deterministic doc_id % 5 folds) and
+    reports the confusion matrix on ITS held-out fold only — the
+    variance check a single train/holdout split cannot give (one lucky
+    split hides an unstable trainer; five disjoint holdouts do not).
+
+    The oracle is FIVE independent unrolled training trajectories
+    (UNION ALL of the _clf_with_prefix chains), so the hash certifies
+    all 30 diagonal-Newton iterations and every fold's weights
+    jointly. Spark side: 5 x (7 map-side-combined aggregates); the
+    driver only ever holds five 6-vectors. Fixed fold count, fixed
+    iterations — wall cost is folds x iters x one scan, embarrassingly
+    scalable."""
+    from etl_pipeline_orchestration_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = classifier.classifier_features(docs).localCheckpoint()
+    betas = classifier.train_logistic_int_folds(feats, k=5)
+    # each row is scored by ITS fold's model (the one that never saw it)
+    z = None
+    for f in range(5):
+        zf = classifier._z_expr(betas[f])
+        z = zf if z is None else F.when(F.col("doc_id") % 5 == f, zf).otherwise(z)
+    return (
+        feats.select(
+            (F.col("doc_id") % 5).cast("bigint").alias("fold"),
+            "y",
+            (z >= 0).cast("int").alias("pred"),
+        )
+        .groupBy("fold", "y", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -191,3 +191,35 @@ def test_isotonic_matches_reference_pava_and_is_monotone(spark):
     assert sum(g * w for g, w in zip(got, n)) == pytest.approx(
         sum(pos), rel=1e-12
     )
+
+
+def test_kfold_batched_training_equals_separate_trainings(feats):
+    """The one-scan-per-iteration k-fold trainer must produce betas
+    bit-identical to five independent trainings on the same splits."""
+    from pyspark.sql import functions as F
+
+    batched = classifier.train_logistic_int_folds(feats, k=5)
+    for f in range(5):
+        separate, _ = classifier.train_logistic_int(
+            feats.filter((F.col("doc_id") % 5) != f)
+        )
+        assert batched[f] == separate, f
+
+
+def test_cv_folds_partition_and_generalize(spark):
+    rows = _q("quality_classifier_cv")(spark, SF_DIR).collect()
+    import duckdb
+
+    n_docs = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs  # folds partition exactly
+    acc = {}
+    for f in range(5):
+        fold = [r for r in rows if r.fold == f]
+        n = sum(r.n_docs for r in fold)
+        good = sum(r.n_docs for r in fold if r.y == r.pred)
+        acc[f] = good / n
+    # every held-out fold generalizes, and fold variance is small
+    assert all(a >= 0.72 for a in acc.values()), acc
+    assert max(acc.values()) - min(acc.values()) < 0.15, acc
