@@ -176,6 +176,7 @@ HEADLINE = [
     "kmv_distinct_by_source",
     "corpus_overlap_kmv",
     "seasonal_decompose_weekly",
+    "quantile_normalize_doclen",
 ]
 
 

@@ -4006,3 +4006,124 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_union.alias("est_union"),
         (jac_est * est_union).alias("est_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source quantile normalization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_normalize_doclen",
+    oracle="""
+    WITH h AS (
+      SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1, 2
+    ),
+    src AS (
+      SELECT source, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v)
+                  AS BIGINT) AS r_hi,
+             CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_src
+      FROM h
+    ),
+    pool AS (
+      SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt FROM h GROUP BY v
+    ),
+    pr AS (
+      SELECT v,
+             CAST(COALESCE(sum(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + 1 AS BIGINT) AS lo,
+             CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS hi
+      FROM pool
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pool FROM pool),
+    mapped AS (
+      SELECT s.source, s.v, s.cnt, s.r_hi, s.n_src,
+             CAST(-((-(s.r_hi * t.n_pool)) // s.n_src) AS BIGINT)
+               AS target_rank
+      FROM src s CROSS JOIN tot t
+    )
+    SELECT m.source, m.v AS n_chars, m.cnt AS n_docs, m.r_hi,
+           m.target_rank, p.v AS normalized_n_chars
+    FROM mapped m JOIN pr p
+      ON m.target_rank >= p.lo AND m.target_rank <= p.hi
+    """,
+)
+def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the document-length
+    distribution: every (source, length) maps to the POOLED
+    distribution's value at the equivalent quantile — the batch-effect
+    correction applied before mixing heterogeneous sources (a score or
+    length that means "85th percentile" in one source means the same
+    after normalization in every source; without it, per-source
+    quality thresholds silently encode source-specific scales).
+
+    Exactness: everything runs on value HISTOGRAMS (the mann_whitney
+    discipline) — per-source ceil ranks are cumulative int64 counts,
+    the target pooled rank is the exact ceiling division
+    r_hi·N_pool/n_src (DuckDB ``//`` floors on positives; the oracle
+    uses the -(-a//b) ceiling form, Spark uses the same), and the
+    normalized value is the pooled order statistic located by an
+    interval join on [lo, hi] rank ranges — integer end to end, no
+    interpolation, no floats anywhere.
+
+    100 TB shape: one map-side-combined histogram per (source, value);
+    all windows and the interval join run at histogram cardinality
+    (value-domain-bounded, not corpus-bounded)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        docs.groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()  # source ranks + pooled histogram share it
+    )
+    ws_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ws_all = Window.partitionBy("source")
+    src = h.select(
+        "source",
+        "v",
+        "cnt",
+        F.sum("cnt").over(ws_cum).cast("bigint").alias("r_hi"),
+        F.sum("cnt").over(ws_all).cast("bigint").alias("n_src"),
+    )
+    pool = h.groupBy("v").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    wp_prev = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    wp_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    pr = pool.select(
+        "v",
+        (F.coalesce(F.sum("cnt").over(wp_prev), F.lit(0)) + 1)
+        .cast("bigint")
+        .alias("lo"),
+        F.sum("cnt").over(wp_cum).cast("bigint").alias("hi"),
+    )
+    tot = pool.agg(F.sum("cnt").cast("bigint").alias("n_pool"))
+    mapped = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "v",
+        "cnt",
+        "r_hi",
+        "n_src",
+        (-F.floor((-(F.col("r_hi") * F.col("n_pool"))) / F.col("n_src")))
+        .cast("bigint")
+        .alias("target_rank"),
+    )
+    prj = pr.select(
+        F.col("v").alias("pool_v"), "lo", "hi"
+    )
+    return mapped.join(
+        F.broadcast(prj),
+        (F.col("target_rank") >= F.col("lo"))
+        & (F.col("target_rank") <= F.col("hi")),
+    ).select(
+        "source",
+        F.col("v").alias("n_chars"),
+        F.col("cnt").alias("n_docs"),
+        "r_hi",
+        "target_rank",
+        F.col("pool_v").alias("normalized_n_chars"),
+    )

@@ -1153,3 +1153,45 @@ def test_kmv_estimates_are_accurate_and_merge_law_holds(spark):
     # the query's union-sketch kth equals the full-union bottom-k kth
     # (KMV closure), certified indirectly through est_union
     assert ov.est_union == 255 * 2147483647 / kth_full
+
+
+# ------------------------------------------------- quantile normalization
+
+
+def test_quantile_normalization_properties(spark):
+    """Monotone within source, exact rank mapping, and the defining
+    property: after normalization every source's distribution is a
+    sub-sampling of the POOLED value set at matched quantiles."""
+    rows = _run(spark, "quantile_normalize_doclen").collect()
+    import duckdb
+
+    pool = duckdb.connect().execute(
+        f"SELECT n_chars, count(*) FROM read_parquet('{SF}/documents.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    pooled_sorted = []
+    for v, c in pool:
+        pooled_sorted.extend([v] * c)
+    n_pool = len(pooled_sorted)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.n_chars)
+        n_src = sum(r.n_docs for r in rs)
+        cum = 0
+        prev_norm = None
+        for r in rs:
+            cum += r.n_docs
+            assert r.r_hi == cum
+            # exact ceiling-division rank mapping
+            expect_rank = -((-(r.r_hi * n_pool)) // n_src)
+            assert r.target_rank == expect_rank
+            # the normalized value is the pooled order statistic
+            assert r.normalized_n_chars == pooled_sorted[r.target_rank - 1]
+            # monotone non-decreasing within source
+            if prev_norm is not None:
+                assert r.normalized_n_chars >= prev_norm
+            prev_norm = r.normalized_n_chars
+        # the top of every source maps to the pooled maximum
+        assert rs[-1].target_rank == n_pool
+        assert rs[-1].normalized_n_chars == pooled_sorted[-1]
