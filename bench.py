@@ -177,6 +177,7 @@ HEADLINE = [
     "corpus_overlap_kmv",
     "seasonal_decompose_weekly",
     "quantile_normalize_doclen",
+    "line_level_dedup_report",
 ]
 
 

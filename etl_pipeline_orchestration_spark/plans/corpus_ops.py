@@ -4127,3 +4127,142 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_rank",
         F.col("pool_v").alias("normalized_n_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup (CCNet-style segment-frequency removal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "line_level_dedup_report",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, s.i AS pos,
+             array_to_string(words[1 + 8 * s.i : 8 + 8 * s.i], ' ') AS seg
+      FROM w, unnest(range(0, (len(words) + 7) // 8)) AS s(i)
+    ),
+    boiler AS (
+      SELECT seg FROM seg GROUP BY seg
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+      SELECT s.doc_id, s.pos, s.seg, (b.seg IS NOT NULL) AS removed
+      FROM seg s LEFT JOIN boiler b USING (seg)
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+             COALESCE(array_to_string(
+               list(seg ORDER BY pos) FILTER (WHERE NOT removed), ' '),
+               '') AS kept
+      FROM marked GROUP BY doc_id
+    )
+    SELECT doc_id, n_segments, n_removed,
+           CAST(length(kept) AS BIGINT) AS kept_len,
+           CAST(CASE WHEN length(kept) = 0 THEN 0 ELSE
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(kept, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % 2147483647) END AS BIGINT)
+             AS kept_fold
+    FROM per
+    """,
+)
+def line_level_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level deduplication (the CCNet / C4 pre-filter, public
+    method): segment every document into fixed 8-word "lines", count
+    each exact segment's DOCUMENT frequency across the corpus, remove
+    every occurrence of any segment seen in >= 2 distinct documents
+    (navigation chrome, license banners, templated headers — repeated
+    verbatim across pages), and report the per-document reconstruction:
+    segment counts, removed count, and the retained text certified by
+    length + the cross-engine base-131 char fold (so the oracle checks
+    the EXACT rebuilt string, not just counts). The corpus here is
+    single-line word streams, so fixed-width segments stand in for
+    physical lines; the operator is segmentation-agnostic.
+
+    Differs from ``boilerplate_bigram_flags`` (frequent-token-pair
+    score, nothing removed) and the substring-dedup family (suffix
+    overlap spans, keep-one policy): line-level dedup drops ALL copies
+    of a cross-document segment, the order-free rule that needs no
+    tie-breaking and therefore no global coordination — each segment's
+    fate is a pure function of its corpus document frequency.
+
+    100 TB shape: one explode to ~tokens/8 segment rows; the document-
+    frequency aggregate is map-side combinable on the segment string
+    (bounded at 8 words, so the shuffle row is as narrow as a hash
+    key while staying oracle-exact — a production variant would
+    pre-hash to int64); the boilerplate set joins back on the same
+    key (empirically <<1% of segments — AQE broadcasts it); one
+    per-doc regroup; the reconstruction char fold is paid once per
+    document. No UDFs, no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    seg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.expr("(size(split(text, ' ')) + 7) div 8") - 1
+                    ),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(
+                            F.slice(words, i * 8 + 1, 8), " "
+                        ).alias("seg"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.pos", "s.seg")
+    )
+    boiler = (
+        seg.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("seg")
+    )
+    marked = seg.join(boiler.withColumn("removed", F.lit(True)), "seg", "left")
+    per = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.coalesce(F.col("removed"), F.lit(False)).cast("long"))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("removed").isNull(),
+                            F.struct("pos", "seg"),
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("kept"),
+    )
+    chars = F.filter(F.split(F.col("kept"), ""), lambda c: c != F.lit(""))
+    fold = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 131 + F.ascii(c)) % F.lit(2147483647),
+    )
+    return per.select(
+        "doc_id",
+        "n_segments",
+        "n_removed",
+        F.length("kept").cast("bigint").alias("kept_len"),
+        F.when(F.length("kept") == 0, F.lit(0).cast("bigint"))
+        .otherwise(fold)
+        .cast("bigint")
+        .alias("kept_fold"),
+    )
