@@ -178,6 +178,8 @@ HEADLINE = [
     "seasonal_decompose_weekly",
     "quantile_normalize_doclen",
     "line_level_dedup_report",
+    "bloom_join_prune_audit",
+    "pareto_skyline_parts",
 ]
 
 

@@ -455,3 +455,300 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(
         "query_id", "rank", "vec_id", F.round("mmr_score", 6).alias("mmr_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 4  # Kirsch-Mitzenmacher double-hash probe count
+
+
+@query(
+    "bloom_join_prune_audit",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+    ),
+    sized AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_dim,
+             CAST(greatest((16 * count(*) + 31) // 32, 1) AS BIGINT)
+               AS n_words,
+             CAST(greatest((16 * count(*) + 31) // 32, 1) * 32 AS BIGINT)
+               AS m_bits
+      FROM dim
+    ),
+    pos AS (
+      SELECT ((key * 2654435761) % 2147483647
+              + t.i * ((key * 40503) % 2147483629 + 1)) % m_bits AS pos
+      FROM dim, sized, unnest(range(0, 4)) AS t(i)
+    ),
+    grouped AS (
+      SELECT pos // 32 AS word,
+             bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS w
+      FROM pos GROUP BY 1
+    ),
+    dense AS (
+      SELECT r.word, COALESCE(g.w, 0) AS w
+      FROM (SELECT unnest(range(0, n_words)) AS word FROM sized) r
+      LEFT JOIN grouped g USING (word)
+    ),
+    bloom AS (
+      SELECT list(w ORDER BY word) AS arr,
+             CAST(sum(bit_count(w)) AS BIGINT) AS bits_set
+      FROM dense
+    ),
+    mk AS (
+      SELECT l.l_orderkey AS key, b.arr, s.m_bits, s.n_dim, b.bits_set,
+             (l.l_orderkey * 2654435761) % 2147483647 AS g1,
+             (l.l_orderkey * 40503) % 2147483629 + 1 AS g2
+      FROM lineitem l, bloom b, sized s
+    ),
+    hits AS (
+      SELECT key, n_dim, m_bits, bits_set,
+        (((arr[CAST(((g1 + 0 * g2) % m_bits) // 32 AS INT) + 1]
+           >> CAST(((g1 + 0 * g2) % m_bits) % 32 AS INT)) & 1) = 1
+         AND ((arr[CAST(((g1 + 1 * g2) % m_bits) // 32 AS INT) + 1]
+           >> CAST(((g1 + 1 * g2) % m_bits) % 32 AS INT)) & 1) = 1
+         AND ((arr[CAST(((g1 + 2 * g2) % m_bits) // 32 AS INT) + 1]
+           >> CAST(((g1 + 2 * g2) % m_bits) % 32 AS INT)) & 1) = 1
+         AND ((arr[CAST(((g1 + 3 * g2) % m_bits) // 32 AS INT) + 1]
+           >> CAST(((g1 + 3 * g2) % m_bits) % 32 AS INT)) & 1) = 1) AS hit
+      FROM mk
+    ),
+    truth AS (
+      SELECT h.*, (d.key IS NOT NULL) AS is_true
+      FROM hits h LEFT JOIN dim d USING (key)
+    )
+    SELECT
+      CAST(max(n_dim) AS BIGINT) AS n_dim,
+      CAST(max(m_bits) AS BIGINT) AS m_bits,
+      CAST(max(bits_set) AS BIGINT) AS bits_set,
+      CAST(count(*) AS BIGINT) AS n_fact,
+      CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+      CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_true_match,
+      CAST(sum(CASE WHEN hit AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_false_pos,
+      CAST(sum(CASE WHEN is_true AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_false_neg,
+      CAST((sum(CASE WHEN hit AND NOT is_true THEN 1 ELSE 0 END) * 1000000)
+           // greatest(count(*)
+                       - sum(CASE WHEN is_true THEN 1 ELSE 0 END), 1)
+           AS BIGINT) AS fp_ppm
+    FROM truth
+    """,
+)
+def bloom_join_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning with an exact false-positive audit —
+    THE pre-shuffle trick for a 100 TB fact/dim join: build a bitset
+    over the dim keys (urgent 1995 orders), broadcast it (KB, not the
+    dim itself), and drop fact rows that cannot match BEFORE they pay
+    the shuffle. The audit certifies the whole construction end to
+    end: bitset size/density, rows passing the filter, exact matches,
+    false positives (the shuffle traffic the filter admits anyway),
+    provably-zero false negatives, and the false-positive rate in
+    exact integer ppm.
+
+    Cross-engine construction (public method, Bloom 1970 + Kirsch-
+    Mitzenmacher double hashing): probe i lands at
+    (g1 + i*g2) mod m with g1/g2 two independent multiplicative mixes
+    of the int64 key reduced mod 2^31-range primes — plain integer
+    arithmetic both engines evaluate bit-identically, so the BITSET
+    itself is oracle-checked, not just the summary. m is sized at
+    16 bits/key (k=4 -> 25% load -> ~0.4% fp), derived from the dim
+    count inside the plan (no driver action). Production note: Spark's
+    own `bloom_filter_agg`/xxhash64 would be the JVM-native choice;
+    the multiplicative mix keeps the relation verifiable and stays
+    ANSI-safe while keys stay below ~2^32 (key * 2654435761 < 2^63).
+
+    100 TB shape: dim aggregate is map-side combined into <= n_words
+    rows; the finished bitset is ONE row cross-joined (broadcast) onto
+    the fact scan — the fact side is a narrow map with four shifts and
+    one AND per row, no shuffle until the (already pruned) aggregate;
+    the truth join broadcasts the dim keys only for the audit. Sibling:
+    ``operators/bloom_index.py`` is the PARTITION-skipping flavor of
+    the same filter (a persisted per-partition sidecar consulted before
+    the scan); this one prunes rows in-flight before a join shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    # Checkpointed: three consumers (the sizing count, the bitset
+    # build, the truth join) prune differently, so ReusedExchange
+    # cannot deduplicate them — without the cut the orders scan +
+    # distinct shuffle runs once PER consumer (the dsir precedent).
+    # The relation is dim-key-sized, the legitimate checkpoint case.
+    dim = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1995)
+        )
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sized = (
+        dim.agg(F.count(F.lit(1)).cast("long").alias("n_dim"))
+        .withColumn(
+            "n_words", F.expr("greatest((16 * n_dim + 31) div 32, 1)")
+        )
+        .withColumn("m_bits", F.col("n_words") * 32)
+    )
+
+    def _g1(key):
+        return (key * F.lit(2654435761)) % F.lit(2147483647)
+
+    def _g2(key):
+        return (key * F.lit(40503)) % F.lit(2147483629) + 1
+
+    keyed = dim.crossJoin(F.broadcast(sized))
+    pos = keyed.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
+                lambda i: (_g1(F.col("key")) + i * _g2(F.col("key")))
+                % F.col("m_bits"),
+            )
+        ).alias("pos")
+    )
+    grouped = (
+        pos.select(
+            F.expr("pos div 32").alias("word"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+    dense = (
+        sized.select(
+            F.explode(F.sequence(F.lit(0), F.col("n_words") - 1)).alias("word")
+        )
+        .join(grouped, "word", "left")
+        .select("word", F.coalesce(F.col("w"), F.lit(0).cast("long")).alias("w"))
+    )
+    bloom = dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "w"))),
+            lambda s: s["w"],
+        ).alias("arr"),
+        F.sum(F.bit_count("w")).cast("long").alias("bits_set"),
+    )
+    mk = (
+        lineitem.select(F.col("l_orderkey").alias("key"))
+        .crossJoin(F.broadcast(bloom))
+        .crossJoin(F.broadcast(sized))
+    )
+    g1, g2 = _g1(F.col("key")), _g2(F.col("key"))
+    for i in range(_BLOOM_K):
+        mk = mk.withColumn(f"p{i}", (g1 + F.lit(i) * g2) % F.col("m_bits"))
+    hit = F.expr(
+        " AND ".join(
+            f"((shiftright(element_at(arr, cast(p{i} div 32 as int) + 1),"
+            f" cast(p{i} % 32 as int)) & 1) = 1)"
+            for i in range(_BLOOM_K)
+        )
+    )
+    marked = mk.withColumn("hit", hit)
+    truth = marked.join(
+        F.broadcast(dim.withColumn("is_true", F.lit(True))), "key", "left"
+    ).withColumn("is_true", F.coalesce(F.col("is_true"), F.lit(False)))
+    return truth.agg(
+        F.max("n_dim").cast("long").alias("n_dim"),
+        F.max("m_bits").cast("long").alias("m_bits"),
+        F.max("bits_set").cast("long").alias("bits_set"),
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        F.sum(F.col("hit").cast("long")).cast("long").alias("n_pass_bloom"),
+        F.sum(F.col("is_true").cast("long")).cast("long").alias("n_true_match"),
+        F.sum((F.col("hit") & ~F.col("is_true")).cast("long"))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum((F.col("is_true") & ~F.col("hit")).cast("long"))
+        .cast("long")
+        .alias("n_false_neg"),
+    ).select(
+        "*",
+        F.expr(
+            "(n_false_pos * 1000000) div greatest(n_fact - n_true_match, 1)"
+        )
+        .cast("long")
+        .alias("fp_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_skyline_parts",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice AS price,
+           CAST(p.p_size AS INT) AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (Borzsony/Kossmann/Stocker 2001, public method):
+    the parts no other part beats on BOTH axes — cheaper-or-equal price
+    AND larger-or-equal size with at least one strict — i.e. the
+    undominated frontier of the (minimize price, maximize size) trade.
+    Duplicate (price, size) points do not dominate each other and all
+    survive, which the strict-in-one clause encodes.
+
+    Distributed shape — the partition/local/merge skyline, NOT the
+    oracle's O(n^2) NOT EXISTS and NOT one global sort: band the rows
+    by a deterministic price bucket, compute each band's LOCAL skyline
+    with band-parallel windows over the per-price size maxima (global
+    skyline is always a subset of any partition's local skyline), then
+    run the exact dominance pass once more over the surviving
+    candidates — a frontier-sized relation, so its single-partition
+    window is candidate-bounded, not corpus-bounded. Dominance is
+    decided from two histogram quantities per price level: the running
+    size-max over strictly cheaper prices (lag of the cummax) and the
+    size-max at the same price; no UDF, no cross join anywhere."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("int").alias("size"),
+    )
+
+    def survivors(df: DataFrame, *band: str) -> DataFrame:
+        lvl = df.groupBy(*band, "price").agg(F.max("size").alias("mx"))
+        w = (
+            Window.partitionBy(*band).orderBy("price")
+            if band
+            else Window.orderBy("price")
+        )
+        cum = F.max("mx").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        stats = lvl.select(
+            *band,
+            "price",
+            "mx",
+            F.lag(cum).over(w).alias("cheaper_mx"),
+        )
+        return (
+            df.join(stats, [*band, "price"])
+            .filter(
+                (
+                    F.col("cheaper_mx").isNull()
+                    | (F.col("cheaper_mx") < F.col("size"))
+                )
+                & (F.col("mx") <= F.col("size"))
+            )
+            .select("p_partkey", "price", "size")
+        )
+
+    banded = parts.withColumn(
+        "band", F.floor(F.col("price") / 100).cast("long")
+    )
+    candidates = survivors(banded, "band")
+    return survivors(candidates)

@@ -163,3 +163,60 @@ def test_mmr_rerank_matches_independent_numpy_greedy(spark):
         sc, vid = expect[(r.query_id, r.rank)]
         assert r.vec_id == vid, (r.query_id, r.rank)
         assert abs(r.mmr_score - sc) < 1e-6
+
+
+# ------------------------------------------------------- bloom join prune
+
+
+def test_bloom_join_prune_guarantees(spark):
+    """The Bloom contract, pinned independently of the oracle: zero
+    false negatives (every true match passes), real pruning (the
+    filter rejects the bulk of non-matching fact rows at 16 bits/key),
+    and a bitset whose density matches the k*n insertions."""
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    r = registry.QUERIES["bloom_join_prune_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert r.n_false_neg == 0
+    assert r.n_pass_bloom == r.n_true_match + r.n_false_pos
+    assert r.n_dim > 0 and r.n_fact > r.n_pass_bloom
+    # at 16 bits/key with k=4 the fp rate is ~0.4%; 5% is the alarm line
+    assert r.fp_ppm < 50_000
+    # <= k*n bits set (hash collisions only reduce it), never more
+    assert 0 < r.bits_set <= 4 * r.n_dim
+    assert r.m_bits == ((16 * r.n_dim + 31) // 32) * 32
+
+
+# ------------------------------------------------------------ pareto skyline
+
+
+def test_pareto_skyline_frontier_shape_and_bruteforce(spark):
+    """Frontier law: sorted by price, sizes strictly increase (a later
+    frontier point must beat every cheaper one on size or it would be
+    dominated), at most one size per price level; plus full brute-force
+    dominance replay against the raw table."""
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    sky = registry.QUERIES["pareto_skyline_parts"](spark, sf).collect()
+    raw = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in spark.read.parquet(f"{sf}/part.parquet").collect()
+    ]
+    sky_keys = {r.p_partkey for r in sky}
+    for pk, price, size in raw:
+        dominated = any(
+            q_price <= price
+            and q_size >= size
+            and (q_price < price or q_size > size)
+            for _, q_price, q_size in raw
+        )
+        assert (pk in sky_keys) == (not dominated), pk
+    pts = sorted({(r.price, r.size) for r in sky})
+    assert len({p for p, _ in pts}) == len(pts)  # one size per price
+    for (p0, s0), (p1, s1) in zip(pts, pts[1:]):
+        assert p0 < p1 and s0 < s1
+    assert len(sky) >= 1
