@@ -497,3 +497,52 @@ def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return side("BUILDING").intersectAll(side("MACHINERY"))
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey
+       AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the customer order-count distribution — how many
+    customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers the left outer join keeps. The dataset has no
+    o_comment, so the reference's ``NOT LIKE '%special%requests%'``
+    plays out as a priority exclusion with the same plan shape: the
+    predicate lives in the outer join's ON clause (filtering the
+    right side only), never in WHERE (which would silently turn the
+    join inner and drop the zero bucket — the Q13 trap).
+
+    Plan (100 TB shape): the order count is aggregated per custkey
+    BELOW the outer join — count(o_orderkey) needs only o_custkey, so
+    orders collapses from N rows to distinct-customer rows before any
+    join, and the left join matches customer against the pre-counted
+    relation with coalesce(cnt, 0) for the no-order bucket. One
+    shuffle over the (priority-pruned, two-column) orders scan, one
+    over customer, and a low-cardinality final agg on c_count —
+    customer×orders rows are never materialized. Completes the
+    22-query TPC-H suite (q1-q22 all registered).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
