@@ -180,6 +180,7 @@ HEADLINE = [
     "line_level_dedup_report",
     "bloom_join_prune_audit",
     "pareto_skyline_parts",
+    "count_min_heavy_audit",
 ]
 
 

@@ -752,3 +752,138 @@ def pareto_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     candidates = survivors(banded, "band")
     return survivors(candidates)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+_CM_P = 2147483647  # XENGINE_P — the cross-engine poly-hash modulus
+_CM_W = 1024  # sketch width (columns per row)
+# One odd multiplier per sketch row (public xxHash/MurmurHash-family
+# constants); h < 2^31 and r < 2^32 keep h*r below 2^63 — ANSI-safe.
+_CM_MULTS = (2654435761, 2246822519, 3266489917, 668265263)
+_CM_TOPK = 20
+
+_CM_MULTS_SQL = ", ".join(f"({i}, {r})" for i, r in enumerate(_CM_MULTS))
+
+
+@query(
+    "count_min_heavy_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks WHERE w <> '' GROUP BY w
+    ),
+    hashed AS (
+      SELECT w, cnt,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(w, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+               (a, b) -> (a * 131 + b) % {_CM_P}) AS h
+      FROM counts
+    ),
+    mults AS (SELECT * FROM (VALUES {_CM_MULTS_SQL}) v(i, r)),
+    cells AS (
+      SELECT i, ((h * r) % {_CM_P}) % {_CM_W} AS pos,
+             CAST(sum(cnt) AS BIGINT) AS total
+      FROM hashed, mults GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT w, cnt, h FROM hashed
+      QUALIFY row_number() OVER (ORDER BY cnt DESC, w) <= {_CM_TOPK}
+    )
+    SELECT t.w AS term, t.cnt AS exact_cnt,
+           CAST(min(c.total) AS BIGINT) AS cm_est,
+           CAST(min(c.total) - t.cnt AS BIGINT) AS overcount
+    FROM top t CROSS JOIN mults m
+    JOIN cells c
+      ON c.i = m.i AND c.pos = ((t.h * m.r) % {_CM_P}) % {_CM_W}
+    GROUP BY t.w, t.cnt
+    """,
+)
+def count_min_heavy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream, audited against exact counts: a fixed d×w grid of
+    integer counters where each token occurrence increments one cell
+    per row and estimate(token) = min over rows — never an
+    UNDER-estimate (every cell the token touches holds at least its
+    true count). The audit reports, for the exact top-k tokens, the
+    exact count, the sketch estimate, and the collision overcount.
+    Counters are exact integer sums on the shared cross-engine
+    poly-hash, so the driver hash certifies the SKETCH CELLS' content
+    (through the min), not just row counts — the KMV discipline
+    applied to the frequency sketch that complements it (KMV answers
+    "how many distinct", count-min answers "how often is X").
+
+    100 TB shape: token counting is the one corpus-scale shuffle
+    (map-side combined on the token string); the hash fold runs per
+    DISTINCT token (vocab-sized, not corpus-sized); the sketch is
+    d×w = 4096 cells REGARDLESS of corpus size and is cell-wise
+    mergeable across shards/streams (sum), which is the whole point —
+    a bounded-memory frequency oracle. The estimation join touches
+    top-k × d rows against the 4k-cell relation. At true scale the
+    exact side (here the audit's ground truth) is dropped and the
+    sketch alone survives; `heavy_hitters_topk` is the exact-top-k
+    sibling (Misra-Gries), this is the bounded-memory point-query
+    sibling."""
+    from etl_pipeline_orchestration_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.lit(_CM_P)
+    counts = (
+        docs.select(F.explode(dedup_ops._tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wordfold = F.aggregate(
+        F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % p,
+    )
+    # Checkpointed: cells and top prune different columns from the
+    # hashed vocab, so ReusedExchange cannot share the token shuffle.
+    # The relation is vocab-sized — the legitimate checkpoint case.
+    hashed = counts.withColumn("h", wordfold).localCheckpoint()
+    mults = F.array(*[F.lit(r) for r in _CM_MULTS])
+    cells = (
+        hashed.select("cnt", "h", F.posexplode(mults).alias("i", "r"))
+        .select(
+            "i",
+            (((F.col("h") * F.col("r")) % p) % _CM_W).alias("pos"),
+            "cnt",
+        )
+        .groupBy("i", "pos")
+        .agg(F.sum("cnt").cast("long").alias("total"))
+    )
+    wk = Window.orderBy(F.desc("cnt"), F.asc("w"))
+    top = (
+        hashed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= _CM_TOPK)
+        .drop("rk")
+    )
+    probes = top.select(
+        "w", "cnt", "h", F.posexplode(mults).alias("i", "r")
+    ).select(
+        "w",
+        "cnt",
+        "i",
+        (((F.col("h") * F.col("r")) % p) % _CM_W).alias("pos"),
+    )
+    return (
+        F.broadcast(probes)
+        .join(cells, ["i", "pos"])
+        .groupBy(F.col("w").alias("term"), F.col("cnt").alias("exact_cnt"))
+        .agg(F.min("total").cast("long").alias("cm_est"))
+        .select(
+            "term",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+        )
+    )

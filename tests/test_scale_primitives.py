@@ -220,3 +220,63 @@ def test_pareto_skyline_frontier_shape_and_bruteforce(spark):
     for (p0, s0), (p1, s1) in zip(pts, pts[1:]):
         assert p0 < p1 and s0 < s1
     assert len(sky) >= 1
+
+
+# ---------------------------------------------------------- count-min sketch
+def test_count_min_never_underestimates_and_conserves_mass(spark):
+    """The two count-min laws, pinned beyond the top-20 audit rows:
+    (1) estimate >= exact for EVERY token (each cell a token touches
+    holds at least its true count); (2) each sketch row conserves the
+    total token mass (sum of cells == total occurrences)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_orchestration_spark.operators import dedup as dedup_ops
+    from etl_pipeline_orchestration_spark.plans import registry, scale_primitives as sp
+
+    registry.load_all()
+    sf = "/root/testdata/sf0.001"
+    audit = registry.QUERIES["count_min_heavy_audit"](spark, sf).collect()
+    assert len(audit) == sp._CM_TOPK
+    assert all(r.overcount >= 0 for r in audit)
+    assert all(r.cm_est == r.exact_cnt + r.overcount for r in audit)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    counts = (
+        docs.select(F.explode(dedup_ops._tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    total = sum(r.cnt for r in counts)
+
+    # replay the sketch in pure Python (third engine)
+    def fold(w):
+        h = 0
+        for c in w:
+            h = (h * 131 + ord(c)) % sp._CM_P
+        return h
+
+    cells = [{} for _ in sp._CM_MULTS]
+    for r in counts:
+        h = fold(r.w)
+        for i, m in enumerate(sp._CM_MULTS):
+            pos = ((h * m) % sp._CM_P) % sp._CM_W
+            cells[i][pos] = cells[i].get(pos, 0) + r.cnt
+    for row in cells:
+        assert sum(row.values()) == total  # mass conservation per row
+    for r in counts:
+        h = fold(r.w)
+        est = min(
+            cells[i][((h * m) % sp._CM_P) % sp._CM_W]
+            for i, m in enumerate(sp._CM_MULTS)
+        )
+        assert est >= r.cnt, r.w  # never underestimates, all tokens
+    # the Spark audit rows agree with the python replay
+    for r in audit:
+        h = fold(r.term)
+        est = min(
+            cells[i][((h * m) % sp._CM_P) % sp._CM_W]
+            for i, m in enumerate(sp._CM_MULTS)
+        )
+        assert est == r.cm_est, r.term
