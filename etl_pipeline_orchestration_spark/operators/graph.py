@@ -429,3 +429,53 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_hops: int = 6,
+) -> DataFrame:
+    """(node, hops) — minimum hop distance from the graph's minimum
+    node id to every node reachable within ``max_hops``, treating
+    edges as undirected. The fifth graph primitive next to connected
+    components, PageRank, triangle counting, and label propagation.
+
+    The source is the MIN node id (deterministic, scale-factor
+    independent — no literal vertex id baked into the plan); it is
+    computed inside the plan as a one-row aggregate, never collected.
+
+    Scale shape: textbook distributed frontier BFS — one edge-keyed
+    shuffle join per level, never more than ``max_hops`` rounds. The
+    frontier carries only NEW nodes (left-anti against settled
+    distances), so each vertex is expanded exactly once and total work
+    is O(E) across all rounds, not O(E x rounds); per-round eager
+    localCheckpoint truncates the growing lineage exactly as pagerank
+    does. The settled-distance relation is node-sized."""
+    e = edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+    und = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        und.agg(F.min("s").alias("node"))
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier.node == und.s)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(k).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist

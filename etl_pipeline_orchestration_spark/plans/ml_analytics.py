@@ -2215,3 +2215,86 @@ def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("s_num").cast("double") / F.col("s_den").cast("double") / 7
         ).alias("residual_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 6
+
+
+@query(
+    "bfs_hop_distance_copurchase",
+    oracle=f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS s, b AS d FROM edges
+      UNION ALL SELECT b AS s, a AS d FROM edges
+    ),
+    walk(node, depth) AS (
+      SELECT (SELECT min(a) FROM edges), 0
+      UNION
+      SELECT u.d, w.depth + 1
+      FROM walk w JOIN sym u ON u.s = w.node
+      WHERE w.depth < {_BFS_MAX_HOPS}
+    )
+    SELECT CAST(node AS BIGINT) AS part,
+           CAST(min(depth) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def bfs_hop_distance_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (hop count) over the co-purchase
+    graph (edge = part pair bought together in >= 2 orders — the same
+    graph the triangle / label-propagation / link-prediction queries
+    share): minimum hops from the minimum part id to every part
+    reachable within {K} hops. The BFS frontier primitive every graph
+    workload builds on (reachability, k-hop neighborhoods, degrees of
+    separation); the oracle replays it as a depth-bounded recursive
+    CTE with min-per-node over the deduplicated (node, depth) walk.
+
+    100 TB shape: operators/graph.bfs_hops — one edge-keyed shuffle
+    per level, frontier carries only unsettled nodes (left-anti), so
+    total join work is O(E) over the whole traversal; the recursion
+    never enumerates paths (the oracle's UNION dedups (node, depth)
+    pairs, the Spark side settles each node once)."""
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    from etl_pipeline_orchestration_spark.operators.graph import bfs_hops
+
+    dist = bfs_hops(edges, max_hops=_BFS_MAX_HOPS)
+    return dist.select(
+        F.col("node").cast("bigint").alias("part"),
+        F.col("hops").cast("bigint").alias("hops"),
+    )

@@ -231,3 +231,22 @@ def test_adaptive_orientation_paths_agree(spark):
     n_ref = count_tris(degree_oriented_edges(edges))
     assert n_id == n_deg == n_ref == 4
     assert m_id == m_deg == 12 and dmax == 9
+
+
+def test_bfs_hops_levels_and_source(spark):
+    """BFS laws on a hand-built graph: source (min id) at 0, every
+    settled node's hops = 1 + min over settled neighbors, unreachable
+    and beyond-max-hops nodes absent, edge endpoints differ by <= 1."""
+    from etl_pipeline_orchestration_spark.operators.graph import bfs_hops
+
+    # chain 1-2-3-4-5, branch 2-10, island 100-101
+    raw = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (100, 101)]
+    edges = spark.createDataFrame(raw, ["a", "b"])
+    got = {r.node: r.hops for r in bfs_hops(edges, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}  # 5 is 4 hops; island absent
+    und = raw + [(b, a) for a, b in raw]
+    for u, v in und:
+        if u in got and v in got:
+            assert abs(got[u] - got[v]) <= 1
+    full = {r.node: r.hops for r in bfs_hops(edges, max_hops=50).collect()}
+    assert full == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3, 5: 4}  # early-exit path
