@@ -272,3 +272,48 @@ def stream_stream_interval_join_full_outer(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def stream_stream_interval_join_right_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "10 minutes",
+    max_gap_minutes: int = 5,
+) -> DataFrame:
+    """RIGHT OUTER attribution join preserving the CLICK side: every
+    click emits exactly once per qualifying purchase, or with NULL
+    purchase columns once the watermark proves none can arrive —
+    dead-end-click diagnostics without the full-outer's purchase-side
+    nulls. Completes the stream-stream outer family (inner / left /
+    right / full). Same finalizability requirement and finite-drain
+    caveats as the left-outer variant (min-across-legs watermark,
+    one-batch cleanup lag); the click side's no-match horizon extends
+    ``max_gap_minutes`` further, because a click at t can still match
+    purchases up to t + gap."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        )
+    )
+    return p.join(c, cond, "rightOuter").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -573,3 +573,78 @@ def test_stream_stream_full_outer_join_equals_batch(spark, events_dir, tmp_path)
     n_null_purch = sum(1 for r in want if r[3] is None)
     assert n_null_click > 0 and n_null_purch > 0, (n_null_click, n_null_purch)
     assert got == want
+
+
+def test_stream_stream_right_outer_join_equals_batch(spark, events_dir, tmp_path):
+    """RIGHT OUTER twin (click side preserved): every click emits
+    exactly once per qualifying purchase or with NULL purchase columns
+    on watermark passage; streamed rows (sentinels excluded) must equal
+    the batch right-outer join. Same ts-ordered arrival + dual
+    two-batch sentinel discipline as the left-outer twin."""
+    import datetime
+    import os
+    import shutil
+
+    from etl_pipeline_orchestration_spark.streaming.events_stream import (
+        stream_stream_interval_join_right_outer,
+    )
+
+    src = str(tmp_path / "ev_router")
+    os.makedirs(src)
+    real = spark.read.parquet(events_dir)
+    n = real.count()
+    from pyspark.sql import Window as W
+
+    ranked = real.withColumn(
+        "rn", F.row_number().over(W.orderBy("ts", "event_id"))
+    )
+    base = 1_600_000_000
+    for i in range(4):
+        lo, hi = i * n // 4, (i + 1) * n // 4
+        cdir = str(tmp_path / f"chunk{i}")
+        ranked.filter((F.col("rn") > lo) & (F.col("rn") <= hi)).drop(
+            "rn"
+        ).coalesce(1).write.mode("overwrite").parquet(cdir)
+        cfile = [f for f in os.listdir(cdir) if f.endswith(".parquet")][0]
+        dst_i = os.path.join(src, f"chunk{i}.parquet")
+        shutil.copyfile(os.path.join(cdir, cfile), dst_i)
+        os.utime(dst_i, (base + i, base + i))
+    max_ts = real.agg(F.max("ts")).collect()[0][0]
+    for s in (1, 2):
+        sentinel_ts = max_ts + datetime.timedelta(hours=2 * s)
+        sent_dir = str(tmp_path / f"sentinel{s}")
+        spark.createDataFrame(
+            [
+                (-s, sentinel_ts, -1, "click", 0.0, "{}"),
+                (-s - 10, sentinel_ts, -1, "purchase", 0.0, "{}"),
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(sent_dir)
+        sfile = [f for f in os.listdir(sent_dir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"zz_sentinel{s}.parquet")
+        shutil.copyfile(os.path.join(sent_dir, sfile), dst)
+        os.utime(dst, (base + 1000 + s, base + 1000 + s))
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    def _rows_nullsafe(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    s_clicks, s_purch = split(read_events_stream(spark, src, max_files_per_trigger=1))
+    joined = stream_stream_interval_join_right_outer(s_clicks, s_purch)
+    run_to_memory(joined, "ssj_router_mem", output_mode="append")
+    got = _rows_nullsafe(spark.table("ssj_router_mem").filter(F.col("user_id") != -1))
+
+    b_clicks, b_purch = split(real.filter(F.col("user_id") != -1))
+    want = _rows_nullsafe(stream_stream_interval_join_right_outer(b_clicks, b_purch))
+    n_null = sum(1 for r in want if r[3] is None)
+    assert n_null > 0, "vacuous: every click found a purchase"
+    assert any(r[3] is not None for r in want), "vacuous: no matched pairs"
+    assert got == want
