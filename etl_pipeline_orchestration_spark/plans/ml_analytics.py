@@ -2298,3 +2298,131 @@ def bfs_hop_distance_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("part"),
         F.col("hops").cast("bigint").alias("hops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown double exponential smoothing (level + trend forecast)
+# ---------------------------------------------------------------------------
+
+
+def _des_oracle() -> str:
+    s1num = " + ".join(
+        f"COALESCE(lag(rev_cents, {i}) OVER w * {wt}, 0)"
+        for i, wt in enumerate(_EWMA_W)
+    )
+    s1den = " + ".join(
+        f"CASE WHEN lag(day, {i}) OVER w IS NOT NULL THEN {wt} ELSE 0 END"
+        for i, wt in enumerate(_EWMA_W)
+    )
+    s2num = " + ".join(
+        f"COALESCE(lag(s1, {i}) OVER w2 * {wt}, CAST(0 AS DOUBLE))"
+        for i, wt in enumerate(_EWMA_W)
+    )
+    s2den = " + ".join(
+        f"CASE WHEN lag(day, {i}) OVER w2 IS NOT NULL THEN {wt} ELSE 0 END"
+        for i, wt in enumerate(_EWMA_W)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY day
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                    (SELECT max(day) FROM daily),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    filled AS (
+      SELECT s.day, COALESCE(d.rev_cents, 0) AS rev_cents
+      FROM spine s LEFT JOIN daily d USING (day)
+    ),
+    sm1 AS (
+      SELECT day, rev_cents,
+             CAST(CAST({s1num} AS BIGINT) AS DOUBLE)
+               / CAST(CAST({s1den} AS BIGINT) AS DOUBLE) AS s1
+      FROM filled WINDOW w AS (ORDER BY day)
+    ),
+    sm2 AS (
+      SELECT day, rev_cents, s1,
+             ({s2num}) / CAST({s2den} AS DOUBLE) AS s2
+      FROM sm1 WINDOW w2 AS (ORDER BY day)
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, rev_cents, s1, s2,
+           2 * s1 - s2 AS level,
+           s1 - s2 AS trend,
+           (2 * s1 - s2) + (s1 - s2) AS forecast_next
+    FROM sm2
+    """
+
+
+@query("double_exp_smoothing_forecast", oracle=_des_oracle())
+def double_exp_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (Brown 1959) over the
+    gap-filled daily revenue series: a second EWMA pass over the first
+    yields a LEVEL (2·S1 − S2) and TREND (α/(1−α)·(S1−S2), = S1−S2 at
+    α=1/2) per day, and the one-step-ahead forecast level + trend —
+    the Holt-style trend-aware forecast the flat EWMA cannot produce
+    (an EWMA systematically lags a trending series; the second pass
+    measures exactly that lag). Completes the time-series family:
+    smoothing (ewma), seasonality (seasonal_decompose), memory (acf),
+    changepoints (cusum), now trend forecast.
+
+    Exactness: S1 is the existing integer-weight EWMA (exact int64
+    sums, one float division). S2 is a 14-term weighted fold of S1
+    DOUBLES — parity holds because both engines evaluate the SAME
+    left-associated chain of IEEE products and sums in the same order
+    (scalar expression chains are never reassociated; only aggregate
+    sums are order-free). level/trend/forecast are then single exact
+    float ops on (s1, s2).
+
+    100 TB shape: identical to ewma_daily_revenue — the fact table
+    collapses to a day-cardinality aggregate first, and both window
+    passes run over the few-thousand-row series (the documented
+    legitimate SinglePartition shape, PLANS.md §SP)."""
+    filled = gapfill_days(
+        daily_orders_aggregate(load_table(spark, sf_dir, "orders"))
+    )
+    w = Window.orderBy("day")
+    num = None
+    den = None
+    for i, wt in enumerate(_EWMA_W):
+        term = F.coalesce(F.lag("rev_cents", i).over(w) * F.lit(wt), F.lit(0))
+        dterm = F.when(F.lag("day", i).over(w).isNotNull(), F.lit(wt)).otherwise(
+            F.lit(0)
+        )
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    sm1 = filled.select(
+        "day",
+        "rev_cents",
+        (num.cast("bigint").cast("double") / den.cast("bigint").cast("double")).alias(
+            "s1"
+        ),
+    )
+    num2 = None
+    den2 = None
+    for i, wt in enumerate(_EWMA_W):
+        term = F.coalesce(
+            F.lag("s1", i).over(w) * F.lit(wt), F.lit(0).cast("double")
+        )
+        dterm = F.when(F.lag("day", i).over(w).isNotNull(), F.lit(wt)).otherwise(
+            F.lit(0)
+        )
+        num2 = term if num2 is None else num2 + term
+        den2 = dterm if den2 is None else den2 + dterm
+    sm2 = sm1.select(
+        "day", "rev_cents", "s1", (num2 / den2.cast("double")).alias("s2")
+    )
+    level = F.lit(2.0) * F.col("s1") - F.col("s2")
+    trend = F.col("s1") - F.col("s2")
+    return sm2.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "rev_cents",
+        "s1",
+        "s2",
+        level.alias("level"),
+        trend.alias("trend"),
+        (level + trend).alias("forecast_next"),
+    )

@@ -764,3 +764,50 @@ def test_seasonal_decomposition_identity_and_structure(spark):
         assert r.seasonal_cents == pytest.approx(
             sum(vals) / len(vals) / 7, rel=1e-12
         )
+
+
+# ---------------------------------------------------------------------------
+# Brown double exponential smoothing
+# ---------------------------------------------------------------------------
+
+
+def test_des_recovers_planted_linear_trend(spark, tmp_path):
+    """Plant a perfectly linear daily revenue series (one order per
+    day, price 100+7i dollars) and assert Brown's smoothing recovers
+    level == y_t and trend ~= slope after ramp-up — the property that
+    distinguishes trend-aware forecasting from the flat EWMA, which
+    provably lags a ramp (its forecast error equals the trend-scaled
+    lag the second pass measures)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from etl_pipeline_orchestration_spark.plans import ml_analytics as ml
+
+    rows = [
+        (
+            i,
+            i,
+            "O",
+            float(100 + 7 * i),
+            datetime.datetime(1995, 1, 1) + datetime.timedelta(days=i),
+            "1-URGENT",
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    sf = str(tmp_path / "sf_lin")
+    df.write.parquet(f"{sf}/orders.parquet")
+    out = ml.double_exp_smoothing_forecast(spark, sf).orderBy("day").collect()
+    assert len(out) == 60
+    last = out[-1]
+    y_last = (100 + 7 * 59) * 100  # cents
+    slope = 700.0  # cents/day
+    assert abs(last.level - y_last) < 0.01 * y_last
+    assert abs(last.trend - slope) < 0.01 * slope
+    assert abs(last.forecast_next - (y_last + slope)) < 0.01 * y_last
+    # the flat EWMA lags the ramp by ~trend; level corrects that lag
+    assert last.s1 < y_last - 0.5 * slope
