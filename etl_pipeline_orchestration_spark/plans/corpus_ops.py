@@ -23,6 +23,7 @@ LLM-data workloads per the build brief, not reference parity.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -4265,4 +4266,89 @@ def line_level_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(fold)
         .cast("bigint")
         .alias("kept_fold"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) tokenizer
+# ---------------------------------------------------------------------------
+
+_UNI_VOCAB = 48
+_UNI_MAXLEN = 4
+_UNI_ROUNDS = 2
+_unigram_cache: dict = {}
+
+
+def _unigram_model(spark: SparkSession, sf_dir: str):
+    """Memoized (scores, hist) per sf_dir — both unigram queries share
+    one training run (the classifier-beta memoization pattern)."""
+    from etl_pipeline_orchestration_spark.operators import unigram
+
+    key = sf_dir
+    if key not in _unigram_cache:
+        docs = load_table(spark, sf_dir, "documents")
+        _unigram_cache[key] = unigram.train_unigram(
+            docs,
+            vocab_size=_UNI_VOCAB,
+            max_piece_len=_UNI_MAXLEN,
+            em_rounds=_UNI_ROUNDS,
+        )
+    return _unigram_cache[key]
+
+
+@query("unigram_vocab_pieces")  # hard-EM training — rows-only check
+def unigram_vocab_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram-LM vocabulary: (piece, logp_micro) after
+    deterministic hard-EM (operators/unigram.py — Kudo 2018's model,
+    Viterbi E-step + integer-count M-step). Completes the tokenizer
+    family: BPE builds pieces bottom-up by merges
+    (`bpe_merge_sequence`); the unigram LM selects pieces top-down by
+    likelihood. logp is frozen to integer micro-nats driver-side (one
+    log per vocab entry, model-sized), so the output is exact-integer
+    stable. Non-SQL-expressible (per-word DP) — the pytest suite
+    replays the whole trainer in pure Python as the third engine."""
+    scores, _ = _unigram_model(spark, sf_dir)
+    rows = sorted(
+        (p, int(math.floor(lp * 1e6 + 0.5))) for p, lp in scores.items()
+    )
+    return spark.createDataFrame(rows, "piece string, logp_micro bigint")
+
+
+@query("unigram_tokenize_stats")  # DP encode — rows-only check
+def unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics under the trained unigram
+    tokenizer: words, characters, tokens, and the integer-ppm
+    compression ratio (tokens per 1e6 chars) — the metric a tokenizer
+    change moves. Encode runs the Viterbi once per DISTINCT word
+    (Arrow-batched) and broadcast-joins the per-word token counts back
+    to the exploded corpus — the corpus itself is never DP'd."""
+    from etl_pipeline_orchestration_spark.operators import unigram
+    from etl_pipeline_orchestration_spark.operators import dedup as dedup_ops
+
+    scores, hist = _unigram_model(spark, sf_dir)
+    per_word = unigram.encode_tokens_per_word(hist, scores, _UNI_MAXLEN)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(dedup_ops._tokens("text")).alias("word")
+    ).filter(F.col("word") != "")
+    joined = words.join(
+        F.broadcast(per_word.select("word", "n_tokens", "token_chars")),
+        "word",
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("token_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div n_chars")
+            .cast("bigint")
+            .alias("tokens_per_mchar"),
+        )
     )
