@@ -290,3 +290,48 @@ def avro_roundtrip_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").cast("bigint").alias("max_id"),
         F.sum(F.length("text")).cast("bigint").alias("text_len_sum"),
     )
+
+
+@query(
+    "xml_roundtrip_doc_stats",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           CAST(sum(length(text)) AS BIGINT) AS text_len_sum
+    FROM documents GROUP BY source
+    """,
+)
+def xml_roundtrip_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink under the oracle gate (the Avro-round-trip
+    discipline, sources/xml_io — Spark 4's in-box xml datasource):
+    land the documents table as ``<doc>`` elements, read it back with
+    an EXPLICIT schema (inference would double-scan and stringify),
+    and aggregate per source. A hash match against the DuckDB
+    aggregate over the original parquet proves the XML round trip
+    preserves every doc_id/source/n_chars/text value — including
+    text entity-escaping (&, <, >) surviving both directions."""
+    import atexit
+    import os
+    import shutil
+
+    from etl_pipeline_orchestration_spark.sources import xml_io
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", "text"
+    )
+    scratch = tempfile.mkdtemp(prefix="etl_xml_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    path = os.path.join(scratch, "documents_xml")
+    xml_io.write_xml(docs, path, row_tag="doc", root_tag="docs")
+    back = xml_io.read_xml(spark, path, row_tag="doc", schema=docs.schema)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+        F.sum(F.length("text")).cast("bigint").alias("text_len_sum"),
+    )

@@ -106,6 +106,26 @@ FAMILIES = {
     # banded self-join must stay at bucket-collision size, never
     # all-pairs, as the image corpus grows.
     "dhash_neardup": "multimodal_dhash_neardup",
+    # count-min: certifies the sketch build stays at one map-side
+    # combined token shuffle + a vocab-sized hash fold, with the cell
+    # grid fixed at d*w regardless of corpus size.
+    "count_min": "count_min_heavy_audit",
+    # Bloom join pruning: certifies the bitset build is dim-linear and
+    # the fact-side probe is a pure narrow map — the whole point is
+    # that the pre-shuffle filter must NOT itself scale super-linearly.
+    "bloom_prune": "bloom_join_prune_audit",
+    # Pareto skyline: certifies the band-parallel local-skyline pass
+    # keeps the exact dominance join candidate-bounded as parts grow.
+    "pareto_skyline": "pareto_skyline_parts",
+    # BFS: certifies per-level frontier joins stay edge-linear across
+    # the whole traversal (each vertex settled once).
+    "bfs_hops": "bfs_hop_distance_copurchase",
+    # unigram tokenizer: certifies training stays histogram-space (the
+    # corpus scanned once into (word, c)) and encode is a broadcast
+    # join, with the Viterbi cost bounded by DISTINCT words. The model
+    # memo-cache is cleared before every timed rep (PRE_HOOKS) so the
+    # measurement includes training, not a cache hit.
+    "unigram_tokenizer": "unigram_tokenize_stats",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
@@ -153,8 +173,29 @@ def gen_big(spark, d: str) -> None:
             / 100.0
             + 1.0
         ).alias("o_totalprice"),
+        # priority + date columns for the bloom-prune family: ~1/35 of
+        # orders land in the ('1-URGENT', 1995) dim, like the testdata.
+        F.expr(
+            "elt(1 + pmod(xxhash64(id, 7), 5), '1-URGENT', '2-HIGH',"
+            " '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')"
+        ).alias("o_orderpriority"),
+        F.expr(
+            "cast(date_add(date'1992-01-01',"
+            " cast(pmod(xxhash64(id, 8), 2557) as int)) as timestamp)"
+        ).alias("o_orderdate"),
     )
     orders.repartition(8).write.parquet(os.path.join(d, "orders.parquet"))
+    # Minimal part table (only the skyline columns) at 10x sf0.1 parts.
+    part = spark.range(N_PARTS).select(
+        F.col("id").alias("p_partkey"),
+        (
+            F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100000)).cast("double")
+            / 100.0
+            + 1.0
+        ).alias("p_retailprice"),
+        F.pmod(F.xxhash64("id", F.lit(4)), F.lit(50)).cast("int").alias("p_size"),
+    )
+    part.repartition(4).write.parquet(os.path.join(d, "part.parquet"))
     # Minimal lineitem (only the graph-family columns) at 10x the sf0.1
     # row count: 4 lines per order, part/supplier keys uniform like the
     # testdata (measured: sf0.1 co-purchase edge counts match the
@@ -181,9 +222,24 @@ def _calib(spark) -> float:
     return time.perf_counter() - t0
 
 
-def _time(spark, fn, sf_dir: str, reps: int) -> float:
+def _clear_unigram_cache() -> None:
+    from etl_pipeline_orchestration_spark.plans import corpus_ops
+
+    corpus_ops._unigram_cache.clear()
+
+
+# Per-family pre-rep hooks: invalidate memo caches so min-of-reps times
+# the full operator, never a cache hit.
+PRE_HOOKS = {
+    "unigram_tokenizer": _clear_unigram_cache,
+}
+
+
+def _time(spark, fn, sf_dir: str, reps: int, pre_hook=None) -> float:
     best = None
     for _ in range(reps):
+        if pre_hook is not None:
+            pre_hook()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
@@ -208,8 +264,9 @@ def main() -> int:
         out: dict = {}
         for fam, qname in FAMILIES.items():
             fn = registry.QUERIES[qname]
-            t1 = _time(spark, fn, sf1, reps)
-            t10 = _time(spark, fn, big, reps)
+            hook = PRE_HOOKS.get(fam)
+            t1 = _time(spark, fn, sf1, reps, hook)
+            t10 = _time(spark, fn, big, reps, hook)
             out[fam] = {
                 "query": qname,
                 "t_1x_sec": round(t1, 3),
