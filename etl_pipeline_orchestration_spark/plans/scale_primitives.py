@@ -835,32 +835,12 @@ def count_min_heavy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     p = F.lit(_CM_P)
-    counts = (
-        docs.select(F.explode(dedup_ops._tokens("text")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    wordfold = F.aggregate(
-        F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 131 + F.ascii(c)) % p,
-    )
     # Checkpointed: cells and top prune different columns from the
     # hashed vocab, so ReusedExchange cannot share the token shuffle.
     # The relation is vocab-sized — the legitimate checkpoint case.
-    hashed = counts.withColumn("h", wordfold).localCheckpoint()
+    hashed = cm_hashed_counts(docs).localCheckpoint()
     mults = F.array(*[F.lit(r) for r in _CM_MULTS])
-    cells = (
-        hashed.select("cnt", "h", F.posexplode(mults).alias("i", "r"))
-        .select(
-            "i",
-            (((F.col("h") * F.col("r")) % p) % _CM_W).alias("pos"),
-            "cnt",
-        )
-        .groupBy("i", "pos")
-        .agg(F.sum("cnt").cast("long").alias("total"))
-    )
+    cells = cm_cells(hashed)
     wk = Window.orderBy(F.desc("cnt"), F.asc("w"))
     top = (
         hashed.withColumn("rk", F.row_number().over(wk))
@@ -887,3 +867,57 @@ def count_min_heavy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
         )
     )
+
+
+def cm_hashed_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, cnt, h): token counts with the cross-engine poly-hash —
+    the vocab-sized relation every count-min consumer builds on. One
+    map-side-combined shuffle on the token; the char fold runs per
+    DISTINCT token."""
+    from etl_pipeline_orchestration_spark.operators import dedup as dedup_ops
+
+    p = F.lit(_CM_P)
+    counts = (
+        docs.select(F.explode(dedup_ops._tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wordfold = F.aggregate(
+        F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % p,
+    )
+    return counts.withColumn("h", wordfold)
+
+
+def cm_cells(hashed: DataFrame) -> DataFrame:
+    """(i, pos, total): the d×w sketch grid from hashed token counts —
+    at most d·w (4096) rows regardless of corpus size."""
+    p = F.lit(_CM_P)
+    mults = F.array(*[F.lit(r) for r in _CM_MULTS])
+    return (
+        hashed.select("cnt", "h", F.posexplode(mults).alias("i", "r"))
+        .select(
+            "i",
+            (((F.col("h") * F.col("r")) % p) % _CM_W).alias("pos"),
+            "cnt",
+        )
+        .groupBy("i", "pos")
+        .agg(F.sum("cnt").cast("long").alias("total"))
+    )
+
+
+def cm_fold(term: str) -> int:
+    """Driver-side replica of the cross-engine char fold."""
+    h = 0
+    for c in term:
+        h = (h * 131 + ord(c)) % _CM_P
+    return h
+
+
+def cm_positions(h: int) -> list:
+    """[(row, pos)] cell coordinates of one hashed term."""
+    return [
+        (i, ((h * r) % _CM_P) % _CM_W) for i, r in enumerate(_CM_MULTS)
+    ]
