@@ -811,3 +811,53 @@ def test_des_recovers_planted_linear_trend(spark, tmp_path):
     assert abs(last.forecast_next - (y_last + slope)) < 0.01 * y_last
     # the flat EWMA lags the ramp by ~trend; level corrects that lag
     assert last.s1 < y_last - 0.5 * slope
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust slope
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_robust_to_outlier_and_matches_numpy(spark, tmp_path):
+    """Plant a clean linear daily series with ONE wildly corrupted day:
+    Theil–Sen must recover the true slope (median of pairwise slopes
+    shrugs off a single outlier), and on the clean series it must equal
+    an independent numpy replay of the lower-median-of-pairs."""
+    import datetime
+
+    def mk(rows, name):
+        df = spark.createDataFrame(
+            rows,
+            "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        )
+        sf = str(tmp_path / name)
+        df.write.parquet(f"{sf}/orders.parquet")
+        return sf
+
+    base = datetime.datetime(1995, 1, 1)
+    clean = [
+        (i, i, "O", float(100 + 3 * i), base + datetime.timedelta(days=i), "1-URGENT")
+        for i in range(41)
+    ]
+    r_clean = registry.QUERIES["theil_sen_daily_revenue"](
+        spark, mk(clean, "sf_ts_clean")
+    ).collect()[0]
+    # numpy replay: lower median of all pairwise slopes, in cents
+    ys = np.array([100 + 3 * i for i in range(41)]) * 100
+    slopes = sorted(
+        (ys[j] - ys[i]) / (j - i)
+        for i in range(41)
+        for j in range(i + 1, 41)
+    )
+    want = slopes[(len(slopes) + 1) // 2 - 1]
+    assert r_clean.sen_slope_cents_per_day == want == 300.0
+
+    dirty = [
+        (k, c, s, (1e7 if k == 20 else p), d, pr)
+        for k, c, s, p, d, pr in clean
+    ]
+    r_dirty = registry.QUERIES["theil_sen_daily_revenue"](
+        spark, mk(dirty, "sf_ts_dirty")
+    ).collect()[0]
+    assert r_dirty.sen_slope_cents_per_day == 300.0  # outlier shrugged off
