@@ -479,3 +479,70 @@ def bfs_hops(
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return dist
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """(node, core_degree) — the k-core: the maximal subgraph where
+    every node keeps >= k neighbors INSIDE the subgraph, by the
+    classic peel (drop under-degree nodes, recompute, repeat to
+    fixpoint). The sixth graph primitive (CC, PageRank, triangles,
+    LPA, BFS, k-core); cores are the density skeleton community and
+    robustness analyses start from.
+
+    Convergence is detected by node-count equality (the alive set
+    only shrinks, so equal counts == equal sets — one cheap scalar
+    per round, no set diff). Exceeding ``max_rounds`` raises: callers
+    with an unrolled cross-engine oracle must know the fixpoint fits
+    the oracle's round budget rather than silently diverge from it.
+
+    Scale shape: one degree aggregate (edge-keyed shuffle bounded by
+    surviving edges) per round; the alive relation is node-sized and
+    eagerly checkpointed so round plans stay flat. Peel rounds on
+    real graphs are few (each round removes a whole degree layer);
+    the worst case is path-graph O(n), which no co-occurrence graph
+    resembles."""
+    e = edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+    und = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(alive: DataFrame) -> DataFrame:
+        return (
+            und.join(alive.withColumnRenamed("node", "s"), "s")
+            .join(
+                alive.select(F.col("node").alias("d")), "d"
+            )
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        )
+
+    alive = und.select(F.col("s").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = alive.count()
+    for _ in range(max_rounds):
+        nxt = (
+            degrees(alive)
+            .filter(F.col("core_degree") >= k)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        m = nxt.count()
+        alive = nxt
+        if m == n:  # shrink-only ⇒ equal count == fixpoint
+            return degrees(alive)
+        n = m
+        if n == 0:
+            return degrees(alive)
+    raise ValueError(
+        f"k_core: no fixpoint within {max_rounds} rounds — raise "
+        "max_rounds (and any unrolled oracle's round budget with it)"
+    )

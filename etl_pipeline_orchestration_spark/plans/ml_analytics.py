@@ -2522,3 +2522,105 @@ def theil_sen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.col("slope").alias("sen_slope_cents_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = []
+    prev = "alive0"
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""
+    deg{t} AS MATERIALIZED (
+      SELECT s.a AS node, count(*) AS d
+      FROM sym s
+      JOIN {prev} x ON x.node = s.a
+      JOIN {prev} y ON y.node = s.b
+      GROUP BY s.a
+    ),
+    alive{t} AS MATERIALIZED (
+      SELECT node FROM deg{t} WHERE d >= {k}
+    )"""
+        )
+        prev = f"alive{t}"
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+    ),
+    alive0 AS MATERIALIZED (
+      SELECT DISTINCT a AS node FROM sym
+    ),{",".join(parts)}
+    SELECT CAST(s.a AS BIGINT) AS part, CAST(count(*) AS BIGINT) AS core_degree
+    FROM sym s
+    JOIN {prev} x ON x.node = s.a
+    JOIN {prev} y ON y.node = s.b
+    GROUP BY s.a
+    """
+
+
+@query(
+    "kcore_parts_copurchase", oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS)
+)
+def kcore_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {k}-core of the co-purchase graph (same graph as triangles/
+    LPA/BFS/link-prediction): parts that keep >= {k} co-purchase
+    neighbors after every under-connected part is iteratively peeled —
+    the density skeleton (Seidman 1983, public method). Returns each
+    core member with its WITHIN-CORE degree.
+
+    Cross-engine: the oracle unrolls {R} peel rounds as MATERIALIZED
+    CTEs (the LPA discipline); the Spark side peels to the true
+    fixpoint and RAISES if it exceeds {R} rounds, so the frozen oracle
+    can never silently diverge (sf0.01 converges in 10; the budget is
+    checked, not hoped). Integer degrees only — no float parity risk.
+
+    100 TB shape: operators/graph.k_core — one edge-keyed degree
+    aggregate per round over the surviving subgraph, node-sized alive
+    relation, scalar-per-round convergence check."""
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    from etl_pipeline_orchestration_spark.operators.graph import k_core
+
+    core = k_core(edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+    return core.select(
+        F.col("node").cast("bigint").alias("part"),
+        F.col("core_degree").cast("bigint").alias("core_degree"),
+    )

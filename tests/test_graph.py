@@ -250,3 +250,27 @@ def test_bfs_hops_levels_and_source(spark):
             assert abs(got[u] - got[v]) <= 1
     full = {r.node: r.hops for r in bfs_hops(edges, max_hops=50).collect()}
     assert full == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3, 5: 4}  # early-exit path
+
+
+def test_k_core_peel_semantics(spark):
+    """Hand graph: a 4-clique (3-core) with a pendant chain hanging off
+    it — the chain must peel away layer by layer, the clique survives
+    with within-core degree 3; k=5 empties the graph; the round-budget
+    guard raises on an adversarial long path."""
+    import pytest as _pytest
+
+    from etl_pipeline_orchestration_spark.operators.graph import k_core
+
+    clique = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, ["a", "b"])
+    got = {r.node: r.core_degree for r in k_core(edges, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # chain peeled, clique intact
+    assert k_core(edges, k=5).count() == 0
+    # a path graph peels one layer per round from each end: budget of 2
+    # rounds cannot reach the fixpoint for k=2 on a 12-node path
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["a", "b"]
+    )
+    with _pytest.raises(ValueError, match="fixpoint"):
+        k_core(path, k=2, max_rounds=2)
