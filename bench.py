@@ -181,6 +181,13 @@ HEADLINE = [
     "bloom_join_prune_audit",
     "pareto_skyline_parts",
     "count_min_heavy_audit",
+    "tpch_q13_customer_distribution",
+    "xml_roundtrip_doc_stats",
+    "bfs_hop_distance_copurchase",
+    "double_exp_smoothing_forecast",
+    "theil_sen_daily_revenue",
+    "kcore_parts_copurchase",
+    "unigram_tokenize_stats",
 ]
 
 

@@ -1,0 +1,151 @@
+"""Markov-chain channel attribution — removal effects over journeys.
+
+First-order Markov attribution (Anderl et al. 2014, "Mapping the
+Customer Journey", public method): user journeys become walks on a
+state graph {START, channels..., CONV, NULL}; a channel's credit is
+its REMOVAL EFFECT — how much the start→conversion absorption
+probability drops when every pass through that channel is rerouted to
+NULL — normalized across channels. Unlike last-touch/first-touch
+heuristics it credits assist channels on multi-step paths.
+
+Split of labor (the k-means/BPE discipline):
+* DISTRIBUTED: journey assembly (one user-keyed window over events,
+  sessions ordered by time, cut at each conversion) and transition
+  counting (map-side-combined aggregate over consecutive state
+  pairs) — the only corpus-scale work, one shuffle each.
+* DRIVER: the absorption solve. The transition matrix is
+  (channels+3)², single-digit rows here and rarely beyond dozens in
+  practice — model-sized linear algebra, exactly like the k-means
+  centroid update. Removal effects need C+1 solves of that tiny
+  system (numpy, deterministic).
+
+Absorption: order states (transient..., CONV, NULL); with Q the
+transient-to-transient block and r the transient→CONV column,
+p = (I − Q)⁻¹ r gives each transient state's conversion probability;
+p[START] is the journey conversion rate (sanity-checked against the
+empirical rate in tests). Removal of channel c deletes c's row/column
+(mass flowing into c is absorbed by NULL instead — the standard
+convention).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+START, CONV, NULL = "__start__", "__conv__", "__null__"
+
+
+def journey_transitions(
+    events: DataFrame,
+    conversion_event: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """(src, dst, n) transition counts over per-user journeys.
+
+    A user's event sequence (time-ordered, ties broken by
+    ``order_col`` for determinism) is cut AT each conversion event:
+    START → e1 → ... → CONV restarts a fresh journey; a trailing
+    unconverted segment closes with → NULL. The conversion event
+    itself is the absorbing CONV state, not a channel. One window +
+    one aggregate — both user-keyed, corpus-linear."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    is_conv = F.col(type_col) == conversion_event
+    # journey index: number of conversions strictly BEFORE this event
+    jix = F.coalesce(
+        F.sum(is_conv.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(order_col).alias("o"),
+        F.when(is_conv, F.lit(CONV)).otherwise(F.col(type_col)).alias("state"),
+        jix.alias("j"),
+    )
+    wj = Window.partitionBy("u", "j").orderBy("t", "o")
+    steps = ev.select(
+        "u",
+        "j",
+        "state",
+        F.lag("state").over(wj).alias("prev"),
+        F.lead("state").over(wj).alias("nxt"),
+    )
+    trans = steps.select(
+        F.coalesce("prev", F.lit(START)).alias("src"), F.col("state").alias("dst")
+    )
+    tails = steps.filter(
+        F.col("nxt").isNull() & (F.col("state") != CONV)
+    ).select(F.col("state").alias("src"), F.lit(NULL).alias("dst"))
+    return (
+        trans.unionByName(tails)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def absorption_probability(
+    counts: List[Tuple[str, str, int]], removed: str | None = None
+) -> float:
+    """P(absorb in CONV | start at START) from transition counts,
+    optionally with one channel removed (its inbound mass reroutes to
+    NULL — row-normalization happens BEFORE removal, per the standard
+    removal-effect definition). Pure driver-side numpy on the
+    model-sized matrix."""
+    import numpy as np
+
+    states = sorted(
+        ({s for s, _, _ in counts} | {d for _, d, _ in counts})
+        - {CONV, NULL}
+    )
+    if removed is not None:
+        states = [s for s in states if s != removed]
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    Q = np.zeros((n, n))
+    r = np.zeros(n)
+    out: Dict[str, float] = {}
+    for s, _, c in counts:
+        out[s] = out.get(s, 0.0) + c
+    for s, d, c in counts:
+        if s in (CONV, NULL) or s not in idx:
+            continue
+        p = c / out[s]
+        if d == CONV:
+            r[idx[s]] += p
+        elif d == NULL or d == removed:
+            pass  # absorbed by NULL
+        elif d in idx:
+            Q[idx[s], idx[d]] += p
+    if START not in idx:
+        return 0.0
+    p_abs = np.linalg.solve(np.eye(n) - Q, r)
+    return float(p_abs[idx[START]])
+
+
+def removal_effects(
+    counts: List[Tuple[str, str, int]]
+) -> List[Tuple[str, float, float]]:
+    """[(channel, removal_effect, attribution_share)] — channels only
+    (START/CONV/NULL excluded), shares normalized over positive
+    effects; deterministic channel order."""
+    base = absorption_probability(counts)
+    channels = sorted(
+        ({s for s, _, _ in counts} | {d for _, d, _ in counts})
+        - {START, CONV, NULL}
+    )
+    effects = []
+    for c in channels:
+        drop = base - absorption_probability(counts, removed=c)
+        effects.append((c, max(drop, 0.0) / base if base > 0 else 0.0))
+    total = sum(e for _, e in effects)
+    return [
+        (c, e, (e / total if total > 0 else 0.0)) for c, e in effects
+    ]

@@ -861,3 +861,87 @@ def test_theil_sen_robust_to_outlier_and_matches_numpy(spark, tmp_path):
         spark, mk(dirty, "sf_ts_dirty")
     ).collect()[0]
     assert r_dirty.sen_slope_cents_per_day == 300.0  # outlier shrugged off
+
+
+# ---------------------------------------------------------------------------
+# Markov attribution
+# ---------------------------------------------------------------------------
+
+
+def test_markov_attribution_closed_form(spark, tmp_path):
+    """Planted journeys with hand-computable removal effects:
+    u1: view->CONV; u2: click->CONV; u3: click->NULL.
+    START splits 1/3 view, 2/3 click; P(conv|view)=1, P(conv|click)=1/2;
+    base = 1/3 + 2/3 * 1/2 = 2/3; removing EITHER channel drops it to
+    1/3 -> equal effects (1/2 each), 50/50 shares. Also pins journey
+    cutting: an event after a purchase starts a NEW journey."""
+    import datetime
+
+    from etl_pipeline_orchestration_spark.operators import attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, u, typ, s):
+        return (eid, t0 + datetime.timedelta(seconds=s), u, typ, 0.0, "{}")
+
+    rows = [
+        ev(1, 1, "view", 0), ev(2, 1, "purchase", 1),
+        ev(3, 2, "click", 0), ev(4, 2, "purchase", 1),
+        ev(5, 3, "click", 0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    counts = [
+        (r.src, r.dst, r.n)
+        for r in attribution.journey_transitions(events).collect()
+    ]
+    base = attribution.absorption_probability(counts)
+    assert abs(base - 2 / 3) < 1e-12
+    eff = {c: (e, s) for c, e, s in attribution.removal_effects(counts)}
+    assert abs(eff["view"][0] - 0.5) < 1e-12
+    assert abs(eff["click"][0] - 0.5) < 1e-12
+    assert abs(eff["view"][1] - 0.5) < 1e-12
+
+    # journey cutting: u1 converts twice via view; the post-purchase
+    # event starts a new journey (START->view again), so START->view
+    # has count 2 and view->CONV count 2
+    rows2 = [
+        ev(1, 1, "view", 0), ev(2, 1, "purchase", 1),
+        ev(3, 1, "view", 2), ev(4, 1, "purchase", 3),
+    ]
+    ev2 = spark.createDataFrame(
+        rows2,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    c2 = {
+        (r.src, r.dst): r.n
+        for r in attribution.journey_transitions(ev2).collect()
+    }
+    from etl_pipeline_orchestration_spark.operators.attribution import (
+        CONV,
+        START,
+    )
+
+    assert c2 == {(START, "view"): 2, ("view", CONV): 2}
+    assert abs(attribution.absorption_probability(
+        [(s, d, n) for (s, d), n in c2.items()]
+    ) - 1.0) < 1e-12
+
+
+def test_markov_attribution_registry_sane(spark):
+    out = {
+        r.channel: r
+        for r in registry.QUERIES["markov_attribution_events"](
+            spark, SF
+        ).collect()
+    }
+    # purchase is the absorbing state, never a credited channel
+    assert "purchase" not in out
+    assert set(out) == {"click", "error", "signup", "view"}
+    shares = sum(r.share_micro for r in out.values())
+    assert abs(shares - 1_000_000) <= 4  # rounding slack
+    assert all(r.base_conv_micro > 0 for r in out.values())
