@@ -233,7 +233,20 @@ class WarehouseLoader:
             )
         return len(pdf)
 
-    def read(self, table: str, fmt: str = "parquet") -> DataFrame:
+    def read(
+        self, table: str, fmt: str = "parquet", merge_schema: bool = False
+    ) -> DataFrame:
+        """``merge_schema=True`` is the schema-evolution read: a table
+        whose appends ADDED columns over time unions all file footers'
+        schemas (old rows null-fill the new columns — the parquet/ORC
+        evolution contract). Without it Spark reads one file's footer,
+        so whether a post-evolution column appears depends on WHICH
+        file wins — nondeterministic at cluster scale. Incompatible
+        evolution (same column, conflicting types) fails the merged
+        read loudly rather than silently coercing — pinned by
+        tests/test_schema_evolution.py. Off by default: footer-merge
+        lists every file's schema, a real cost at 100 TB — flip it per
+        read, or maintain evolved tables as SnapshotTable rewrites."""
         if fmt == "avro":
             # Route through the probing reader: JVM spark-avro when the
             # module is present, the pure-python OCF fallback otherwise.
@@ -242,7 +255,10 @@ class WarehouseLoader:
             )
 
             return read_avro(self.spark, self._path(table))
-        return self.spark.read.format(fmt).load(self._path(table))
+        reader = self.spark.read.format(fmt)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.load(self._path(table))
 
     def table_count(self, table: str) -> int:
         """Row-count read-back (reference etl_pipeline.py:238-242); missing
