@@ -1644,3 +1644,106 @@ def audio_spectral_batch(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         run, schema=AUDIO_SPECTRAL_SCHEMA
     )
+
+
+# ------------------------------------------------- WAV / VAD segments --
+
+VAD_FRAME = 160  # 20 ms at 8 kHz
+VAD_MS_THRESHOLD = 1_000_000  # mean-square; energy > thr * frame_len
+
+
+def synth_wav_speechlike_media(docs: DataFrame) -> DataFrame:
+    """Speech-like audio fixture: real WAVs with tone BURSTS separated
+    by true silence — the structure VAD exists to find. Per doc d
+    (sr 8000, amplitude 12000, per-block local phase, floor(x+0.5)
+    quantizer — the synth_wav_media discipline):
+
+        silence 320 | tone 480+80*(d%3) | silence 160+160*(d%2) | tone 320
+
+    Even d gives a ONE-frame silence gap (the closing filter must
+    bridge it into a single segment); odd d a two-frame gap (must stay
+    two candidate segments); d%3 != 0 misaligns burst edges with frame
+    boundaries (straddle frames carry partial energy). Every branch of
+    the segmenter is exercised by construction, and the whole layout
+    is replayable in SQL for the oracle."""
+    import numpy as np
+
+    from etl_pipeline_orchestration_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    docs = ensure_min_partitions(docs)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                f = 200 + (d % 20) * 20
+                t1 = 480 + 80 * (d % 3)
+                s2 = 160 + 160 * (d % 2)
+
+                def tone(n):
+                    i = np.arange(n, dtype=np.float64)
+                    return np.floor(
+                        12000.0 * np.sin(2.0 * np.pi * f * i / 8000.0) + 0.5
+                    )
+
+                x = np.concatenate(
+                    [
+                        np.zeros(320),
+                        tone(t1),
+                        np.zeros(s2),
+                        tone(320),
+                    ]
+                )
+                payloads.append(wav_encode_pcm16(x.astype("<i2"), 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    encoded = docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("audio/wav").alias("media_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.xxhash64("payload").alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def audio_frame_energies(
+    media: DataFrame, frame_len: int = VAD_FRAME
+) -> DataFrame:
+    """(doc_id, frame, energy): exact int64 sum-of-squares per FULL
+    frame from REAL WAV decode (trailing partial frames dropped — the
+    oracle applies the same rule). This is the only Python stage of
+    the VAD pipeline: codec + vector math in Arrow batches; every
+    decision (threshold, closing, islands) happens JVM-side on the
+    exploded relation."""
+    import numpy as np
+
+    def en(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, energies = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, n, pcm = wav_decode(bytes(payload))
+                nf = n // frame_len
+                if nf == 0:
+                    continue
+                x = pcm[: nf * frame_len].astype(np.int64)
+                e = (x * x).reshape(nf, frame_len).sum(axis=1)
+                ids.extend([int(doc_id)] * nf)
+                frames.extend(range(nf))
+                energies.extend(int(v) for v in e)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame": frames, "energy": energies}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        en, schema="doc_id long, frame long, energy long"
+    )

@@ -5,7 +5,7 @@ text analysis, multimodal plumbing (SURVEY.md §2.12), on the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_orchestration_spark.operators import (
@@ -3379,4 +3379,139 @@ def quality_classifier_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("fold", "y", "pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@query(
+    "multimodal_vad_segments",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, 200 + (doc_id % 20) * 20 AS f,
+             480 + (doc_id % 3) * 80 AS t1,
+             160 + (doc_id % 2) * 160 AS s2
+      FROM documents
+    ),
+    layout AS (
+      SELECT doc_id, f, 320 AS b1, 320 + t1 AS b2, 320 + t1 + s2 AS b3,
+             320 + t1 + s2 + 320 AS n
+      FROM params
+    ),
+    samples AS (
+      SELECT l.doc_id, t.i // 160 AS frame,
+             CASE
+               WHEN t.i >= l.b1 AND t.i < l.b2 THEN
+                 CAST(floor(12000 * sin(2 * pi() * l.f * (t.i - l.b1) / 8000)
+                            + 0.5) AS BIGINT)
+               WHEN t.i >= l.b3 THEN
+                 CAST(floor(12000 * sin(2 * pi() * l.f * (t.i - l.b3) / 8000)
+                            + 0.5) AS BIGINT)
+               ELSE 0 END AS x
+      FROM layout l, unnest(range(0, (l.n // 160) * 160)) AS t(i)
+    ),
+    frames AS (
+      SELECT doc_id, frame, CAST(sum(x * x) AS BIGINT) AS energy
+      FROM samples GROUP BY 1, 2
+    ),
+    act AS (
+      SELECT doc_id, frame, (energy > 160 * 1000000) AS a FROM frames
+    ),
+    closed AS (
+      SELECT doc_id, frame, a OR (
+          COALESCE(lag(a) OVER w, FALSE) AND COALESCE(lead(a) OVER w, FALSE)
+        ) AS kept
+      FROM act WINDOW w AS (PARTITION BY doc_id ORDER BY frame)
+    ),
+    isl AS (
+      SELECT doc_id, frame,
+             frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame)
+               AS grp
+      FROM closed WHERE kept
+    ),
+    segs AS (
+      SELECT doc_id, grp, count(*) AS len
+      FROM isl GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(len) * 20 AS BIGINT) AS speech_ms,
+             CAST(max(len) * 20 AS BIGINT) AS longest_ms
+      FROM segs GROUP BY doc_id
+    ),
+    nf AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames
+      FROM frames GROUP BY 1
+    )
+    SELECT nf.doc_id, nf.n_frames,
+           COALESCE(p.n_segments, 0) AS n_segments,
+           COALESCE(p.speech_ms, 0) AS speech_ms,
+           COALESCE(p.longest_ms, 0) AS longest_ms
+    FROM nf LEFT JOIN per p USING (doc_id)
+    """,
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over REAL WAV bytes — the speech-
+    curation primitive that turns raw audio into trainable segments:
+    frame the PCM (20 ms), threshold exact int64 frame energies, close
+    single-frame dropouts (lag/lead morphological closing), merge kept
+    frames into segments (gaps-and-islands), drop segments under 3
+    frames. Per doc: frames, qualifying segments, speech ms, longest
+    segment ms.
+
+    Generator-vs-decoder honesty (the multimodal_wav_features
+    structure): Spark encodes tone-burst WAVs (stdlib wave) and
+    DECODES THE BYTES for frame energies; the oracle regenerates the
+    burst layout arithmetically and replays the identical segmenter in
+    SQL — fixture even/odd doc ids force the closing filter to bridge
+    a one-frame gap and to NOT bridge a two-frame gap, and d%3 cases
+    misalign burst edges so straddle frames carry partial energy.
+
+    Split of labor at 100 TB: Python touches bytes only (Arrow-batched
+    decode + one reshape-sum per batch); threshold, closing, islands,
+    and aggregation are JVM window/agg operators on the exploded
+    (doc, frame, energy) relation — frame count is duration-bounded,
+    ~50 rows/second of audio."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_wav_speechlike_media(docs)
+    frames = multimodal.audio_frame_energies(media)
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    act = frames.select(
+        "doc_id",
+        "frame",
+        (F.col("energy") > F.lit(multimodal.VAD_FRAME * multimodal.VAD_MS_THRESHOLD)).alias("a"),
+    )
+    closed = act.select(
+        "doc_id",
+        "frame",
+        (
+            F.col("a")
+            | (
+                F.coalesce(F.lag("a").over(w), F.lit(False))
+                & F.coalesce(F.lead("a").over(w), F.lit(False))
+            )
+        ).alias("kept"),
+    )
+    isl = closed.filter("kept").select(
+        "doc_id",
+        "frame",
+        (F.col("frame") - F.row_number().over(w)).alias("grp"),
+    )
+    segs = (
+        isl.groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .filter(F.col("len") >= 3)
+    )
+    per = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        (F.sum("len") * 20).cast("bigint").alias("speech_ms"),
+        (F.max("len") * 20).cast("bigint").alias("longest_ms"),
+    )
+    nf = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames")
+    )
+    return nf.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce("speech_ms", F.lit(0)).cast("bigint").alias("speech_ms"),
+        F.coalesce("longest_ms", F.lit(0)).cast("bigint").alias("longest_ms"),
     )

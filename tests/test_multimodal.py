@@ -569,3 +569,44 @@ def test_audio_spectral_recovers_planted_frequency(spark):
         assert abs(r.rolloff85_hz - f) <= 2 * resolution, (r.doc_id, f)
         assert r.sample_rate == 8000
         assert r.n_samples == 400 + (r.doc_id % 5) * 200
+
+
+# ---------------------------------------------------------------- VAD --
+
+
+def test_vad_closing_bridges_one_frame_gap_only(spark):
+    """Closed-form fixture semantics: even doc ids have a ONE-frame
+    silence gap between bursts — the closing filter bridges it into a
+    single long segment; odd ids have a two-frame gap — the bursts
+    stay separate and the trailing 2-frame burst is dropped by the
+    min-3-frames rule."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    out = {
+        r.doc_id: r
+        for r in registry.QUERIES["multimodal_vad_segments"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .filter(F.col("doc_id").isin(0, 1, 6, 7))
+        .collect()
+    }
+    # d=0: [sil 320][tone 480][sil 160][tone 320] = 1280 -> 8 frames;
+    # active f2-f4 and f6-f7, gap f5 bridged -> one 6-frame segment
+    assert (out[0].n_frames, out[0].n_segments, out[0].longest_ms) == (8, 1, 120)
+    assert out[0].speech_ms == 120
+    # d=6 same layout class (6%3==0, 6%2==0) -> identical shape
+    assert (out[6].n_frames, out[6].n_segments) == (8, 1)
+    # d=1: t1=560 straddles, s2=320 (two-frame gap): first burst
+    # qualifies, trailing burst is 2 frames -> dropped
+    assert out[1].n_segments == 1
+    assert out[1].speech_ms == out[1].longest_ms
+    # every doc has at least one qualifying segment and sane bounds
+    all_rows = registry.QUERIES["multimodal_vad_segments"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    for r in all_rows:
+        assert 0 <= r.speech_ms <= r.n_frames * 20
+        assert r.longest_ms <= r.speech_ms
