@@ -1747,3 +1747,98 @@ def audio_frame_energies(
     return media.select("doc_id", "payload").mapInPandas(
         en, schema="doc_id long, frame long, energy long"
     )
+
+
+# --------------------------------------------- video scene detection --
+
+SCENE_MAD_THRESHOLD = 10  # mean-abs-diff per pixel that calls a cut
+_SCENE_FRAMES = 8
+
+
+def synth_mpng_scenes_media(docs: DataFrame) -> DataFrame:
+    """Scene-structured video fixture: 8 real PNG frames per doc on
+    the per-doc geometry (w = 8 + d%9, h = 8 + d%7); frame f belongs
+    to scene s(f) = (f>=3) + (f>=6 and d even), pixels =
+    3x + 5y + (7d + 61*s) % 100 + (f % 2). Within a scene consecutive
+    frames differ by exactly 1 per pixel (below any sane threshold);
+    across a cut by 39..62 per pixel (61 mod 100 steps ± the parity
+    bit) — a closed form the SQL oracle replays without touching a
+    byte. Every doc has the f=3 cut; even docs add f=6, so scene
+    counts differ BY CONSTRUCTION across the corpus."""
+    from etl_pipeline_orchestration_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    docs = ensure_min_partitions(docs)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                frames = []
+                for f in range(_SCENE_FRAMES):
+                    s = (1 if f >= 3 else 0) + (
+                        1 if f >= 6 and d % 2 == 0 else 0
+                    )
+                    c = (7 * d + 61 * s) % 100 + (f % 2)
+                    rows = [
+                        bytes((3 * x + 5 * y + c) for x in range(w))
+                        for y in range(h)
+                    ]
+                    frames.append(png_encode_gray(rows))
+                payloads.append(mpng_encode(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    encoded = docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary"
+    )
+    return encoded.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("video/mpng").alias("media_type"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.xxhash64("payload").alias("checksum"),
+        ).alias("media_meta"),
+    )
+
+
+def frame_pair_mads(media: DataFrame) -> DataFrame:
+    """(doc_id, frame_no, mad_sum, n_pixels): exact int64 sum of
+    per-PIXEL absolute differences between each frame and its
+    predecessor, from REAL container parse + PNG decode of both
+    frames. This is the honest decoder side of scene detection — a
+    pixel-level metric (|sum(a)−sum(b)| would miss equal-sum scene
+    changes entirely), computed where the bytes are: inside the Arrow
+    batch. Thresholding and scene assembly stay JVM-side."""
+    import numpy as np
+
+    def mads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_no", "mad_sum", "n_pixels")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = mpng_decode(bytes(payload))
+                prev = None
+                for f, fr in enumerate(frames):
+                    w, h, _bd, rows = png_decode_pixels(fr)
+                    cur = np.frombuffer(
+                        b"".join(rows), dtype=np.uint8
+                    ).astype(np.int64)
+                    if prev is not None:
+                        out["doc_id"].append(int(doc_id))
+                        out["frame_no"].append(f)
+                        out["mad_sum"].append(
+                            int(np.abs(cur - prev).sum())
+                        )
+                        out["n_pixels"].append(w * h)
+                    prev = cur
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        mads,
+        schema="doc_id long, frame_no int, mad_sum long, n_pixels long",
+    )

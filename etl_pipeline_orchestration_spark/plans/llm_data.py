@@ -3515,3 +3515,94 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("speech_ms", F.lit(0)).cast("bigint").alias("speech_ms"),
         F.coalesce("longest_ms", F.lit(0)).cast("bigint").alias("longest_ms"),
     )
+
+
+@query(
+    "multimodal_scene_cuts",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, t.f AS frame_no,
+             (CASE WHEN t.f >= 3 THEN 1 ELSE 0 END
+              + CASE WHEN t.f >= 6 AND doc_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS scene
+      FROM documents, unnest(range(0, 8)) AS t(f)
+    ),
+    b AS (
+      SELECT doc_id, frame_no,
+             (7 * doc_id + 61 * scene) % 100 + frame_no % 2 AS base
+      FROM f
+    ),
+    d AS (
+      SELECT doc_id, frame_no,
+             abs(base - lag(base) OVER w) AS perpix
+      FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY frame_no)
+    ),
+    cuts AS (
+      SELECT doc_id, frame_no, (perpix > 10) AS cut
+      FROM d WHERE frame_no > 0
+    ),
+    scenes AS (
+      SELECT doc_id, frame_no,
+             sum(CASE WHEN cut THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY frame_no) AS scene_id
+      FROM cuts
+    ),
+    lens AS (
+      -- frame 0 belongs to scene 0; rows here start at frame 1
+      SELECT doc_id, scene_id, count(*)
+               + CASE WHEN scene_id = 0 THEN 1 ELSE 0 END AS len
+      FROM scenes GROUP BY doc_id, scene_id
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST(max(scene_id) AS BIGINT) AS n_cuts,
+           CAST(max(scene_id) + 1 AS BIGINT) AS n_scenes,
+           CAST(max(len) AS BIGINT) AS longest_scene_frames
+    FROM lens GROUP BY doc_id
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-change detection over REAL container parse + PNG
+    decode — the video twin of multimodal_vad_segments: per-PIXEL
+    mean absolute difference between consecutive frames (computed
+    where the bytes are, in the Arrow batch), thresholded JVM-side
+    into cuts, cuts prefix-summed into scene ids, scenes measured.
+    Per doc: frames, cuts, scenes, longest scene. The keyframe /
+    shot-boundary primitive a video-curation pipeline samples
+    training clips from.
+
+    Generator-vs-decoder honesty: the fixture's scene structure
+    (every doc cuts at frame 3, even docs again at 6; within-scene
+    frames differ by exactly 1/pixel, across cuts by 39..62/pixel)
+    is replayed arithmetically by the oracle, which never sees a
+    byte — container parser, PNG decoder, pixel differencing, and
+    the scene assembler all sit on the hash-verified path."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synth_mpng_scenes_media(docs)
+    mads = multimodal.frame_pair_mads(media)
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    cuts = mads.select(
+        "doc_id",
+        "frame_no",
+        (
+            F.col("mad_sum")
+            > F.lit(multimodal.SCENE_MAD_THRESHOLD) * F.col("n_pixels")
+        ).alias("cut"),
+    )
+    scenes = cuts.select(
+        "doc_id",
+        "frame_no",
+        F.sum(F.col("cut").cast("int")).over(w).alias("scene_id"),
+    )
+    lens = scenes.groupBy("doc_id", "scene_id").agg(
+        (
+            F.count(F.lit(1))
+            + F.when(F.col("scene_id") == 0, 1).otherwise(0)
+        ).alias("len")
+    )
+    return lens.groupBy("doc_id").agg(
+        F.lit(8).cast("bigint").alias("n_frames"),
+        F.max("scene_id").cast("bigint").alias("n_cuts"),
+        (F.max("scene_id") + 1).cast("bigint").alias("n_scenes"),
+        F.max("len").cast("bigint").alias("longest_scene_frames"),
+    )

@@ -610,3 +610,22 @@ def test_vad_closing_bridges_one_frame_gap_only(spark):
     for r in all_rows:
         assert 0 <= r.speech_ms <= r.n_frames * 20
         assert r.longest_ms <= r.speech_ms
+
+
+def test_scene_cuts_closed_form(spark):
+    """Fixture law: every doc cuts at frame 3; even docs add frame 6 —
+    so odd docs have exactly 2 scenes (3 + 5 frames, longest 5) and
+    even docs 3 scenes (3 + 3 + 2, longest 3)."""
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["multimodal_scene_cuts"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.n_frames == 8
+        if r.doc_id % 2 == 0:
+            assert (r.n_cuts, r.n_scenes, r.longest_scene_frames) == (2, 3, 3), r
+        else:
+            assert (r.n_cuts, r.n_scenes, r.longest_scene_frames) == (1, 2, 5), r
