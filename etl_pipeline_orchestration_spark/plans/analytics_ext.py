@@ -17,7 +17,7 @@ Scale notes (100 TB discipline):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_pipeline_orchestration_spark.operators.graph import (
@@ -3114,4 +3114,142 @@ def sql_aggregate_surface_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",", F.array_sort(F.collect_set("o_orderstatus"))
         ).alias("statuses"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining (GSP, greedy witnesses)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gsp_frequent_sequences",
+    oracle="""
+    WITH occ AS (
+      SELECT user_id AS u, event_type AS e,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS p
+      FROM events
+    ),
+    nu AS (
+      SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+             CAST((count(DISTINCT u) + 3) // 4 AS BIGINT) AS minsup
+      FROM occ
+    ),
+    w1 AS (SELECT u, e AS e1, min(p) AS p1 FROM occ GROUP BY 1, 2),
+    s1 AS (
+      SELECT e1, CAST(count(*) AS BIGINT) AS sup FROM w1
+      GROUP BY e1 HAVING count(*) >= (SELECT minsup FROM nu)
+    ),
+    w2 AS (
+      SELECT w1.u, w1.e1, o.e AS e2, min(o.p) AS p2
+      FROM w1 JOIN s1 USING (e1)
+      JOIN occ o ON o.u = w1.u AND o.p > w1.p1
+      GROUP BY 1, 2, 3
+    ),
+    s2 AS (
+      SELECT e1, e2, CAST(count(*) AS BIGINT) AS sup FROM w2
+      GROUP BY e1, e2 HAVING count(*) >= (SELECT minsup FROM nu)
+    ),
+    w3 AS (
+      SELECT DISTINCT w2.u, w2.e1, w2.e2, o.e AS e3
+      FROM w2 JOIN s2 USING (e1, e2)
+      JOIN occ o ON o.u = w2.u AND o.p > w2.p2
+    ),
+    s3 AS (
+      SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS sup FROM w3
+      GROUP BY e1, e2, e3 HAVING count(*) >= (SELECT minsup FROM nu)
+    )
+    SELECT e1 AS pattern, CAST(1 AS INT) AS length, sup FROM s1
+    UNION ALL
+    SELECT e1 || '>' || e2, 2, sup FROM s2
+    UNION ALL
+    SELECT e1 || '>' || e2 || '>' || e3, 3, sup FROM s3
+    """,
+)
+def gsp_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (GSP, Srikant & Agrawal 1996, public
+    method): event SUBSEQUENCES (ordered, gaps allowed) supported by
+    >= 25% of users, up to length 3 — the sequence-mining family next
+    to association rules (co-occurrence, no order) and the transition
+    matrix (adjacent steps only). "view ... then click ... then
+    purchase, other events in between" is exactly what neither
+    sibling can express.
+
+    Witness trick (the textbook greedy): a subsequence e1..ek occurs
+    in a user's stream iff the EARLIEST-feasible positions work, so
+    each level keeps one (user, prefix) row carrying min(p) — support
+    counting never enumerates the C(n,k) occurrence combinations, and
+    each level is ONE user-keyed join + aggregate, support-pruned by
+    the previous level (the GSP anti-monotonicity cut). Identical
+    relational form on both engines; all-integer.
+
+    100 TB shape: occ is one window over events; level L joins the
+    (users x surviving prefixes) witness relation — bounded by
+    n_users x |frequent patterns|, not by event combinations; the
+    alphabet-sized aggregates are map-side combined."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    occ = events.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("e"),
+        F.row_number().over(w).alias("p"),
+    ).localCheckpoint()  # three levels + minsup consume it
+    nu = occ.agg(
+        F.expr("(count(DISTINCT u) + 3) div 4").cast("long").alias("minsup")
+    )
+    w1 = occ.groupBy("u", F.col("e").alias("e1")).agg(F.min("p").alias("p1"))
+    s1 = (
+        w1.groupBy("e1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .join(F.broadcast(nu))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .drop("minsup")
+    )
+    w2 = (
+        w1.join(F.broadcast(s1.select("e1")), "e1")
+        .join(occ, "u")
+        .filter(F.col("p") > F.col("p1"))
+        .groupBy("u", "e1", F.col("e").alias("e2"))
+        .agg(F.min("p").alias("p2"))
+    )
+    s2 = (
+        w2.groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .join(F.broadcast(nu))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .drop("minsup")
+    )
+    w3 = (
+        w2.join(F.broadcast(s2.select("e1", "e2")), ["e1", "e2"])
+        .join(occ, "u")
+        .filter(F.col("p") > F.col("p2"))
+        .select("u", "e1", "e2", F.col("e").alias("e3"))
+        .distinct()
+    )
+    s3 = (
+        w3.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        .join(F.broadcast(nu))
+        .filter(F.col("sup") >= F.col("minsup"))
+        .drop("minsup")
+    )
+    return (
+        s1.select(
+            F.col("e1").alias("pattern"), F.lit(1).cast("int").alias("length"), "sup"
+        )
+        .unionByName(
+            s2.select(
+                F.concat_ws(">", "e1", "e2").alias("pattern"),
+                F.lit(2).cast("int").alias("length"),
+                "sup",
+            )
+        )
+        .unionByName(
+            s3.select(
+                F.concat_ws(">", "e1", "e2", "e3").alias("pattern"),
+                F.lit(3).cast("int").alias("length"),
+                "sup",
+            )
+        )
     )
