@@ -3606,3 +3606,143 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("scene_id") + 1).cast("bigint").alias("n_scenes"),
         F.max("len").cast("bigint").alias("longest_scene_frames"),
     )
+
+
+# ---------------------------------------------------------------------------
+# split-conformal prediction sets over the quality classifier
+# ---------------------------------------------------------------------------
+
+_CONF_TRAIN_SQL = "(doc_id % 5) IN (1, 2, 3)"
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 9, 10  # 1 - alpha = 9/10
+
+
+def _conformal_oracle() -> str:
+    from etl_pipeline_orchestration_spark.operators.classifier import TRAIN_ITERS
+
+    with_clause, zf = _clf_with_prefix(_CONF_TRAIN_SQL)
+    return f"""
+    {with_clause},
+    scored AS (
+      SELECT f.doc_id, f.y, CAST(({zf}) AS BIGINT) AS z
+      FROM feats f CROSS JOIN b{TRAIN_ITERS} b
+    ),
+    cal AS (
+      SELECT (1 - 2 * y) * z AS s FROM scored WHERE doc_id % 5 = 4
+    ),
+    nq AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal,
+             LEAST(({_CONF_ALPHA_NUM} * (count(*) + 1)
+                    + {_CONF_ALPHA_DEN - 1}) // {_CONF_ALPHA_DEN},
+                   count(*)) AS kq
+      FROM cal
+    ),
+    q AS (
+      SELECT s AS qhat FROM (
+        SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal
+      ), nq WHERE rn = nq.kq
+    ),
+    test AS (
+      SELECT sc.y,
+             (-sc.z <= q.qhat) AS in1,
+             (sc.z <= q.qhat) AS in0,
+             q.qhat
+      FROM scored sc CROSS JOIN q WHERE sc.doc_id % 5 = 0
+    )
+    SELECT CASE WHEN in1 AND in0 THEN 'both'
+                WHEN in1 THEN 'only_pos'
+                WHEN in0 THEN 'only_neg'
+                ELSE 'empty' END AS set_type,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN (y = 1 AND in1) OR (y = 0 AND in0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(max(qhat) AS BIGINT) AS qhat_micro
+    FROM test GROUP BY 1
+    """
+
+
+@query("quality_classifier_conformal", oracle=_conformal_oracle())
+def quality_classifier_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction sets (Vovk et al.; Angelopoulos &
+    Bates 2021 tutorial — public method) over the quality classifier:
+    train on docs %5 in {1,2,3}, CALIBRATE on the disjoint %5 = 4
+    split (nonconformity s = score against the true class,
+    (1−2y)·z in exact micro-logits), take qhat as the
+    ceil((n+1)·9/10)-th SMALLEST calibration score (a SELECTED integer
+    — the Theil–Sen no-interpolation rule), and report the %5 = 0
+    test docs' prediction-set mix (both / only-pos / only-neg /
+    empty) with per-type coverage counts. The distribution-free
+    ≥ 90% marginal coverage guarantee needs nothing about the model
+    being right — only exchangeability and a calibration split the
+    gradients never saw, which the unrolled-training oracle certifies
+    by construction (its CTE chain aggregates over the train split
+    only).
+
+    100 TB shape: scoring is the weights-as-literals narrow map; the
+    calibration rank is one window over the CALIBRATION SPLIT (split-
+    sized, not corpus); set assignment is per-row arithmetic against
+    the broadcast 1-row qhat."""
+    from etl_pipeline_orchestration_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = classifier.classifier_features(docs).localCheckpoint()
+    key = ("conformal", str(sf_dir))
+    if key not in _SPLIT_BETAS_MEMO:
+        betas, _ = classifier.train_logistic_int(
+            feats.filter(F.col("doc_id") % 5 >= 1).filter(
+                F.col("doc_id") % 5 <= 3
+            )
+        )
+        _SPLIT_BETAS_MEMO[key] = betas
+    betas = _SPLIT_BETAS_MEMO[key]
+    z = None
+    for b, c in zip(betas, classifier.FEATURE_COLS):
+        term = F.lit(int(b)) * F.col(c)
+        z = term if z is None else z + term
+    scored = feats.select(
+        "doc_id", "y", z.cast("long").alias("z")
+    )
+    cal = scored.filter(F.col("doc_id") % 5 == 4).select(
+        ((F.lit(1) - 2 * F.col("y")) * F.col("z")).alias("s")
+    )
+    nq = cal.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+    ).select(
+        "n_cal",
+        F.least(
+            F.expr(
+                f"({_CONF_ALPHA_NUM} * (n_cal + 1)"
+                f" + {_CONF_ALPHA_DEN - 1}) div {_CONF_ALPHA_DEN}"
+            ),
+            F.col("n_cal"),
+        ).alias("kq"),
+    )
+    wq = Window.orderBy("s")  # calibration-split-sized, never corpus
+    q = (
+        cal.select("s", F.row_number().over(wq).alias("rn"))
+        .join(F.broadcast(nq), F.col("rn") == F.col("kq"))
+        .select(F.col("s").alias("qhat"))
+    )
+    test = (
+        scored.filter(F.col("doc_id") % 5 == 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "y",
+            (-F.col("z") <= F.col("qhat")).alias("in1"),
+            (F.col("z") <= F.col("qhat")).alias("in0"),
+            "qhat",
+        )
+    )
+    set_type = (
+        F.when(F.col("in1") & F.col("in0"), "both")
+        .when(F.col("in1"), "only_pos")
+        .when(F.col("in0"), "only_neg")
+        .otherwise("empty")
+    )
+    covered = ((F.col("y") == 1) & F.col("in1")) | (
+        (F.col("y") == 0) & F.col("in0")
+    )
+    return test.groupBy(set_type.alias("set_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(covered.cast("long")).cast("bigint").alias("n_covered"),
+        F.max("qhat").cast("bigint").alias("qhat_micro"),
+    )

@@ -945,3 +945,34 @@ def test_markov_attribution_registry_sane(spark):
     shares = sum(r.share_micro for r in out.values())
     assert abs(shares - 1_000_000) <= 4  # rounding slack
     assert all(r.base_conv_micro > 0 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# conformal prediction
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split-conformal marginal coverage: the fraction of test docs
+    whose true class lands in the prediction set must sit at/above
+    1 - alpha = 0.9 (up to finite-sample noise — the guarantee is
+    >= 1-alpha in expectation; 0.84 is ~3 sigma below at n=100).
+    Also pins the partition law (set types tile the test split) and
+    that prediction sets are not vacuous (some singleton sets)."""
+    rows = registry.QUERIES["quality_classifier_conformal"](
+        spark, SF
+    ).collect()
+    n = sum(r.n_docs for r in rows)
+    cov = sum(r.n_covered for r in rows)
+    assert n == 100  # the %5==0 test split at sf0.001
+    assert cov / n >= 0.84
+    types = {r.set_type for r in rows}
+    assert types <= {"both", "only_pos", "only_neg", "empty"}
+    singletons = sum(
+        r.n_docs for r in rows if r.set_type in ("only_pos", "only_neg")
+    )
+    assert singletons > 0  # informative, not all-"both"
+    for r in rows:
+        if r.set_type == "empty":
+            assert r.n_covered == 0
+        assert 0 <= r.n_covered <= r.n_docs
