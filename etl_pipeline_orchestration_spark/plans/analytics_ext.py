@@ -3253,3 +3253,102 @@ def gsp_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence-regex funnel (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+# one char per event type — the alphabet of the sequence language
+_SEQ_CHAR = {
+    "view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e",
+}
+# (name, regex) — only portable constructs: literals, classes, *, +
+_SEQ_PATTERNS = (
+    ("clean_convert", "v[^e]*c[^e]*p"),   # funnel with NO error inside
+    ("convert_any", "v.*c.*p"),           # funnel, errors tolerated
+    ("error_then_recover", "e.*p"),       # bought despite an error
+    ("immediate_bounce", "^ve"),          # first two events: view, error
+    ("double_purchase", "p.*p"),          # repeat buyer
+)
+
+
+@query(
+    "sequence_regex_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          WHEN 'error' THEN 'e' END,
+                        '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    pats AS (
+      SELECT * FROM (VALUES
+        ('clean_convert', 'v[^e]*c[^e]*p'),
+        ('convert_any', 'v.*c.*p'),
+        ('error_then_recover', 'e.*p'),
+        ('immediate_bounce', '^ve'),
+        ('double_purchase', 'p.*p')) v(pattern_name, rx)
+    )
+    SELECT p.pattern_name,
+           CAST(count(*) FILTER (WHERE regexp_matches(s.s, p.rx))
+                AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM seq s CROSS JOIN pats p
+    GROUP BY p.pattern_name
+    """,
+)
+def sequence_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: each user's time-ordered event stream
+    becomes a STRING over a one-char-per-type alphabet, and behavioral
+    patterns become REGEXES evaluated by the JVM engine — expressing
+    what neither the funnel queries (fixed stages) nor GSP (no
+    exclusions) can: "converted with NO error in between"
+    (v[^e]*c[^e]*p), "bounced immediately" (^ve), "repeat buyer"
+    (p.*p). Only portable constructs (literals, classes, `.*`, `^`)
+    so Java and DuckDB regex semantics agree — no lookaround, no lazy
+    quantifiers.
+
+    100 TB shape: ONE user-keyed sort-agg builds the sequence strings
+    (bounded by events-per-user, the same bound sessionization already
+    rides); each pattern is then a codegen'd rlike over user-count
+    rows — adding a pattern costs one narrow column, not a scan. The
+    string encoding is the point: it moves sequence matching from
+    iterative joins into the regex engine."""
+    events = load_table(spark, sf_dir, "events")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _SEQ_CHAR.items() for x in kv]
+    )
+    seq = (
+        events.select(
+            "user_id",
+            F.struct("ts", "event_id").alias("o"),
+            mapping[F.col("event_type")].alias("ch"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("o", "ch"))), lambda x: x["ch"])
+            ).alias("s")
+        )
+    )
+    # ONE pass: every pattern is a conditional-sum column of the same
+    # aggregate (the count-min boundary-sums discipline), then a stack
+    # generator turns the 1-row result into per-pattern rows.
+    agg = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        *[
+            F.sum(F.col("s").rlike(rx).cast("long")).cast("long").alias(f"m{i}")
+            for i, (_, rx) in enumerate(_SEQ_PATTERNS)
+        ],
+    )
+    stack = ", ".join(
+        f"'{name}', m{i}" for i, (name, _) in enumerate(_SEQ_PATTERNS)
+    )
+    return agg.selectExpr(
+        f"stack({len(_SEQ_PATTERNS)}, {stack}) AS (pattern_name, n_users)",
+        "n_total",
+    ).select("pattern_name", "n_users", "n_total")

@@ -58,3 +58,46 @@ def test_gsp_gaps_allowed_order_required(spark, tmp_path):
         if ln > 1:
             prefix = ">".join(p.split(">")[:-1])
             assert got[(prefix, ln - 1)] >= sup, p
+
+
+def test_sequence_regex_exclusion_semantics(spark, tmp_path):
+    """The clean-convert pattern must REJECT a user whose error falls
+    between view and purchase, while convert_any accepts them — the
+    exclusion-class semantics GSP cannot express."""
+    import datetime
+
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def add(u, seq):
+        nonlocal eid
+        for s, typ in enumerate(seq):
+            rows.append(
+                (eid, t0 + datetime.timedelta(seconds=s), u, typ, 0.0, "{}")
+            )
+            eid += 1
+
+    add(1, ["view", "click", "purchase"])            # clean
+    add(2, ["view", "error", "click", "purchase"])   # dirty convert
+    add(3, ["view", "error"])                        # immediate bounce
+    add(4, ["purchase", "view", "purchase"])         # repeat buyer
+    events = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    sf = str(tmp_path / "sf_rx")
+    events.write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.pattern_name: (r.n_users, r.n_total)
+        for r in registry.QUERIES["sequence_regex_funnel"](spark, sf).collect()
+    }
+    assert got["clean_convert"] == (1, 4)   # user 2 excluded by [^e]
+    assert got["convert_any"] == (2, 4)     # users 1 and 2
+    assert got["immediate_bounce"] == (2, 4)  # users 2 AND 3 start "ve"
+    assert got["double_purchase"] == (1, 4)
+    assert got["error_then_recover"] == (1, 4)  # user 2 only
