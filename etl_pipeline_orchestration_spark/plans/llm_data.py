@@ -3746,3 +3746,26 @@ def quality_classifier_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(covered.cast("long")).cast("bigint").alias("n_covered"),
         F.max("qhat").cast("bigint").alias("qhat_micro"),
     )
+
+
+@query("embedding_outlier_iforest")  # seeded forest — rows-only check
+def embedding_outlier_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation-forest outlier ranking over the embeddings table
+    (operators/iforest.py — Liu 2008, deterministic hash-sampled
+    seeded variant): the top-20 most isolated vectors by anomaly
+    score, the pruning gate run before ANN indexing / contrastive
+    mining (a few corrupt vectors poison both). Scores are frozen to
+    integer micro-units; ties break on vec_id. Non-SQL-expressible
+    (recursive tree partitioning) — rows-only; pytest plants far
+    outliers and pins that the forest isolates them first, plus
+    bit-determinism across independent fits."""
+    from etl_pipeline_orchestration_spark.operators import iforest
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    model = iforest.fit_iforest(vecs)
+    scored = iforest.score_iforest(vecs, model)
+    return (
+        scored.orderBy(F.desc("score_micro"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", "score_micro")
+    )
