@@ -4352,3 +4352,90 @@ def unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_per_mchar"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# column-level PII classification across the warehouse
+# ---------------------------------------------------------------------------
+
+# (table, string column) pairs the governance scan sweeps — the
+# text-bearing columns of the schema.
+_PII_SCAN_COLS = (
+    ("documents", "text"),
+    ("documents", "source"),
+    ("customer", "c_name"),
+    ("part", "p_name"),
+    ("events", "props"),
+)
+
+
+def _pii_scan_oracle() -> str:
+    selects = []
+    for table, col in _PII_SCAN_COLS:
+        for pii_type, rx in (
+            ("email", PII_EMAIL_RE),
+            ("phone", PII_PHONE_RE),
+            ("ip", PII_IP_RE),
+        ):
+            selects.append(f"""
+    SELECT '{table}' AS table_name, '{col}' AS column_name,
+           '{pii_type}' AS pii_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN regexp_matches({col}, '{rx}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_rows,
+           CAST(sum(CASE WHEN regexp_matches({col}, '{rx}')
+                         THEN 1 ELSE 0 END) * 1000000 // count(*)
+                AS BIGINT) AS hit_ppm
+    FROM {table}""")
+        # noqa: the augmented-PII planting of pii_redaction_report is
+        # deliberately NOT applied here: this scans the tables as they
+        # are, the way a governance sweep would.
+    return " UNION ALL ".join(selects)
+
+
+@query("pii_column_scan", oracle=_pii_scan_oracle())
+def pii_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level PII classification — the governance sweep that
+    answers "WHICH columns of WHICH tables carry emails / phones /
+    IPs, and how densely": every text-bearing column crossed with the
+    shared PII kernels (the exact regexes pii_redaction_report
+    redacts with, so detect and redact can never disagree), reporting
+    row counts, hit rows, and integer-ppm density. Zero hits is the
+    healthy result for most columns — the scan's value is the audit
+    row proving the column was CHECKED, which is what a data
+    catalogue ingests.
+
+    100 TB shape: one narrow scan per (table); all three kernels for
+    a column evaluate as parallel JVM regexp predicates inside the
+    same pass (conditional sums, no shuffle but the final 15-row
+    union). In production the scan runs on a consistent hash-sample
+    per table (operators/sampling.bucket_of) — at test SF the full
+    tables cost less than the sample plumbing, and the oracle scans
+    full tables identically."""
+    out = None
+    for table, col in _PII_SCAN_COLS:
+        t = load_table(spark, sf_dir, table)
+        aggs = []
+        for pii_type, rx in (
+            ("email", PII_EMAIL_RE),
+            ("phone", PII_PHONE_RE),
+            ("ip", PII_IP_RE),
+        ):
+            hit = F.col(col).rlike(rx).cast("long")
+            row = t.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(hit).cast("long").alias("n_hit_rows"),
+            ).select(
+                F.lit(table).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                F.lit(pii_type).alias("pii_type"),
+                "n_rows",
+                "n_hit_rows",
+                F.expr("n_hit_rows * 1000000 div n_rows")
+                .cast("bigint")
+                .alias("hit_ppm"),
+            )
+            aggs.append(row)
+        for row in aggs:
+            out = row if out is None else out.unionByName(row)
+    return out
