@@ -188,6 +188,14 @@ HEADLINE = [
     "theil_sen_daily_revenue",
     "kcore_parts_copurchase",
     "unigram_tokenize_stats",
+    "markov_attribution_events",
+    "multimodal_vad_segments",
+    "multimodal_scene_cuts",
+    "gsp_frequent_sequences",
+    "sequence_regex_funnel",
+    "quality_classifier_conformal",
+    "pii_column_scan",
+    "embedding_outlier_iforest",
 ]
 
 
