@@ -27,5 +27,11 @@ def test_every_registered_query_matches_its_oracle(spark):
     assert result["fail"] == 0, f"oracle mismatches: {result['failures']}"
     # The registry must stay overwhelmingly oracle-checked — a drift
     # toward rows-only entries weakens the gate silently.
-    assert result["pass"] >= 140
-    assert result["rows_only"] <= 20
+    assert result["pass"] >= 260
+    # rows-only ceiling: raised 20 -> 24 in r7s4 for the four genuinely
+    # non-SQL ops added together (unigram trainer + encode: per-word DP;
+    # markov attribution: matrix solve; isolation forest: recursive
+    # partitioning). Still <9% of the registry; raise this ONLY with a
+    # per-op justification in the commit, never to paper over a lost
+    # oracle.
+    assert result["rows_only"] <= 24
