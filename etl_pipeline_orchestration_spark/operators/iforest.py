@@ -105,23 +105,37 @@ def fit_iforest(
     (a broadcast variable on a real cluster)."""
     import numpy as np
 
+    from pyspark.sql import Window
+
     max_depth = max(int(math.ceil(math.log2(max(psi, 2)))), 1)
+    # ALL trees' samples in ONE job: explode the tree ids, rank every
+    # (tree, row) by its per-tree hash, keep bottom-psi per tree — a
+    # single bounded shuffle + one model-sized collect, instead of
+    # n_trees separate TakeOrdered jobs (32 driver round-trips).
+    trees = F.explode(
+        F.sequence(F.lit(0), F.lit(n_trees - 1))
+    ).alias("tree")
+    wk = Window.partitionBy("tree").orderBy("rk")
+    sampled = (
+        vecs.select(id_col, vec_col)
+        .select(id_col, vec_col, trees)
+        .withColumn(
+            "rk", F.xxhash64(F.col(id_col), F.lit(seed) + F.col("tree"))
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= psi)
+        .select("tree", vec_col)
+        .collect()
+    )
+    by_tree: dict = {}
+    for r in sampled:
+        by_tree.setdefault(r["tree"], []).append(list(r[vec_col]))
     model = []
     for tree in range(n_trees):
-        sample = (
-            vecs.select(
-                id_col,
-                vec_col,
-                F.xxhash64(F.col(id_col), F.lit(seed + tree)).alias("rk"),
-            )
-            .orderBy("rk")
-            .limit(psi)
-            .collect()
-        )
-        rows = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+        rows = np.array(by_tree[tree], dtype=np.float64)
         t = _grow(rows, random.Random(seed * 1_000_003 + tree), max_depth)
         model.append(
-            (t.dim, t.thr, t.left, t.right, t.size, _c(float(len(sample))))
+            (t.dim, t.thr, t.left, t.right, t.size, _c(float(rows.shape[0])))
         )
     return model
 
