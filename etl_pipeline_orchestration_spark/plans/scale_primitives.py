@@ -921,3 +921,136 @@ def cm_positions(h: int) -> list:
     return [
         (i, ((h * r) % _CM_P) % _CM_W) for i, r in enumerate(_CM_MULTS)
     ]
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss projection with exact distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_D = 64  # input dims
+_JL_K = 16  # output dims
+_JL_Q = 1024  # 2^10 quantization grid (keeps every square in int64)
+_JL_NVEC = 50  # audited vector subset -> 1225 pairs
+
+
+@query(
+    "jl_projection_distortion",
+    oracle=f"""
+    WITH vq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_JL_Q} + 0.5) AS BIGINT))
+               AS xq
+      FROM embeddings WHERE vec_id < {_JL_NVEC}
+    ),
+    proj AS (
+      SELECT vec_id, xq,
+             list_transform(range(1, {_JL_K} + 1), j ->
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, {_JL_D} + 1), i ->
+                     CASE WHEN ((i * 131 + j) * 2654435761)
+                               % 2147483647 % 2 = 0
+                          THEN xq[i] ELSE -xq[i] END)),
+                 (a, b) -> a + b)) AS p
+      FROM vq
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {_JL_D} + 1),
+                 i -> (a.xq[i] - b.xq[i]) * (a.xq[i] - b.xq[i]))),
+               (x, y) -> x + y) AS dorig2,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {_JL_K} + 1),
+                 j -> (a.p[j] - b.p[j]) * (a.p[j] - b.p[j]))),
+               (x, y) -> x + y) AS dproj2
+      FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    ),
+    rat AS (
+      SELECT (dproj2 * 1000) // ({_JL_K} * dorig2) AS permille
+      FROM pairs WHERE dorig2 > 0
+    )
+    SELECT permille // 100 AS band,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(permille) AS BIGINT) AS min_permille,
+           CAST(max(permille) AS BIGINT) AS max_permille
+    FROM rat GROUP BY 1
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (64 → 16 dims, ±1
+    Achlioptas 2003 signs, public method) with an EXACT pairwise
+    distortion audit: every audited pair's projected-distance² over
+    k·original-distance² in integer permille, banded. The
+    dimensionality cut that precedes ANN / clustering at scale —
+    memory and matmul cost drop 4×, and THIS query measures what that
+    costs in distance fidelity (E[ratio] = 1; spread shrinks as k
+    grows).
+
+    Exactness: vectors live on the 2^10 quantization grid and the
+    sign matrix is the Knuth multiplicative parity of (i·131 + j) —
+    every projection, distance, and ratio is int64 arithmetic both
+    engines replay bit-for-bit (grid and k chosen so the largest
+    square, 16·(2·64·80·2^10)², stays under 2^63; the ×1000 permille
+    numerator too).
+
+    100 TB shape: projections are computed PER VECTOR (n rows × one
+    k·d codegen fold — at scale an Arrow matmul per the similarity-op
+    rule), pairs only over the audited subset (the audit is a sample
+    diagnostic, never corpus²); nothing here shuffles beyond the
+    subset self-join."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _JL_NVEC
+    )
+    xq = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * _JL_Q + F.lit(0.5)).cast("long"),
+    )
+
+    def sign(i: int, j: int) -> int:
+        return 1 if ((i * 131 + j) * 2654435761) % 2147483647 % 2 == 0 else -1
+
+    vq = emb.select("vec_id", xq.alias("xq"))
+    proj_cols = [
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(_JL_D)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc
+            + F.element_at("xq", i)
+            * F.element_at(
+                F.array(
+                    *[F.lit(sign(ii, j)) for ii in range(1, _JL_D + 1)]
+                ),
+                i,
+            ),
+        ).alias(f"p{j}")
+        for j in range(1, _JL_K + 1)
+    ]
+    proj = vq.select("vec_id", "xq", *proj_cols)
+    a = proj.alias("a")
+    b = proj.alias("b")
+    dorig2 = F.aggregate(
+        F.zip_with("a.xq", "b.xq", lambda p, q: (p - q) * (p - q)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dproj2 = None
+    for j in range(1, _JL_K + 1):
+        t = (F.col(f"a.p{j}") - F.col(f"b.p{j}")) * (
+            F.col(f"a.p{j}") - F.col(f"b.p{j}")
+        )
+        dproj2 = t if dproj2 is None else dproj2 + t
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        dorig2.alias("dorig2"), dproj2.alias("dproj2")
+    )
+    rat = pairs.filter(F.col("dorig2") > 0).select(
+        F.expr(f"(dproj2 * 1000) div ({_JL_K} * dorig2)").alias("permille")
+    )
+    return rat.groupBy(
+        F.expr("permille div 100").alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("permille").cast("bigint").alias("min_permille"),
+        F.max("permille").cast("bigint").alias("max_permille"),
+    )

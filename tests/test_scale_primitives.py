@@ -280,3 +280,24 @@ def test_count_min_never_underestimates_and_conserves_mass(spark):
             for i, m in enumerate(sp._CM_MULTS)
         )
         assert est == r.cm_est, r.term
+
+
+# ------------------------------------------------------------- JL audit
+def test_jl_distortion_centered_and_complete(spark):
+    """JL law: every audited pair appears exactly once, ratios are
+    positive, and the distribution centers on 1.0 (E[dproj²] = k·dorig²
+    for ±1 projections) — the weighted mean permille sits well inside
+    [700, 1400] and band 10 (the 1.0 band) is populated."""
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["jl_projection_distortion"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    n = sum(r.n_pairs for r in rows)
+    assert n == 50 * 49 // 2  # every pair, none dropped
+    assert all(r.min_permille > 0 for r in rows)
+    assert all(r.min_permille <= r.max_permille for r in rows)
+    mid = sum(((r.min_permille + r.max_permille) / 2) * r.n_pairs for r in rows) / n
+    assert 700 < mid < 1400
+    assert any(r.band == 10 for r in rows)
