@@ -196,6 +196,7 @@ HEADLINE = [
     "quality_classifier_conformal",
     "pii_column_scan",
     "embedding_outlier_iforest",
+    "jl_projection_distortion",
 ]
 
 
