@@ -3769,3 +3769,140 @@ def embedding_outlier_iforest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("vec_id", "score_micro")
     )
+
+
+def _mondrian_oracle() -> str:
+    from etl_pipeline_orchestration_spark.operators.classifier import TRAIN_ITERS
+
+    with_clause, zf = _clf_with_prefix(_CONF_TRAIN_SQL)
+    return f"""
+    {with_clause},
+    scored AS (
+      SELECT f.doc_id, f.y, CAST(({zf}) AS BIGINT) AS z, d.lang
+      FROM feats f CROSS JOIN b{TRAIN_ITERS} b
+      JOIN documents d ON d.doc_id = f.doc_id
+    ),
+    cal AS (
+      SELECT lang, (1 - 2 * y) * z AS s FROM scored WHERE doc_id % 5 = 4
+    ),
+    nq AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_cal,
+             LEAST(({_CONF_ALPHA_NUM} * (count(*) + 1)
+                    + {_CONF_ALPHA_DEN - 1}) // {_CONF_ALPHA_DEN},
+                   count(*)) AS kq
+      FROM cal GROUP BY lang
+    ),
+    q AS (
+      SELECT r.lang, r.s AS qhat, nq.n_cal FROM (
+        SELECT lang, s,
+               row_number() OVER (PARTITION BY lang ORDER BY s) AS rn
+        FROM cal
+      ) r JOIN nq ON nq.lang = r.lang AND r.rn = nq.kq
+    ),
+    test AS (
+      SELECT sc.lang, sc.y,
+             (-sc.z <= q.qhat) AS in1,
+             (sc.z <= q.qhat) AS in0,
+             q.qhat, q.n_cal
+      FROM scored sc JOIN q ON q.lang = sc.lang
+      WHERE sc.doc_id % 5 = 0
+    )
+    SELECT lang,
+           CAST(max(n_cal) AS BIGINT) AS n_cal,
+           CAST(max(qhat) AS BIGINT) AS qhat_micro,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN (y = 1 AND in1) OR (y = 0 AND in0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN in1 AND in0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both
+    FROM test GROUP BY lang
+    """
+
+
+@query("quality_classifier_conformal_mondrian", oracle=_mondrian_oracle())
+def quality_classifier_conformal_mondrian(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mondrian (group-conditional) conformal prediction: the
+    per-LANGUAGE variant of quality_classifier_conformal — one qhat
+    per language from that language's own calibration rows, giving
+    the ≥90% coverage guarantee PER GROUP, which the marginal
+    construction cannot promise (a language the classifier is weak on
+    can be systematically under-covered while the overall rate still
+    reads 0.9 — the exact failure mode group-conditional calibration
+    exists to close). Same trained weights, same integer
+    nonconformity, same selected-rank discipline; the per-group rank
+    window partitions by lang over the calibration split only.
+
+    100 TB shape: identical to the marginal query plus one broadcast
+    of the (groups × 1) qhat relation; group calibration is the
+    standard practice when groups are few and named (languages,
+    sources) — per-group sample sizes shrink by the group count, the
+    priced-in trade the n_cal column makes visible."""
+    from etl_pipeline_orchestration_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = classifier.classifier_features(docs).localCheckpoint()
+    key = ("conformal", str(sf_dir))
+    if key not in _SPLIT_BETAS_MEMO:
+        betas, _ = classifier.train_logistic_int(
+            feats.filter(F.col("doc_id") % 5 >= 1).filter(
+                F.col("doc_id") % 5 <= 3
+            )
+        )
+        _SPLIT_BETAS_MEMO[key] = betas
+    betas = _SPLIT_BETAS_MEMO[key]
+    z = None
+    for b, c in zip(betas, classifier.FEATURE_COLS):
+        term = F.lit(int(b)) * F.col(c)
+        z = term if z is None else z + term
+    scored = feats.select("doc_id", "y", z.cast("long").alias("z")).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    cal = scored.filter(F.col("doc_id") % 5 == 4).select(
+        "lang", ((F.lit(1) - 2 * F.col("y")) * F.col("z")).alias("s")
+    )
+    nq = cal.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal")
+    ).select(
+        "lang",
+        "n_cal",
+        F.least(
+            F.expr(
+                f"({_CONF_ALPHA_NUM} * (n_cal + 1)"
+                f" + {_CONF_ALPHA_DEN - 1}) div {_CONF_ALPHA_DEN}"
+            ),
+            F.col("n_cal"),
+        ).alias("kq"),
+    )
+    wq = Window.partitionBy("lang").orderBy("s")
+    q = (
+        cal.select("lang", "s", F.row_number().over(wq).alias("rn"))
+        .join(F.broadcast(nq), ["lang"])
+        .filter(F.col("rn") == F.col("kq"))
+        .select("lang", F.col("s").alias("qhat"), "n_cal")
+    )
+    test = (
+        scored.filter(F.col("doc_id") % 5 == 0)
+        .join(F.broadcast(q), "lang")
+        .select(
+            "lang",
+            "y",
+            (-F.col("z") <= F.col("qhat")).alias("in1"),
+            (F.col("z") <= F.col("qhat")).alias("in0"),
+            "qhat",
+            "n_cal",
+        )
+    )
+    covered = ((F.col("y") == 1) & F.col("in1")) | (
+        (F.col("y") == 0) & F.col("in0")
+    )
+    return test.groupBy("lang").agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.max("qhat").cast("bigint").alias("qhat_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(covered.cast("long")).cast("bigint").alias("n_covered"),
+        F.sum((F.col("in1") & F.col("in0")).cast("long"))
+        .cast("bigint")
+        .alias("n_both"),
+    )

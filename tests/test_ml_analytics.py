@@ -976,3 +976,19 @@ def test_conformal_coverage_guarantee(spark):
         if r.set_type == "empty":
             assert r.n_covered == 0
         assert 0 <= r.n_covered <= r.n_docs
+
+
+def test_mondrian_conformal_per_group_coverage(spark):
+    """Group-conditional coverage: EVERY language's own test rows are
+    covered at >= ~0.8 (finite-sample slack below the 0.9 target at
+    per-group n); groups partition the test split; per-group qhat is
+    a real calibration value (selected, not interpolated)."""
+    rows = registry.QUERIES["quality_classifier_conformal_mondrian"](
+        spark, SF
+    ).collect()
+    assert len(rows) >= 3  # several languages present
+    assert sum(r.n_test for r in rows) == 100  # tiles the %5==0 split
+    for r in rows:
+        assert r.n_cal > 0 and r.n_test > 0
+        assert r.n_covered / r.n_test >= 0.8, r.lang
+        assert 0 <= r.n_both <= r.n_test
