@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_simhash_crossengine",
     "dedup_simhash_pairs",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_crossengine",
     "token_stats",
     "text_quality_scores",
     "pandas_udf_normalize_text",
@@ -100,6 +101,7 @@ HEADLINE = [
     "token_budget_selection",
     "quality_gate_funnel",
     "embedding_topk_ivfpq",
+    "embedding_topk_ivfpq_exact",
     "bpe_pair_frequencies",
     "vocab_encode_checksums",
     "split_leakage_report",

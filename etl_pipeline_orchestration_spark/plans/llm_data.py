@@ -459,7 +459,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     augmented with perturbed copies of vec_id < 20 (deterministic ±0.005
     per-component noise, cosine ≈ 0.999, new id = old + 10^9), so a
     correct LSH+verify pass MUST return rows — the round-1 version
-    returned 0 rows on this corpus and asserted nothing."""
+    returned 0 rows on this corpus and asserted nothing. The same
+    pipeline on integer planes is hash-certified by its window twin
+    ``embedding_near_dup_pairs_crossengine``."""
     emb = load_table(spark, sf_dir, "embeddings")
     noise = F.transform(
         "embedding",
@@ -830,10 +832,486 @@ def embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-list rows by 8 PQ table lookups, exact-cosine re-rank the top
     40 ADC candidates down to 10. Recall vs brute force pinned in
     tests/test_dedup_similarity.py; rows-only here (quantization +
-    probe miss are inherent approximation, no SQL oracle)."""
+    probe miss are inherent approximation, no SQL oracle) — the
+    integer-exact composition is hash-certified by its window twin
+    ``embedding_topk_ivfpq_exact``."""
     emb = load_table(spark, sf_dir, "embeddings")
     probe = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity.ivfpq_topk(emb, [float(x) for x in probe], k=10)
+
+
+_IVFPQ_EXACT_ORACLE = """
+    WITH xq AS (
+      SELECT vec_id, t.i AS i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    c0 AS (
+      SELECT vec_id % 8 AS j, i,
+             CAST((CAST(sum(x) AS BIGINT)
+                   - CAST(sum(x) AS BIGINT) % CAST(count(*) AS BIGINT))
+                  / CAST(count(*) AS BIGINT) AS BIGINT) AS c
+      FROM xq GROUP BY 1, 2
+    ),
+    d1 AS (
+      SELECT xq.vec_id, c0.j,
+             CAST(sum((xq.x - c0.c) * (xq.x - c0.c)) AS BIGINT) AS d
+      FROM xq JOIN c0 ON xq.i = c0.i GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.j, xq.i,
+             CAST((CAST(sum(xq.x) AS BIGINT)
+                   - CAST(sum(xq.x) AS BIGINT) % CAST(count(*) AS BIGINT))
+                  / CAST(count(*) AS BIGINT) AS BIGINT) AS c
+      FROM xq JOIN a1 ON xq.vec_id = a1.vec_id GROUP BY 1, 2
+    ),
+    qv AS (SELECT i, x FROM xq WHERE vec_id = 0),
+    pdist AS (
+      SELECT c1.j, CAST(sum((qv.x - c1.c) * (qv.x - c1.c)) AS BIGINT) AS d
+      FROM c1 JOIN qv ON c1.i = qv.i GROUP BY 1
+    ),
+    probes AS (
+      SELECT j FROM (
+        SELECT j, row_number() OVER (ORDER BY d, j) AS rn FROM pdist
+      ) WHERE rn <= 3
+    ),
+    d2 AS (
+      SELECT xq.vec_id, c1.j,
+             CAST(sum((xq.x - c1.c) * (xq.x - c1.c)) AS BIGINT) AS d
+      FROM xq JOIN c1 ON xq.i = c1.i GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    cand AS (SELECT a2.vec_id FROM a2 JOIN probes ON a2.j = probes.j),
+    sub AS (
+      SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
+             CAST((i - 1) % 8 AS INT) AS si, x
+      FROM xq
+    ),
+    book AS (
+      SELECT vec_id % 16 AS code, s, si,
+             CAST((CAST(sum(x) AS BIGINT)
+                   - CAST(sum(x) AS BIGINT) % CAST(count(*) AS BIGINT))
+                  / CAST(count(*) AS BIGINT) AS BIGINT) AS c
+      FROM sub GROUP BY 1, 2, 3
+    ),
+    pqd AS (
+      SELECT sub.vec_id, sub.s, book.code,
+             CAST(sum((sub.x - book.c) * (sub.x - book.c)) AS BIGINT) AS d
+      FROM sub JOIN book ON sub.s = book.s AND sub.si = book.si
+      WHERE sub.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, code) AS rn
+        FROM pqd
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT CAST((i - 1) // 8 AS INT) AS s,
+             CAST((i - 1) % 8 AS INT) AS si, x
+      FROM qv
+    ),
+    lut AS (
+      SELECT book.s, book.code, CAST(sum(book.c * qsub.x) AS BIGINT) AS v
+      FROM book JOIN qsub ON book.s = qsub.s AND book.si = qsub.si
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT codes.vec_id, CAST(sum(lut.v) AS BIGINT) AS adc_q
+      FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+      GROUP BY 1
+    ),
+    short AS (
+      SELECT vec_id, adc_q FROM adc ORDER BY adc_q DESC, vec_id LIMIT 40
+    ),
+    dots AS (
+      SELECT xq.vec_id, CAST(sum(xq.x * qv.x) AS BIGINT) AS dot_q
+      FROM xq JOIN qv ON xq.i = qv.i
+      WHERE xq.vec_id IN (SELECT vec_id FROM short)
+      GROUP BY 1
+    )
+    SELECT s.vec_id, s.adc_q, d.dot_q
+    FROM short s JOIN dots d ON s.vec_id = d.vec_id
+    ORDER BY d.dot_q DESC, s.vec_id LIMIT 10
+"""
+
+
+@query("embedding_topk_ivfpq_exact", oracle=_IVFPQ_EXACT_ORACLE)
+def embedding_topk_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact IVF-PQ + refine — the cross-engine-VERIFIABLE twin
+    of ``embedding_topk_ivfpq`` (which stays the float production path,
+    rows-checked): every stage of the production composition — coarse
+    quantizer, inverted-list probe, product-quantization codebooks, ADC
+    table-lookup scoring, exact re-rank — re-expressed over integer
+    ticks ``round(v * 2^20)`` so a DuckDB oracle replays the WHOLE
+    pipeline by value (the ``embedding_kmeans_exact`` discipline,
+    extended from one operator to the full ANN composition).
+
+    * Coarse: the certified one-Lloyd-round integer k-means (k=8, init
+      j = vec_id % 8, truncating-division centroids); probes = the 3
+      centroids nearest the query under int64 L2, ties to lowest j.
+    * PQ: 8 subspaces x 8 dims; codebook = init-partition means (code =
+      vec_id % 16, ``sum div n``); encoding = exact int64 argmin per
+      subspace, ties to lowest code (np.argmin's first-minimum over
+      code-ascending rows IS the SQL ``ORDER BY d, code`` rule).
+    * ADC: LUT[s][code] = integer dot(q_s, codebook[s][code]) built
+      driver-side (128 ints); per-row score is 8 ``element_at`` lookups
+      on a literal array — pure codegen, no vector math over the
+      candidates, which is the entire point of PQ at 10^9 rows.
+    * Refine: top 40 ADC candidates re-scored with the exact integer
+      dot product, top 10 by (dot desc, vec_id).
+
+    Plan shape matches the float path: model fits collect only
+    model-sized relations (k x dim and 8 x 16 x 8 ints), assignment is
+    a per-row fold / one Arrow batch pass, the shortlist is
+    TakeOrderedAndProject, and the refine join broadcasts 40 ids."""
+    import numpy as np
+
+    dfq = _quantize_vecs(
+        load_table(spark, sf_dir, "embeddings")
+    ).localCheckpoint()
+    # coarse model: one integer Lloyd round (shared recipe with
+    # embedding_kmeans_exact — same CTE chunk in the oracle)
+    c0 = _kmeans_exact_centroids_of(
+        dfq.withColumn("j", (F.col("vec_id") % 8).cast("int"))
+    )
+    j1, _ = _kmeans_exact_assign_expr(c0)
+    c1 = _kmeans_exact_centroids_of(dfq.select("vec_id", "xq", j1))
+    q = [int(v) for v in dfq.filter(F.col("vec_id") == 0).select("xq").head()[0]]
+    probes = [
+        j
+        for _, j in sorted(
+            (sum((qi - ci) ** 2 for qi, ci in zip(q, c1[j])), j) for j in c1
+        )[:3]
+    ]
+    j2, _ = _kmeans_exact_assign_expr(c1)
+    cand = (
+        dfq.select("vec_id", "xq", j2)
+        .filter(F.col("j").isin(probes))
+        .localCheckpoint()  # two consumers: ADC scan + refine join
+    )
+    # PQ codebooks: init-partition means per (s, code, si) — the
+    # centroid update is posexplode + map-side-combined sum; the
+    # collect is model-sized (8 x 16 x 8 ints).
+    book_rows = (
+        dfq.select(
+            (F.col("vec_id") % 16).cast("int").alias("code"),
+            F.posexplode("xq").alias("i", "x"),
+        )
+        .groupBy(
+            F.expr("i div 8").cast("int").alias("s"),
+            F.expr("i % 8").cast("int").alias("si"),
+            "code",
+        )
+        .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+        .select("s", "si", "code", F.expr("sx div n").alias("c"))
+        .collect()
+    )
+    books: dict = {}
+    for r in book_rows:
+        books.setdefault((r["s"], r["code"]), [0] * 8)[r["si"]] = int(r["c"])
+    code_vals = sorted({c for (_, c) in books})
+    C = np.array(
+        [[books[(s, c)] for c in code_vals] for s in range(8)], dtype=np.int64
+    )  # (8, K, 8), rows code-ascending
+    code_map = np.array(code_vals, dtype=np.int64)
+
+    def enc(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["xq"].tolist(), dtype=np.int64)
+            out = np.empty((len(X), 8), dtype=np.int64)
+            for s in range(8):
+                xs = X[:, s * 8 : (s + 1) * 8]
+                d = ((xs[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+                out[:, s] = code_map[np.argmin(d, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(out)}
+            )
+
+    coded = cand.mapInPandas(enc, "vec_id bigint, codes array<bigint>")
+    # driver-built LUT: 128 exact integer dot products, shipped as one
+    # literal array; scoring = 8 element_at lookups per row (codegen)
+    lut_flat = [0] * (8 * 16)
+    for (s, c), cv in books.items():
+        lut_flat[s * 16 + c] = sum(
+            int(a) * int(b) for a, b in zip(cv, q[s * 8 : (s + 1) * 8])
+        )
+    lut_arr = F.array(*[F.lit(v) for v in lut_flat])
+    adc_col = None
+    for s in range(8):
+        term = F.element_at(
+            lut_arr, (F.lit(s * 16) + F.col("codes")[s] + 1).cast("int")
+        )
+        adc_col = term if adc_col is None else adc_col + term
+    short = (
+        coded.select("vec_id", adc_col.cast("long").alias("adc_q"))
+        .orderBy(F.col("adc_q").desc(), "vec_id")
+        .limit(40)
+    )
+    qarr = F.array(*[F.lit(v) for v in q])
+    dot = F.aggregate(
+        F.zip_with("xq", qarr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(F.broadcast(short), "vec_id")
+        .select("vec_id", "adc_q", dot.alias("dot_q"))
+        .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+_NEAR_DUP_XENGINE_ORACLE = """
+    WITH corpus AS (
+      SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+      UNION ALL
+      SELECT vec_id + 1000000000, t.i,
+             CAST(embedding[t.i] AS DOUBLE)
+             + CASE WHEN (t.i - 1) % 2 = 0 THEN 0.005 ELSE -0.005 END
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+      WHERE vec_id < 20
+    ),
+    xq AS (
+      SELECT vec_id, i, CAST(round(v * 1048576.0) AS BIGINT) AS x FROM corpus
+    ),
+    grid0 AS (
+      SELECT p, i,
+             (((2654435761 * (p + 1)) % 2147483647) * i
+              + ((40503 * p + 9973) % 2147483647)) % 2147483647 AS h
+      FROM (SELECT unnest(range(0, 32)) AS p) pp,
+           (SELECT unnest(range(1, 65)) AS i) ii
+    ),
+    grid AS (
+      SELECT p, i, (h * h + h) % 2147483647 - 1073741823 AS w FROM grid0
+    ),
+    dots AS (
+      SELECT xq.vec_id, grid.p, CAST(sum(xq.x * grid.w) AS BIGINT) AS dp
+      FROM xq JOIN grid ON xq.i = grid.i GROUP BY 1, 2
+    ),
+    keys AS (
+      SELECT vec_id, CAST(p // 8 AS INT) AS band_id,
+             CAST(sum(CASE WHEN dp > 0 THEN (1 << (p % 8)) ELSE 0 END)
+                  AS BIGINT) AS band_key
+      FROM dots GROUP BY 1, 2
+    ),
+    guard AS (
+      SELECT vec_id, band_id, band_key FROM (
+        SELECT vec_id, band_id, band_key,
+               count(*) OVER (PARTITION BY band_id, band_key) AS bn
+        FROM keys
+      ) WHERE bn <= 1000
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM guard a
+      JOIN guard b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.vec_id < b.vec_id
+    ),
+    n2 AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2 FROM xq GROUP BY 1),
+    dotab AS (
+      SELECT c.id_a, c.id_b, CAST(sum(xa.x * xb.x) AS BIGINT) AS dq
+      FROM cand c
+      JOIN xq xa ON xa.vec_id = c.id_a
+      JOIN xq xb ON xb.vec_id = c.id_b AND xa.i = xb.i
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b, d.dq AS dot_q,
+           na.n2 AS n2_a, nb.n2 AS n2_b
+    FROM dotab d
+    JOIN n2 na ON na.vec_id = d.id_a
+    JOIN n2 nb ON nb.vec_id = d.id_b
+    WHERE d.dq > 0
+      AND 10000 * CAST(d.dq AS HUGEINT) * CAST(d.dq AS HUGEINT)
+          >= 9025 * CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT)
+"""
+
+
+def _xengine_plane_matrix() -> "np.ndarray":
+    """The (64 x 32) integer hyperplane grid both engines derive from
+    the affine family ``xengine_affine`` squared through the Mersenne
+    prime: h = (a_p*i + b_p) mod P, w = (h² + h) mod P − (P−1)/2. The
+    square is the nonlinearity — an affine-only grid is a modular ramp
+    whose planes are shifts of each other (correlated sign bits); h²
+    mod P breaks the lattice. |w| ≤ 2^30, so a 64-dim integer dot with
+    2^20-tick vectors stays ≤ 2^57 — int64-exact in numpy AND SQL."""
+    import numpy as np
+
+    P = 2147483647
+    half = 1073741823
+    cols = []
+    for p in range(32):
+        a = (2654435761 * (p + 1)) % P
+        b = (40503 * p + 9973) % P
+        col = []
+        for i in range(1, 65):
+            h = (a * i + b) % P
+            col.append((h * h + h) % P - half)
+        cols.append(col)
+    return np.array(cols, dtype=np.int64).T  # (64, 32)
+
+
+@query(
+    "embedding_near_dup_pairs_crossengine", oracle=_NEAR_DUP_XENGINE_ORACLE
+)
+def embedding_near_dup_pairs_crossengine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding near-dup pair mining, hash-certified end-to-end — the
+    cross-engine twin of ``embedding_near_dup_pairs`` (which keeps the
+    float random-hyperplane family as the production path): banded
+    hyperplane LSH where the planes are INTEGER pseudo-random grids
+    derived from the shared ``xengine_affine`` family (squared through
+    the Mersenne prime for mixing), over 2^20-tick quantized vectors,
+    so bucket assignment, the mega-bucket guard, the banded self-join,
+    and the exact-cosine verify are ALL replayable in SQL by value.
+
+    * Planted truth (same plant as the float sibling, but in exact
+      double space): ±0.005 alternating noise on vec_id < 20, new id =
+      old + 10^9 — cosine ≈ 0.9994, so a correct pass MUST emit pairs.
+    * 4 bands x 8 planes; sign bit = (integer dot > 0); per-band key
+      packs 8 bits. Near-identical vectors agree on almost every sign
+      regardless of plane quality, so planted recall ≈ 1.
+    * Verify: cosine ≥ 0.95 decided in exact integer arithmetic —
+      dot > 0 AND 10^4·dot² ≥ 9025·|a|²·|b|², evaluated in
+      decimal(38,0) on Spark and HUGEINT in DuckDB (dot² ≈ 2^88
+      overflows int64; both wide types are exact).
+
+    Plan shape is the production one: one Arrow-batched int64 matmul
+    computes all 32 sign bits (numpy int64 ``@`` is exact), banding is
+    a posexplode, the guard is a window on the join key's own shuffle,
+    and the verify join touches candidates only — nothing all-pairs.
+    Output: (id_a, id_b, dot_q, n2_a, n2_b) — pure integers."""
+    from etl_pipeline_orchestration_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = F.transform("embedding", lambda x: x.cast("double"))
+    noise = F.transform(
+        "embedding",
+        lambda x, i: x.cast("double")
+        + F.when(i % 2 == 0, F.lit(0.005)).otherwise(F.lit(-0.005)),
+    )
+    corpus = (
+        emb.select("vec_id", to_d.alias("vd"))
+        .unionByName(
+            emb.filter(F.col("vec_id") < 20).select(
+                (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+                noise.alias("vd"),
+            )
+        )
+    )
+    dfq = ensure_min_partitions(
+        corpus.select(
+            "vec_id",
+            F.expr(
+                "transform(vd, v -> cast(round(v * 1048576.0) as bigint))"
+            ).alias("xq"),
+        )
+    )
+    Wm = _xengine_plane_matrix()
+
+    def keys_fn(it):
+        import numpy as np
+        import pandas as pd
+
+        pw = 1 << np.arange(8, dtype=np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["xq"].tolist(), dtype=np.int64)
+            D = X @ Wm  # exact: |x| ≤ ~2^20, |w| ≤ 2^30, 64 terms < 2^57
+            B = (D > 0).astype(np.int64)
+            ks = [
+                (B[:, s * 8 : (s + 1) * 8] * pw).sum(axis=1) for s in range(4)
+            ]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "xq": pdf["xq"],
+                    "keys": list(np.stack(ks, axis=1)),
+                }
+            )
+
+    keyed = dfq.mapInPandas(
+        keys_fn, "vec_id bigint, xq array<bigint>, keys array<bigint>"
+    )
+    banded = keyed.select(
+        "vec_id", "xq", F.posexplode("keys").alias("band_id", "band_key")
+    )
+    wb = Window.partitionBy("band_id", "band_key")
+    guarded = (
+        banded.withColumn("__bn__", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__bn__") <= 1000)
+        .drop("__bn__")
+    )
+    a = guarded.select(
+        "band_id", "band_key",
+        F.col("vec_id").alias("id_a"), F.col("xq").alias("xa"),
+    )
+    b = guarded.select(
+        "band_id", "band_key",
+        F.col("vec_id").alias("id_b"), F.col("xq").alias("xb"),
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "xa", "xb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with("xa", "xb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+    def n2_of(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    scored = pairs.select(
+        "id_a", "id_b",
+        dot.alias("dot_q"),
+        n2_of("xa").alias("n2_a"),
+        n2_of("xb").alias("n2_b"),
+    )
+
+    def dec(c):
+        return c.cast("decimal(38,0)")
+
+    cond = (F.col("dot_q") > 0) & (
+        F.lit(10000).cast("decimal(38,0)") * dec(F.col("dot_q")) * dec(F.col("dot_q"))
+        >= F.lit(9025).cast("decimal(38,0)") * dec(F.col("n2_a")) * dec(F.col("n2_b"))
+    )
+    return scored.filter(cond).select("id_a", "id_b", "dot_q", "n2_a", "n2_b")
 
 
 @query("multimodal_embed_topk")  # stubbed encoder — rows-only check

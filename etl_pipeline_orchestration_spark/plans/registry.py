@@ -115,10 +115,13 @@ CERTIFICATION_WINDOW: tuple[str, ...] = (
     "dedup_jaccard_exact_pairs",
     "dedup_clusters_cc_distributed",
     "dedup_substring_spans",             # round-5 flagship
-    # LLM-data: embeddings / ANN
+    # LLM-data: embeddings / ANN (the integer-exact cross-engine twins
+    # hold the window slots so the whole window is hash-certified; the
+    # float production siblings stay registered after the window,
+    # rows-checked + planted-truth-tested)
     "embedding_topk_bruteforce",
-    "embedding_topk_ivfpq",
-    "embedding_near_dup_pairs",
+    "embedding_topk_ivfpq_exact",
+    "embedding_near_dup_pairs_crossengine",
     # LLM-data: text analysis
     "lang_distribution",
     "text_quality_scores",

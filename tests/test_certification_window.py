@@ -56,8 +56,8 @@ SECTION2_CERTIFIERS = {
     "L-dup-clusters": "dedup_clusters_cc_distributed",
     "L-substring-dedup": "dedup_substring_spans",
     "L-ann-brute": "embedding_topk_bruteforce",
-    "L-ann-ivfpq": "embedding_topk_ivfpq",
-    "L-near-dup-emb": "embedding_near_dup_pairs",
+    "L-ann-ivfpq": "embedding_topk_ivfpq_exact",
+    "L-near-dup-emb": "embedding_near_dup_pairs_crossengine",
     "L-lang-dist": "lang_distribution",
     "L-quality": "text_quality_scores",
     "L-lang-id": "lang_id_confusion",
@@ -70,12 +70,12 @@ SECTION2_CERTIFIERS = {
     "flagship-pagerank": "graph_pagerank_part_supplier",
 }
 
-# Approximate/randomized ops where a DuckDB oracle cannot be exact; the
-# driver records rows-only and correctness lives in planted-truth tests.
-ALLOWED_ROWS_ONLY = {
-    "embedding_topk_ivfpq",
-    "embedding_near_dup_pairs",
-}
+# Round 8 closed the last two rows-only window slots with integer-exact
+# cross-engine twins (embedding_topk_ivfpq_exact,
+# embedding_near_dup_pairs_crossengine) — every window entry now carries
+# a SQL oracle. The float ANN siblings remain registered after the
+# window, rows-checked + planted-truth-tested.
+ALLOWED_ROWS_ONLY: set[str] = set()
 
 
 def test_window_is_exactly_50():
