@@ -1748,9 +1748,17 @@ def graph_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", (F.col("l_suppkey") + off).alias("supp_node")
     )
-    fwd = li.select(F.col("l_partkey").alias("src"), F.col("supp_node").alias("dst"))
+    # dedup the forward direction only (half the rows), then mirror —
+    # reversal is a bijection and the id offset rules out overlap, so
+    # the union is distinct by construction (pre_deduped contract);
+    # both directions present ⇒ no dangling nodes (symmetric contract)
+    fwd = li.select(
+        F.col("l_partkey").alias("src"), F.col("supp_node").alias("dst")
+    ).distinct()
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, max_iter=10, tol=0.0)  # fixed budget: skip delta jobs
+    ranks = pagerank(
+        edges, max_iter=10, tol=0.0, pre_deduped=True, symmetric=True
+    )  # fixed budget: skip delta jobs
     return (
         ranks.select(
             F.when(F.col("node") >= off, F.lit("supplier"))
