@@ -185,6 +185,29 @@ def read_decisions(
     )
 
 
+def occupancy_exceeded(
+    loader: WarehouseLoader,
+    cent_snaps: SnapshotTable,
+    archive_table: str,
+    app_id: str,
+    slack: float = 2.0,
+) -> bool:
+    """The occupancy probe (VERDICT r7 item 3) — the SemDeDup analogue
+    of ``ann_stream.probe_recall``: True when the published archive has
+    outgrown the frozen model's routing capacity, i.e. mean cluster
+    occupancy ``archive_n / k`` exceeds the design point (~256, the
+    ``_semdedup_k`` constant) by more than ``slack``. Per-batch cost is
+    one metadata-cheap parquet count over the current lineage plus the
+    model-sized snapshot read. ``slack=2`` means a refit fires only
+    after occupancy has doubled — each refit then at least halves it,
+    so refits are O(log growth), not per-batch churn."""
+    if cent_snaps.current_version() is None:
+        return False
+    n = read_archive(loader, archive_table, cent_snaps, app_id).count()
+    k = max(1, len(centroids_from_snapshot(cent_snaps)))
+    return n > 256 * slack * k
+
+
 def semdedup_batch(
     loader: WarehouseLoader,
     cent_snaps: SnapshotTable,
@@ -193,11 +216,24 @@ def semdedup_batch(
     batch_vecs: DataFrame,
     batch_id: int,
     app_id: str,
+    auto_refit: bool = False,
+    refit_slack: float = 2.0,
 ) -> bool:
     """Process one micro-batch: decide keep/drop for its vectors
     against the published archive, then grow the archive by one
     partition. Returns False on checkpoint replay or an empty batch
-    (skipping leaves the watermark untouched)."""
+    (skipping leaves the watermark untouched).
+
+    ``auto_refit=True`` makes the occupancy refit OPERATIONAL rather
+    than advisory: after the batch publishes, ``occupancy_exceeded``
+    probes the grown archive and, when mean occupancy has drifted past
+    ``256 * refit_slack``, runs ``refit_semdedup_model`` inline —
+    mirroring ``ann_stream.index_batch_adaptive``'s measured-probe →
+    rebuild path. Ordering is deliberate: the batch's publish flips
+    first (so the refit rebuckets an archive that includes this batch),
+    and both operations are independently crash-safe — a crash between
+    them leaves a published batch and a stale-but-valid model that the
+    next batch's probe refits."""
     if batch_id <= cent_snaps.applied_upto(app_id):
         return False
     if batch_vecs.isEmpty():
@@ -252,6 +288,10 @@ def semdedup_batch(
         centroids_to_df(spark, cents, lineage=lineage),
         marker=(app_id, batch_id),
     )
+    if auto_refit and occupancy_exceeded(
+        loader, cent_snaps, archive_table, app_id, slack=refit_slack
+    ):
+        refit_semdedup_model(loader, cent_snaps, archive_table, app_id)
     return True
 
 
@@ -368,13 +408,17 @@ def stream_semdedup_to_warehouse(
     archive_table: str,
     decisions_table: str,
     checkpoint_dir: str,
+    auto_refit: bool = False,
+    refit_slack: float = 2.0,
 ) -> SnapshotTable:
     """Drain the embedding stream's backlog through the incremental
     semantic dedup (availableNow: finite, then stop). Returns the
     centroid snapshot table; decisions live under
     ``decisions_table/batch_id=*``. The checkpoint path doubles as the
     watermark's app id: the (checkpoint, archive) pair is the unit of
-    exactly-once."""
+    exactly-once. ``auto_refit=True`` arms the per-batch occupancy
+    probe (``occupancy_exceeded``) so archive growth alone triggers
+    model refits — see ``semdedup_batch``."""
     from etl_pipeline_orchestration_spark.streaming.events_stream import (
         run_foreach_batch_append,
     )
@@ -391,6 +435,8 @@ def stream_semdedup_to_warehouse(
             batch,
             bid,
             app_id,
+            auto_refit=auto_refit,
+            refit_slack=refit_slack,
         ),
         checkpoint_dir,
         output_mode="append",

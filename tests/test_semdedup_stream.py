@@ -243,6 +243,71 @@ def test_refit_triggers_and_occupancy_drops(spark, tmp_path):
     assert read_archive(loader, "arch", snaps, "ck").count() == n
 
 
+def test_growth_alone_triggers_auto_refit(spark, tmp_path):
+    """VERDICT r7 item 3: archive GROWTH alone — no manual refit call —
+    trips the per-batch occupancy probe. Batches stream in with
+    ``auto_refit=True``; nothing refits while mean occupancy stays
+    under 256*slack; the first batch pushing past the line triggers
+    EXACTLY one refit (k rescales to the archive, occupancy drops back
+    under the probe line), published decisions stay byte-identical,
+    and replay skips survive the lineage flip."""
+    from etl_pipeline_orchestration_spark.streaming.ann_stream import (
+        lineage_from_snapshot,
+    )
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = SnapshotTable(loader, "c")
+    per = 1000
+
+    def spread_batch(bid):
+        # deterministic spread vectors (one-hot collapses the integer
+        # k-means to 2 effective clusters — means of uniform axis mixes
+        # are near-identical — which would make the k-rescale vacuous)
+        rows = [
+            (
+                bid * per + v,
+                [((v * 31 + i * 17 + bid * 7) % 101) / 101.0 for i in range(64)],
+            )
+            for v in range(per)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        )
+
+    for bid in range(4):
+        assert semdedup_batch(
+            loader, snaps, "arch", "dec", spread_batch(bid), bid, "ck",
+            auto_refit=True,
+        )
+        # n <= 4096 = 256 * slack(2) * k(8): under the line, no refit
+        assert lineage_from_snapshot(snaps) == 0
+    assert len(centroids_from_snapshot(snaps)) == 8  # first-batch floor
+    before = _decision_dict(read_decisions(loader, "dec", snaps, "ck"))
+    last = spread_batch(4)
+    assert semdedup_batch(
+        loader, snaps, "arch", "dec", last, 4, "ck", auto_refit=True
+    )
+    # growth alone triggered exactly one refit: one lineage flip, k
+    # rescaled to the archive, occupancy back at the design point
+    assert lineage_from_snapshot(snaps) == 1
+    k1 = len(centroids_from_snapshot(snaps))
+    assert k1 > 8  # retrained at archive scale (target 19, minus empties)
+    n = read_archive(loader, "arch", snaps, "ck").count()
+    assert n == 5 * per
+    assert n / k1 <= 256 * 2.0
+    # decisions immutable across the refit; the last batch got decided
+    after = _decision_dict(read_decisions(loader, "dec", snaps, "ck"))
+    assert {v: after[v] for v in before} == before
+    assert len(after) == 5 * per
+    # replay of the batch that caused the refit still skips
+    assert (
+        semdedup_batch(
+            loader, snaps, "arch", "dec", last, 4, "ck", auto_refit=True
+        )
+        is False
+    )
+
+
 def test_refit_preserves_decisions_and_replay_skip(spark, tmp_path):
     """VERDICT r6 item 1, done-criteria 2+3: published decisions are
     byte-identical across a refit (the archive is evidence, never
