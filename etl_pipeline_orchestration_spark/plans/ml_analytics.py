@@ -1512,23 +1512,25 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side combine); everything after runs at calendar cardinality
     (the lag windows partition by lag over ~thousands of rows — the
     mann_whitney histogram-window discipline). Lags and the calendar
-    are plan-time constants."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("r")
+    are plan-time constants.
+
+    Derivation core hoisted to ``acf_report`` over the shared
+    (day, n_orders, rev_cents) gap-filled aggregate so the drift
+    stream's stored state serves it too (streaming/drift_stream.py
+    published_acf — same maintenance-capable split as EWMA/CUSUM)."""
+    return acf_report(
+        gapfill_days(daily_orders_aggregate(load_table(spark, sf_dir, "orders")))
     )
-    bounds = daily.agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
-    )
-    cal = bounds.select(
-        F.explode(F.sequence("lo", "hi")).alias("d")
-    )
-    series = cal.join(daily, "d", "left").select(
-        "d", F.coalesce("r", F.lit(0)).cast("bigint").alias("r")
+
+
+def acf_report(filled: DataFrame) -> DataFrame:
+    """(lag, n_pairs, acf) from the gap-filled day series — the
+    derivation half of acf_daily_revenue (see its docstring for the
+    exactness discipline), computable from ANY source of the shared
+    (day, n_orders, rev_cents) aggregate, stored or scanned."""
+    spark = filled.sparkSession
+    series = filled.select(
+        F.col("day").alias("d"), F.col("rev_cents").alias("r")
     )
     stats = series.agg(
         F.count(F.lit(1)).cast("bigint").alias("nd"),
@@ -2159,21 +2161,26 @@ def seasonal_decompose_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: orders collapse to the daily histogram at source;
     every window after runs at calendar cardinality (the
     histogram-window discipline); the seasonal join is a 7-row
-    broadcast."""
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
-        )
-        .cast("bigint")
-        .alias("r")
+    broadcast.
+
+    Derivation core hoisted to ``seasonal_report`` over the shared
+    (day, n_orders, rev_cents) gap-filled aggregate so the drift
+    stream's stored state serves it too (streaming/drift_stream.py
+    published_seasonal — same maintenance-capable split as EWMA)."""
+    return seasonal_report(
+        gapfill_days(daily_orders_aggregate(load_table(spark, sf_dir, "orders")))
     )
-    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    cal = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
-    series = cal.join(daily, "d", "left").select(
-        "d",
-        F.coalesce("r", F.lit(0)).cast("bigint").alias("r"),
-        F.dayofweek("d").cast("bigint").alias("dow"),
+
+
+def seasonal_report(filled: DataFrame) -> DataFrame:
+    """(day, rev_cents, dow, trend_x7, s_num, s_den, seasonal_cents,
+    residual_cents) from the gap-filled day series — the derivation
+    half of seasonal_decompose_weekly (see its docstring), computable
+    from ANY source of the shared day aggregate, stored or scanned."""
+    series = filled.select(
+        F.col("day").alias("d"),
+        F.col("rev_cents").cast("bigint").alias("r"),
+        F.dayofweek("day").cast("bigint").alias("dow"),
     )
     wma = Window.orderBy("d").rowsBetween(-3, 3)
     ma = series.select(

