@@ -79,3 +79,121 @@ def stratified_sample(
         rate = F.when(c, F.lit(r)) if rate is None else rate.when(c, F.lit(r))
     rate = rate.otherwise(F.lit(default_rate)) if rate is not None else F.lit(default_rate)
     return df.filter(b < rate * 1000)
+
+
+def exact_allocation(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    total_n: int = 200,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of EXACTLY ``total_n``
+    rows across strata, proportional to stratum size — the allocation
+    step of materializing a training-data mixture ("give me exactly N
+    documents, language-balanced to the corpus"). Rate-based
+    ``stratified_sample`` cannot hit an exact N; this computes, in pure
+    integer arithmetic (so the DuckDB oracle replays it bit-for-bit):
+
+      base_s = (N * c_s) div T,   rem_s = (N * c_s) mod T
+      leftover = N - sum(base_s)  (< n_strata by construction)
+      alloc_s = base_s + 1 for the ``leftover`` largest rem_s
+                (ties broken by stratum name ascending)
+
+    Scale shape: one map-side-combined count per stratum, then every
+    operator runs at STRATUM cardinality (dozens of rows) — the
+    single-partition ranking window is aggregate-bounded by
+    construction, the legitimate SP case PLANS.md polices."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    tot = counts.agg(F.sum("n_rows").alias("t"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        F.expr(f"({total_n} * n_rows) div t").cast("bigint").alias("base_n"),
+        F.expr(f"({total_n} * n_rows) % t").cast("bigint").alias("rem"),
+    )
+    leftover = quota.agg(
+        (F.lit(total_n) - F.sum("base_n")).cast("bigint").alias("leftover")
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("stratum"))
+    return (
+        quota.crossJoin(F.broadcast(leftover))
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "stratum",
+            "n_rows",
+            "base_n",
+            "rem",
+            F.when(F.col("rk") <= F.col("leftover"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("extra"),
+        )
+        .withColumn(
+            "alloc_n", (F.col("base_n") + F.col("extra")).cast("bigint")
+        )
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    total_n: int = 200,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the ``exact_allocation`` mixture: per stratum, keep
+    exactly alloc_s rows, chosen deterministically as the first alloc_s
+    by (knuth bucket, id) — a reproducible uniform draw (same
+    membership every run/engine/layout, the sampling-module rule).
+
+    Scale shape — distributed exact top-k via histogram thresholding,
+    NOT a full per-stratum sort: a (stratum x 1000-bucket) histogram
+    (aggregate-bounded) gives the smallest bucket threshold t_s whose
+    cumulative count covers alloc_s; only rows with bucket <= t_s
+    (~alloc_s + one bucket's width, not the stratum) reach the exact
+    ranking window. Every row of the true top-alloc has bucket <= t_s
+    by the prefix property of (bucket, id) order, so the two-phase
+    select is exact, and the per-stratum sort is bounded by the
+    allocation, not the corpus — the skewed-language partition never
+    sorts in full."""
+    from pyspark.sql import Window
+
+    alloc = exact_allocation(df, stratum_col, total_n, id_col)
+    b = bucket_of(F.col(id_col), "knuth")
+    rows = df.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        b.cast("bigint").alias("bucket"),
+    )
+    hist = rows.groupBy("stratum", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn")
+    )
+    wcum = (
+        Window.partitionBy("stratum")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("bn").over(wcum))
+    thresholds = (
+        cum.join(F.broadcast(alloc.select("stratum", "alloc_n")), "stratum")
+        .filter(F.col("cum") >= F.col("alloc_n"))
+        .groupBy("stratum")
+        .agg(F.min("bucket").alias("t_bucket"))
+    )
+    cand = rows.join(
+        F.broadcast(
+            thresholds.join(
+                F.broadcast(alloc.select("stratum", "alloc_n")), "stratum"
+            )
+        ),
+        "stratum",
+    ).filter(F.col("bucket") <= F.col("t_bucket"))
+    wrk = Window.partitionBy("stratum").orderBy("bucket", id_col)
+    return (
+        cand.withColumn("rk", F.row_number().over(wrk).cast("bigint"))
+        .filter(F.col("rk") <= F.col("alloc_n"))
+        .select(id_col, "stratum", "bucket", "rk")
+    )

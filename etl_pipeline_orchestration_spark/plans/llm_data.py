@@ -4384,3 +4384,221 @@ def quality_classifier_conformal_mondrian(
         .cast("bigint")
         .alias("n_both"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-count mixture materialization (largest-remainder apportionment)
+# ---------------------------------------------------------------------------
+
+_MIX_ALLOC_CTES = """
+    c AS (
+      SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM c),
+    q AS (
+      SELECT stratum, n_rows,
+             CAST((200 * n_rows) // t.t AS BIGINT) AS base_n,
+             CAST((200 * n_rows) % t.t AS BIGINT) AS rem
+      FROM c, t
+    ),
+    l AS (SELECT CAST(200 - sum(base_n) AS BIGINT) AS leftover FROM q),
+    r AS (
+      SELECT q.*, row_number() OVER (ORDER BY rem DESC, stratum) AS rk
+      FROM q
+    ),
+    alloc AS (
+      SELECT stratum, n_rows, base_n, rem,
+             CAST(CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS extra,
+             CAST(base_n + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc_n
+      FROM r, l
+    )
+"""
+
+
+@query(
+    "corpus_mixture_allocation",
+    oracle=f"""
+    WITH {_MIX_ALLOC_CTES}
+    SELECT stratum, n_rows, base_n, rem, extra, alloc_n FROM alloc
+    """,
+)
+def corpus_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an exact 200-doc
+    budget across languages, proportional to corpus counts — the
+    allocation half of materializing a training-data mixture
+    (operators/sampling.py:exact_allocation). Pure integer arithmetic
+    (div/mod quotas, remainder ranking with name tiebreaks), so the
+    oracle replays it exactly; rate-based sampling cannot hit an exact
+    N. The ranking window runs at stratum cardinality — the
+    aggregate-bounded SP case."""
+    from etl_pipeline_orchestration_spark.operators.sampling import (
+        exact_allocation,
+    )
+
+    return exact_allocation(
+        load_table(spark, sf_dir, "documents"), "lang", 200, "doc_id"
+    )
+
+
+@query(
+    "stratified_sample_exact_n",
+    oracle=f"""
+    WITH {_MIX_ALLOC_CTES},
+    rws AS (
+      SELECT doc_id, lang AS stratum,
+             CAST(((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000
+                  AS BIGINT) AS bucket
+      FROM documents
+    ),
+    rnk AS (
+      SELECT doc_id, stratum, bucket,
+             row_number() OVER (PARTITION BY stratum
+                                ORDER BY bucket, doc_id) AS rk
+      FROM rws
+    )
+    SELECT rnk.doc_id, rnk.stratum, rnk.bucket, CAST(rnk.rk AS BIGINT) AS rk
+    FROM rnk JOIN alloc ON alloc.stratum = rnk.stratum
+    WHERE rnk.rk <= alloc.alloc_n
+    """,
+)
+def stratified_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized exact-N mixture: per language, EXACTLY alloc_n docs
+    selected as the first alloc_n by (knuth bucket, doc_id) — a
+    reproducible uniform draw (operators/sampling.py:
+    stratified_sample_exact). The Spark side selects via the
+    bucket-histogram threshold (distributed exact top-k: only
+    ~alloc_n + one bucket of rows per stratum reach the ranking
+    window, so a skewed language never sorts in full); the oracle is
+    the naive per-stratum rank — different plans, identical relation,
+    which is exactly what the hash check certifies."""
+    from etl_pipeline_orchestration_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    return stratified_sample_exact(
+        load_table(spark, sf_dir, "documents"), "lang", 200, "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining for embedding-model training
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hard_negative_mining_batch",
+    oracle="""
+    WITH xq AS (
+      SELECT vec_id, label, t.i AS i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    amod AS (
+      SELECT greatest(40, count(*) // 50) AS m FROM embeddings
+    ),
+    anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label
+      FROM embeddings, amod WHERE vec_id % amod.m = 0
+    ),
+    dots AS (
+      SELECT a.anchor_id, a.anchor_label, xq.vec_id, xq.label,
+             CAST(sum(xq.x * qa.x) AS BIGINT) AS dot_q
+      FROM anchors a
+      JOIN xq qa ON qa.vec_id = a.anchor_id
+      JOIN xq ON xq.i = qa.i
+      GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+      SELECT anchor_id, vec_id AS neg_id, dot_q,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY dot_q DESC, vec_id) AS rk
+      FROM dots
+      WHERE label <> anchor_label
+    )
+    SELECT anchor_id, neg_id, dot_q, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def hard_negative_mining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH-scale hard-negative mining — the triplet-construction step
+    of contrastive embedding training run for EVERY anchor of a corpus
+    sample (deterministic vec_id % m with m = max(40, n div 50) — the
+    derive_sample_mod discipline, so the anchor WINDOW is capped at ~50
+    per mine and a pass stays row-linear no matter the corpus; at 10^9
+    rows you rotate the window, never widen it), not a handful of
+    probes: the 3
+    nearest DIFFERENT-label vectors per anchor by exact integer dot
+    product over 2^20-tick quantized embeddings (highest-similarity
+    wrong-label = hardest negative). Integer scoring makes the whole
+    mine hash-certifiable — no float argmax flip risk (the
+    embedding_kmeans_exact discipline applied to retrieval).
+
+    Complementary to ``hard_negative_mining`` (scale_primitives.py),
+    whose literal-struct explode is right for a FEW probes but cannot
+    scale in anchor count: here the anchor matrix ships in the Arrow
+    closure and scoring is one int64 matmul per batch (exact in
+    numpy), emitting (row x anchors) dots — the shape that holds when
+    training mines millions of triplets. The per-anchor top-3 is a
+    rank-window over anchor-keyed rows; the oracle is the naive unnest
+    grid join — different plan, identical relation."""
+    import numpy as np
+
+    dfq = _quantize_vecs(
+        load_table(spark, sf_dir, "embeddings")
+    ).join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
+    amod = max(40, dfq.count() // 50)
+    anchors = (
+        dfq.filter(F.col("vec_id") % amod == 0)
+        .select("vec_id", "label", "xq")
+        .collect()
+    )
+    a_ids = np.array([r["vec_id"] for r in anchors], dtype=np.int64)
+    a_labels = np.array([r["label"] for r in anchors], dtype=np.int64)
+    A = np.array([list(r["xq"]) for r in anchors], dtype=np.int64)  # (m, 64)
+
+    def score(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["xq"].tolist(), dtype=np.int64)
+            D = X @ A.T  # exact int64: 64 * 2^19 * 2^19 < 2^57
+            n, m = D.shape
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.repeat(a_ids[None, :], n, axis=0).ravel(),
+                    "anchor_label": np.repeat(
+                        a_labels[None, :], n, axis=0
+                    ).ravel(),
+                    "neg_id": np.repeat(
+                        pdf["vec_id"].to_numpy()[:, None], m, axis=1
+                    ).ravel(),
+                    "neg_label": np.repeat(
+                        pdf["label"].to_numpy()[:, None], m, axis=1
+                    ).ravel(),
+                    "dot_q": D.ravel(),
+                }
+            )
+
+    scored = dfq.mapInPandas(
+        score,
+        "anchor_id bigint, anchor_label bigint, neg_id bigint,"
+        " neg_label bigint, dot_q bigint",
+    ).filter(F.col("neg_label") != F.col("anchor_label"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("dot_q").desc(), "neg_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("anchor_id", "neg_id", "dot_q", "rk")
+    )
