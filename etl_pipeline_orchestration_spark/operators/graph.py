@@ -435,6 +435,126 @@ def pagerank(
     return densify(sparse, base)
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    restart_node: int,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 10,
+    pre_deduped: bool = False,
+    symmetric: bool = False,
+    broadcast_ranks_max: int = 4_000_000,
+) -> DataFrame:
+    """(node, rank) personalized PageRank: the teleport distribution is
+    the single ``restart_node`` instead of uniform — the random-walk
+    neighborhood score used for item-item recommendation and local
+    graph similarity. r_{k+1} = (1-d)·e_seed + d·(Pᵀ r_k + dangling),
+    with dangling mass teleporting to the seed (the standard PPR
+    convention); r_0 = e_seed.
+
+    Scale shape mirrors ``pagerank`` (window-folded degrees, broadcast
+    rank state under the node-count gate, lazy linear chain when no
+    per-iteration driver action) with one structural difference PPR
+    makes possible: the rank state is SPARSE IN SUPPORT — rank is
+    exactly 0 outside the seed's k-hop ball, absent rows mean 0.0, so
+    the broadcast hash table holds only the frontier in early
+    iterations. Teleport-to-seed is one added term in the same select
+    (x + 0.0 == x keeps absent rows exact). Fixed budget, no tol:
+    callers compare on rounded integers like
+    graph_pagerank_part_supplier.
+
+    Seed-presence rule: the seed's teleport mass must feed the next
+    pass even when the seed has no inflow and is therefore ABSENT from
+    the sparse state — but any per-iteration union (marker row into
+    the contribution relation, or even a 1-row union on the broadcast
+    side) measured ~2x loop cost by breaking the chained stages'
+    codegen. Instead the JOIN supplies the missing value: a left join
+    whose source rank falls back to ``coalesce(rank, seed? fallback :
+    0.0)``, where fallback = the exact rank the absent seed row would
+    have held (seed_term + d·0.0 ≡ seed_term bit-for-bit, since
+    x + 0.0 == x for the nonnegative ranks). Zero extra operators per
+    iteration; the densify applies the same fallback."""
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if not pre_deduped:
+        e = e.distinct()
+    e_w = e.withColumn(
+        "out_deg", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).localCheckpoint(eager=True)
+    deg = e_w.groupBy("s").agg(F.first("out_deg").alias("out_deg"))
+    if symmetric:
+        nodes = deg.select(F.col("s").alias("node")).localCheckpoint(eager=True)
+        dang_nodes, n_dang = None, 0
+    else:
+        nodes = (
+            e_w.select(F.col("s").alias("node"))
+            .union(e_w.select(F.col("d").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        dang_nodes = (
+            nodes.join(deg, nodes["node"] == deg["s"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_dang = dang_nodes.count()
+    n = nodes.count()
+    bcast_ranks = n <= broadcast_ranks_max
+    seed_mass = 1.0 - damping  # same float order as the oracle's 1.0-0.85
+    sparse = spark.createDataFrame(
+        [(int(restart_node), 1.0)], "node bigint, rank double"
+    )
+    # rank the seed holds when absent from the sparse state (no inflow)
+    seed_fallback = 1.0
+    for it in range(max_iter):
+        if n_dang:
+            dangling = (
+                dang_nodes.join(sparse, "node", "inner")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .head()[0]
+            )
+        else:
+            dangling = 0.0
+        rk = F.broadcast(sparse) if bcast_ranks else sparse
+        src_rank = F.coalesce(
+            F.col("rank"),
+            F.when(F.col("s") == restart_node, F.lit(seed_fallback)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        contribs = (
+            e_w.join(rk, e_w["s"] == rk["node"], "left")
+            .select(
+                F.col("d").alias("node"),
+                (src_rank / F.col("out_deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        seed_const = seed_mass + damping * dangling
+        seed_term = (
+            F.when(F.col("node") == restart_node, F.lit(seed_const))
+            .otherwise(F.lit(0.0))
+        )
+        new_sparse = contribs.select(
+            "node",
+            (seed_term + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)))
+            .alias("rank"),
+        )
+        seed_fallback = seed_const  # seed_term + d·0.0 == seed_term exactly
+        if n_dang or (it + 1) % 8 == 0:
+            new_sparse = new_sparse.localCheckpoint(eager=True)
+        sparse = new_sparse
+    return nodes.join(sparse, "node", "left").select(
+        "node",
+        F.coalesce(
+            "rank",
+            F.when(F.col("node") == restart_node, F.lit(seed_fallback))
+            .otherwise(F.lit(0.0)),
+        ).alias("rank"),
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     rounds: int = 4,

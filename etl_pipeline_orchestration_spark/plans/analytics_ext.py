@@ -1775,6 +1775,104 @@ def graph_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle(iters: int = 10, off: int = 1_000_000_000) -> str:
+    """Unrolled personalized-PageRank power iteration (the
+    _pagerank_oracle discipline): dense per-iteration CTEs, teleport
+    mass to the dynamic seed (min l_partkey), CAST literals so the
+    damping constants evaluate in the same float ORDER as the Python
+    side. Zero-rank sources add exact +0.0 terms to the inflow sum, so
+    the dense oracle equals the Spark side's sparse inner join."""
+    steps = []
+    for k in range(iters):
+        steps.append(
+            f"""pr{k + 1} AS (
+      SELECT nd.node,
+             (CASE WHEN nd.node = sd.seed
+                   THEN CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END)
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(c.inflow, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes nd CROSS JOIN sd
+      LEFT JOIN (
+        SELECT e.d AS node, sum(p.rank / dg.out_deg) AS inflow
+        FROM e JOIN pr{k} p ON e.s = p.node JOIN dg ON dg.s = e.s
+        GROUP BY e.d
+      ) c ON c.node = nd.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS s, l_suppkey + {off} AS d FROM lineitem
+      UNION
+      SELECT DISTINCT l_suppkey + {off} AS s, l_partkey AS d FROM lineitem
+    ),
+    nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+    sd AS (SELECT min(l_partkey) AS seed FROM lineitem),
+    dg AS (SELECT s, count(*) AS out_deg FROM e GROUP BY s),
+    pr0 AS (
+      SELECT nd.node,
+             CASE WHEN nd.node = sd.seed THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS rank
+      FROM nodes nd CROSS JOIN sd
+    ),
+    {chain}
+    SELECT CASE WHEN node >= {off} THEN 'supplier' ELSE 'part' END
+             AS node_type,
+           CAST(CASE WHEN node >= {off} THEN node - {off} ELSE node END
+                AS BIGINT) AS entity_id,
+           CAST(round(rank * 1e9) AS BIGINT) AS rank_x1e9
+    FROM pr{iters}
+    ORDER BY rank_x1e9 DESC, node_type, entity_id LIMIT 25
+    """
+
+
+@query("graph_ppr_part_neighborhood", oracle=_ppr_oracle())
+def graph_ppr_part_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the lowest part node over the
+    part↔supplier bipartite graph — the random-walk neighborhood score
+    behind item-item recommendation ("parts co-supplied with this
+    part") and local similarity search, and the personalized sibling
+    of graph_pagerank_part_supplier (operators/graph.py:
+    personalized_pagerank — teleport to the seed, dangling→seed,
+    sparse-support rank state whose inner edge join touches only the
+    frontier's edges in early iterations). Fixed 10-iteration budget;
+    ranks emitted as round(rank*1e9) integers with full tiebreaks, so
+    the top-25 is engine-deterministic against the unrolled oracle."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    off = 1_000_000_000
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_suppkey") + off).alias("supp_node")
+    )
+    seed = li.agg(F.min("l_partkey")).head()[0]
+    fwd = li.select(
+        F.col("l_partkey").alias("src"), F.col("supp_node").alias("dst")
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = personalized_pagerank(
+        edges, int(seed), max_iter=10, pre_deduped=True, symmetric=True
+    )
+    return (
+        ranks.select(
+            F.when(F.col("node") >= off, F.lit("supplier"))
+            .otherwise(F.lit("part"))
+            .alias("node_type"),
+            F.when(F.col("node") >= off, F.col("node") - off)
+            .otherwise(F.col("node"))
+            .cast("bigint")
+            .alias("entity_id"),
+            F.round(F.col("rank") * 1e9).cast("bigint").alias("rank_x1e9"),
+        )
+        .orderBy(F.desc("rank_x1e9"), "node_type", "entity_id")
+        .limit(25)
+    )
+
+
 @query(
     "null_safe_join_cohorts",
     oracle="""
@@ -3360,3 +3458,68 @@ def sequence_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_SEQ_PATTERNS)}, {stack}) AS (pattern_name, n_users)",
         "n_total",
     ).select("pattern_name", "n_users", "n_total")
+
+
+@query(
+    "window_analytics_extended",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS priority, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents
+      FROM orders
+    )
+    SELECT priority, o_orderkey, price_cents,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(nth_value(price_cents, 2) OVER (
+                 PARTITION BY priority ORDER BY price_cents, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS second_lowest_cents,
+           CAST(first_value(price_cents) OVER w AS BIGINT) AS min_cents,
+           CAST(last_value(price_cents) OVER (
+                 PARTITION BY priority ORDER BY price_cents, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS max_cents
+    FROM base
+    WINDOW w AS (PARTITION BY priority ORDER BY price_cents, o_orderkey)
+    """,
+)
+def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window long tail the W1/W2 combos don't cover:
+    ntile quartile binning, percent_rank, cume_dist, nth_value, and
+    first/last_value with explicit full-partition frames — per order
+    priority over exact integer cents.
+
+    Determinism: ntile and nth_value depend on ROW ORDER, not rank, so
+    the window orders by the TOTAL key (price_cents, o_orderkey) — ties
+    broken identically on both engines (the one rule that makes these
+    functions oracle-checkable at all). percent_rank/cume_dist emit one
+    identical double division each.
+
+    Scale note: a per-priority window is 5 coarse partitions — fine at
+    calendar/order scale, but at 10^9 rows per priority the quartile
+    bin should come from scale_primitives' approx-boundary histogram
+    instead of a serial per-partition sort; this query records the
+    exact-window surface, that one the scale path."""
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        cents.alias("price_cents"),
+    )
+    w = Window.partitionBy("priority").orderBy("price_cents", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return base.select(
+        "priority",
+        "o_orderkey",
+        "price_cents",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("price_cents", 2).over(wfull).cast("bigint")
+        .alias("second_lowest_cents"),
+        F.first("price_cents").over(w).cast("bigint").alias("min_cents"),
+        F.last("price_cents").over(wfull).cast("bigint").alias("max_cents"),
+    )

@@ -274,3 +274,82 @@ def test_k_core_peel_semantics(spark):
     )
     with _pytest.raises(ValueError, match="fixpoint"):
         k_core(path, k=2, max_rounds=2)
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    """PPR on a fixed directed graph (with a dangling node) must match
+    a dense numpy power iteration with teleport-to-seed within
+    tolerance, and stay a probability distribution."""
+    import numpy as np
+
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)]  # 5 dangles
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(df, 1, max_iter=40).collect()
+    }
+
+    ids = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    M = np.zeros((n, n))
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    for s, ds in out.items():
+        for d in ds:
+            M[idx[d], idx[s]] = 1.0 / len(ds)
+    e_seed = np.zeros(n)
+    e_seed[idx[1]] = 1.0
+    r = e_seed.copy()
+    damping = 0.85
+    for _ in range(200):
+        dangling = sum(r[idx[v]] for v in ids if v not in out)
+        r = (1 - damping) * e_seed + damping * (M @ r + dangling * e_seed)
+    want = {v: r[idx[v]] for v in ids}
+
+    assert set(got) == set(want)
+    for v in ids:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # seed-locality: the seed outranks every node it doesn't point to
+    assert got[1] > got[5]
+
+
+def test_ppr_query_rounding_margins(spark):
+    """graph_ppr_part_neighborhood emits round(rank * 1e9) integers —
+    same soundness requirement as the global pagerank query: no
+    rank*1e9 near a half-boundary at cross-engine drift scale."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        personalized_pagerank,
+    )
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+    off = 1_000_000_000
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_partkey", (F.col("l_suppkey") + off).alias("supp_node")
+    )
+    seed = li.agg(F.min("l_partkey")).head()[0]
+    fwd = li.select(
+        F.col("l_partkey").alias("src"), F.col("supp_node").alias("dst")
+    ).distinct()
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = [
+        r["rank"]
+        for r in personalized_pagerank(
+            edges, int(seed), max_iter=10, pre_deduped=True, symmetric=True
+        ).collect()
+    ]
+    assert ranks
+    min_margin = min(abs(r * 1e9 - math.floor(r * 1e9) - 0.5) for r in ranks)
+    assert min_margin > 1e-3, f"half-boundary margin too thin: {min_margin}"
