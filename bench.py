@@ -123,6 +123,11 @@ HEADLINE = [
     "vocab_coverage_curve",
     "source_lang_skew",
     "graph_pagerank_part_supplier",
+    "graph_ppr_part_neighborhood",
+    "corpus_mixture_allocation",
+    "stratified_sample_exact_n",
+    "window_analytics_extended",
+    "hard_negative_mining_batch",
     "corpus_report",
     "window_ntile_percent_rank",
     "embedding_kmeans_exact",

@@ -68,7 +68,19 @@ FAMILIES = {
     # so edge density per order matches and the pair-generation +
     # per-iteration shuffles dominate, exactly as at sf0.1).
     "graph_pagerank": "graph_pagerank_part_supplier",
+    # personalized pagerank: same per-iteration shape as pagerank with
+    # a sparse-support inner join — certifies the frontier-bounded
+    # early iterations don't degrade into dense passes at 10x.
+    "graph_ppr": "graph_ppr_part_neighborhood",
     "graph_triangles": "triangle_count_copurchase",
+    # exact-N mixture: certifies selection stays histogram-thresholded
+    # (stratum-bounded sort), never a full per-language sort, as the
+    # corpus grows.
+    "stratified_exact_n": "stratified_sample_exact_n",
+    # batch hard-negative mining: one int64 matmul per Arrow batch
+    # against a closure anchor matrix — certifies anchor fan-out cost
+    # stays row-linear (anchors scale with the corpus sample rule).
+    "hard_negatives_batch": "hard_negative_mining_batch",
     # classifier training: fixed 6 iterations x one scan of the integer
     # feature relation — the exponent certifies iteration cost is
     # corpus-linear and driver traffic stays at 6 scalars.
