@@ -128,6 +128,11 @@ HEADLINE = [
     "stratified_sample_exact_n",
     "window_analytics_extended",
     "hard_negative_mining_batch",
+    "retention_cohort_matrix",
+    "kneser_ney_bigram_scores",
+    "ab_experiment_report",
+    "ab_cuped_adjusted",
+    "readability_scores",
     "corpus_report",
     "window_ntile_percent_rank",
     "embedding_kmeans_exact",

@@ -3523,3 +3523,80 @@ def window_analytics_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("price_cents").over(w).cast("bigint").alias("min_cents"),
         F.last("price_cents").over(wfull).cast("bigint").alias("max_cents"),
     )
+
+
+@query(
+    "retention_cohort_matrix",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS m
+      FROM orders
+    ),
+    first_m AS (
+      SELECT o_custkey, min(m) AS cohort_m FROM om GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first_m GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT f.cohort_m, om.m - f.cohort_m AS k, om.o_custkey
+      FROM om JOIN first_m f ON om.o_custkey = f.o_custkey
+    ),
+    cells AS (
+      SELECT cohort_m, k, CAST(count(*) AS BIGINT) AS n_active
+      FROM activity GROUP BY 1, 2
+    )
+    SELECT c.cohort_m, CAST(c.k AS BIGINT) AS k, c.n_active, s.cohort_size,
+           CAST((1000000 * c.n_active) // s.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM cells c JOIN sizes s ON c.cohort_m = s.cohort_m
+    """,
+)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention cohort matrix: customers cohorted by
+    first-order month, each later month's surviving-active count and
+    retention rate per cohort — the product-analytics staple behind
+    every retention curve. Complements ``weekly_cohort_retention``
+    (event-stream weekly actives) with the RATE-bearing matrix over the
+    order history: cohort sizes ride along and retention is normalized
+    per cohort, which the count-only weekly view doesn't provide.
+    Months are INTEGER indices (year*12+month-1)
+    so cohort age k is pure integer subtraction, and retention is
+    integer ppm via truncating division — no float anywhere, no
+    rounding half-boundary to straddle.
+
+    Scale shape: orders collapse to (custkey, month) pairs at source
+    (map-side distinct), the first-order aggregate and the activity
+    join both key on custkey (one shuffle each), and everything after
+    runs at (cohort x age) cardinality — a few hundred cells however
+    big the order history."""
+    om = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("m"),
+    )
+    first_m = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = first_m.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    activity = (
+        om.join(first_m, "o_custkey")
+        .select("cohort_m", (F.col("m") - F.col("cohort_m")).alias("k"), "o_custkey")
+        .distinct()
+    )
+    cells = activity.groupBy("cohort_m", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    return cells.join(sizes, "cohort_m").select(
+        "cohort_m",
+        F.col("k").cast("bigint").alias("k"),
+        "n_active",
+        "cohort_size",
+        F.expr("(1000000 * n_active) div cohort_size")
+        .cast("bigint")
+        .alias("retention_ppm"),
+    )

@@ -1616,6 +1616,97 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kneser_ney_bigram_scores",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS prev, w[i + 1] AS cur
+      FROM d, unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ),
+    bc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS bc
+           FROM bg GROUP BY 1, 2),
+    cc AS (SELECT prev, CAST(count(*) AS BIGINT) AS cc,
+                  CAST(count(DISTINCT cur) AS BIGINT) AS n1f
+           FROM bg GROUP BY 1),
+    rv AS (SELECT cur, CAST(count(DISTINCT prev) AS BIGINT) AS n1r
+           FROM bg GROUP BY 1),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS tt
+           FROM (SELECT DISTINCT prev, cur FROM bg))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(
+             greatest(bc - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE)) / cc
+             + (CAST(0.75 AS DOUBLE) * n1f / cc) * (n1r / tt)
+           )) * 1e6) / 1e6 AS avg_logprob
+    FROM bg JOIN bc USING (prev, cur) JOIN cc USING (prev)
+            JOIN rv USING (cur) CROSS JOIN tt
+    GROUP BY doc_id
+    """,
+)
+def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995,
+    Chen & Goodman 1998 — the smoothing every serious n-gram fluency
+    filter uses): p(cur|prev) = max(c(prev,cur) − d, 0)/c(prev) +
+    λ(prev)·P_cont(cur), with absolute discount d = 0.75,
+    λ(prev) = d·N1+(prev·)/c(prev) and the CONTINUATION probability
+    P_cont(cur) = N1+(·cur)/|bigram types| — "how many contexts has
+    this word followed", which is what separates genuinely fluent rare
+    continuations from burst-y boilerplate tokens that add-k smoothing
+    (bigram_logprob_scores) over-rewards.
+
+    Plan: same bigram relation as the add-k sibling (in-place zip_with,
+    one explode); the forward stats fold into ONE groupBy(prev)
+    (count + count_distinct), the continuation counts are one
+    groupBy(cur), the type total is a 1-row broadcast. Probability is
+    a single expression of exact integer counts (identical association
+    both engines); avg-of-ln rounds at 1e-6 per the family discipline."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = text._norm_words("text")
+    n = F.size(w)
+    bg_arr = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+    )
+    bg = (
+        docs.filter(n >= 2)
+        .select("doc_id", F.explode(bg_arr).alias("p"))
+        .select("doc_id", "p.prev", "p.cur")
+    )
+    bc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
+    cc = bg.groupBy("prev").agg(
+        F.count(F.lit(1)).alias("cc"),
+        F.count_distinct("cur").alias("n1f"),
+    )
+    rv = bg.groupBy("cur").agg(F.count_distinct("prev").alias("n1r"))
+    tt = bg.select("prev", "cur").distinct().agg(
+        F.count(F.lit(1)).alias("tt")
+    )
+    p = (
+        F.greatest(F.col("bc") - F.lit(0.75), F.lit(0.0)) / F.col("cc")
+        + (F.lit(0.75) * F.col("n1f") / F.col("cc"))
+        * (F.col("n1r") / F.col("tt"))
+    )
+    return (
+        bg.join(bc, ["prev", "cur"])
+        .join(cc, "prev")
+        .join(rv, "cur")
+        .join(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (F.round(F.avg(F.log(p)) * 1e6) / 1e6).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
     "unigram_logprob_scores",
     oracle="""
     WITH toks AS (
@@ -4601,4 +4692,85 @@ def hard_negative_mining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 3)
         .select("anchor_id", "neg_id", "dot_q", "rk")
+    )
+
+
+@query(
+    "readability_scores",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                            ' '), w -> w <> '') AS wl,
+             greatest(1, len(list_filter(
+               regexp_split_to_array(text, '[.!?]+'),
+               s -> trim(s) <> ''))) AS ns
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(ns AS BIGINT) AS n_sentences,
+           CAST(len(wl) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(
+                  wl, w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                AS BIGINT) AS n_syllables,
+           CAST(0.39 AS DOUBLE)
+             * (CAST(len(wl) AS BIGINT) / CAST(ns AS BIGINT))
+           + CAST(11.8 AS DOUBLE)
+             * (CAST(list_sum(list_transform(
+                  wl, w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                AS BIGINT) / CAST(greatest(1, len(wl)) AS BIGINT))
+           - CAST(15.59 AS DOUBLE) AS fk_grade
+    FROM d
+    """,
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade level per document — the classic
+    readability gate (words/sentence + syllables/word), a standard
+    member of the pretraining quality-filter stack next to the
+    repetition and LM-fluency signals. Syllables are vowel-group
+    counts (min 1 per word) — the standard heuristic; sentences split
+    on terminal punctuation runs over the RAW text.
+
+    Everything stays in-place per row (split/filter/transform/aggregate
+    HOFs — no explode, no shuffle at all: a pure narrow scan at any
+    scale). All counts are exact integers and the grade is one
+    identical float expression over sub-2^53 ratios, so the oracle
+    needs no rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = F.filter(text._norm_words("text"), lambda w: w != F.lit(""))
+    ns = F.greatest(
+        F.lit(1),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda s: F.trim(s) != F.lit(""),
+            )
+        ),
+    )
+    syl_of = lambda w: F.greatest(  # noqa: E731
+        F.lit(1), F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), F.lit(0)))
+    )
+    nsyl = F.aggregate(
+        F.transform(wl, syl_of), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    nw = F.size(wl)
+    base = docs.select(
+        "doc_id",
+        ns.cast("bigint").alias("n_sentences"),
+        nw.cast("bigint").alias("n_words"),
+        nsyl.cast("bigint").alias("n_syllables"),
+    )
+    fk = (
+        F.lit(0.39)
+        * (F.col("n_words") / F.col("n_sentences"))
+        + F.lit(11.8)
+        * (
+            F.col("n_syllables")
+            / F.greatest(F.lit(1).cast("bigint"), F.col("n_words"))
+        )
+        - F.lit(15.59)
+    )
+    return base.select(
+        "doc_id", "n_sentences", "n_words", "n_syllables", fk.alias("fk_grade")
     )

@@ -2729,3 +2729,384 @@ def markov_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, removal_effect_micro bigint,"
         " share_micro bigint, base_conv_micro bigint",
     )
+
+
+@query(
+    "ab_experiment_report",
+    oracle="""
+    WITH arms AS (
+      SELECT c_custkey,
+             CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                       % 4294967296 % 1000 < 500
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM customer
+    ),
+    rev AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    percust AS (
+      SELECT a.arm, coalesce(r.n_orders, 0) AS n_orders,
+             coalesce(r.cents, 0) AS x
+      FROM arms a LEFT JOIN rev r ON r.o_custkey = a.c_custkey
+    ),
+    s AS (
+      SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(n_orders) AS BIGINT) AS orders_n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+               AS sxx
+      FROM percust GROUP BY arm
+    ),
+    m AS (
+      SELECT arm, CAST(n AS BIGINT) AS n, orders_n,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+             CAST(n * sxx - sx * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_cents
+      FROM s
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           a.orders_n AS orders_a, b.orders_n AS orders_b,
+           a.mean_cents AS mean_rev_a_cents,
+           b.mean_cents AS mean_rev_b_cents,
+           (b.mean_cents - a.mean_cents)
+             / sqrt(a.var_cents / CAST(a.n AS DOUBLE)
+                    + b.var_cents / CAST(b.n AS DOUBLE)) AS t_stat,
+           (b.mean_cents - a.mean_cents) / a.mean_cents AS rel_uplift
+    FROM (SELECT * FROM m WHERE arm = 'A') a,
+         (SELECT * FROM m WHERE arm = 'B') b
+    """,
+)
+def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end A/B experiment readout: customers assigned to arms by
+    the deterministic knuth bucket (operators/sampling.py rule — stable
+    across runs/engines/layouts, the property real experiment
+    assignment needs), per-customer revenue INCLUDING zero-order
+    customers (dropping them biases the uplift — the left join is the
+    correctness point), then arm means, Welch's unequal-variance t, and
+    relative uplift, all from exact sufficient statistics (n, Σx, Σx²
+    in DECIMAL(38,0)/HUGEINT — Σx² overflows int64 at corpus scale).
+
+    100 TB shape: one orders scan collapsing to per-customer cents
+    (map-side combine on the join key), one customer-keyed left join,
+    a 2-group aggregate; the driver sees 2 rows of sufficient stats."""
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    d38 = "decimal(38,0)"
+    arms = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(bucket_of(F.col("c_custkey")) < 500, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    percust = arms.join(
+        rev, arms["c_custkey"] == rev["o_custkey"], "left"
+    ).select(
+        "arm",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("cents", F.lit(0)).alias("x"),
+    )
+    s = percust.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("n_orders").cast("bigint").alias("orders_n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum((F.col("x").cast(d38) * F.col("x").cast(d38))).alias("sxx"),
+    )
+    m = s.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n"),
+        "orders_n",
+        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
+            "mean_cents"
+        ),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            / (
+                F.col("n").cast("double")
+                * (F.col("n") - F.lit(1).cast(d38)).cast("double")
+            )
+        ).alias("var_cents"),
+    )
+    a = m.filter(F.col("arm") == "A").alias("a")
+    b = m.filter(F.col("arm") == "B").alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.orders_n").alias("orders_a"),
+        F.col("b.orders_n").alias("orders_b"),
+        F.col("a.mean_cents").alias("mean_rev_a_cents"),
+        F.col("b.mean_cents").alias("mean_rev_b_cents"),
+        (
+            (F.col("b.mean_cents") - F.col("a.mean_cents"))
+            / F.sqrt(
+                F.col("a.var_cents") / F.col("a.n").cast("double")
+                + F.col("b.var_cents") / F.col("b.n").cast("double")
+            )
+        ).alias("t_stat"),
+        (
+            (F.col("b.mean_cents") - F.col("a.mean_cents"))
+            / F.col("a.mean_cents")
+        ).alias("rel_uplift"),
+    )
+
+
+@query(
+    "ab_cuped_adjusted",
+    oracle="""
+    WITH bounds AS (
+      SELECT (min(datediff('day', DATE '1970-01-01', o_orderdate))
+              + max(datediff('day', DATE '1970-01-01', o_orderdate))) // 2
+               AS bday
+      FROM orders
+    ),
+    rev AS (
+      SELECT o_custkey,
+             CAST(sum(CASE WHEN datediff('day', DATE '1970-01-01',
+                                         o_orderdate) < bounds.bday
+                           THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) ELSE 0 END) // 100
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN datediff('day', DATE '1970-01-01',
+                                         o_orderdate) >= bounds.bday
+                           THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) ELSE 0 END) // 100
+                  AS BIGINT) AS y
+      FROM orders, bounds GROUP BY o_custkey, bounds.bday
+    ),
+    percust AS (
+      SELECT CASE WHEN ((c.c_custkey % 2147483648) * 2654435761)
+                       % 4294967296 % 1000 < 500
+                  THEN 'A' ELSE 'B' END AS arm,
+             coalesce(r.x, 0) AS x, coalesce(r.y, 0) AS y
+      FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+    ),
+    s AS (
+      SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT) AS sxy
+      FROM percust GROUP BY arm
+    ),
+    pooled AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS nt,
+             CAST(sum(sx) AS HUGEINT) AS sxt,
+             CAST(sum(sy) AS HUGEINT) AS syt,
+             CAST(sum(sxx) AS HUGEINT) AS sxxt,
+             CAST(sum(sxy) AS HUGEINT) AS sxyt
+      FROM s
+    ),
+    th AS (
+      SELECT CAST(CAST((1000000 * (nt * sxyt - sxt * syt))
+                       // (nt * sxxt - sxt * sxt) AS BIGINT) AS DOUBLE)
+               / CAST(1.0e6 AS DOUBLE) AS theta,
+             CAST(CAST((1000 * sxt) // nt AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS xbar
+      FROM pooled
+    ),
+    m AS (
+      SELECT arm, CAST(n AS BIGINT) AS n,
+             CAST(CAST((1000 * sx) // n AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS mx,
+             CAST(CAST((1000 * sy) // n AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS my,
+             CAST(CAST((1000 * (n * sxx - sx * sx)) // (n * (n - 1))
+                       AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS vx,
+             CAST(CAST((1000 * (n * syy - sy * sy)) // (n * (n - 1))
+                       AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS vy,
+             CAST(CAST((1000 * (n * sxy - sx * sy)) // (n * (n - 1))
+                       AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS cxy
+      FROM s
+    ),
+    adj AS (
+      SELECT arm, n, my,
+             my - th.theta * (mx - th.xbar) AS adj_mean,
+             vy + th.theta * th.theta * vx
+                - CAST(2.0 AS DOUBLE) * th.theta * cxy AS adj_var,
+             vy AS raw_var, th.theta AS theta
+      FROM m, th
+    )
+    SELECT a.n AS n_a, b.n AS n_b, a.theta AS theta,
+           a.adj_mean AS adj_mean_a, b.adj_mean AS adj_mean_b,
+           b.adj_mean - a.adj_mean AS adj_diff,
+           (b.adj_mean - a.adj_mean)
+             / sqrt(a.adj_var / CAST(a.n AS DOUBLE)
+                    + b.adj_var / CAST(b.n AS DOUBLE)) AS t_stat_adj,
+           (a.adj_var + b.adj_var) / (a.raw_var + b.raw_var)
+             AS var_ratio
+    FROM (SELECT * FROM adj WHERE arm = 'A') a,
+         (SELECT * FROM adj WHERE arm = 'B') b
+    """,
+)
+def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. 2013 — the
+    standard experimentation-platform upgrade over the plain Welch
+    readout): each customer's experiment-period revenue y is adjusted
+    by their PRE-period revenue x, ŷ = y − θ(x − x̄) with
+    θ = cov(x,y)/var(x) pooled over all customers — removing the
+    between-customer variance the pre-period already explains.
+    var_ratio reports the achieved reduction. Period split: the
+    order-date midpoint in integer epoch days; zero-order customers
+    enter both periods at 0 via the left join (the
+    ab_experiment_report correctness point); the metric is whole
+    DOLLARS per customer (cents div 100).
+
+    Cross-engine float discipline — the QUANTIZED-RATIO rule, stricter
+    than welch's cast-the-difference: DuckDB 1.0's HUGEINT/DECIMAL →
+    DOUBLE conversion is NOT correctly rounded above 2^53 (measured: a
+    20-digit covariance numerator converted 1 ulp off Spark/Python),
+    so casting big exact integers to double is itself a divergence
+    source. Every ratio here is therefore frozen by EXACT integer
+    division first — theta at 1e-6, means/variances at 1e-3 — and only
+    sub-2^53 integers ever reach a double cast; the adjusted means,
+    variances (vy + θ²vx − 2θcxy), t, and var_ratio are then identical
+    float expressions over identical doubles.
+
+    100 TB shape: one orders scan collapsing to per-customer (pre,
+    post) dollars, one customer-keyed left join, a 2-group aggregate of
+    six sufficient statistics — the driver sees 2 rows."""
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    d38 = "decimal(38,0)"
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    bounds = orders.agg(
+        F.expr(
+            "(min(datediff(o_orderdate, date'1970-01-01'))"
+            " + max(datediff(o_orderdate, date'1970-01-01'))) div 2"
+        ).alias("bday")
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    rev = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey", "bday")
+        .agg(
+            F.expr(
+                "sum(case when datediff(o_orderdate, date'1970-01-01') < bday"
+                " then cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+                " else 0 end) div 100"
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.expr(
+                "sum(case when datediff(o_orderdate, date'1970-01-01') >= bday"
+                " then cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+                " else 0 end) div 100"
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    percust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.when(bucket_of(F.col("c_custkey")) < 500, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+        )
+        .join(rev, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "arm",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+        )
+    )
+    xd, yd = F.col("x").cast(d38), F.col("y").cast(d38)
+    s = percust.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    ).localCheckpoint()  # two consumers: pooled theta + per-arm moments
+    pooled = s.agg(
+        F.sum("n").alias("nt"),
+        F.sum("sx").alias("sxt"),
+        F.sum("sy").alias("syt"),
+        F.sum("sxx").alias("sxxt"),
+        F.sum("sxy").alias("sxyt"),
+    )
+
+    def q_ratio(num_sql: str, den_sql: str, scale: int):
+        # exact integer division freezes the rational; only the small
+        # quotient (< 2^53) is ever cast to double on either engine
+        return (
+            F.expr(f"cast(({scale} * ({num_sql})) div ({den_sql}) as bigint)")
+            .cast("double")
+            / F.lit(float(scale))
+        )
+
+    th = pooled.select(
+        q_ratio(
+            "nt * sxyt - sxt * syt", "nt * sxxt - sxt * sxt", 1_000_000
+        ).alias("theta"),
+        q_ratio("sxt", "nt", 1000).alias("xbar"),
+    )
+    m = s.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n"),
+        q_ratio("sx", "n", 1000).alias("mx"),
+        q_ratio("sy", "n", 1000).alias("my"),
+        q_ratio("n * sxx - sx * sx", "n * (n - 1)", 1000).alias("vx"),
+        q_ratio("n * syy - sy * sy", "n * (n - 1)", 1000).alias("vy"),
+        q_ratio("n * sxy - sx * sy", "n * (n - 1)", 1000).alias("cxy"),
+    )
+    adj = m.crossJoin(F.broadcast(th)).select(
+        "arm",
+        "n",
+        "my",
+        (F.col("my") - F.col("theta") * (F.col("mx") - F.col("xbar"))).alias(
+            "adj_mean"
+        ),
+        (
+            F.col("vy")
+            + F.col("theta") * F.col("theta") * F.col("vx")
+            - F.lit(2.0) * F.col("theta") * F.col("cxy")
+        ).alias("adj_var"),
+        F.col("vy").alias("raw_var"),
+        "theta",
+    )
+    a = adj.filter(F.col("arm") == "A").alias("a")
+    b = adj.filter(F.col("arm") == "B").alias("b")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.theta").alias("theta"),
+        F.col("a.adj_mean").alias("adj_mean_a"),
+        F.col("b.adj_mean").alias("adj_mean_b"),
+        (F.col("b.adj_mean") - F.col("a.adj_mean")).alias("adj_diff"),
+        (
+            (F.col("b.adj_mean") - F.col("a.adj_mean"))
+            / F.sqrt(
+                F.col("a.adj_var") / F.col("a.n").cast("double")
+                + F.col("b.adj_var") / F.col("b.n").cast("double")
+            )
+        ).alias("t_stat_adj"),
+        (
+            (F.col("a.adj_var") + F.col("b.adj_var"))
+            / (F.col("a.raw_var") + F.col("b.raw_var"))
+        ).alias("var_ratio"),
+    )
