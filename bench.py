@@ -133,6 +133,8 @@ HEADLINE = [
     "ab_experiment_report",
     "ab_cuped_adjusted",
     "readability_scores",
+    "bradley_terry_brand_prefs",
+    "ab_power_mde",
     "corpus_report",
     "window_ntile_percent_rank",
     "embedding_kmeans_exact",

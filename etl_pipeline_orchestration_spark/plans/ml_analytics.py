@@ -3110,3 +3110,362 @@ def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("a.raw_var") + F.col("b.raw_var"))
         ).alias("var_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley–Terry pairwise-preference ratings (MM fit, integer-exact)
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 12
+_BT_S = 10**12  # per-term freeze scale for the MM denominator
+_BT_NORM = 25_000_000  # rating mass re-normalized each iteration
+
+
+def _bt_oracle() -> str:
+    """Unrolled-MM DuckDB oracle: the duel matrix in SQL, then
+    _BT_ITERS iteration pairs of CTEs replaying the exact integer
+    update (every division is `//` on HUGEINT — the quantized-ratio
+    rule, no float touches a >2^53 integer)."""
+    its = []
+    prev = "p0"
+    for k in range(1, _BT_ITERS + 1):
+        its.append(
+            f"""
+    it{k} AS MATERIALIZED (
+      SELECT g.i,
+             (CAST(coalesce(w.wins, 0) AS HUGEINT) * {_BT_S}) // g.denom
+               AS praw
+      FROM (
+        SELECT m.i AS i,
+               sum((CAST(m.n AS HUGEINT) * {_BT_S}) // (pa.p + pb.p))
+                 AS denom
+        FROM m
+        JOIN {prev} pa ON pa.i = m.i
+        JOIN {prev} pb ON pb.i = m.j
+        GROUP BY m.i
+      ) g LEFT JOIN wi w ON w.i = g.i
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT i,
+             GREATEST((praw * {_BT_NORM})
+                      // (SELECT sum(praw) FROM it{k}), 1) AS p
+      FROM it{k}
+    )"""
+        )
+        prev = f"p{k}"
+    return f"""
+    WITH ob AS MATERIALIZED (
+      SELECT l_orderkey, p.p_brand AS brand,
+             CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS qq
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    duel AS MATERIALIZED (
+      SELECT CASE WHEN a.qq > b.qq THEN a.brand ELSE b.brand END AS w,
+             CASE WHEN a.qq > b.qq THEN b.brand ELSE a.brand END AS l
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+      WHERE a.qq <> b.qq
+    ),
+    nwl AS MATERIALIZED (SELECT w, l, CAST(count(*) AS BIGINT) AS n
+            FROM duel GROUP BY 1, 2),
+    m AS MATERIALIZED (
+      SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+        SELECT w AS i, l AS j, n FROM nwl
+        UNION ALL
+        SELECT l AS i, w AS j, n FROM nwl
+      ) GROUP BY 1, 2
+    ),
+    wi AS MATERIALIZED (SELECT w AS i, CAST(sum(n) AS BIGINT) AS wins
+           FROM nwl GROUP BY 1),
+    p0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS p FROM m),
+    {",".join(its)}
+    SELECT brand, wins, comparisons, rating_micro,
+           CAST(row_number() OVER (ORDER BY rating_micro DESC, brand ASC)
+                AS BIGINT) AS rk
+    FROM (
+      SELECT m.i AS brand,
+             CAST(coalesce(w.wins, 0) AS BIGINT) AS wins,
+             CAST(sum(m.n) AS BIGINT) AS comparisons,
+             CAST(any_value(pf.p) AS BIGINT) AS rating_micro
+      FROM m
+      JOIN {prev} pf ON pf.i = m.i
+      LEFT JOIN wi w ON w.i = m.i
+      GROUP BY m.i, w.wins
+    )
+    """
+
+
+@query("bradley_terry_brand_prefs", oracle=_bt_oracle())
+def bradley_terry_brand_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference ratings over pairwise duels — the model
+    behind reward-model data curation (rank responses from pairwise
+    human comparisons) and classic paired-comparison analytics, fit
+    with Hunter's (2004) MM algorithm. Duels: within each order, every
+    pair of distinct brands present duels once and the larger total
+    quantity wins (quantity ties produce no duel). The MM update
+    p_i ← W_i / Σ_j N_ij/(p_i+p_j) runs {iters} fixed iterations with
+    mass re-normalized to {norm} micro-units.
+
+    Exactness: the duel matrix is exact int64 (quantities compared as
+    cents); the MM iteration is run ENTIRELY in integer arithmetic —
+    each denominator term, the rating update, and the re-normalization
+    freeze via truncating division at scale 1e12 (the quantized-ratio
+    rule: DuckDB's >2^53 HUGEINT→DOUBLE cast is not correctly rounded,
+    so no float ever sees a big integer). The oracle replays all
+    {iters} iterations as unrolled CTEs; Python's ``//`` equals
+    DuckDB's ``//`` on the all-positive operands.
+
+    100 TB shape: the corpus-scale work is ONE aggregation pipeline —
+    per-(order, brand) quantity rollup, a per-order brand self-join
+    bounded by brands-per-order (≤ lines-per-order), and a duel-count
+    group-by that lands on the brand-pair domain (≤ 25·24/2 = 300
+    rows). Only that model-sized matrix reaches the driver; the MM fit
+    is O(pairs × iters) on 300 rows — the embedding_kmeans_exact
+    model/data split. Ratings are returned as a 25-row model table."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_orderkey", F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(
+                (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("qq")
+        )
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    duel = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .filter(F.col("a.qq") != F.col("b.qq"))
+        .select(
+            F.when(F.col("a.qq") > F.col("b.qq"), F.col("a.brand"))
+            .otherwise(F.col("b.brand"))
+            .alias("w"),
+            F.when(F.col("a.qq") > F.col("b.qq"), F.col("b.brand"))
+            .otherwise(F.col("a.brand"))
+            .alias("l"),
+        )
+    )
+    nwl = duel.groupBy("w", "l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # model-sized collect: ≤ 25·24 directed brand pairs
+    rows = nwl.collect()
+    wins: dict[str, int] = {}
+    tot: dict[tuple[str, str], int] = {}
+    for r in rows:
+        wins[r["w"]] = wins.get(r["w"], 0) + r["n"]
+        for i, j in ((r["w"], r["l"]), (r["l"], r["w"])):
+            tot[(i, j)] = tot.get((i, j), 0) + r["n"]
+    players = sorted({i for i, _ in tot})
+    adj: dict[str, list[tuple[str, int]]] = {i: [] for i in players}
+    for (i, j), n in tot.items():
+        adj[i].append((j, n))
+    p = {i: 1_000_000 for i in players}
+    for _ in range(_BT_ITERS):
+        praw = {
+            i: (wins.get(i, 0) * _BT_S)
+            // sum((n * _BT_S) // (p[i] + p[j]) for j, n in adj[i])
+            for i in players
+        }
+        mass = sum(praw.values())
+        p = {i: max((praw[i] * _BT_NORM) // mass, 1) for i in players}
+    comparisons = {i: sum(n for _, n in adj[i]) for i in players}
+    out = sorted(players, key=lambda i: (-p[i], i))
+    return spark.createDataFrame(
+        [
+            (i, wins.get(i, 0), comparisons[i], p[i], rk + 1)
+            for rk, i in enumerate(out)
+        ],
+        schema="brand string, wins bigint, comparisons bigint,"
+        " rating_micro bigint, rk bigint",
+    )
+
+
+bradley_terry_brand_prefs.__doc__ = bradley_terry_brand_prefs.__doc__.format(
+    iters=_BT_ITERS, norm=_BT_NORM
+)
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: minimum detectable effect + required sample size
+# ---------------------------------------------------------------------------
+
+# z_{0.975} + z_{0.80}, squared, frozen at micro scale: the two-sided
+# alpha=0.05 / power=0.80 constant (1.959964 + 0.841621)^2 = 7.848886...
+# An integer SPEC constant so the required-n computation stays exact.
+_Z2_MICRO = 7_848_886
+
+
+@query(
+    "ab_power_mde",
+    oracle=f"""
+    WITH arms AS (
+      SELECT c_custkey,
+             CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                       % 4294967296 % 1000 < 500
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM customer
+    ),
+    rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    percust AS (
+      SELECT a.arm, coalesce(r.cents, 0) AS x
+      FROM arms a LEFT JOIN rev r ON r.o_custkey = a.c_custkey
+    ),
+    s AS (
+      SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+               AS sxx
+      FROM percust GROUP BY arm
+    ),
+    m AS (
+      SELECT arm, CAST(n AS BIGINT) AS n,
+             CAST((1000 * sx) // n AS HUGEINT) AS mean_milli,
+             CAST((1000 * (n * sxx - sx * sx)) // (n * (n - 1) * 10000)
+                  AS HUGEINT) AS var_milli
+      FROM s
+    ),
+    j AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             a.mean_milli AS ma_m, a.var_milli AS va_m,
+             b.var_milli AS vb_m,
+             GREATEST(a.mean_milli // 10000, 1) AS delta_milli
+      FROM (SELECT * FROM m WHERE arm = 'A') a,
+           (SELECT * FROM m WHERE arm = 'B') b
+    )
+    SELECT n_a, n_b,
+           CAST(CAST(ma_m AS BIGINT) AS DOUBLE)
+             / CAST(1.0e3 AS DOUBLE) AS mean_rev_a_cents,
+           sqrt(CAST(CAST(va_m AS BIGINT) AS DOUBLE)
+                  / CAST(1.0e3 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                + CAST(CAST(vb_m AS BIGINT) AS DOUBLE)
+                  / CAST(1.0e3 AS DOUBLE) / CAST(n_b AS DOUBLE))
+             AS se_diff_dollars,
+           CAST(2.801587 AS DOUBLE)
+             * sqrt(CAST(CAST(va_m AS BIGINT) AS DOUBLE)
+                      / CAST(1.0e3 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    + CAST(CAST(vb_m AS BIGINT) AS DOUBLE)
+                      / CAST(1.0e3 AS DOUBLE) / CAST(n_b AS DOUBLE))
+             AS mde_abs_dollars,
+           CAST(({_Z2_MICRO} * (va_m + vb_m) * 1000
+                 + delta_milli * delta_milli * 1000000 - 1)
+                // (delta_milli * delta_milli * 1000000) AS BIGINT)
+             AS n_required_per_arm
+    FROM j
+    """,
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power planning over the live A/B population: the
+    minimum detectable effect of the CURRENT split at two-sided
+    alpha=0.05 / power=0.80 (MDE = (z_a+z_b)·SE(diff)) and the
+    required per-arm sample size to detect a 1%-of-control-mean lift
+    (n = ceil((z_a+z_b)² (s_a²+s_b²) / delta²)) — the "how long must
+    this run" readout every experimentation platform pairs with the
+    t-test. Same population construction as ab_experiment_report
+    (deterministic knuth buckets, zero-order customers included).
+
+    Exactness: mean/variance freeze via the quantized-ratio rule at
+    milli scale; SE and MDE are then identical float expressions
+    (sqrt is correctly rounded on both engines), with the z-constant
+    as a frozen literal. The required-n ceiling is EXACT integer
+    arithmetic end-to-end — ceil-div in HUGEINT/decimal(38,0) with
+    the z² constant frozen at micro scale — so no float boundary can
+    flip the returned integer.
+
+    Units: the mean reports in cents (matching ab_experiment_report);
+    SE/MDE report in DOLLARS because the variance must freeze at
+    dollar² scale — per-customer revenue variance in milli-cents²
+    exceeds both int64 and the 2^53 safe-cast bound.
+
+    100 TB shape: identical to ab_experiment_report — one orders
+    collapse, one customer-keyed left join, a 2-group sufficient-stats
+    aggregate; 1 row out."""
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    d38 = "decimal(38,0)"
+    arms = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(bucket_of(F.col("c_custkey")) < 500, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    percust = arms.join(
+        rev, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select("arm", F.coalesce("cents", F.lit(0)).alias("x"))
+    xd = F.col("x").cast(d38)
+    s = percust.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    m = s.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("(1000 * sx) div n").cast(d38).alias("mean_milli"),
+        F.expr("(1000 * (n * sxx - sx * sx)) div (n * (n - 1) * 10000)")
+        .cast(d38)
+        .alias("var_milli"),
+    )
+    a = m.filter(F.col("arm") == "A").alias("a")
+    b = m.filter(F.col("arm") == "B").alias("b")
+    j = a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.mean_milli").alias("ma_m"),
+        F.col("a.var_milli").alias("va_m"),
+        F.col("b.var_milli").alias("vb_m"),
+        F.greatest(
+            F.expr("a.mean_milli div 10000").cast(d38), F.lit(1).cast(d38)
+        ).alias("delta_milli"),
+    )
+    var_term = (
+        F.col("va_m").cast("bigint").cast("double")
+        / F.lit(1000.0)
+        / F.col("n_a").cast("double")
+        + F.col("vb_m").cast("bigint").cast("double")
+        / F.lit(1000.0)
+        / F.col("n_b").cast("double")
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        (F.col("ma_m").cast("bigint").cast("double") / F.lit(1000.0)).alias(
+            "mean_rev_a_cents"
+        ),
+        F.sqrt(var_term).alias("se_diff_dollars"),
+        (F.lit(2.801587) * F.sqrt(var_term)).alias("mde_abs_dollars"),
+        F.expr(
+            f"cast(({_Z2_MICRO} * (va_m + vb_m) * 1000"
+            " + delta_milli * delta_milli * 1000000 - 1)"
+            " div (delta_milli * delta_milli * 1000000) as bigint)"
+        ).alias("n_required_per_arm"),
+    )
