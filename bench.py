@@ -135,6 +135,8 @@ HEADLINE = [
     "readability_scores",
     "bradley_terry_brand_prefs",
     "ab_power_mde",
+    "revenue_changepoints_binseg",
+    "holt_winters_weekly_forecast",
     "corpus_report",
     "window_ntile_percent_rank",
     "embedding_kmeans_exact",

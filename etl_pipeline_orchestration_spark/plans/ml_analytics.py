@@ -3469,3 +3469,388 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (delta_milli * delta_milli * 1000000) as bigint)"
         ).alias("n_required_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Offline changepoint detection: binary segmentation over daily revenue
+# ---------------------------------------------------------------------------
+
+_BINSEG_LEVELS = 3
+_BINSEG_MINLEN = 14  # min days per side of a split
+
+
+def _binseg_oracle() -> str:
+    """Three unrolled MATERIALIZED level blocks: per level, within-
+    segment prefix sums -> integer-floored SSE-reduction gain per
+    candidate split -> per-segment argmax -> re-segment."""
+    lvls = []
+    for k in range(1, _BINSEG_LEVELS + 1):
+        lvls.append(
+            f"""
+    t{k} AS MATERIALIZED (
+      SELECT d, x, seg,
+             CAST(sum(x) OVER wrun AS HUGEINT) AS s1,
+             CAST(row_number() OVER word AS HUGEINT) AS c1,
+             CAST(sum(x) OVER wall AS HUGEINT) AS st,
+             CAST(count(*) OVER wall AS HUGEINT) AS nt
+      FROM s{k - 1}
+      WINDOW wrun AS (PARTITION BY seg ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             word AS (PARTITION BY seg ORDER BY d),
+             wall AS (PARTITION BY seg)
+    ),
+    g{k} AS MATERIALIZED (
+      SELECT seg, d,
+             (s1 * s1) // c1 + ((st - s1) * (st - s1)) // (nt - c1)
+               - (st * st) // nt AS gain
+      FROM t{k}
+      WHERE c1 >= {_BINSEG_MINLEN} AND nt - c1 >= {_BINSEG_MINLEN}
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT seg, d AS bp FROM (
+        SELECT seg, d, gain,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY gain DESC, d ASC) AS rk
+        FROM g{k}
+      ) WHERE rk = 1 AND gain > 0
+    ),
+    s{k} AS MATERIALIZED (
+      SELECT s.d, s.x,
+             CASE WHEN b.bp IS NOT NULL AND s.d > b.bp THEN b.bp + 1
+                  ELSE s.seg END AS seg
+      FROM s{k - 1} s LEFT JOIN b{k} b ON b.seg = s.seg
+    )"""
+        )
+    return f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY day
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                    (SELECT max(day) FROM daily),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    s0 AS MATERIALIZED (
+      SELECT datediff('day', DATE '1970-01-01', s.day) AS d,
+             COALESCE(dd.rev_cents, 0) AS x,
+             min(datediff('day', DATE '1970-01-01', s.day)) OVER () AS seg
+      FROM spine s LEFT JOIN daily dd ON dd.day = s.day
+    ),
+    {",".join(lvls)}
+    SELECT CAST(row_number() OVER (ORDER BY seg) AS BIGINT) AS seg_idx,
+           CAST(DATE '1970-01-01' + CAST(seg AS INTEGER) AS TIMESTAMP)
+             AS start_day,
+           CAST(DATE '1970-01-01' + CAST(max(d) AS INTEGER) AS TIMESTAMP)
+             AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(x) AS BIGINT) AS sum_cents,
+           CAST((1000 * CAST(sum(x) AS HUGEINT)) // count(*) AS BIGINT)
+             AS mean_cents_milli
+    FROM s{_BINSEG_LEVELS}
+    GROUP BY seg
+    """
+
+
+@query("revenue_changepoints_binseg", oracle=_binseg_oracle())
+def revenue_changepoints_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection by binary segmentation (Scott &
+    Knott 1974 lineage; the batch complement to the SEQUENTIAL cusum
+    scan): recursively split the gap-filled daily-revenue series at
+    the point maximizing the SSE reduction
+    G(k) = S_1²/n_1 + S_2²/n_2 − S²/n, three levels deep (≤ 8
+    segments), with a {minlen}-day minimum segment length. Returns the
+    final segment table — the piecewise-constant mean structure of the
+    revenue level.
+
+    Exactness: revenue is exact cents; each candidate gain is frozen
+    to an INTEGER by truncating division per term (all division
+    operands positive, so DuckDB floor-div == Spark div; products sit
+    in HUGEINT / decimal(38,0) — S² overflows int64 at corpus scale).
+    The argmax then compares exact integers with ties to the earliest
+    day, so both engines choose identical breakpoints — the same
+    discrete-selection hazard that keeps float k-means rows-only, and
+    the same integer-freeze cure. The floor shifts each gain by < 3
+    cents² relative to the rational value: the SPEC is the integer
+    gain, applied identically on both engines.
+
+    100 TB shape: the fact table collapses to the day-cardinality
+    aggregate first; all {levels} levels then run window passes over
+    the few-thousand-row series partitioned by segment (PLANS.md §SP
+    documented shape), with breakpoint relations (≤ 4 rows) broadcast
+    back — no driver loop, no data-sized state."""
+    return binseg_report(
+        gapfill_days(
+            daily_orders_aggregate(load_table(spark, sf_dir, "orders"))
+        )
+    )
+
+
+def binseg_report(daily: DataFrame) -> DataFrame:
+    """Binary-segmentation segment table from the gap-filled day
+    aggregate — split out so streaming/drift_stream.py can publish it
+    from the SAME maintained day-cardinality statistic (the
+    maintenance-capable pattern of ewma/cusum/acf/seasonal)."""
+    epoch = F.lit("1970-01-01").cast("date")
+    # Each level references its input twice (gain scan + re-segment
+    # join) and ReusedExchange does NOT dedupe the differently-pruned
+    # consumers — unchecked, the 3-level chain re-expands to 16 scans
+    # of the fact table (measured in the plan audit). The series is
+    # day-cardinality, so cutting lineage here (and per level below)
+    # is the documented legitimate localCheckpoint case: ONE corpus
+    # scan, then tiny in-memory passes.
+    s = (
+        daily.select(
+            F.datediff(F.col("day"), epoch).alias("d"),
+            F.col("rev_cents").alias("x"),
+        )
+        .withColumn("seg", F.min("d").over(Window.partitionBy()))
+        .localCheckpoint()
+    )
+    d38 = "decimal(38,0)"
+    for _ in range(_BINSEG_LEVELS):
+        wrun = (
+            Window.partitionBy("seg")
+            .orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        word = Window.partitionBy("seg").orderBy("d")
+        wall = Window.partitionBy("seg")
+        t = s.select(
+            "d",
+            "x",
+            "seg",
+            F.sum("x").over(wrun).cast(d38).alias("s1"),
+            F.row_number().over(word).cast(d38).alias("c1"),
+            F.sum("x").over(wall).cast(d38).alias("st"),
+            F.count(F.lit(1)).over(wall).cast(d38).alias("nt"),
+        )
+        g = t.filter(
+            (F.col("c1") >= _BINSEG_MINLEN)
+            & (F.col("nt") - F.col("c1") >= _BINSEG_MINLEN)
+        ).select(
+            "seg",
+            "d",
+            F.expr(
+                "(s1 * s1) div c1 + ((st - s1) * (st - s1)) div (nt - c1)"
+                " - (st * st) div nt"
+            ).alias("gain"),
+        )
+        wb = Window.partitionBy("seg").orderBy(F.desc("gain"), F.asc("d"))
+        b = (
+            g.select("seg", "d", "gain", F.row_number().over(wb).alias("rk"))
+            .filter((F.col("rk") == 1) & (F.col("gain") > 0))
+            .select("seg", F.col("d").alias("bp"))
+        )
+        s = s.join(F.broadcast(b), "seg", "left").select(
+            "d",
+            "x",
+            F.when(
+                F.col("bp").isNotNull() & (F.col("d") > F.col("bp")),
+                F.col("bp") + 1,
+            )
+            .otherwise(F.col("seg"))
+            .alias("seg"),
+        ).localCheckpoint()
+    out = s.groupBy("seg").agg(
+        F.max("d").alias("dmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("sum_cents"),
+        F.expr(
+            "cast((1000 * cast(sum(x) as decimal(38,0))) div count(*)"
+            " as bigint)"
+        ).alias("mean_cents_milli"),
+    )
+    return out.select(
+        F.row_number()
+        .over(Window.orderBy("seg"))
+        .cast("bigint")
+        .alias("seg_idx"),
+        F.date_add(epoch, F.col("seg").cast("int")).cast("timestamp").alias(
+            "start_day"
+        ),
+        F.date_add(epoch, F.col("dmax").cast("int")).cast("timestamp").alias(
+            "end_day"
+        ),
+        "n_days",
+        "sum_cents",
+        "mean_cents_milli",
+    )
+
+
+revenue_changepoints_binseg.__doc__ = revenue_changepoints_binseg.__doc__.format(
+    minlen=_BINSEG_MINLEN, levels=_BINSEG_LEVELS
+)
+
+
+# ---------------------------------------------------------------------------
+# Holt–Winters-style seasonal forecast (truncated-window, additive)
+# ---------------------------------------------------------------------------
+
+# weekly-seasonal EWMA weights: 8 same-weekday lags, alpha = 1/2
+_HW_SEASONAL_W = tuple(2 ** (7 - i) for i in range(8))
+
+
+def _hw_oracle() -> str:
+    s1num = " + ".join(
+        f"COALESCE(lag(rev_cents, {i}) OVER w * {wt}, 0)"
+        for i, wt in enumerate(_EWMA_W)
+    )
+    s1den = " + ".join(
+        f"CASE WHEN lag(day, {i}) OVER w IS NOT NULL THEN {wt} ELSE 0 END"
+        for i, wt in enumerate(_EWMA_W)
+    )
+    s2num = " + ".join(
+        f"COALESCE(lag(s1, {i}) OVER w2 * {wt}, CAST(0 AS DOUBLE))"
+        for i, wt in enumerate(_EWMA_W)
+    )
+    s2den = " + ".join(
+        f"CASE WHEN lag(day, {i}) OVER w2 IS NOT NULL THEN {wt} ELSE 0 END"
+        for i, wt in enumerate(_EWMA_W)
+    )
+    seasnum = " + ".join(
+        f"COALESCE(lag(resid, {7 * i}) OVER w3 * {wt}, CAST(0 AS DOUBLE))"
+        for i, wt in enumerate(_HW_SEASONAL_W)
+    )
+    seasden = " + ".join(
+        f"CASE WHEN lag(day, {7 * i}) OVER w3 IS NOT NULL THEN {wt} ELSE 0 END"
+        for i, wt in enumerate(_HW_SEASONAL_W)
+    )
+    nxtnum = " + ".join(
+        f"COALESCE(lag(resid, {7 * i + 6}) OVER w3 * {wt}, CAST(0 AS DOUBLE))"
+        for i, wt in enumerate(_HW_SEASONAL_W)
+    )
+    nxtden = " + ".join(
+        f"CASE WHEN lag(day, {7 * i + 6}) OVER w3 IS NOT NULL THEN {wt}"
+        " ELSE 0 END"
+        for i, wt in enumerate(_HW_SEASONAL_W)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY day
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM daily),
+                                    (SELECT max(day) FROM daily),
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    filled AS (
+      SELECT s.day, COALESCE(d.rev_cents, 0) AS rev_cents
+      FROM spine s LEFT JOIN daily d USING (day)
+    ),
+    sm1 AS (
+      SELECT day, rev_cents,
+             CAST(CAST({s1num} AS BIGINT) AS DOUBLE)
+               / CAST(CAST({s1den} AS BIGINT) AS DOUBLE) AS s1
+      FROM filled WINDOW w AS (ORDER BY day)
+    ),
+    sm2 AS (
+      SELECT day, rev_cents, s1,
+             ({s2num}) / CAST({s2den} AS DOUBLE) AS s2
+      FROM sm1 WINDOW w2 AS (ORDER BY day)
+    ),
+    lv AS (
+      SELECT day, rev_cents,
+             2 * s1 - s2 AS level, s1 - s2 AS trend,
+             CAST(rev_cents AS DOUBLE) - (2 * s1 - s2) AS resid
+      FROM sm2
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, rev_cents, level, trend,
+           ({seasnum}) / CAST({seasden} AS DOUBLE) AS seasonal,
+           level + trend
+             + ({nxtnum}) / CAST({nxtden} AS DOUBLE) AS forecast_next
+    FROM lv WINDOW w3 AS (ORDER BY day)
+    """
+
+
+@query("holt_winters_weekly_forecast", oracle=_hw_oracle())
+def holt_winters_weekly_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt–Winters-style additive seasonal forecast over daily
+    revenue: Brown level/trend (the double_exp_smoothing pass) plus a
+    WEEKLY seasonal component — a per-weekday EWMA of the detrended
+    residuals over the last 8 same-weekday observations — and the
+    one-step-ahead forecast level + trend + seasonal(weekday(t+1)).
+    Completes the forecasting family: where double_exp tracks trend
+    but systematically mis-forecasts a weekly-periodic series, the
+    seasonal term absorbs exactly that structure (classical
+    Holt–Winters 1960, in the truncated-window closed form every
+    smoother in this family uses so the recursion is a fixed lag
+    expression, not a stateful scan).
+
+    Exactness: S1 is the integer-weight EWMA; S2, the residuals, both
+    seasonal folds (current weekday at lags 7i, next weekday at lags
+    7i+6), and the forecast are identical left-associated IEEE chains
+    on both engines — scalar expression chains are never reassociated,
+    the double_exp parity argument verbatim.
+
+    100 TB shape: fact table collapses to the day aggregate first;
+    three window passes over the few-thousand-row series (PLANS.md
+    §SP documented shape). Published from the drift stream's
+    maintained day statistic as published_holtwinters."""
+    return hw_report(
+        gapfill_days(
+            daily_orders_aggregate(load_table(spark, sf_dir, "orders"))
+        )
+    )
+
+
+def hw_report(filled: DataFrame) -> DataFrame:
+    """(day, rev_cents, level, trend, seasonal, forecast_next) from the
+    gap-filled day series — split out for streaming/drift_stream.py."""
+    w = Window.orderBy("day")
+
+    def fold(col: str, weights, lagmul: int, lagoff: int = 0):
+        num = None
+        den = None
+        for i, wt in enumerate(weights):
+            lag = i * lagmul + lagoff
+            term = F.coalesce(
+                F.lag(col, lag).over(w) * F.lit(wt),
+                F.lit(0).cast("double") if col != "rev_cents" else F.lit(0),
+            )
+            dterm = F.when(
+                F.lag("day", lag).over(w).isNotNull(), F.lit(wt)
+            ).otherwise(F.lit(0))
+            num = term if num is None else num + term
+            den = dterm if den is None else den + dterm
+        return num, den
+
+    n1, d1 = fold("rev_cents", _EWMA_W, 1)
+    sm1 = filled.select(
+        "day",
+        "rev_cents",
+        (
+            n1.cast("bigint").cast("double") / d1.cast("bigint").cast("double")
+        ).alias("s1"),
+    )
+    n2, d2 = fold("s1", _EWMA_W, 1)
+    sm2 = sm1.select(
+        "day", "rev_cents", "s1", (n2 / d2.cast("double")).alias("s2")
+    )
+    level = F.lit(2.0) * F.col("s1") - F.col("s2")
+    lv = sm2.select(
+        "day",
+        "rev_cents",
+        level.alias("level"),
+        (F.col("s1") - F.col("s2")).alias("trend"),
+        (F.col("rev_cents").cast("double") - level).alias("resid"),
+    )
+    ns, ds = fold("resid", _HW_SEASONAL_W, 7)
+    nn, dn = fold("resid", _HW_SEASONAL_W, 7, 6)
+    return lv.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "rev_cents",
+        "level",
+        "trend",
+        (ns / ds.cast("double")).alias("seasonal"),
+        (F.col("level") + F.col("trend") + nn / dn.cast("double")).alias(
+            "forecast_next"
+        ),
+    )

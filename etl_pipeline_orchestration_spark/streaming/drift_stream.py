@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 from etl_pipeline_orchestration_spark.loader import SnapshotTable, WarehouseLoader
 from etl_pipeline_orchestration_spark.plans.ml_analytics import (
     acf_report,
+    binseg_report,
+    hw_report,
     cusum_report,
     daily_orders_aggregate,
     ewma_report,
@@ -123,6 +125,18 @@ def published_acf(snaps: SnapshotTable) -> DataFrame:
     stream==batch reduces to merge equality, certified by the
     reversed-arrival twin test."""
     return acf_report(gapfill_days(snaps.read()))
+
+
+def published_binseg(snaps: SnapshotTable) -> DataFrame:
+    """Binary-segmentation changepoint segments from the maintained day
+    aggregate — same maintenance-capable split as published_acf."""
+    return binseg_report(gapfill_days(snaps.read()))
+
+
+def published_holtwinters(snaps: SnapshotTable) -> DataFrame:
+    """Holt-Winters weekly forecast from the maintained day aggregate —
+    same maintenance-capable split as published_acf."""
+    return hw_report(gapfill_days(snaps.read()))
 
 
 def published_seasonal(snaps: SnapshotTable) -> DataFrame:

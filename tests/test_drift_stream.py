@@ -19,8 +19,10 @@ from etl_pipeline_orchestration_spark.plans import registry
 from etl_pipeline_orchestration_spark.streaming.drift_stream import (
     merge_daily_batch,
     published_acf,
+    published_binseg,
     published_cusum,
     published_ewma,
+    published_holtwinters,
     published_seasonal,
     read_orders_stream,
     stream_drift_to_warehouse,
@@ -80,15 +82,19 @@ def _batch_reports(spark):
         _rows(registry.QUERIES["cusum_changepoints_daily"](spark, SF)),
         _rows(registry.QUERIES["acf_daily_revenue"](spark, SF)),
         _rows(registry.QUERIES["seasonal_decompose_weekly"](spark, SF)),
+        _rows(registry.QUERIES["revenue_changepoints_binseg"](spark, SF)),
+        _rows(registry.QUERIES["holt_winters_weekly_forecast"](spark, SF)),
     )
 
 
 def _assert_all_reports_match(spark, snaps):
-    ewma_b, cusum_b, acf_b, seas_b = _batch_reports(spark)
+    ewma_b, cusum_b, acf_b, seas_b, binseg_b, hw_b = _batch_reports(spark)
     assert _rows(published_ewma(snaps)) == ewma_b
     assert _rows(published_cusum(snaps)) == cusum_b
     assert _rows(published_acf(snaps)) == acf_b
     assert _rows(published_seasonal(snaps)) == seas_b
+    assert _rows(published_binseg(snaps)) == binseg_b
+    assert _rows(published_holtwinters(snaps)) == hw_b
 
 
 def test_streamed_reports_equal_batch_in_order(spark, fwd_dir, tmp_path):

@@ -138,6 +138,15 @@ FAMILIES = {
     # memo-cache is cleared before every timed rep (PRE_HOOKS) so the
     # measurement includes training, not a cache hit.
     "unigram_tokenizer": "unigram_tokenize_stats",
+    # Bradley-Terry: certifies the duel pipeline stays order-local (the
+    # per-order brand self-join is bounded by brands-per-order) and the
+    # model-sized collect stays at the 300-row brand-pair matrix as the
+    # corpus grows.
+    "bradley_terry": "bradley_terry_brand_prefs",
+    # Binary-segmentation changepoints: certifies the fact table
+    # collapses to the day aggregate BEFORE any level pass (cost is the
+    # one orders scan; the 3 window levels run at day cardinality).
+    "changepoint_binseg": "revenue_changepoints_binseg",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
@@ -206,6 +215,12 @@ def gen_big(spark, d: str) -> None:
             + 1.0
         ).alias("p_retailprice"),
         F.pmod(F.xxhash64("id", F.lit(4)), F.lit(50)).cast("int").alias("p_size"),
+        # brand domain for the bradley_terry family (25 players, like
+        # the testdata's p_brand)
+        F.concat(
+            F.lit("Brand#"),
+            F.pmod(F.xxhash64("id", F.lit(6)), F.lit(25)).cast("string"),
+        ).alias("p_brand"),
     )
     part.repartition(4).write.parquet(os.path.join(d, "part.parquet"))
     # Minimal lineitem (only the graph-family columns) at 10x the sf0.1
@@ -216,6 +231,10 @@ def gen_big(spark, d: str) -> None:
         (F.col("id") / 4).cast("bigint").alias("l_orderkey"),
         F.pmod(F.xxhash64("id", F.lit(1)), F.lit(N_PARTS)).alias("l_partkey"),
         F.pmod(F.xxhash64("id", F.lit(2)), F.lit(N_SUPPS)).alias("l_suppkey"),
+        # integer-valued quantity for the bradley_terry duel family
+        (1 + F.pmod(F.xxhash64("id", F.lit(5)), F.lit(50)))
+        .cast("double")
+        .alias("l_quantity"),
     )
     lineitem.repartition(16).write.parquet(os.path.join(d, "lineitem.parquet"))
 
