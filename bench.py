@@ -137,6 +137,8 @@ HEADLINE = [
     "ab_power_mde",
     "revenue_changepoints_binseg",
     "holt_winters_weekly_forecast",
+    "ab_quantile_treatment_effects",
+    "textrank_keywords",
     "corpus_report",
     "window_ntile_percent_rank",
     "embedding_kmeans_exact",

@@ -4774,3 +4774,157 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", "n_sentences", "n_words", "n_syllables", fk.alias("fk_grade")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords: PageRank over the word co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 10
+
+
+def _textrank_oracle() -> str:
+    """Unrolled weighted power iteration; every CTE the iterations
+    re-reference is MATERIALIZED (default inlining re-expands the
+    co-occurrence pipeline exponentially — the bradley_terry lesson)."""
+    steps = []
+    for k in range(_TR_ITERS):
+        steps.append(
+            f"""pr{k + 1} AS MATERIALIZED (
+      SELECT nd.s AS node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+               + CAST(0.85 AS DOUBLE)
+                 * coalesce(c.inflow, CAST(0.0 AS DOUBLE)) AS rank
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.d AS node, sum(p.rank * e.w / wt.ws) AS inflow
+        FROM e JOIN pr{k} p ON e.s = p.node JOIN wt ON wt.s = e.s
+        GROUP BY e.d
+      ) c ON c.node = nd.s
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                         'g'), ' ') AS w
+      FROM documents
+      WHERE len(string_split(regexp_replace(lower(trim(text)), '\\s+',
+                                            ' ', 'g'), ' ')) >= 2
+    ),
+    pairs AS (
+      SELECT w[t.i] AS a, w[t.i + 1] AS b
+      FROM toks, unnest(range(1, len(w))) AS t(i)
+      WHERE w[t.i] <> w[t.i + 1]
+    ),
+    e AS MATERIALIZED (
+      SELECT s, d, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT a AS s, b AS d FROM pairs
+        UNION ALL SELECT b AS s, a AS d FROM pairs
+      ) GROUP BY 1, 2
+    ),
+    wt AS MATERIALIZED (SELECT s, CAST(sum(w) AS BIGINT) AS ws
+                        FROM e GROUP BY s),
+    nodes AS MATERIALIZED (SELECT DISTINCT s FROM e),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    pr0 AS MATERIALIZED (
+      SELECT s AS node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+      FROM nodes CROSS JOIN nn
+    ),
+    {chain}
+    SELECT word, cooc_mass, rank_x1e6,
+           CAST(row_number() OVER (ORDER BY rank_x1e6 DESC, word ASC)
+                AS BIGINT) AS rk
+    FROM (
+      SELECT p.node AS word, wt.ws AS cooc_mass,
+             CAST(round(p.rank * 1e6) AS BIGINT) AS rank_x1e6
+      FROM pr{_TR_ITERS} p JOIN wt ON wt.s = p.node
+    )
+    """
+
+
+@query("textrank_keywords", oracle=_textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
+    the corpus-level word co-occurrence graph — undirected edges
+    between ADJACENT normalized tokens, weighted by co-occurrence
+    count, damping 0.85, {iters} fixed iterations — the classic
+    graph-based keyword extractor, and the graph×text composite of two
+    already-certified families (the co-occurrence aggregation of
+    pmi_collocations, the power iteration of
+    graph_pagerank_part_supplier).
+
+    Exactness: edge weights and masses are exact int64; the weighted
+    iteration r_i = 0.15/N + 0.85·Σ_j r_j·w_ji/W_j is evaluated with
+    the SAME operation order on both engines (constants CAST per the
+    float rules, (rank·w)/W association mirrored), so drift is
+    summation-order ulps only; ranks are compared as round(rank·1e6)
+    integers with the ordering taken on the ROUNDED value + word —
+    the graph_pagerank certification discipline.
+
+    100 TB shape: the corpus-scale work is the token scan and one
+    (a, b) co-occurrence aggregate; the graph that reaches the driver
+    is VOCABULARY-sized (the model/data split of bradley_terry —
+    TPC-H-ish docs: 31 nodes; a real web corpus: the token vocabulary,
+    still model-sized after the standard frequency floor). The
+    {iters}-iteration fit is O(edges) per pass on that model-sized
+    relation."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(text._norm_words("text").alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> struct(element_at(w, i) as a,"
+                    " element_at(w, i + 1) as b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+    )
+    e = (
+        pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .unionAll(pairs.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .groupBy("s", "d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    # model-sized collect: the vocabulary co-occurrence graph
+    edges = [(r["s"], r["d"], r["w"]) for r in e.collect()]
+    ws: dict[str, int] = {}
+    for s, _, wgt in edges:
+        ws[s] = ws.get(s, 0) + wgt
+    nodes = sorted(ws)
+    n = len(nodes)
+    r = {u: 1.0 / n for u in nodes}
+    # deterministic accumulation order (sorted by (dst, src)); the
+    # oracle's aggregate order differs only in summation ulps, absorbed
+    # by the 1e6 rounding margin
+    edges.sort(key=lambda t: (t[1], t[0]))
+    for _ in range(_TR_ITERS):
+        inflow: dict[str, float] = {}
+        for s, d, wgt in edges:
+            inflow[d] = inflow.get(d, 0.0) + r[s] * wgt / ws[s]
+        r = {
+            u: (1.0 - 0.85) / n + 0.85 * inflow.get(u, 0.0) for u in nodes
+        }
+    import math
+
+    rows = sorted(
+        (
+            (u, ws[u], int(math.floor(r[u] * 1e6 + 0.5)))
+            for u in nodes
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )
+    return spark.createDataFrame(
+        [(u, m, q, i + 1) for i, (u, m, q) in enumerate(rows)],
+        schema="word string, cooc_mass bigint, rank_x1e6 bigint, rk bigint",
+    )
+
+
+textrank_keywords.__doc__ = textrank_keywords.__doc__.format(iters=_TR_ITERS)

@@ -3854,3 +3854,152 @@ def hw_report(filled: DataFrame) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects for the A/B family
+# ---------------------------------------------------------------------------
+
+_QTE_QS = ((25, 0.25), (50, 0.5), (75, 0.75), (90, 0.9))
+
+
+def _qte_oracle() -> str:
+    def pct(tag: int, q: float) -> str:
+        r = f"(n - 1) * CAST({q} AS DOUBLE)"
+        return f"""
+           max(CASE WHEN rn = CAST(floor({r}) AS BIGINT) THEN
+                 CASE WHEN ceil({r}) = floor({r}) THEN CAST(x AS DOUBLE)
+                      ELSE (ceil({r}) - {r}) * x END END)
+             + coalesce(max(CASE WHEN rn = CAST(ceil({r}) AS BIGINT)
+                            AND ceil({r}) <> floor({r}) THEN
+                 ({r} - floor({r})) * x END), 0.0) AS p{tag}"""
+
+    cols = ",".join(pct(t, q) for t, q in _QTE_QS)
+    rows = " UNION ALL ".join(
+        f"SELECT 'p{t}' AS quantile, a.p{t} AS q_a, b.p{t} AS q_b,"
+        f" b.p{t} - a.p{t} AS qte FROM a, b"
+        for t, _ in _QTE_QS
+    )
+    return f"""
+    WITH arms AS (
+      SELECT c_custkey,
+             CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                       % 4294967296 % 1000 < 500
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM customer
+    ),
+    rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    percust AS (
+      SELECT a.arm, a.c_custkey, coalesce(r.cents, 0) AS x
+      FROM arms a LEFT JOIN rev r ON r.o_custkey = a.c_custkey
+    ),
+    ranked AS (
+      SELECT arm, x,
+             row_number() OVER (PARTITION BY arm
+                                ORDER BY x, c_custkey) - 1 AS rn,
+             count(*) OVER (PARTITION BY arm) AS n
+      FROM percust
+    ),
+    m AS (SELECT arm, {cols} FROM ranked GROUP BY arm),
+    a AS (SELECT * FROM m WHERE arm = 'A'),
+    b AS (SELECT * FROM m WHERE arm = 'B')
+    SELECT * FROM ({rows}) ORDER BY quantile
+    """
+
+
+@query("ab_quantile_treatment_effects", oracle=_qte_oracle())
+def ab_quantile_treatment_effects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile treatment effects: the per-quantile arm difference of
+    the per-customer revenue distribution (p25/p50/p75/p90) — the
+    distributional readout a mean-based t-test hides (a lift
+    concentrated in the tail moves p90 but not p50; one in the bulk
+    moves the median). Same population as ab_experiment_report
+    (deterministic buckets, zero-order customers included).
+
+    Exactness: exact order statistics via the spillable
+    rank-and-interpolate pattern (grouped_exact_percentiles — one row
+    of state per task, never a buffering percentile), with Spark's
+    weighted-average interpolation form mirrored verbatim including
+    the integral-rank exact-hit guard; ranks tie-break on
+    (x, c_custkey) so both engines bracket identical values.
+
+    100 TB shape: one orders collapse, one customer-keyed left join,
+    one within-arm sort (2-partition shuffle of the CUSTOMER-grain
+    relation), a 2-row aggregate; 4 rows out."""
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    arms = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(bucket_of(F.col("c_custkey")) < 500, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    percust = arms.join(
+        rev, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select("arm", "c_custkey", F.coalesce("cents", F.lit(0)).alias("x"))
+    w = Window.partitionBy("arm").orderBy("x", "c_custkey")
+    ranked = percust.select(
+        "arm",
+        "x",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("arm")).alias("n"),
+    )
+
+    def pct(q: float, out: str):
+        r = (F.col("n") - 1) * F.lit(q).cast("double")
+        k0, k1 = F.floor(r), F.ceil(r)
+        lo = F.max(
+            F.when(
+                F.col("rn") == k0.cast("bigint"),
+                F.when(k1 == k0, F.col("x").cast("double")).otherwise(
+                    (k1 - r) * F.col("x")
+                ),
+            )
+        )
+        hi = F.max(
+            F.when(
+                (F.col("rn") == k1.cast("bigint")) & (k1 != k0),
+                (r - k0) * F.col("x"),
+            )
+        )
+        return (lo + F.coalesce(hi, F.lit(0.0))).alias(out)
+
+    m = ranked.groupBy("arm").agg(
+        *[pct(q, f"p{t}") for t, q in _QTE_QS]
+    ).localCheckpoint()  # 2 rows, consumed by 4 stacked selects
+    a = m.filter(F.col("arm") == "A").alias("a")
+    b = m.filter(F.col("arm") == "B").alias("b")
+    j = a.crossJoin(F.broadcast(b))
+    parts = [
+        j.select(
+            F.lit(f"p{t}").alias("quantile"),
+            F.col(f"a.p{t}").alias("q_a"),
+            F.col(f"b.p{t}").alias("q_b"),
+            (F.col(f"b.p{t}") - F.col(f"a.p{t}")).alias("qte"),
+        )
+        for t, _ in _QTE_QS
+    ]
+    out = parts[0]
+    for pth in parts[1:]:
+        out = out.unionAll(pth)
+    return out.orderBy("quantile")
