@@ -3224,10 +3224,24 @@ def bradley_terry_brand_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows). Only that model-sized matrix reaches the driver; the MM fit
     is O(pairs × iters) on 300 rows — the embedding_kmeans_exact
     model/data split. Ratings are returned as a 25-row model table."""
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    ob = order_brand_quantities(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+    return bt_ratings(spark, ob)
+
+
+def order_brand_quantities(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """(l_orderkey, brand, qq): per-order exact brand quantity cents —
+    the ADDITIVE sufficient statistic for Bradley-Terry (duels are NOT
+    additive across data chunks, because an order's lines can straddle
+    a chunk boundary; quantity partials at order grain sum correctly).
+    Split out so streaming/preference_stream.py can maintain it."""
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
         .groupBy("l_orderkey", F.col("p_brand").alias("brand"))
         .agg(
             F.sum(
@@ -3239,6 +3253,12 @@ def bradley_terry_brand_prefs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qq")
         )
     )
+
+
+def bt_ratings(spark: SparkSession, ob: DataFrame) -> DataFrame:
+    """Duel matrix -> integer MM fit -> 25-row rating table, from the
+    (order, brand, qq) aggregate. Shared by the batch query and the
+    streaming publisher so stream==batch reduces to merge equality."""
     a, b = ob.alias("a"), ob.alias("b")
     duel = (
         a.join(
