@@ -139,6 +139,8 @@ HEADLINE = [
     "holt_winters_weekly_forecast",
     "ab_quantile_treatment_effects",
     "textrank_keywords",
+    "sssp_weighted_copurchase",
+    "ab_msprt_always_valid",
     "corpus_report",
     "window_ntile_percent_rank",
     "embedding_kmeans_exact",

@@ -717,3 +717,69 @@ def k_core(
         f"k_core: no fixpoint within {max_rounds} rounds — raise "
         "max_rounds (and any unrolled oracle's round budget with it)"
     )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "s",
+    dst: str = "d",
+    weight: str = "w",
+    source_node: int | None = None,
+) -> DataFrame:
+    """(node, dist) single-source shortest paths with INTEGER edge
+    weights, Bellman–Ford with a fixed round budget: after k rounds,
+    dist(v) is exactly the cheapest path of ≤ k edges — the bounded
+    guarantee an unrolled oracle can replay. ``source_node`` defaults
+    to the minimum source id (deterministic).
+
+    Distributed shape per round: the relaxation joins only the
+    FRONTIER (nodes improved in the previous round) against the edge
+    list — one shuffle on the source key — then a node-keyed min-merge
+    with the settled state; classic delta relaxation, same fixpoint as
+    relaxing every node (an unimproved node's contributions were
+    already applied the round it last improved). State is
+    node-bounded, checkpointed per round (a per-round action on a lazy
+    chain would re-execute the whole history each pass). All values
+    are exact int64: no float ever enters the min."""
+    if source_node is None:
+        source_node = edges.agg(F.min(src)).collect()[0][0]
+    dist = (
+        edges.sparkSession.createDataFrame(
+            [(int(source_node), 0)], schema="node long, dist long"
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            frontier.join(edges, F.col("node") == F.col(src))
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("dist") + F.col(weight)).alias("cdist"),
+            )
+            .groupBy("node")
+            .agg(F.min("cdist").alias("cdist"))
+        )
+        merged = (
+            dist.join(cand, "node", "full_outer")
+            .select(
+                "node",
+                F.least(F.col("dist"), F.col("cdist")).alias("ndist"),
+                F.col("dist").alias("odist"),
+            )
+            .select(
+                "node",
+                F.coalesce("ndist", "odist").alias("dist"),
+                (
+                    F.col("odist").isNull()
+                    | (F.col("ndist") < F.col("odist"))
+                ).alias("improved"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dist = merged.select("node", "dist")
+        frontier = merged.filter("improved").select("node", "dist")
+        if frontier.isEmpty():
+            break
+    return dist

@@ -4023,3 +4023,298 @@ def ab_quantile_treatment_effects(
     for pth in parts[1:]:
         out = out.unionAll(pth)
     return out.orderBy("quantile")
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (bounded Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 6
+
+
+def _sssp_oracle() -> str:
+    """Unrolled relaxation rounds (DuckDB disallows aggregates in a
+    recursive CTE term); every round MATERIALIZED."""
+    steps = []
+    for k in range(1, _SSSP_ROUNDS + 1):
+        steps.append(
+            f"""dd{k} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM dd{k - 1}
+        UNION ALL
+        SELECT e.d AS node, p.dist + e.w AS dist
+        FROM e JOIN dd{k - 1} p ON e.s = p.node
+      ) GROUP BY node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS a, b.l_partkey AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e AS MATERIALIZED (
+      SELECT a AS s, b AS d, GREATEST(1, 10 - n) AS w FROM edges
+      UNION ALL
+      SELECT b AS s, a AS d, GREATEST(1, 10 - n) AS w FROM edges
+    ),
+    dd0 AS MATERIALIZED (
+      SELECT (SELECT min(a) FROM edges) AS node, CAST(0 AS BIGINT) AS dist
+    ),
+    {chain}
+    SELECT CAST(node AS BIGINT) AS part, CAST(dist AS BIGINT) AS dist
+    FROM dd{_SSSP_ROUNDS}
+    """
+
+
+@query("sssp_weighted_copurchase", oracle=_sssp_oracle())
+def sssp_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the co-purchase
+    graph (the BFS/triangle/LPA family's shared graph, now with
+    integer edge LENGTHS — greatest(1, 10 − co-purchase count), so
+    frequently-paired parts are close): cheapest path of ≤ {rounds}
+    edges from the minimum part id — bounded Bellman–Ford, the eighth
+    graph primitive (where BFS measures hops, this measures weighted
+    affinity distance, the recommendation-radius metric).
+
+    Exactness: weights, relaxation sums, and mins are all exact int64
+    — no float enters the computation — and the fixed round budget
+    makes "cheapest path of ≤ k edges" the SPEC on both engines; the
+    oracle unrolls the same {rounds} min-merge rounds as MATERIALIZED
+    CTEs.
+
+    100 TB shape: operators/graph.sssp_bounded — per round ONE
+    edge-keyed shuffle of the FRONTIER (nodes improved last round,
+    delta relaxation: an unimproved node's contributions were applied
+    the round it last improved) plus a node-keyed min-merge;
+    node-bounded state checkpointed per round; early exit when a round
+    improves nothing."""
+    from etl_pipeline_orchestration_spark.operators.graph import sssp_bounded
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(
+            "a", "b", F.greatest(F.lit(1), F.lit(10) - F.col("n")).alias("w")
+        )
+    )
+    e = edges.select(
+        F.col("a").alias("s"), F.col("b").alias("d"), "w"
+    ).unionAll(
+        edges.select(F.col("b").alias("s"), F.col("a").alias("d"), "w")
+    ).localCheckpoint()  # consumed once per relaxation round
+    dist = sssp_bounded(e, rounds=_SSSP_ROUNDS)
+    return dist.select(
+        F.col("node").cast("bigint").alias("part"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+sssp_weighted_copurchase.__doc__ = sssp_weighted_copurchase.__doc__.format(
+    rounds=_SSSP_ROUNDS
+)
+
+
+# ---------------------------------------------------------------------------
+# Always-valid sequential A/B monitoring (mixture SPRT)
+# ---------------------------------------------------------------------------
+
+# mixture-prior standard deviation for the mSPRT, in DOLLARS (a SPEC
+# constant: the scale of effect the monitor is tuned to detect)
+_MSPRT_TAU_DOLLARS = 100.0
+
+
+@query(
+    "ab_msprt_always_valid",
+    oracle=f"""
+    WITH arms AS (
+      SELECT c_custkey,
+             CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                       % 4294967296 % 1000 < 500
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM customer
+    ),
+    rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) // 100 AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    percust AS (
+      SELECT a.arm, coalesce(r.x, 0) AS x
+      FROM arms a LEFT JOIN rev r ON r.o_custkey = a.c_custkey
+    ),
+    s AS (
+      SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+               AS sxx
+      FROM percust GROUP BY arm
+    ),
+    m AS (
+      SELECT arm, CAST(n AS BIGINT) AS n,
+             CAST(CAST((1000 * sx) // n AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS mean_d,
+             CAST(CAST((1000 * (n * sxx - sx * sx)) // (n * (n - 1))
+                       AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS var_d
+      FROM s
+    ),
+    j AS (
+      SELECT a.n AS n_a, b.n AS n_b,
+             b.mean_d - a.mean_d AS delta,
+             a.var_d / CAST(a.n AS DOUBLE)
+               + b.var_d / CAST(b.n AS DOUBLE) AS vn
+      FROM (SELECT * FROM m WHERE arm = 'A') a,
+           (SELECT * FROM m WHERE arm = 'B') b
+    )
+    SELECT n_a, n_b, delta AS delta_dollars, vn AS var_n,
+           sqrt(vn / (vn + CAST({_MSPRT_TAU_DOLLARS * _MSPRT_TAU_DOLLARS}
+                            AS DOUBLE)))
+             * exp(delta * delta
+                   * CAST({_MSPRT_TAU_DOLLARS * _MSPRT_TAU_DOLLARS}
+                          AS DOUBLE)
+                   / (CAST(2.0 AS DOUBLE) * vn
+                      * (vn + CAST({_MSPRT_TAU_DOLLARS
+                                    * _MSPRT_TAU_DOLLARS} AS DOUBLE))))
+             AS lambda_n,
+           least(CAST(1.0 AS DOUBLE),
+                 CAST(1.0 AS DOUBLE)
+                   / (sqrt(vn / (vn
+                        + CAST({_MSPRT_TAU_DOLLARS * _MSPRT_TAU_DOLLARS}
+                               AS DOUBLE)))
+                      * exp(delta * delta
+                            * CAST({_MSPRT_TAU_DOLLARS
+                                    * _MSPRT_TAU_DOLLARS} AS DOUBLE)
+                            / (CAST(2.0 AS DOUBLE) * vn
+                               * (vn + CAST({_MSPRT_TAU_DOLLARS
+                                             * _MSPRT_TAU_DOLLARS}
+                                            AS DOUBLE))))))
+             AS p_always_valid
+    FROM j
+    """,
+)
+def ab_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B monitoring — the mixture SPRT
+    (Johari, Pekelis & Walsh 2017, as deployed by always-on
+    experimentation platforms): the likelihood-ratio statistic
+    Λ_n = sqrt(V_n/(V_n+τ²)) · exp(Δ̂²τ² / (2V_n(V_n+τ²))) under a
+    N(0, τ²) effect-size mixture prior, and the always-valid p-value
+    min(1, 1/Λ_n) that stays a valid p-value under CONTINUOUS
+    monitoring — peeking at the fixed-horizon t-test inflates false
+    positives; this is the statistic that does not. τ = $100 (a spec
+    constant: the effect scale the monitor is tuned for). Metric:
+    whole dollars per customer, zero-order customers included.
+
+    Exactness: mean/variance freeze via the quantized-ratio rule at
+    milli scale; Λ and the p-value are then identical float
+    expressions over identical doubles (sqrt/exp are evaluated on
+    bit-equal inputs; division/multiplication chains mirrored
+    operation-for-operation with all constants CAST). exp() is the one
+    library call without a correct-rounding guarantee — unlike sqrt —
+    so this family's parity is additionally verified empirically at
+    all three SFs (bit-equal in the shipped Spark/DuckDB pair); if an
+    engine upgrade ever moved exp by an ulp, the fallback is emitting
+    the shrink factor and exponent argument separately (both
+    transcendental-free).
+
+    100 TB shape: the ab_experiment_report sufficient-stats shape —
+    one orders collapse, one customer-keyed left join, a 2-group
+    aggregate; 1 row out. Sequential in spirit: re-running per
+    ingest batch re-evaluates Λ from the SAME additive statistics the
+    drift stream maintains."""
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    d38 = "decimal(38,0)"
+    arms = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(bucket_of(F.col("c_custkey")) < 500, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "sum(cast(cast(o_totalprice as decimal(18,2)) * 100"
+                " as bigint)) div 100"
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    percust = arms.join(
+        rev, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select("arm", F.coalesce("x", F.lit(0)).alias("x"))
+    xd = F.col("x").cast(d38)
+    s = percust.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    m = s.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.expr("(1000 * sx) div n").cast("bigint").cast("double")
+            / F.lit(1000.0)
+        ).alias("mean_d"),
+        (
+            F.expr("(1000 * (n * sxx - sx * sx)) div (n * (n - 1))")
+            .cast("bigint")
+            .cast("double")
+            / F.lit(1000.0)
+        ).alias("var_d"),
+    )
+    a = m.filter(F.col("arm") == "A").alias("a")
+    b = m.filter(F.col("arm") == "B").alias("b")
+    j = a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        (F.col("b.mean_d") - F.col("a.mean_d")).alias("delta"),
+        (
+            F.col("a.var_d") / F.col("a.n").cast("double")
+            + F.col("b.var_d") / F.col("b.n").cast("double")
+        ).alias("vn"),
+    )
+    tau2 = F.lit(_MSPRT_TAU_DOLLARS * _MSPRT_TAU_DOLLARS)
+    lam = F.sqrt(F.col("vn") / (F.col("vn") + tau2)) * F.exp(
+        F.col("delta")
+        * F.col("delta")
+        * tau2
+        / (F.lit(2.0) * F.col("vn") * (F.col("vn") + tau2))
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.col("delta").alias("delta_dollars"),
+        F.col("vn").alias("var_n"),
+        lam.alias("lambda_n"),
+        F.least(F.lit(1.0), F.lit(1.0) / lam).alias("p_always_valid"),
+    )

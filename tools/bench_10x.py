@@ -147,6 +147,9 @@ FAMILIES = {
     # collapses to the day aggregate BEFORE any level pass (cost is the
     # one orders scan; the 3 window levels run at day cardinality).
     "changepoint_binseg": "revenue_changepoints_binseg",
+    # Bounded Bellman-Ford: certifies the per-round frontier join stays
+    # edge-linear and the min-merge node-bounded as the graph grows.
+    "sssp_weighted": "sssp_weighted_copurchase",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
