@@ -141,6 +141,7 @@ HEADLINE = [
     "textrank_keywords",
     "sssp_weighted_copurchase",
     "ab_msprt_always_valid",
+    "l_diversity_risk_report",
     "corpus_report",
     "window_ntile_percent_rank",
     "embedding_kmeans_exact",

@@ -3600,3 +3600,65 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("retention_ppm"),
     )
+
+
+@query(
+    "l_diversity_risk_report",
+    oracle="""
+    WITH cell AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 500) AS BIGINT) AS bal_band,
+             c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_seg
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, bal_band,
+           CAST(sum(n_seg) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_distinct_seg,
+           CAST((1000000 * max(n_seg)) // sum(n_seg) AS BIGINT)
+             AS top_seg_share_ppm
+    FROM cell
+    GROUP BY c_nationkey, bal_band
+    HAVING count(*) < 3 OR (1000000 * max(n_seg)) // sum(n_seg) > 800000
+    """,
+)
+def l_diversity_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance l-diversity audit (Machanavajjhala et al. 2007
+    — the attribute-disclosure complement to k_anonymity_risk_report):
+    a quasi-identifier class can be large enough to pass k-anonymity
+    yet still leak the SENSITIVE attribute if nearly all members share
+    one value. Per (nation × balance band) class, the distinct count
+    of the sensitive attribute (market segment) and the top value's
+    share; flagged when distinct l < 3 (fails distinct-3-diversity) or
+    one value holds > 80 % (skew disclosure, the recursive-(c,l) lite
+    check) — shares as exact integer ppm via truncating division, no
+    float anywhere.
+
+    100 TB shape: one hash aggregate at (quasi-id × sensitive)
+    cardinality with map-side combine, one re-aggregate at quasi-id
+    cardinality; report size ∝ flagged classes."""
+    cell = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 500)
+            .cast("bigint")
+            .alias("bal_band"),
+            "c_mktsegment",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_seg"))
+    )
+    return (
+        cell.groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.sum("n_seg").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_seg"),
+            F.expr("cast((1000000 * max(n_seg)) div sum(n_seg) as bigint)")
+            .alias("top_seg_share_ppm"),
+        )
+        .filter(
+            (F.col("n_distinct_seg") < 3)
+            | (F.col("top_seg_share_ppm") > 800000)
+        )
+    )
