@@ -4869,10 +4869,18 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     still model-sized after the standard frequency floor). The
     {iters}-iteration fit is O(edges) per pass on that model-sized
     relation."""
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select(text._norm_words("text").alias("w"))
-        .filter(F.size("w") >= 2)
+    e = textrank_cooc_edges(load_table(spark, sf_dir, "documents"))
+    return textrank_ratings(spark, e)
+
+
+def textrank_cooc_edges(docs: DataFrame) -> DataFrame:
+    """(s, d, w): symmetric adjacent-token co-occurrence counts — the
+    ADDITIVE sufficient statistic for TextRank (documents are atomic
+    rows, so pair counts sum across any chopping of the corpus into
+    micro-batches). Split out so streaming/textrank_stream.py can
+    maintain it."""
+    toks = docs.select(text._norm_words("text").alias("w")).filter(
+        F.size("w") >= 2
     )
     pairs = (
         toks.select(
@@ -4887,12 +4895,18 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.a", "p.b")
         .filter(F.col("a") != F.col("b"))
     )
-    e = (
+    return (
         pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
         .unionAll(pairs.select(F.col("b").alias("s"), F.col("a").alias("d")))
         .groupBy("s", "d")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
+
+
+def textrank_ratings(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """Weighted-PageRank keyword table from the co-occurrence edge
+    relation. Shared by the batch query and the streaming publisher so
+    stream==batch reduces to merge equality."""
     # model-sized collect: the vocabulary co-occurrence graph
     edges = [(r["s"], r["d"], r["w"]) for r in e.collect()]
     ws: dict[str, int] = {}
