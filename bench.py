@@ -142,6 +142,7 @@ HEADLINE = [
     "sssp_weighted_copurchase",
     "ab_msprt_always_valid",
     "l_diversity_risk_report",
+    "kcenter_coreset_embeddings",
     "corpus_report",
     "window_ntile_percent_rank",
     "embedding_kmeans_exact",

@@ -4942,3 +4942,125 @@ def textrank_ratings(spark: SparkSession, e: DataFrame) -> DataFrame:
 
 
 textrank_keywords.__doc__ = textrank_keywords.__doc__.format(iters=_TR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset over embeddings (integer-exact)
+# ---------------------------------------------------------------------------
+
+_KCENTER_ROUNDS = 8
+
+
+def _kcenter_oracle() -> str:
+    rounds = []
+    for k in range(1, _KCENTER_ROUNDS + 1):
+        rounds.append(
+            f"""c{k} AS MATERIALIZED (
+      SELECT vec_id AS cid, md AS radius FROM (
+        SELECT vec_id, md,
+               row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn
+        FROM md{k - 1}
+      ) WHERE rn = 1
+    ),
+    md{k} AS MATERIALIZED (
+      SELECT m.vec_id, least(m.md, d.nd) AS md
+      FROM md{k - 1} m JOIN (
+        SELECT xq.vec_id,
+               CAST(sum((xq.x - c.x) * (xq.x - c.x)) AS BIGINT) AS nd
+        FROM xq JOIN (
+          SELECT x2.i, x2.x FROM xq x2, c{k} WHERE x2.vec_id = c{k}.cid
+        ) c ON c.i = xq.i
+        GROUP BY xq.vec_id
+      ) d ON d.vec_id = m.vec_id
+    )"""
+        )
+    chain = ",\n    ".join(rounds)
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS round, cid AS vec_id, radius AS radius_q FROM c{k}"
+        for k in range(1, _KCENTER_ROUNDS + 1)
+    )
+    return f"""
+    WITH xq AS MATERIALIZED (
+      SELECT vec_id, t.i AS i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    s0 AS MATERIALIZED (SELECT min(vec_id) AS cid FROM xq),
+    md0 AS MATERIALIZED (
+      SELECT xq.vec_id,
+             CAST(sum((xq.x - c.x) * (xq.x - c.x)) AS BIGINT) AS md
+      FROM xq JOIN (
+        SELECT x2.i, x2.x FROM xq x2, s0 WHERE x2.vec_id = s0.cid
+      ) c ON c.i = xq.i
+      GROUP BY xq.vec_id
+    ),
+    {chain}
+    SELECT CAST(round AS BIGINT) AS round, CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(radius_q AS BIGINT) AS radius_q
+    FROM (
+      SELECT 0 AS round, cid AS vec_id, CAST(0 AS BIGINT) AS radius_q
+      FROM s0
+      UNION ALL {sel}
+    )
+    """
+
+
+@query("kcenter_coreset_embeddings", oracle=_kcenter_oracle())
+def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection (Gonzalez 1985; the
+    facility-location diversity sampler used for embedding-space
+    subset selection / active-learning seed picking): starting from
+    the minimum vec_id, repeatedly pick the vector FARTHEST from the
+    chosen set ({rounds} rounds), reporting each pick's distance — the
+    covering radius of the previous set, the 2-approximation
+    guarantee's certificate and the curve that says when diversity
+    saturates.
+
+    Exactness: the embedding_kmeans_exact discipline — vectors
+    quantize to integer ticks, every distance is an exact int64 sum of
+    squares, argmax ties break to the lowest vec_id, and `least`
+    min-merges are integral; the oracle unrolls all {rounds} rounds as
+    MATERIALIZED CTEs. No float enters any comparison.
+
+    100 TB shape: state is (vec_id, ticks, running min-distance),
+    checkpointed per round; each round is ONE narrow map (distance to
+    the single new center, a 64-int literal in the closure) plus a
+    top-1 aggregate — O(N·dim) work per round with no shuffle of the
+    vectors, the textbook distributed k-center loop. Centers collect
+    one row per round (model-sized)."""
+    dfq = _quantize_vecs(load_table(spark, sf_dir, "embeddings"))
+
+    def dist_to(center: list[int]):
+        arr = ", ".join(str(int(v)) + "L" for v in center)
+        return F.expr(
+            f"aggregate(zip_with(xq, array({arr}),"
+            " (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, v) -> acc + v)"
+        )
+
+    seed = (
+        dfq.orderBy("vec_id").limit(1).collect()[0]
+    )  # deterministic: min vec_id
+    state = dfq.select(
+        "vec_id", "xq", dist_to(seed["xq"]).alias("md")
+    ).localCheckpoint()
+    picks = [(0, int(seed["vec_id"]), 0)]
+    for k in range(1, _KCENTER_ROUNDS + 1):
+        far = state.orderBy(F.desc("md"), F.asc("vec_id")).limit(1).collect()[
+            0
+        ]
+        picks.append((k, int(far["vec_id"]), int(far["md"])))
+        state = state.select(
+            "vec_id",
+            "xq",
+            F.least(F.col("md"), dist_to(far["xq"])).alias("md"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        picks, schema="round bigint, vec_id bigint, radius_q bigint"
+    )
+
+
+kcenter_coreset_embeddings.__doc__ = kcenter_coreset_embeddings.__doc__.format(
+    rounds=_KCENTER_ROUNDS
+)
