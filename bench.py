@@ -143,6 +143,7 @@ HEADLINE = [
     "ab_msprt_always_valid",
     "l_diversity_risk_report",
     "kcenter_coreset_embeddings",
+    "ab_guardrails_srm_conversion",
     "corpus_report",
     "window_ntile_percent_rank",
     "embedding_kmeans_exact",

@@ -4318,3 +4318,141 @@ def ab_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
         lam.alias("lambda_n"),
         F.least(F.lit(1.0), F.lit(1.0) / lam).alias("p_always_valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B guardrails: sample-ratio mismatch + two-proportion conversion test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_guardrails_srm_conversion",
+    oracle="""
+    WITH arms AS (
+      SELECT c_custkey,
+             CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                       % 4294967296 % 1000 < 500
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM customer
+    ),
+    conv AS (
+      SELECT DISTINCT o_custkey FROM orders
+    ),
+    s AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(c.o_custkey) AS BIGINT) AS c
+      FROM arms a LEFT JOIN conv c ON c.o_custkey = a.c_custkey
+      GROUP BY arm
+    ),
+    j AS (
+      SELECT a.n AS n_a, b.n AS n_b, a.c AS conv_a, b.c AS conv_b
+      FROM (SELECT * FROM s WHERE arm = 'A') a,
+           (SELECT * FROM s WHERE arm = 'B') b
+    ),
+    f AS (
+      SELECT n_a, n_b, conv_a, conv_b,
+             CAST((1000000 * (n_a - n_b) * (n_a - n_b))
+                  // (n_a + n_b) AS BIGINT) AS srm_micro,
+             CAST((1000000 * conv_a) // n_a AS BIGINT) AS pa_ppm,
+             CAST((1000000 * conv_b) // n_b AS BIGINT) AS pb_ppm,
+             CAST((1000000 * (conv_a + conv_b)) // (n_a + n_b) AS BIGINT)
+               AS pp_ppm
+      FROM j
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST(srm_micro AS DOUBLE) / CAST(1.0e6 AS DOUBLE) AS srm_chi2,
+           srm_micro > 10827567 AS srm_alarm,
+           pa_ppm AS conversion_a_ppm, pb_ppm AS conversion_b_ppm,
+           (CAST(pb_ppm AS DOUBLE) / CAST(1.0e6 AS DOUBLE)
+              - CAST(pa_ppm AS DOUBLE) / CAST(1.0e6 AS DOUBLE))
+             / sqrt(CAST(pp_ppm AS DOUBLE) / CAST(1.0e6 AS DOUBLE)
+                    * (CAST(1.0 AS DOUBLE)
+                       - CAST(pp_ppm AS DOUBLE) / CAST(1.0e6 AS DOUBLE))
+                    * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+             AS z_conversion
+    FROM f
+    """,
+)
+def ab_guardrails_srm_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Experiment guardrails — the checks a platform runs BEFORE
+    trusting any treatment-effect readout: (1) sample-ratio mismatch
+    (SRM): the 1-df chi-square of the realized split against the
+    intended 50/50, which for two equal-expected cells reduces exactly
+    to (n_a−n_b)²/N; alarm at the standard p<0.001 threshold
+    (chi² > 10.827567 — frozen micro-integer comparison, so the alarm
+    BOOLEAN cannot ulp-flip); an SRM means broken assignment and
+    invalidates the experiment regardless of the metric. (2) The
+    binary-metric readout: conversion (≥1 order) per arm in exact ppm
+    and the pooled two-proportion z — the complement to the
+    continuous-revenue t-tests of this family.
+
+    Exactness: counts are exact int64; SRM and all proportions freeze
+    via the quantized-ratio rule; the z is an identical float chain
+    over the frozen ppm values.
+
+    100 TB shape: a distinct-converter collapse, one customer-keyed
+    left join, one 2-group count aggregate; 1 row out."""
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    arms = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(bucket_of(F.col("c_custkey")) < 500, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    )
+    conv = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    s = (
+        arms.join(conv, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("o_custkey").cast("bigint").alias("c"),
+        )
+    )
+    a = s.filter(F.col("arm") == "A").alias("a")
+    b = s.filter(F.col("arm") == "B").alias("b")
+    j = a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.c").alias("conv_a"),
+        F.col("b.c").alias("conv_b"),
+    )
+    f = j.select(
+        "*",
+        F.expr(
+            "cast((1000000 * (n_a - n_b) * (n_a - n_b))"
+            " div (n_a + n_b) as bigint)"
+        ).alias("srm_micro"),
+        F.expr("cast((1000000 * conv_a) div n_a as bigint)").alias("pa_ppm"),
+        F.expr("cast((1000000 * conv_b) div n_b as bigint)").alias("pb_ppm"),
+        F.expr(
+            "cast((1000000 * (conv_a + conv_b)) div (n_a + n_b) as bigint)"
+        ).alias("pp_ppm"),
+    )
+    pa = F.col("pa_ppm").cast("double") / F.lit(1.0e6)
+    pb = F.col("pb_ppm").cast("double") / F.lit(1.0e6)
+    pp = F.col("pp_ppm").cast("double") / F.lit(1.0e6)
+    return f.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        (F.col("srm_micro").cast("double") / F.lit(1.0e6)).alias("srm_chi2"),
+        (F.col("srm_micro") > 10827567).alias("srm_alarm"),
+        F.col("pa_ppm").alias("conversion_a_ppm"),
+        F.col("pb_ppm").alias("conversion_b_ppm"),
+        (
+            (pb - pa)
+            / F.sqrt(
+                pp
+                * (F.lit(1.0) - pp)
+                * (
+                    F.lit(1.0) / F.col("n_a").cast("double")
+                    + F.lit(1.0) / F.col("n_b").cast("double")
+                )
+            )
+        ).alias("z_conversion"),
+    )
