@@ -4865,20 +4865,32 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the corpus-scale work is the token scan and one
     (a, b) co-occurrence aggregate; the graph that reaches the driver
     is VOCABULARY-sized (the model/data split of bradley_terry —
-    TPC-H-ish docs: 31 nodes; a real web corpus: the token vocabulary,
-    still model-sized after the standard frequency floor). The
+    TPC-H-ish docs: 31 nodes; a real web corpus: raise the
+    ``textrank_cooc_edges(min_count=...)`` frequency floor to keep it
+    model-sized). The collect itself is hard-capped at
+    ``driver_collect_cap`` edges via ``limit(cap + 1)`` — an
+    over-vocabulary graph raises instead of OOM-ing the driver. The
     {iters}-iteration fit is O(edges) per pass on that model-sized
     relation."""
     e = textrank_cooc_edges(load_table(spark, sf_dir, "documents"))
     return textrank_ratings(spark, e)
 
 
-def textrank_cooc_edges(docs: DataFrame) -> DataFrame:
+def textrank_cooc_edges(docs: DataFrame, min_count: int = 1) -> DataFrame:
     """(s, d, w): symmetric adjacent-token co-occurrence counts — the
     ADDITIVE sufficient statistic for TextRank (documents are atomic
     rows, so pair counts sum across any chopping of the corpus into
     micro-batches). Split out so streaming/textrank_stream.py can
-    maintain it."""
+    maintain it.
+
+    ``min_count`` is the standard TextRank frequency floor: edges with
+    co-occurrence weight below it are dropped BEFORE anything leaves
+    the aggregate, so on a web-scale corpus the graph handed to the
+    driver fit is vocabulary-of-frequent-pairs-sized, not
+    all-adjacent-pairs-sized. The default (1) keeps the published
+    oracle output byte-identical on the test corpus; callers at scale
+    raise it (the fit additionally hard-caps the collect — see
+    ``textrank_ratings``)."""
     toks = docs.select(text._norm_words("text").alias("w")).filter(
         F.size("w") >= 2
     )
@@ -4895,20 +4907,49 @@ def textrank_cooc_edges(docs: DataFrame) -> DataFrame:
         .select("p.a", "p.b")
         .filter(F.col("a") != F.col("b"))
     )
-    return (
+    agg = (
         pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
         .unionAll(pairs.select(F.col("b").alias("s"), F.col("a").alias("d")))
         .groupBy("s", "d")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
+    if min_count > 1:
+        agg = agg.filter(F.col("w") >= F.lit(int(min_count)))
+    return agg
+
+
+# ~3 boxed strings + a boxed long + Row overhead per collected edge.
+_TR_EDGE_BYTES = 400
+_TR_HEAP_FRACTION = 0.10
 
 
 def textrank_ratings(spark: SparkSession, e: DataFrame) -> DataFrame:
     """Weighted-PageRank keyword table from the co-occurrence edge
     relation. Shared by the batch query and the streaming publisher so
-    stream==batch reduces to merge equality."""
+    stream==batch reduces to merge equality.
+
+    The collect is bounded: the driver pulls at most
+    ``driver_collect_cap`` edges (10% of the configured driver heap at
+    ~400 B/edge) via ``limit(cap + 1)`` — an over-vocabulary graph
+    (no/low frequency floor on a huge corpus) raises loudly instead of
+    OOM-ing the driver. Raise ``textrank_cooc_edges(min_count=...)``
+    to shrink the graph under the cap."""
+    cap = graph.driver_collect_cap(
+        spark.conf.get("spark.driver.memory", "1g"),
+        _TR_HEAP_FRACTION,
+        _TR_EDGE_BYTES,
+    )
+    collected = e.limit(cap + 1).collect()
+    if len(collected) > cap:
+        raise ValueError(
+            f"textrank co-occurrence graph exceeds the driver collect cap"
+            f" ({cap} edges for spark.driver.memory="
+            f"{spark.conf.get('spark.driver.memory', '1g')}); raise the"
+            f" textrank_cooc_edges min_count frequency floor to shrink"
+            f" the vocabulary graph"
+        )
     # model-sized collect: the vocabulary co-occurrence graph
-    edges = [(r["s"], r["d"], r["w"]) for r in e.collect()]
+    edges = [(r["s"], r["d"], r["w"]) for r in collected]
     ws: dict[str, int] = {}
     for s, _, wgt in edges:
         ws[s] = ws.get(s, 0) + wgt

@@ -100,3 +100,46 @@ def test_stored_state_is_vocabulary_bounded(spark, fwd_dir, tmp_path):
     )
     assert stored.count() <= vocab * vocab
     assert stored.select("s").distinct().count() <= vocab
+
+
+def test_min_count_floor_drops_rare_edges(spark):
+    from etl_pipeline_orchestration_spark.plans.llm_data import (
+        textrank_cooc_edges,
+    )
+
+    # wide-vocab corpus: 'hub x hub' repeats make (hub, x) weight-2;
+    # every (rare_i, rare_j) adjacent pair occurs exactly once
+    docs = spark.createDataFrame(
+        [(i, f"rare{i}a rare{i}b hub x hub") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    no_floor = textrank_cooc_edges(docs)
+    floored = textrank_cooc_edges(docs, min_count=2)
+    assert no_floor.count() > floored.count()
+    assert floored.filter("w < 2").count() == 0
+    # the frequent backbone survives the floor
+    assert floored.filter("s = 'hub' and d = 'x'").count() == 1
+
+
+def test_oversized_graph_trips_collect_cap(spark, monkeypatch):
+    """A wide-vocabulary co-occurrence graph must raise at the
+    driver_collect_cap instead of collecting unbounded."""
+    from etl_pipeline_orchestration_spark.operators import graph
+    from etl_pipeline_orchestration_spark.plans import llm_data
+
+    monkeypatch.setattr(
+        graph, "driver_collect_cap", lambda *a, **k: 10
+    )
+    docs = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    e = llm_data.textrank_cooc_edges(docs)
+    with pytest.raises(ValueError, match="min_count frequency floor"):
+        llm_data.textrank_ratings(spark, e)
+    # a floor that shrinks the graph under the cap fits again
+    monkeypatch.undo()
+    out = llm_data.textrank_ratings(
+        spark, llm_data.textrank_cooc_edges(docs)
+    )
+    assert out.count() > 0
