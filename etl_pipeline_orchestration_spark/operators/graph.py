@@ -457,8 +457,10 @@ def personalized_pagerank(
     rank state under the node-count gate, lazy linear chain when no
     per-iteration driver action) with one structural difference PPR
     makes possible: the rank state is SPARSE IN SUPPORT — rank is
-    exactly 0 outside the seed's k-hop ball, absent rows mean 0.0, so
-    the broadcast hash table holds only the frontier in early
+    exactly 0 outside the seed's k-hop ball, absent rows mean 0.0, and
+    exact-zero rows are filtered out of the state each pass (the left
+    join would otherwise emit a 0.0 row per inflow node), so the
+    broadcast hash table holds only the frontier in early
     iterations. Teleport-to-seed is one added term in the same select
     (x + 0.0 == x keeps absent rows exact). Fixed budget, no tol:
     callers compare on rounded integers like
@@ -536,11 +538,17 @@ def personalized_pagerank(
             F.when(F.col("node") == restart_node, F.lit(seed_const))
             .otherwise(F.lit(0.0))
         )
+        # drop exact-zero rows so the sparse state really is the
+        # frontier (the LEFT join above emits a 0.0 row for every
+        # inflow node otherwise): absent means 0.0, a 0.0 source adds
+        # 0.0 to nonnegative inflow sums (x + 0.0 == x bit-for-bit),
+        # and the seed's own row can never be 0 (rank >= seed_mass) —
+        # the absent-seed case is the coalesce fallback's job
         new_sparse = contribs.select(
             "node",
             (seed_term + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)))
             .alias("rank"),
-        )
+        ).filter(F.col("rank") != 0.0)
         seed_fallback = seed_const  # seed_term + d·0.0 == seed_term exactly
         if n_dang or (it + 1) % 8 == 0:
             new_sparse = new_sparse.localCheckpoint(eager=True)

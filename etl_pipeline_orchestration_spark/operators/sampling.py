@@ -102,18 +102,33 @@ def exact_allocation(
     Scale shape: one map-side-combined count per stratum, then every
     operator runs at STRATUM cardinality (dozens of rows) — the
     single-partition ranking window is aggregate-bounded by
-    construction, the legitimate SP case PLANS.md polices."""
+    construction, the legitimate SP case PLANS.md polices.
+
+    Raises ``ValueError`` when ``total_n`` exceeds the corpus row
+    count: Hamilton apportionment guarantees alloc_s <= c_s only for
+    N <= T (extras go exclusively to rem>0 strata), and an
+    over-allocation would make the downstream histogram-threshold
+    select silently under-deliver the stratum instead of failing."""
     from pyspark.sql import Window
 
     counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )
-    tot = counts.agg(F.sum("n_rows").alias("t"))
-    quota = counts.crossJoin(F.broadcast(tot)).select(
+    # one map-side-combined scalar; validating here lets the rest of
+    # the plan inline T as a literal (drops the broadcast crossJoin)
+    t_row = counts.agg(F.sum("n_rows").alias("t")).head()
+    t = t_row["t"] if t_row is not None else None
+    if not t or total_n > t:
+        raise ValueError(
+            f"exact_allocation: total_n={total_n} exceeds the corpus row"
+            f" count ({t or 0}); an exact-N stratified sample cannot"
+            f" deliver more rows than exist"
+        )
+    quota = counts.select(
         "stratum",
         "n_rows",
-        F.expr(f"({total_n} * n_rows) div t").cast("bigint").alias("base_n"),
-        F.expr(f"({total_n} * n_rows) % t").cast("bigint").alias("rem"),
+        F.expr(f"({total_n} * n_rows) div {t}").cast("bigint").alias("base_n"),
+        F.expr(f"({total_n} * n_rows) % {t}").cast("bigint").alias("rem"),
     )
     leftover = quota.agg(
         (F.lit(total_n) - F.sum("base_n")).cast("bigint").alias("leftover")

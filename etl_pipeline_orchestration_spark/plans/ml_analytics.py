@@ -2763,9 +2763,10 @@ def markov_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT arm, CAST(n AS BIGINT) AS n, orders_n,
-             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
-             CAST(n * sxx - sx * sx AS DOUBLE)
-               / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_cents
+             CAST(CAST((1000 * sx) // n AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS mean_cents,
+             CAST(CAST((n * sxx - sx * sx) // (n * (n - 1))
+                       AS BIGINT) AS DOUBLE) AS var_cents
       FROM s
     )
     SELECT a.n AS n_a, b.n AS n_b,
@@ -2829,20 +2830,27 @@ def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast(d38)).alias("sx"),
         F.sum((F.col("x").cast(d38) * F.col("x").cast(d38))).alias("sxx"),
     )
+    # quantized-ratio rule: DuckDB 1.0's HUGEINT→DOUBLE cast is not
+    # correctly rounded above 2^53 (the sxx numerator is ~1e22 at
+    # sf0.1), so freeze mean/var by exact integer division and cast
+    # only the sub-2^53 quotient — ab_cuped_adjusted's discipline.
+    # Mean at 1e-3 cents; variance at whole cents² (the quotient is
+    # ~1e13 — a 1e-3 quantum would overflow int64 AND 2^53). Both
+    # numerators are structurally nonnegative (sx is a cents sum,
+    # n·sxx − sx² is a variance numerator), so div == // here.
+    def _q(num_sql: str, den_sql: str, scale: int) -> F.Column:
+        return (
+            F.expr(f"cast(({scale} * ({num_sql})) div ({den_sql}) as bigint)")
+            .cast("double")
+            / F.lit(float(scale))
+        )
+
     m = s.select(
         "arm",
         F.col("n").cast("bigint").alias("n"),
         "orders_n",
-        (F.col("sx").cast("double") / F.col("n").cast("double")).alias(
-            "mean_cents"
-        ),
-        (
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-            / (
-                F.col("n").cast("double")
-                * (F.col("n") - F.lit(1).cast(d38)).cast("double")
-            )
-        ).alias("var_cents"),
+        _q("sx", "n", 1000).alias("mean_cents"),
+        _q("n * sxx - sx * sx", "n * (n - 1)", 1).alias("var_cents"),
     )
     a = m.filter(F.col("arm") == "A").alias("a")
     b = m.filter(F.col("arm") == "B").alias("b")
@@ -3052,7 +3060,12 @@ def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def q_ratio(num_sql: str, den_sql: str, scale: int):
         # exact integer division freezes the rational; only the small
-        # quotient (< 2^53) is ever cast to double on either engine
+        # quotient (< 2^53) is ever cast to double on either engine.
+        # Rounding parity holds for NEGATIVE numerators too (theta/cxy
+        # are covariances): Spark `div` truncates toward zero and
+        # DuckDB's integer `//` also truncates (it floors only for
+        # FLOAT operands) — pinned by
+        # test_trunc_division_agrees_cross_engine_on_negatives.
         return (
             F.expr(f"cast(({scale} * ({num_sql})) div ({den_sql}) as bigint)")
             .cast("double")

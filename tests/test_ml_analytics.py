@@ -992,3 +992,29 @@ def test_mondrian_conformal_per_group_coverage(spark):
         assert r.n_cal > 0 and r.n_test > 0
         assert r.n_covered / r.n_test >= 0.8, r.lang
         assert 0 <= r.n_both <= r.n_test
+
+
+def test_trunc_division_agrees_cross_engine_on_negatives(spark):
+    """The quantized-ratio rule (q_ratio in ab_cuped_adjusted) divides
+    covariance numerators that CAN be negative. Spark `div` truncates
+    toward zero; this pins that DuckDB's integer `//` does too (it
+    floors only for FLOAT operands), so a negative pre/post covariance
+    cannot diverge by one quantum between the engines."""
+    import duckdb
+
+    cases = [(-7, 2), (7, -2), (-7, -2), (7, 2), (-1, 3), (-6, 3)]
+    got_spark = [
+        spark.sql(
+            f"SELECT cast({a} as decimal(38,0)) div cast({b} as decimal(38,0))"
+        ).collect()[0][0]
+        for a, b in cases
+    ]
+    got_duck = [
+        duckdb.sql(
+            f"SELECT CAST({a} AS HUGEINT) // CAST({b} AS HUGEINT)"
+        ).fetchone()[0]
+        for a, b in cases
+    ]
+    trunc = [int(a / b) for a, b in cases]
+    assert [int(x) for x in got_spark] == trunc
+    assert [int(x) for x in got_duck] == trunc

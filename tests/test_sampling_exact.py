@@ -72,3 +72,21 @@ def test_sample_is_deterministic_and_per_stratum_exact(spark, docs):
     from collections import Counter
     got = Counter(r[1] for r in ra)
     assert dict(got) == {k: v for k, v in per.items() if v > 0}
+
+
+def test_over_allocation_raises_instead_of_underdelivering(spark):
+    from etl_pipeline_orchestration_spark.operators.sampling import (
+        exact_allocation,
+        stratified_sample_exact,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(9)],
+        "doc_id bigint, lang string",
+    )
+    with pytest.raises(ValueError, match="exceeds the corpus row count"):
+        exact_allocation(docs, "lang", total_n=10)
+    with pytest.raises(ValueError, match="exceeds the corpus row count"):
+        stratified_sample_exact(docs, "lang", total_n=100)
+    # the boundary N == T delivers every row
+    assert stratified_sample_exact(docs, "lang", total_n=9).count() == 9

@@ -150,6 +150,15 @@ FAMILIES = {
     # Bounded Bellman-Ford: certifies the per-round frontier join stays
     # edge-linear and the min-merge node-bounded as the graph grows.
     "sssp_weighted": "sssp_weighted_copurchase",
+    # k-center greedy coreset: O(N·dim) per round over the embeddings
+    # corpus — certifies each round stays ONE narrow map against a
+    # literal center + a top-1 aggregate (no vector shuffle) as the
+    # corpus grows; the per-round collect is one row.
+    "kcenter_coreset": "kcenter_coreset_embeddings",
+    # TextRank: certifies the corpus-scale half (token scan + one
+    # (a,b) co-occurrence aggregate) is corpus-linear while the driver
+    # fit stays vocabulary-sized (and capped — see textrank_ratings).
+    "textrank_cooc": "textrank_keywords",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
