@@ -149,3 +149,62 @@ def removal_effects(
     return [
         (c, e, (e / total if total > 0 else 0.0)) for c, e in effects
     ]
+
+
+def removal_effects_quantized(
+    counts: List[Tuple[str, str, int]],
+    scale: int = 10**12,
+    iters: int = 48,
+) -> List[Tuple[str, int, int, int]]:
+    """[(channel, removal_q, share_micro, base_q)] — the integer-exact
+    certification form of ``removal_effects``: absorption probabilities
+    come from ``iters`` steps of the quantized power iteration
+
+        p_{k+1}(i) = (Σ_j n_ij·p_k(j) + n_i,CONV·scale) // out_i
+
+    over integers (p_K ↑ (I−Q)⁻¹r as K→∞; at K=48 the residual is
+    ~1e-5 on journey graphs with per-step conversion ~0.2). Every
+    operation is exact integer arithmetic with nonnegative operands,
+    so Python ``//``, Spark ``div`` and DuckDB ``//`` all agree
+    bit-for-bit — the DuckDB oracle replays the same iteration as
+    unrolled MATERIALIZED CTEs over the (scenario, state) relation,
+    scenario-parallel across the base chain and every single-channel
+    removal. Model-sized driver math, like ``removal_effects``."""
+    specials = {START, CONV, NULL}
+    all_states = {s for s, _, _ in counts} | {d for _, d, _ in counts}
+    channels = sorted(all_states - specials)
+    out: Dict[str, int] = {}
+    for s, _, c in counts:
+        out[s] = out.get(s, 0) + c
+
+    def iterate(removed: str | None) -> int:
+        states = [s for s in sorted(all_states - {CONV, NULL}) if s != removed]
+        sset = set(states)
+        rconv: Dict[str, int] = {}
+        trans: Dict[Tuple[str, str], int] = {}
+        for s, d, c in counts:
+            if s not in sset:
+                continue
+            if d == CONV:
+                rconv[s] = rconv.get(s, 0) + c
+            elif d in sset:
+                trans[(s, d)] = trans.get((s, d), 0) + c
+        p = {s: 0 for s in states}
+        for _ in range(iters):
+            p = {
+                i: (
+                    sum(trans.get((i, j), 0) * p[j] for j in states)
+                    + rconv.get(i, 0) * scale
+                )
+                // out[i]
+                for i in states
+            }
+        return p.get(START, 0)
+
+    base = iterate(None)
+    effs = [(c, max(base - iterate(c), 0)) for c in channels]
+    total = sum(e for _, e in effs)
+    return [
+        (c, e, (1_000_000 * e) // total if total > 0 else 0, base)
+        for c, e in effs
+    ]

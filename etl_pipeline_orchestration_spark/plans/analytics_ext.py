@@ -3573,12 +3573,30 @@ def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     join both key on custkey (one shuffle each), and everything after
     runs at (cohort x age) cardinality — a few hundred cells however
     big the order history."""
-    om = load_table(spark, sf_dir, "orders").select(
+    om = customer_month_activity(load_table(spark, sf_dir, "orders"))
+    return retention_matrix_of(om)
+
+
+def customer_month_activity(orders: DataFrame) -> DataFrame:
+    """(o_custkey, m): DISTINCT customer active months — the MERGEABLE
+    sufficient statistic for the retention matrix (set union = distinct
+    of unions, so micro-batch partials merge in any arrival order; the
+    cohort assignment itself is NOT mergeable — a late-arriving earlier
+    order re-cohorts the customer, which re-deriving from this relation
+    handles for free). Split out so streaming/retention_stream.py can
+    maintain it. Bounded by customers x months, not order count."""
+    return orders.select(
         "o_custkey",
         (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
         .cast("bigint")
         .alias("m"),
-    )
+    ).distinct()
+
+
+def retention_matrix_of(om: DataFrame) -> DataFrame:
+    """Cohort matrix from the (custkey, month) activity relation.
+    Shared by the batch query and the streaming publisher so
+    stream==batch reduces to merge equality."""
     first_m = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
     sizes = first_m.groupBy("cohort_m").agg(
         F.count(F.lit(1)).cast("bigint").alias("cohort_size")

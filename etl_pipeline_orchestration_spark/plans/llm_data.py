@@ -438,6 +438,8 @@ def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_topk_lsh")  # approx op — rows-only check
 def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float random-hyperplane production path; the same pipeline on
+    integer planes is hash-certified by ``embedding_topk_lsh_exact``."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity.lsh_topk(emb, list(qvec), k=10)
@@ -1312,6 +1314,120 @@ def embedding_near_dup_pairs_crossengine(
         >= F.lit(9025).cast("decimal(38,0)") * dec(F.col("n2_a")) * dec(F.col("n2_b"))
     )
     return scored.filter(cond).select("id_a", "id_b", "dot_q", "n2_a", "n2_b")
+
+
+_LSH_EXACT_ORACLE = """
+    WITH xq AS MATERIALIZED (
+      SELECT vec_id, t.i AS i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    grid0 AS (
+      SELECT p, i,
+             (((2654435761 * (p + 1)) % 2147483647) * i
+              + ((40503 * p + 9973) % 2147483647)) % 2147483647 AS h
+      FROM (SELECT unnest(range(0, 8)) AS p) pp,
+           (SELECT unnest(range(1, 65)) AS i) ii
+    ),
+    grid AS (
+      SELECT p, i, (h * h + h) % 2147483647 - 1073741823 AS w FROM grid0
+    ),
+    dots AS (
+      SELECT xq.vec_id, grid.p, CAST(sum(xq.x * grid.w) AS BIGINT) AS dp
+      FROM xq JOIN grid ON xq.i = grid.i GROUP BY 1, 2
+    ),
+    buck AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dp > 0 THEN (1 << p) ELSE 0 END) AS BIGINT)
+               AS bucket
+      FROM dots GROUP BY 1
+    ),
+    center AS (SELECT bucket AS cb FROM buck WHERE vec_id = 0),
+    probes AS (
+      SELECT cb AS b FROM center
+      UNION ALL
+      SELECT xor(cb, CAST((1 << p) AS BIGINT))
+      FROM center, (SELECT unnest(range(0, 8)) AS p) pp
+    ),
+    qv AS (SELECT i, x FROM xq WHERE vec_id = 0),
+    dotq AS (
+      SELECT c.vec_id, c.bucket, CAST(sum(xq.x * qv.x) AS BIGINT) AS dot_q
+      FROM (SELECT b.vec_id, b.bucket FROM buck b
+            JOIN probes ON b.bucket = probes.b) c
+      JOIN xq ON xq.vec_id = c.vec_id JOIN qv ON qv.i = xq.i
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, bucket, dot_q FROM dotq
+    ORDER BY dot_q DESC, vec_id LIMIT 10
+"""
+
+
+@query("embedding_topk_lsh_exact", oracle=_LSH_EXACT_ORACLE)
+def embedding_topk_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-hyperplane LSH top-k — the cross-engine-VERIFIABLE twin
+    of ``embedding_topk_lsh`` (which keeps the float random-hyperplane
+    family as the production path, rows-checked): one 8-plane sign
+    bucket per vector over 2^20-tick quantized vectors, planes drawn
+    from the shared ``xengine_affine`` integer grid (the first 8
+    columns of the certified near-dup family's plane matrix), then the
+    production multi-probe rule — the probe's bucket plus all 8
+    Hamming-1 neighbors — and an exact int64 inner-product re-rank of
+    the probed candidates, top 10 by (dot desc, vec_id). Every stage
+    is exact integer arithmetic, so the DuckDB oracle replays bucket
+    assignment, probing, and scoring by value (the
+    ``embedding_topk_ivfpq_exact`` discipline applied to the LSH
+    path).
+
+    Plan shape is the production one: one Arrow-batched int64 matmul
+    computes all sign bits, the probe filter is an 9-value isin on the
+    bucket column, and only probed candidates reach the dot-product
+    fold — nothing corpus-wide after the bucket scan."""
+    dfq = _quantize_vecs(load_table(spark, sf_dir, "embeddings"))
+    Wm = _xengine_plane_matrix()[:, :8]  # (64, 8) integer planes
+    q = [
+        int(v)
+        for v in dfq.filter(F.col("vec_id") == 0).select("xq").head()[0]
+    ]
+    center = 0
+    for p in range(8):
+        if sum(qi * int(Wm[i, p]) for i, qi in enumerate(q)) > 0:
+            center |= 1 << p
+    probes = [center] + [center ^ (1 << p) for p in range(8)]
+
+    def sig_fn(it):
+        import numpy as np
+        import pandas as pd
+
+        pw = 1 << np.arange(8, dtype=np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["xq"].tolist(), dtype=np.int64)
+            B = ((X @ Wm) > 0).astype(np.int64)  # exact: < 2^57
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "xq": pdf["xq"],
+                    "bucket": (B * pw).sum(axis=1),
+                }
+            )
+
+    sigs = dfq.mapInPandas(
+        sig_fn, "vec_id bigint, xq array<bigint>, bucket bigint"
+    )
+    qarr = F.array(*[F.lit(v) for v in q])
+    dot = F.aggregate(
+        F.zip_with("xq", qarr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        sigs.filter(F.col("bucket").isin(probes))
+        .select("vec_id", "bucket", dot.alias("dot_q"))
+        .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 @query("multimodal_embed_topk")  # stubbed encoder — rows-only check

@@ -2692,7 +2692,105 @@ def kcore_parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("markov_attribution_events")  # absorption solve — rows-only check
+_MARKOV_ITERS = 48
+_MARKOV_SCALE = 10**12
+
+
+def _markov_oracle(iters: int = _MARKOV_ITERS, scale: int = _MARKOV_SCALE) -> str:
+    """Unrolled quantized absorbing-chain oracle: journey assembly +
+    transition counting replayed relationally, then ``iters`` power
+    iterations over the (scenario, state) relation — ONE chain covers
+    the base graph and every single-channel removal scenario in
+    parallel (scenario = '__base__' or the removed channel). All
+    integer arithmetic with nonnegative operands, so DuckDB ``//``
+    matches Python ``//`` and Spark ``div`` bit-for-bit."""
+    its = []
+    prev = "p0"
+    for k in range(1, iters + 1):
+        its.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT c.rem, c.state,
+             (COALESCE(f.acc, CAST(0 AS HUGEINT)) + c.rconv * {scale})
+               // c.o AS val
+      FROM cons c LEFT JOIN (
+        SELECT t.rem, t.src, SUM(t.n * p.val) AS acc
+        FROM tt t JOIN {prev} p ON p.rem = t.rem AND p.state = t.dst
+        GROUP BY t.rem, t.src
+      ) f ON f.rem = c.rem AND f.src = c.state
+    )"""
+        )
+        prev = f"p{k}"
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH ev AS MATERIALIZED (
+      SELECT user_id AS u, ts AS t, event_id AS o,
+             CASE WHEN event_type = 'purchase' THEN '__conv__'
+                  ELSE event_type END AS state,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS j
+      FROM events
+    ),
+    steps AS MATERIALIZED (
+      SELECT u, j, state,
+             lag(state) OVER (PARTITION BY u, j ORDER BY t, o) AS prev,
+             lead(state) OVER (PARTITION BY u, j ORDER BY t, o) AS nxt
+      FROM ev
+    ),
+    cnt AS MATERIALIZED (
+      SELECT src, dst, CAST(count(*) AS HUGEINT) AS n FROM (
+        SELECT COALESCE(prev, '__start__') AS src, state AS dst FROM steps
+        UNION ALL
+        SELECT state, '__null__' FROM steps
+        WHERE nxt IS NULL AND state <> '__conv__'
+      ) GROUP BY src, dst
+    ),
+    outn AS MATERIALIZED (SELECT src, SUM(n) AS o FROM cnt GROUP BY src),
+    scen AS MATERIALIZED (
+      SELECT DISTINCT s AS rem FROM (
+        SELECT src AS s FROM cnt UNION ALL SELECT dst FROM cnt
+      ) WHERE s NOT IN ('__start__', '__conv__', '__null__')
+      UNION ALL SELECT '__base__'
+    ),
+    cons AS MATERIALIZED (
+      SELECT scen.rem, o.src AS state, o.o, COALESCE(rc.n, 0) AS rconv
+      FROM scen JOIN outn o ON o.src <> scen.rem
+      LEFT JOIN (SELECT src, n FROM cnt WHERE dst = '__conv__') rc
+        ON rc.src = o.src
+    ),
+    tt AS MATERIALIZED (
+      SELECT scen.rem, c.src, c.dst, c.n
+      FROM scen JOIN cnt c ON c.src <> scen.rem AND c.dst <> scen.rem
+      WHERE c.dst NOT IN ('__conv__', '__null__')
+    ),
+    p0 AS MATERIALIZED (
+      SELECT rem, state, CAST(0 AS HUGEINT) AS val FROM cons
+    ),
+    {chain},
+    base AS (
+      SELECT val AS bv FROM p{iters}
+      WHERE rem = '__base__' AND state = '__start__'
+    ),
+    eff AS (
+      SELECT p.rem AS channel,
+             CASE WHEN b.bv > p.val THEN b.bv - p.val
+                  ELSE CAST(0 AS HUGEINT) END AS e,
+             b.bv
+      FROM p{iters} p, base b
+      WHERE p.rem <> '__base__' AND p.state = '__start__'
+    ),
+    tot AS (SELECT SUM(e) AS te FROM eff)
+    SELECT channel,
+           CAST(e AS BIGINT) AS removal_q,
+           CAST(CASE WHEN t.te > 0 THEN (1000000 * e) // t.te
+                     ELSE 0 END AS BIGINT) AS share_micro,
+           CAST(bv AS BIGINT) AS base_q
+    FROM eff, tot t
+    """
+
+
+@query("markov_attribution_events", oracle=_markov_oracle())
 def markov_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov attribution over the events stream
     (operators/attribution.py — Anderl et al. 2014 removal effects):
@@ -2702,11 +2800,15 @@ def markov_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     converting paths earn credit even when they never close.
 
     Distributed work = journey windows + transition counting (two
-    user-keyed passes); the absorption solves run driver-side on the
-    (channels+3)² matrix — model-sized, the k-means-centroid
-    discipline. Non-SQL-expressible (matrix solve) — rows-only;
-    the pytest suite pins closed-form removal effects on planted
-    journeys. Floats frozen to integer micro-units for stable output."""
+    user-keyed passes); the absorption computation runs driver-side on
+    the (channels+3)² matrix — model-sized, the k-means-centroid
+    discipline. Hash-certified since r9: instead of the float matrix
+    solve, absorption comes from the QUANTIZED power iteration
+    (operators/attribution.py:removal_effects_quantized — {iters}
+    integer steps at scale 1e12, within ~1e-5 of the solve at these
+    conversion rates, pinned vs numpy in tests), which the DuckDB
+    oracle replays exactly as unrolled MATERIALIZED CTEs,
+    scenario-parallel across base + all removals."""
     from etl_pipeline_orchestration_spark.operators import attribution
 
     events = load_table(spark, sf_dir, "events")
@@ -2714,21 +2816,19 @@ def markov_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.src, r.dst, r.n)
         for r in attribution.journey_transitions(events).collect()
     ]
-    base = attribution.absorption_probability(counts)
-    rows = [
-        (
-            c,
-            int(round(eff * 1_000_000)),
-            int(round(share * 1_000_000)),
-            int(round(base * 1_000_000)),
-        )
-        for c, eff, share in attribution.removal_effects(counts)
-    ]
+    rows = attribution.removal_effects_quantized(
+        counts, scale=_MARKOV_SCALE, iters=_MARKOV_ITERS
+    )
     return spark.createDataFrame(
         rows,
-        "channel string, removal_effect_micro bigint,"
-        " share_micro bigint, base_conv_micro bigint",
+        "channel string, removal_q bigint,"
+        " share_micro bigint, base_q bigint",
     )
+
+
+markov_attribution_events.__doc__ = markov_attribution_events.__doc__.format(
+    iters=_MARKOV_ITERS
+)
 
 
 @query(

@@ -943,8 +943,31 @@ def test_markov_attribution_registry_sane(spark):
     assert "purchase" not in out
     assert set(out) == {"click", "error", "signup", "view"}
     shares = sum(r.share_micro for r in out.values())
-    assert abs(shares - 1_000_000) <= 4  # rounding slack
-    assert all(r.base_conv_micro > 0 for r in out.values())
+    # truncating integer shares: sum <= 1e6, within one quantum each
+    assert 1_000_000 - 4 <= shares <= 1_000_000
+    assert all(r.base_q > 0 for r in out.values())
+
+
+def test_markov_quantized_iteration_matches_solve(spark):
+    """The certification form (48-step quantized power iteration) must
+    agree with the closed-form absorption solve — both the base
+    conversion rate and every removal effect — to well under the
+    quantization the docstring claims (~1e-5)."""
+    from etl_pipeline_orchestration_spark.operators import attribution
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+    events = load_table(spark, SF, "events")
+    counts = [
+        (r.src, r.dst, r.n)
+        for r in attribution.journey_transitions(events).collect()
+    ]
+    base = attribution.absorption_probability(counts)
+    exact = {c: e * base for c, e, _ in attribution.removal_effects(counts)}
+    quant = attribution.removal_effects_quantized(counts)
+    assert quant, "no channels attributed"
+    for c, removal_q, _, base_q in quant:
+        assert abs(base_q / 1e12 - base) < 1e-4
+        assert abs(removal_q / 1e12 - exact[c]) < 1e-4
 
 
 # ---------------------------------------------------------------------------
