@@ -208,3 +208,69 @@ def removal_effects_quantized(
         (c, e, (1_000_000 * e) // total if total > 0 else 0, base)
         for c, e in effs
     ]
+
+
+def journey_channel_conversions(
+    events: DataFrame,
+    conversion_event: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """(cset_mask, conv_n): CONVERTED-journey counts per distinct
+    channel SET — the sufficient statistic for Shapley-value
+    attribution (order-free multi-touch, the game-theoretic complement
+    of the Markov removal effects). Channel → bit by alphabetical rank
+    (both engines replay the ranking); a journey's mask is the bit_or
+    of its non-conversion events; journeys are cut at conversions
+    exactly like ``journey_transitions``.
+
+    Scale shape: the same one user-keyed window as the Markov journey
+    assembly, a broadcast join against the channel-bit map (vocabulary
+    of event types), and one (u, j) aggregate — corpus-linear; the
+    output relation is at most 2^n_channels rows."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    is_conv = F.col(type_col) == conversion_event
+    jix = F.coalesce(
+        F.sum(is_conv.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    ev = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("typ"),
+        is_conv.alias("conv"),
+        jix.alias("j"),
+    )
+    chans = (
+        ev.filter(~F.col("conv"))
+        .select("typ")
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("typ")).cast("int")
+        )
+        .select(
+            "typ",
+            F.expr("cast(shiftleft(1L, rn - 1) as bigint)").alias("bit"),
+        )
+    )
+    tagged = ev.join(F.broadcast(chans), "typ", "left").select(
+        "u",
+        "j",
+        F.when(F.col("conv"), F.lit(0))
+        .otherwise(F.coalesce("bit", F.lit(0)))
+        .cast("bigint")
+        .alias("bit"),
+        F.col("conv").cast("int").alias("c"),
+    )
+    journeys = tagged.groupBy("u", "j").agg(
+        F.expr("bit_or(bit)").cast("bigint").alias("cset_mask"),
+        F.max("c").alias("converted"),
+    )
+    return (
+        journeys.filter(F.col("converted") == 1)
+        .groupBy("cset_mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("conv_n"))
+    )

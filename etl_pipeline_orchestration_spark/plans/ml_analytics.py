@@ -2831,6 +2831,165 @@ markov_attribution_events.__doc__ = markov_attribution_events.__doc__.format(
 )
 
 
+_SHAPLEY_ORACLE = """
+    WITH ev AS MATERIALIZED (
+      SELECT user_id AS u, event_type AS typ,
+             (event_type = 'purchase') AS conv,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS j
+      FROM events
+    ),
+    chans AS MATERIALIZED (
+      SELECT typ,
+             CAST(1 << (CAST(row_number() OVER (ORDER BY typ) AS INT) - 1)
+                  AS BIGINT) AS bit
+      FROM (SELECT DISTINCT typ FROM ev WHERE NOT conv)
+    ),
+    jy AS MATERIALIZED (
+      SELECT e.u, e.j,
+             bit_or(CASE WHEN e.conv THEN 0 ELSE COALESCE(c.bit, 0) END)
+               AS cset_mask,
+             max(CASE WHEN e.conv THEN 1 ELSE 0 END) AS converted
+      FROM ev e LEFT JOIN chans c ON c.typ = e.typ
+      GROUP BY e.u, e.j
+    ),
+    cs AS MATERIALIZED (
+      SELECT cset_mask, CAST(count(*) AS BIGINT) AS conv_n
+      FROM jy WHERE converted = 1 GROUP BY 1
+    ),
+    nn AS (SELECT CAST(count(*) AS INT) AS n FROM chans),
+    masks AS MATERIALIZED (
+      SELECT CAST(ms.S AS BIGINT) AS S
+      FROM (SELECT unnest(range(0, (SELECT 1 << n FROM nn))) AS S) ms
+    ),
+    v AS MATERIALIZED (
+      SELECT m.S, COALESCE(SUM(cs.conv_n), 0) AS v
+      FROM masks m LEFT JOIN cs ON (cs.cset_mask & m.S) = cs.cset_mask
+      GROUP BY m.S
+    ),
+    fact(k, f) AS (
+      VALUES (0, 1), (1, 1), (2, 2), (3, 6), (4, 24), (5, 120), (6, 720),
+             (7, 5040), (8, 40320), (9, 362880), (10, 3628800),
+             (11, 39916800), (12, 479001600)
+    ),
+    contrib AS (
+      SELECT ch.typ AS channel, fs.f * fn1.f * (vb.v - va.v) AS w
+      FROM chans ch
+      JOIN masks m ON (m.S & ch.bit) = 0
+      JOIN v va ON va.S = m.S
+      JOIN v vb ON vb.S = (m.S | ch.bit)
+      JOIN nn ON TRUE
+      JOIN fact fs ON fs.k = bit_count(m.S)
+      JOIN fact fn1 ON fn1.k = nn.n - 1 - bit_count(m.S)
+    ),
+    phi AS (
+      SELECT channel, CAST(SUM(w) AS BIGINT) AS shapley_x_factn
+      FROM contrib GROUP BY 1
+    ),
+    tot AS (SELECT SUM(shapley_x_factn) AS t FROM phi)
+    SELECT p.channel, p.shapley_x_factn,
+           CAST(CASE WHEN t.t > 0 THEN (1000000 * p.shapley_x_factn) // t.t
+                     ELSE 0 END AS BIGINT) AS share_micro
+    FROM phi p, tot t
+"""
+
+_SHAPLEY_FACTS = [
+    1, 1, 2, 6, 24, 120, 720, 5040, 40320, 362880, 3628800, 39916800,
+    479001600,
+]
+
+
+@query("shapley_attribution_events", oracle=_SHAPLEY_ORACLE)
+def shapley_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution (Shapley 1953 applied to
+    conversion coalitions — Dalessandro et al. 2012's "causally
+    motivated" multi-touch scheme): a channel's credit is its average
+    marginal contribution over all orderings of the channel coalition,
+    with the characteristic function v(S) = number of converted
+    journeys whose channel SET ⊆ S. The order-FREE complement of the
+    Markov removal effects (same journey cut, same events scan):
+    Markov credits paths, Shapley credits presence.
+
+    Exactness: v is an integer count; Shapley values are reported
+    SCALED BY n! — φ_c·n! = Σ_{S∌c} |S|!·(n−1−|S|)!·(v(S∪c)−v(S)) is
+    a pure integer, so no rational ever leaves integer space, and the
+    efficiency identity Σ_c φ_c·n! = n!·(v(N)−v(∅)) is exact (pinned
+    in tests). Shares by truncating integer division.
+
+    Scale shape: the corpus-scale work is ONE user-keyed journey
+    window + one (u, j) bit_or aggregate
+    (operators/attribution.py:journey_channel_conversions); everything
+    after runs at 2^n_channels cardinality (n asserted ≤ 12 — the
+    oracle's factorial table and any honest exact-Shapley stop there;
+    larger channel sets need the sampling approximation, out of
+    scope)."""
+    from etl_pipeline_orchestration_spark.operators.attribution import (
+        journey_channel_conversions,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    chans = sorted(
+        r[0]
+        for r in events.filter(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .collect()
+    )
+    n = len(chans)
+    if n > 12:
+        raise ValueError(
+            f"exact Shapley attribution supports at most 12 channels"
+            f" (got {n}); use a sampling approximation beyond that"
+        )
+    cs = journey_channel_conversions(events)
+    masks = spark.range(1 << n).select(F.col("id").cast("bigint").alias("S"))
+    v = (
+        masks.join(
+            F.broadcast(cs),
+            cs["cset_mask"].bitwiseAND(F.col("S")) == cs["cset_mask"],
+            "left",
+        )
+        .groupBy("S")
+        .agg(F.coalesce(F.sum("conv_n"), F.lit(0)).alias("v"))
+    )
+    chan_rel = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(chans)], "channel string, bit bigint"
+    )
+    fact_arr = F.array(*[F.lit(f) for f in _SHAPLEY_FACTS])
+    pairs = chan_rel.crossJoin(v.alias("va")).filter(
+        F.col("S").bitwiseAND(F.col("bit")) == 0
+    )
+    vb = v.select(F.col("S").alias("Sb"), F.col("v").alias("v_b"))
+    weight = F.element_at(
+        fact_arr, (F.bit_count("S") + 1).cast("int")
+    ) * F.element_at(
+        fact_arr, (F.lit(n) - F.bit_count("S")).cast("int")
+    )
+    phi = (
+        pairs.join(
+            F.broadcast(vb),
+            F.col("S").bitwiseOR(F.col("bit")) == F.col("Sb"),
+        )
+        .select("channel", (weight * (F.col("v_b") - F.col("v"))).alias("w"))
+        .groupBy("channel")
+        .agg(F.sum("w").cast("bigint").alias("shapley_x_factn"))
+    )
+    tot = phi.agg(F.sum("shapley_x_factn").alias("t"))
+    return phi.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "shapley_x_factn",
+        F.when(
+            F.col("t") > 0,
+            F.expr("(1000000 * shapley_x_factn) div t"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("share_micro"),
+    )
+
+
 @query(
     "ab_experiment_report",
     oracle="""
@@ -3222,6 +3381,181 @@ def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.adj_var") + F.col("b.adj_var"))
             / (F.col("a.raw_var") + F.col("b.raw_var"))
         ).alias("var_ratio"),
+    )
+
+
+@query(
+    "ab_diff_in_differences",
+    oracle="""
+    WITH bounds AS (
+      SELECT (min(datediff('day', DATE '1970-01-01', o_orderdate))
+              + max(datediff('day', DATE '1970-01-01', o_orderdate))) // 2
+               AS bday
+      FROM orders
+    ),
+    rev AS (
+      SELECT o_custkey,
+             CAST(sum(CASE WHEN datediff('day', DATE '1970-01-01',
+                                         o_orderdate) < bounds.bday
+                           THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) ELSE 0 END) // 100
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN datediff('day', DATE '1970-01-01',
+                                         o_orderdate) >= bounds.bday
+                           THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                     AS BIGINT) ELSE 0 END) // 100
+                  AS BIGINT) AS y
+      FROM orders, bounds GROUP BY o_custkey, bounds.bday
+    ),
+    percust AS (
+      SELECT CASE WHEN ((c.c_custkey % 2147483648) * 2654435761)
+                       % 4294967296 % 1000 < 500
+                  THEN 'A' ELSE 'B' END AS arm,
+             coalesce(r.y, 0) - coalesce(r.x, 0) AS d,
+             coalesce(r.x, 0) AS x, coalesce(r.y, 0) AS y
+      FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+    ),
+    s AS (
+      SELECT arm, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(d AS HUGEINT)) AS HUGEINT) AS sd,
+             CAST(sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS HUGEINT)
+               AS sdd
+      FROM percust GROUP BY arm
+    ),
+    m AS (
+      SELECT arm, CAST(n AS BIGINT) AS n,
+             CAST(CAST((1000 * sx) // n AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS mx,
+             CAST(CAST((1000 * sy) // n AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS my,
+             CAST(CAST((1000 * sd) // n AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS md,
+             CAST(CAST((1000 * (n * sdd - sd * sd)) // (n * (n - 1))
+                       AS BIGINT) AS DOUBLE)
+               / CAST(1.0e3 AS DOUBLE) AS vd
+      FROM s
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           a.mx AS pre_mean_a, a.my AS post_mean_a,
+           b.mx AS pre_mean_b, b.my AS post_mean_b,
+           b.md - a.md AS did_estimate,
+           sqrt(a.vd / CAST(a.n AS DOUBLE) + b.vd / CAST(b.n AS DOUBLE))
+             AS did_se,
+           (b.md - a.md)
+             / sqrt(a.vd / CAST(a.n AS DOUBLE) + b.vd / CAST(b.n AS DOUBLE))
+             AS t_stat
+    FROM (SELECT * FROM m WHERE arm = 'A') a,
+         (SELECT * FROM m WHERE arm = 'B') b
+    """,
+)
+def ab_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout (Card & Krueger 1994 panel
+    form): per-customer revenue change d = post − pre across the
+    order-date midpoint, DiD = mean(d | B) − mean(d | A), inference by
+    the two-sample t on the per-customer differences — the paired form
+    that absorbs customer fixed effects exactly, completing the A/B
+    family (plain Welch, CUPED, power/MDE, QTE, mSPRT, SRM, DiD).
+
+    Float discipline: the quantized-ratio rule throughout — means and
+    the difference variance are frozen by exact integer division at
+    1e-3 dollars (sd CAN be negative; Spark ``div`` and DuckDB integer
+    ``//`` both truncate toward zero — pinned by
+    test_trunc_division_agrees_cross_engine_on_negatives); only
+    sub-2^53 quotients reach a double, and the DiD/SE/t are then
+    identical float expressions over identical doubles.
+
+    100 TB shape: one orders scan collapsing to per-customer (pre,
+    post) dollars (map-side combine), one customer-keyed left join, a
+    2-group aggregate of four sufficient statistics — the driver sees
+    2 rows."""
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    d38 = "decimal(38,0)"
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.expr(
+            "(min(datediff(o_orderdate, date'1970-01-01'))"
+            " + max(datediff(o_orderdate, date'1970-01-01'))) div 2"
+        ).alias("bday")
+    )
+    rev = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy("o_custkey", "bday")
+        .agg(
+            F.expr(
+                "sum(case when datediff(o_orderdate, date'1970-01-01') < bday"
+                " then cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+                " else 0 end) div 100"
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.expr(
+                "sum(case when datediff(o_orderdate, date'1970-01-01') >= bday"
+                " then cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+                " else 0 end) div 100"
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    percust = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.when(bucket_of(F.col("c_custkey")) < 500, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+        )
+        .join(rev, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "arm",
+            F.coalesce("x", F.lit(0)).alias("x"),
+            F.coalesce("y", F.lit(0)).alias("y"),
+            (F.coalesce("y", F.lit(0)) - F.coalesce("x", F.lit(0))).alias("d"),
+        )
+    )
+    dd = F.col("d").cast(d38)
+    s = percust.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum(dd).alias("sd"),
+        F.sum(dd * dd).alias("sdd"),
+    )
+
+    def _q(num_sql: str, den_sql: str) -> F.Column:
+        return (
+            F.expr(f"cast((1000 * ({num_sql})) div ({den_sql}) as bigint)")
+            .cast("double")
+            / F.lit(1000.0)
+        )
+
+    m = s.select(
+        "arm",
+        F.col("n").cast("bigint").alias("n"),
+        _q("sx", "n").alias("mx"),
+        _q("sy", "n").alias("my"),
+        _q("sd", "n").alias("md"),
+        _q("n * sdd - sd * sd", "n * (n - 1)").alias("vd"),
+    )
+    a = m.filter(F.col("arm") == "A").alias("a")
+    b = m.filter(F.col("arm") == "B").alias("b")
+    se = F.sqrt(
+        F.col("a.vd") / F.col("a.n").cast("double")
+        + F.col("b.vd") / F.col("b.n").cast("double")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.mx").alias("pre_mean_a"),
+        F.col("a.my").alias("post_mean_a"),
+        F.col("b.mx").alias("pre_mean_b"),
+        F.col("b.my").alias("post_mean_b"),
+        (F.col("b.md") - F.col("a.md")).alias("did_estimate"),
+        se.alias("did_se"),
+        ((F.col("b.md") - F.col("a.md")) / se).alias("t_stat"),
     )
 
 

@@ -1041,3 +1041,109 @@ def test_trunc_division_agrees_cross_engine_on_negatives(spark):
     trunc = [int(a / b) for a, b in cases]
     assert [int(x) for x in got_spark] == trunc
     assert [int(x) for x in got_duck] == trunc
+
+
+def test_shapley_attribution_efficiency_and_brute_force(spark):
+    """Shapley axioms on the real relation: (1) efficiency — the scaled
+    values sum EXACTLY to n!·(v(N) − v(∅)); (2) the registry query
+    equals a brute-force driver Shapley over the same coalition
+    counts."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_orchestration_spark.operators.attribution import (
+        journey_channel_conversions,
+    )
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+    events = load_table(spark, SF, "events")
+    cs = {
+        r.cset_mask: r.conv_n
+        for r in journey_channel_conversions(events).collect()
+    }
+    chans = sorted(
+        r[0]
+        for r in events.filter(F.col("event_type") != "purchase")
+        .select("event_type")
+        .distinct()
+        .collect()
+    )
+    n = len(chans)
+
+    def v(S):
+        return sum(c for m, c in cs.items() if (m & S) == m)
+
+    ref = {}
+    for ci, ch in enumerate(chans):
+        b = 1 << ci
+        tot = 0
+        for S in range(2**n):
+            if S & b:
+                continue
+            s = bin(S).count("1")
+            tot += (
+                math.factorial(s)
+                * math.factorial(n - 1 - s)
+                * (v(S | b) - v(S))
+            )
+        ref[ch] = tot
+    out = {
+        r.channel: r.shapley_x_factn
+        for r in registry.QUERIES["shapley_attribution_events"](
+            spark, SF
+        ).collect()
+    }
+    assert out == ref
+    assert sum(out.values()) == math.factorial(n) * (
+        v(2**n - 1) - v(0)
+    )
+
+
+def test_pca_power_rayleigh_matches_numpy_lambda1(spark):
+    """The quantized power iteration's Rayleigh quotient must sit
+    within a few percent of numpy's λ₁ of the same integer Gram matrix
+    (the eigenvalue converges quadratically even while the direction is
+    still turning on near-isotropic synthetic embeddings; ~1% at
+    sf0.01's 500 vectors, ~2% at sf0.001's 100)."""
+    import numpy as np
+
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
+
+    rows = registry.QUERIES["embedding_pca_power_exact"](spark, SF).collect()
+    assert len(rows) == 64
+    rq = rows[0].rayleigh_q
+    assert all(r.rayleigh_q == rq for r in rows)
+    emb = load_table(spark, SF, "embeddings").select("embedding").collect()
+
+    def halfup(v):
+        import math
+
+        return (
+            int(math.floor(v * 1048576.0 + 0.5))
+            if v >= 0
+            else -int(math.floor(-v * 1048576.0 + 0.5))
+        )
+
+    X = np.array(
+        [[halfup(float(v)) for v in r[0]] for r in emb], dtype=np.float64
+    )
+    lam1 = np.linalg.eigvalsh(X.T @ X)[-1]
+    lam1_unit = lam1 / (len(X) * float(1 << 40))
+    assert abs(rq / 1e6 - lam1_unit) / lam1_unit < 0.05
+    # the iterate's Rayleigh quotient can never exceed λ₁
+    assert rq / 1e6 <= lam1_unit * (1 + 1e-9)
+
+
+def test_did_estimate_matches_cell_means(spark):
+    """DiD identity on the quantized outputs: the estimate equals
+    (post_B − pre_B) − (post_A − pre_A) up to the 1e-3 quantization of
+    the per-arm difference mean (md is quantized directly, not derived
+    from the quantized mx/my)."""
+    r = registry.QUERIES["ab_diff_in_differences"](spark, SF).collect()[0]
+    cell_did = (r.post_mean_b - r.pre_mean_b) - (
+        r.post_mean_a - r.pre_mean_a
+    )
+    assert abs(r.did_estimate - cell_did) <= 2e-3 + 1e-9
+    assert r.did_se > 0
+    assert abs(r.t_stat - r.did_estimate / r.did_se) < 1e-12
