@@ -3534,6 +3534,123 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clf_lift_oracle() -> str:
+    return f"""
+    {_clf_scored_sql()},
+    h AS (
+      SELECT split, z, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos
+      FROM scored GROUP BY split, z
+    ),
+    cum AS (
+      SELECT split, z,
+             CAST(sum(n) OVER (PARTITION BY split ORDER BY z DESC)
+                  AS BIGINT) AS cum_n,
+             CAST(sum(pos) OVER (PARTITION BY split ORDER BY z DESC)
+                  AS BIGINT) AS cum_pos
+      FROM h
+    ),
+    tots AS (
+      SELECT split, CAST(sum(n) AS BIGINT) AS nt,
+             CAST(GREATEST(sum(pos), 1) AS BIGINT) AS pt
+      FROM h GROUP BY split
+    ),
+    targets AS (
+      SELECT t.split, t.nt, t.pt, CAST(d.d AS BIGINT) AS decile,
+             (CAST(d.d AS BIGINT) * t.nt) // 10 AS target_n
+      FROM tots t, (SELECT unnest(range(1, 11)) AS d) d
+    ),
+    picks AS (
+      SELECT g.split, g.decile, g.nt, g.pt, MIN(c.cum_n) AS cum_n
+      FROM targets g JOIN cum c
+        ON c.split = g.split AND c.cum_n >= g.target_n
+      GROUP BY g.split, g.decile, g.nt, g.pt
+    )
+    SELECT p.split, p.decile, c.z AS threshold_z, p.cum_n,
+           c.cum_pos,
+           CAST((1000000 * c.cum_pos) // p.pt AS BIGINT) AS gain_micro,
+           CAST((1000000 * CAST(c.cum_pos AS HUGEINT) * p.nt)
+                // (CAST(p.cum_n AS HUGEINT) * p.pt) AS BIGINT)
+             AS lift_micro
+    FROM picks p JOIN cum c ON c.split = p.split AND c.cum_n = p.cum_n
+    """
+
+
+@query("classifier_lift_deciles", oracle=_clf_lift_oracle())
+def classifier_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift & cumulative-gain table of the split-trained quality
+    classifier — the campaign-targeting readout ("the top 10% of docs
+    by score contain X× their share of positives") that AUC summarizes
+    away. Deciles are HISTOGRAM-THRESHOLDED: the gains curve is built
+    at distinct-score grain (cumulative n and positives over the z
+    histogram, descending), and decile d reports the FIRST curve point
+    covering d·N/10 rows — tie-safe with NO per-row global ranking
+    (the stratified_sample_exact thresholding discipline applied to a
+    model-evaluation curve; a tie-group never straddles a decile
+    because thresholds live on the curve's own points).
+
+    Exactness: counts and thresholds are integers; gain and lift are
+    frozen by truncating integer division at 1e-6 (the cum_pos·N
+    product is carried in decimal(38,0)/HUGEINT — it overflows int64
+    at corpus scale). 100 TB shape: scoring is a narrow map; the
+    histogram is one map-side-combined GROUP BY; the cumulative
+    window runs at score-grid cardinality, never per-row."""
+    scored = _clf_split_scored(spark, sf_dir)
+    h = scored.groupBy("split", "z").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast("bigint")).cast("bigint").alias("pos"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("split")
+        .orderBy(F.col("z").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = h.select(
+        "split",
+        "z",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("pos").over(w).cast("bigint").alias("cum_pos"),
+    )
+    tots = h.groupBy("split").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.greatest(F.sum("pos"), F.lit(1)).cast("bigint").alias("pt"),
+    )
+    targets = tots.crossJoin(
+        spark.range(1, 11).select(F.col("id").cast("bigint").alias("decile"))
+    ).select(
+        "split", "nt", "pt", "decile",
+        F.expr("(decile * nt) div 10").alias("target_n"),
+    )
+    c2 = cum.select(
+        F.col("split").alias("csplit"), F.col("cum_n").alias("ccum_n")
+    )
+    picks = (
+        targets.join(
+            c2,
+            (F.col("csplit") == F.col("split"))
+            & (F.col("ccum_n") >= F.col("target_n")),
+        )
+        .groupBy("split", "decile", "nt", "pt")
+        .agg(F.min("ccum_n").alias("cum_n"))
+    )
+    return picks.join(cum, ["split", "cum_n"]).select(
+        "split",
+        "decile",
+        F.col("z").alias("threshold_z"),
+        "cum_n",
+        "cum_pos",
+        F.expr("(1000000 * cum_pos) div pt").cast("bigint").alias("gain_micro"),
+        F.expr(
+            "cast((cast(1000000 as decimal(38,0))"
+            " * cast(cum_pos as decimal(38,0)) * cast(nt as decimal(38,0)))"
+            " div (cast(cum_n as decimal(38,0)) * cast(pt as decimal(38,0)))"
+            " as bigint)"
+        ).alias("lift_micro"),
+    )
+
+
 def _clf_calibration_oracle() -> str:
     return f"""
     {_clf_scored_sql()},

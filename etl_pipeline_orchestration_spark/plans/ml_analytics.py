@@ -4588,6 +4588,156 @@ sssp_weighted_copurchase.__doc__ = sssp_weighted_copurchase.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# HITS hubs & authorities (quantized iteration, integer-exact)
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 8
+_HITS_SCALE = 1_000_000
+
+
+def _hits_oracle(iters: int = _HITS_ITERS, scale: int = _HITS_SCALE) -> str:
+    its = []
+    prev_a = "a0"
+    for k in range(1, iters + 1):
+        its.append(
+            f"""h{k} AS MATERIALIZED (
+      SELECT e.s, CAST(SUM(e.w * a.v) AS HUGEINT) AS raw
+      FROM edges e JOIN {prev_a} a ON a.p = e.p GROUP BY e.s
+    ),
+    hn{k} AS MATERIALIZED (
+      SELECT s, (raw * {scale})
+                // (SELECT GREATEST(MAX(raw), 1) FROM h{k}) AS v
+      FROM h{k}
+    ),
+    ar{k} AS MATERIALIZED (
+      SELECT e.p, CAST(SUM(e.w * h.v) AS HUGEINT) AS raw
+      FROM edges e JOIN hn{k} h ON h.s = e.s GROUP BY e.p
+    ),
+    a{k} AS MATERIALIZED (
+      SELECT p, (raw * {scale})
+                // (SELECT GREATEST(MAX(raw), 1) FROM ar{k}) AS v
+      FROM ar{k}
+    )"""
+        )
+        prev_a = f"a{k}"
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH edges AS MATERIALIZED (
+      SELECT l_suppkey AS s, l_partkey AS p,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    a0 AS MATERIALIZED (
+      SELECT DISTINCT p, CAST({scale} AS HUGEINT) AS v FROM edges
+    ),
+    {chain},
+    scored AS (
+      SELECT 'auth' AS kind, CAST(p AS BIGINT) AS node,
+             CAST(v AS BIGINT) AS score_q
+      FROM a{iters}
+      UNION ALL
+      SELECT 'hub', CAST(s AS BIGINT), CAST(v AS BIGINT) FROM hn{iters}
+    )
+    SELECT kind, node, score_q,
+           CAST(row_number() OVER (PARTITION BY kind
+                                   ORDER BY score_q DESC, node)
+                AS BIGINT) AS rk
+    FROM scored
+    """
+
+
+@query("hits_supplier_part", oracle=_hits_oracle())
+def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    supplier→part supply graph: suppliers are hubs (they ship many
+    authoritative parts), parts are authorities (they are shipped by
+    many strong hubs) — the mutual-reinforcement ranking PageRank's
+    single score can't express, and the ninth graph primitive.
+
+    Exactness: the pagerank/markov discipline taken fully integer —
+    h = W·a and a = Wᵀ·h alternate for {iters} rounds with each vector
+    re-quantized to 1e6 scale by EXACT integer division by its max
+    (all masses nonnegative, so div == // on every engine); the DuckDB
+    oracle unrolls all rounds as MATERIALIZED CTEs. No float anywhere;
+    ranks are taken on the integer scores.
+
+    100 TB shape: one lineitem scan collapses to the (supplier, part,
+    count) edge aggregate (map-side combine), localCheckpointed once;
+    each round is two edge-keyed join+aggregates — edge-linear, the
+    pagerank loop shape — and the normalizing max is a 1-row aggregate
+    broadcast back into the lazy chain (no per-round driver action).
+    State is node-sized; rounds checkpoint alternately so the plan
+    never compounds."""
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint()
+    )
+    d38 = "decimal(38,0)"
+    a = edges.select("p").distinct().select(
+        "p", F.lit(_HITS_SCALE).cast(d38).alias("v")
+    )
+    h = None
+    for _ in range(_HITS_ITERS):
+        h_raw = (
+            edges.join(a, "p")
+            .groupBy("s")
+            .agg(F.sum(F.col("w").cast(d38) * F.col("v")).alias("raw"))
+        )
+        h_max = h_raw.agg(
+            F.greatest(F.max("raw"), F.lit(1).cast(d38)).alias("m")
+        )
+        h = (
+            h_raw.crossJoin(F.broadcast(h_max))
+            .select(
+                "s", F.expr(f"(raw * {_HITS_SCALE}) div m").alias("v")
+            )
+            .localCheckpoint()
+        )
+        a_raw = (
+            edges.join(h, "s")
+            .groupBy("p")
+            .agg(F.sum(F.col("w").cast(d38) * F.col("v")).alias("raw"))
+        )
+        a_max = a_raw.agg(
+            F.greatest(F.max("raw"), F.lit(1).cast(d38)).alias("m")
+        )
+        a = (
+            a_raw.crossJoin(F.broadcast(a_max))
+            .select(
+                "p", F.expr(f"(raw * {_HITS_SCALE}) div m").alias("v")
+            )
+            .localCheckpoint()
+        )
+    scored = a.select(
+        F.lit("auth").alias("kind"),
+        F.col("p").cast("bigint").alias("node"),
+        F.col("v").cast("bigint").alias("score_q"),
+    ).unionAll(
+        h.select(
+            F.lit("hub").alias("kind"),
+            F.col("s").cast("bigint").alias("node"),
+            F.col("v").cast("bigint").alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("kind").orderBy(
+        F.col("score_q").desc(), F.col("node")
+    )
+    return scored.select(
+        "kind", "node", "score_q",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+
+
+hits_supplier_part.__doc__ = hits_supplier_part.__doc__.format(
+    iters=_HITS_ITERS
+)
+
+
+# ---------------------------------------------------------------------------
 # Always-valid sequential A/B monitoring (mixture SPRT)
 # ---------------------------------------------------------------------------
 

@@ -1147,3 +1147,70 @@ def test_did_estimate_matches_cell_means(spark):
     assert abs(r.did_estimate - cell_did) <= 2e-3 + 1e-9
     assert r.did_se > 0
     assert abs(r.t_stat - r.did_estimate / r.did_se) < 1e-12
+
+
+def test_hits_mutual_reinforcement_on_planted_graph(spark, tmp_path):
+    """Planted supply graph: parts p1-p3 are shipped by MANY suppliers
+    (authoritative); supplier 100 ships all three (a hub), supplier
+    200 ships only the obscure p9. HITS must rank hub 100 over 200 and
+    authority p1 over p9 — and the hub score must come from the
+    authority of its parts, not raw degree: supplier 300 ships three
+    OBSCURE parts (same degree as 100) and must still rank below it."""
+    rows = []
+    line = 0
+
+    def ship(s, p):
+        nonlocal line
+        line += 1
+        rows.append((line, p, s, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", None))
+
+    for p in (1, 2, 3):
+        for s in range(10, 20):  # ten background suppliers each
+            ship(s, p)
+    for p in (1, 2, 3):
+        ship(100, p)  # hub over authoritative parts
+    ship(200, 9)  # lone obscure part
+    for p in (91, 92, 93):
+        ship(300, p)  # same degree as 100, obscure parts
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l (l_orderkey BIGINT, l_partkey BIGINT,"
+        " l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE,"
+        " l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE,"
+        " l_returnflag VARCHAR, l_linestatus VARCHAR, l_shipdate TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO l VALUES (?,?,?,?,?,?,?,?,?,?,?)", rows)
+    con.execute(f"COPY l TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)")
+    out = {
+        (r.kind, r.node): r.score_q
+        for r in registry.QUERIES["hits_supplier_part"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[("hub", 100)] > out[("hub", 200)]
+    assert out[("hub", 100)] > out[("hub", 300)]  # authority-weighted, not degree
+    assert out[("auth", 1)] > out[("auth", 9)]
+
+
+def test_lift_deciles_identities(spark):
+    """Structural identities of the gains curve: decile 10 covers the
+    whole split (gain == 1e6, lift == 1e6 exactly — cum_pos == P and
+    cum_n == N cancel), cumulative gain is nondecreasing in decile,
+    each decile covers at least d·N/10 rows, and a better-than-random
+    classifier's top decile lifts above 1."""
+    rows = registry.QUERIES["classifier_lift_deciles"](spark, SF).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.split, {})[r.decile] = r
+    for split, d in by.items():
+        assert set(d) == set(range(1, 11))
+        assert d[10].gain_micro == 1_000_000
+        assert d[10].lift_micro == 1_000_000
+        gains = [d[k].gain_micro for k in range(1, 11)]
+        assert gains == sorted(gains)
+        nt = d[10].cum_n
+        for k in range(1, 11):
+            assert d[k].cum_n >= (k * nt) // 10
+    assert by["holdout"][1].lift_micro > 1_000_000
