@@ -220,6 +220,16 @@ HEADLINE = [
     "pii_column_scan",
     "embedding_outlier_iforest",
     "jl_projection_distortion",
+    # round 9 landings
+    "attribution_heuristics_events",
+    "shapley_attribution_events",
+    "embedding_pca_power_exact",
+    "ab_diff_in_differences",
+    "hits_supplier_part",
+    "classifier_lift_deciles",
+    "embedding_topk_lsh_exact",
+    "abc_classification_parts",
+    "cohort_ltv_per_member",
 ]
 
 

@@ -3680,3 +3680,214 @@ def l_diversity_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("top_seg_share_ppm") > 800000)
         )
     )
+
+
+@query(
+    "abc_classification_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS p,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rc
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(rc) AS BIGINT) AS t FROM rev),
+    cum AS (
+      SELECT p, rc,
+             CAST(sum(rc) OVER (ORDER BY rc DESC, p ASC) AS BIGINT)
+               AS cum_rc
+      FROM rev
+    )
+    SELECT c.p AS l_partkey, c.rc AS rev_cents, c.cum_rc AS cum_cents,
+           CAST((1000000 * c.rc) // t.t AS BIGINT) AS share_micro,
+           CAST((1000000 * c.cum_rc) // t.t AS BIGINT) AS cum_share_micro,
+           CASE WHEN 100 * c.cum_rc <= 80 * t.t THEN 'A'
+                WHEN 100 * c.cum_rc <= 95 * t.t THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum c, tot t
+    """,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue — the inventory
+    staple ("A-parts are the ~20% of items carrying 80% of revenue").
+    Every part gets its revenue share, the exact running revenue in
+    (revenue DESC, partkey) order, and an A/B/C class from integer
+    threshold comparisons (100·cum ≤ 80·total, ≤ 95·total — no float
+    share ever decides a class).
+
+    Scale shape — the running sum does NOT use a global
+    single-partition window (the part domain is ~200M keys at 100 TB):
+    the assign_contiguous_ids bucket recipe applied to a running SUM.
+    approx_percentile samples revenue boundaries (scalar collect), a
+    codegen'd fold buckets each part, per-bucket SUBTOTALS shuffle B
+    rows, the exclusive prefix sum over those B rows is the only
+    single-partition step, and the within-bucket window runs parallel
+    across buckets. Correct for ANY boundary placement: equal revenue
+    values always land in one bucket (strict `> b` fold), so the
+    (rc DESC, p ASC) tiebreak never straddles buckets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("rc")
+    )
+    n_buckets = 64
+    fracs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    bounds = rev.agg(
+        F.expr(f"approx_percentile(rc, array({fracs}), 10000)")
+    ).first()[0]
+    uniq = sorted({int(b) for b in (bounds or [])})
+    barr = F.array(*[F.lit(b) for b in uniq]) if uniq else F.array(F.lit(0))
+    # bucket 0 = highest revenue (DESC order): count boundaries >= rc
+    bucket = F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("rc") > b, 1).otherwise(0),
+    )
+    with_b = rev.withColumn("__bucket", -bucket)  # negate → DESC order
+    subtotals = with_b.groupBy("__bucket").agg(
+        F.sum("rc").cast("bigint").alias("__sub")
+    )
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = subtotals.select(
+        "__bucket",
+        F.coalesce(F.sum("__sub").over(w_off), F.lit(0))
+        .cast("bigint")
+        .alias("__offset"),
+    )
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col("rc").desc(), F.col("p").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = rev.agg(F.sum("rc").cast("bigint").alias("t"))
+    cum = (
+        with_b.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "cum_rc",
+            (F.col("__offset") + F.sum("rc").over(w_local)).cast("bigint"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    return cum.select(
+        F.col("p").alias("l_partkey"),
+        F.col("rc").alias("rev_cents"),
+        F.col("cum_rc").alias("cum_cents"),
+        F.expr("(1000000 * rc) div t").cast("bigint").alias("share_micro"),
+        F.expr("(1000000 * cum_rc) div t")
+        .cast("bigint")
+        .alias("cum_share_micro"),
+        F.when(100 * F.col("cum_rc") <= 80 * F.col("t"), F.lit("A"))
+        .when(100 * F.col("cum_rc") <= 95 * F.col("t"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+@query(
+    "cohort_ltv_per_member",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS m,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    first_m AS (
+      SELECT o_custkey, min(m) AS cohort_m FROM om GROUP BY 1
+    ),
+    sizes AS (
+      SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first_m GROUP BY 1
+    ),
+    cells AS (
+      SELECT f.cohort_m, om.m - f.cohort_m AS k,
+             CAST(sum(om.cents) AS BIGINT) AS rev_cents
+      FROM om JOIN first_m f ON om.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_m, k, rev_cents,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort_m ORDER BY k)
+                  AS BIGINT) AS cum_cents
+      FROM cells
+    )
+    SELECT c.cohort_m, CAST(c.k AS BIGINT) AS k, c.rev_cents,
+           c.cum_cents, s.cohort_size,
+           CAST((1000 * c.cum_cents) // s.cohort_size AS BIGINT)
+             AS ltv_millicents
+    FROM cum c JOIN sizes s ON s.cohort_m = c.cohort_m
+    """,
+)
+def cohort_ltv_per_member(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-member cohort LTV over the ORDER history — the
+    normalized companion of ``retention_cohort_matrix`` (same
+    first-order-month cohorts) and of the event-stream
+    ``cohort_ltv_curve`` (weekly, event-value based, unnormalized):
+    per (first-order-month cohort, age k),
+    the cohort's revenue that month, its RUNNING total, and cumulative
+    LTV per cohort member (exact integer milli-cents via truncating
+    division). The curve every subscription/commerce deck plots to ask
+    "when does a cohort pay back acquisition cost".
+
+    Scale shape: orders collapse to (custkey, month, cents) at source
+    (map-side combine), one custkey-keyed join against the first-month
+    aggregate, then everything — including the running-sum window —
+    runs at (cohort × age) cardinality: a few hundred cells however
+    big the order history."""
+    om = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint")
+            .alias("m"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    first_m = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = first_m.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    cells = (
+        om.join(first_m, "o_custkey")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("k"))
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    wcum = (
+        Window.partitionBy("cohort_m")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn(
+            "cum_cents", F.sum("rev_cents").over(wcum).cast("bigint")
+        )
+        .join(sizes, "cohort_m")
+        .select(
+            "cohort_m",
+            F.col("k").cast("bigint").alias("k"),
+            "rev_cents",
+            "cum_cents",
+            "cohort_size",
+            F.expr("(1000 * cum_cents) div cohort_size")
+            .cast("bigint")
+            .alias("ltv_millicents"),
+        )
+    )

@@ -5435,37 +5435,59 @@ def embedding_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal(38,0) across partitions), shuffling only 4096-row
     partials. The iteration runs driver-side on the 64×64 model — the
     k-means-centroid discipline."""
-    dfq = _quantize_vecs(load_table(spark, sf_dir, "embeddings"))
-    n_vecs = dfq.count()
+    state = pca_gram_state(load_table(spark, sf_dir, "embeddings"))
+    return pca_ratings(spark, state)
+
+
+def pca_gram_state(vecs: DataFrame) -> DataFrame:
+    """(i, j, g): the exact integer second-moment matrix of the
+    quantized corpus, with the vector COUNT carried as the reserved
+    (0, 0, n) row — the ADDITIVE sufficient statistic for the PCA
+    power iteration (Gram partials and counts both sum across any
+    chopping of the corpus into micro-batches). Split out so
+    streaming/pca_stream.py can maintain it. Always exactly 4097 rows
+    (the 64×64 grid, zero-filled, plus the count sentinel)."""
+    dfq = _quantize_vecs(vecs)
 
     def gram(it):
         import numpy as np
         import pandas as pd
 
         acc = [[0] * 64 for _ in range(64)]  # python ints: no overflow
+        n = 0
         for pdf in it:
             if len(pdf) == 0:
                 continue
             X = np.array(pdf["xq"].tolist(), dtype=np.int64)
+            n += len(X)
             P = X.T @ X  # exact per batch: 2^40 * 10^4 rows < 2^54
             for i in range(64):
                 row = acc[i]
                 for j in range(64):
                     row[j] += int(P[i, j])
-        rows = [
+        rows = [(0, 0, n)] + [
             (i + 1, j + 1, acc[i][j]) for i in range(64) for j in range(64)
         ]
         yield pd.DataFrame(rows, columns=["i", "j", "g"])
 
     partials = dfq.mapInPandas(gram, "i int, j int, g long")
-    g_rows = (
-        partials.groupBy("i", "j")
-        .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
-        .collect()
-    )  # model-sized: 4096 rows
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("g").cast("decimal(38,0)")).alias("g")
+    )
+
+
+def pca_ratings(spark: SparkSession, state: DataFrame) -> DataFrame:
+    """Dominant-direction table from the maintained Gram state. Shared
+    by the batch query and the streaming publisher so stream==batch
+    reduces to merge equality."""
+    g_rows = state.collect()  # model-sized: 4097 rows
     G = [[0] * 64 for _ in range(64)]
+    n_vecs = 0
     for r in g_rows:
-        G[r["i"] - 1][r["j"] - 1] = int(r["g"])
+        if r["i"] == 0 and r["j"] == 0:
+            n_vecs = int(r["g"])
+        else:
+            G[r["i"] - 1][r["j"] - 1] = int(r["g"])
     v = [_PCA_VSCALE] * 64
     for _ in range(_PCA_ITERS):
         w = [sum(G[i][j] * v[j] for j in range(64)) for i in range(64)]
@@ -5473,7 +5495,7 @@ def embedding_pca_power_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = [_pca_tdiv(w[i] * _PCA_VSCALE, m) for i in range(64)]
     w = [sum(G[i][j] * v[j] for j in range(64)) for i in range(64)]
     num = 1_000_000 * sum(v[i] * w[i] for i in range(64))
-    den = sum(x * x for x in v) * n_vecs * (1 << 40)
+    den = sum(x * x for x in v) * max(n_vecs, 1) * (1 << 40)
     rq = _pca_tdiv(num, den)
     return spark.createDataFrame(
         [(i + 1, v[i], rq) for i in range(64)],

@@ -2991,6 +2991,147 @@ def shapley_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "attribution_heuristics_events",
+    oracle="""
+    WITH ev AS MATERIALIZED (
+      SELECT user_id AS u, ts AS t, event_id AS o, event_type AS typ,
+             (event_type = 'purchase') AS conv,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS j
+      FROM events
+    ),
+    jy AS MATERIALIZED (
+      SELECT u, j FROM ev WHERE conv GROUP BY u, j
+    ),
+    steps AS MATERIALIZED (
+      SELECT e.u, e.j, e.typ,
+             row_number() OVER (PARTITION BY e.u, e.j ORDER BY e.t, e.o)
+               AS rn_first,
+             row_number() OVER (PARTITION BY e.u, e.j ORDER BY e.t DESC,
+                                e.o DESC) AS rn_last
+      FROM ev e JOIN jy ON jy.u = e.u AND jy.j = e.j
+      WHERE NOT e.conv
+    ),
+    chans AS MATERIALIZED (
+      SELECT DISTINCT typ FROM ev WHERE NOT conv
+    ),
+    ft AS (
+      SELECT typ, CAST(count(*) AS BIGINT) AS n
+      FROM steps WHERE rn_first = 1 GROUP BY typ
+    ),
+    lt AS (
+      SELECT typ, CAST(count(*) AS BIGINT) AS n
+      FROM steps WHERE rn_last = 1 GROUP BY typ
+    ),
+    jc AS (
+      SELECT u, j, typ FROM steps GROUP BY u, j, typ
+    ),
+    jn AS (
+      SELECT u, j, CAST(count(*) AS BIGINT) AS nch FROM jc GROUP BY u, j
+    ),
+    lin AS (
+      SELECT jc.typ, CAST(sum(1000000 // jn.nch) AS BIGINT) AS micro
+      FROM jc JOIN jn ON jn.u = jc.u AND jn.j = jc.j
+      GROUP BY jc.typ
+    )
+    SELECT c.typ AS channel,
+           COALESCE(ft.n, 0) AS first_touch_n,
+           COALESCE(lt.n, 0) AS last_touch_n,
+           COALESCE(lin.micro, 0) AS linear_credit_micro
+    FROM chans c
+    LEFT JOIN ft ON ft.typ = c.typ
+    LEFT JOIN lt ON lt.typ = c.typ
+    LEFT JOIN lin ON lin.typ = c.typ
+    """,
+)
+def attribution_heuristics_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The three classic attribution heuristics in one pass —
+    first-touch, last-touch, and linear credit over converting
+    journeys — the baselines every experimentation deck shows next to
+    the model-based Markov removal effects and Shapley values (same
+    journey cut as both: operators/attribution.py's conversion-indexed
+    window).
+
+    Exactness: first/last are integer counts from rank-1 rows of the
+    per-journey forward/reverse orderings (ties broken by event_id,
+    mirrored); linear credit gives each DISTINCT channel of a
+    converting journey 1e6 // n_channels micro-credits — the
+    truncating division happens PER JOURNEY on both engines, then
+    integer sums, so no rational ever leaves integer space.
+
+    100 TB shape: one user-keyed journey window, two per-journey
+    ranking windows over converting journeys only, and channel-domain
+    aggregates — all corpus-linear, no driver math at all."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_conv = F.col("event_type") == "purchase"
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("o"),
+        F.col("event_type").alias("typ"),
+        is_conv.alias("conv"),
+        F.coalesce(
+            F.sum(is_conv.cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("j"),
+    )
+    jy = ev.filter("conv").select("u", "j").distinct()
+    base = ev.join(jy, ["u", "j"]).filter(~F.col("conv"))
+    wj = Window.partitionBy("u", "j").orderBy("t", "o")
+    wjr = Window.partitionBy("u", "j").orderBy(
+        F.col("t").desc(), F.col("o").desc()
+    )
+    steps = base.select(
+        "u",
+        "j",
+        "typ",
+        F.row_number().over(wj).alias("rn_first"),
+        F.row_number().over(wjr).alias("rn_last"),
+    ).localCheckpoint()  # three consumers: first, last, linear
+    # channel domain = ALL channels (a channel with zero converting
+    # journeys still gets a zero row), matching the Shapley convention
+    chans = ev.filter(~F.col("conv")).select("typ").distinct()
+    ft = (
+        steps.filter("rn_first = 1")
+        .groupBy("typ")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ft_n"))
+    )
+    lt = (
+        steps.filter("rn_last = 1")
+        .groupBy("typ")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lt_n"))
+    )
+    jc = steps.select("u", "j", "typ").distinct()
+    jn = jc.groupBy("u", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nch")
+    )
+    lin = (
+        jc.join(jn, ["u", "j"])
+        .groupBy("typ")
+        .agg(
+            F.sum(F.expr("1000000 div nch")).cast("bigint").alias("lin_micro")
+        )
+    )
+    return (
+        chans.join(ft, "typ", "left")
+        .join(lt, "typ", "left")
+        .join(lin, "typ", "left")
+        .select(
+            F.col("typ").alias("channel"),
+            F.coalesce("ft_n", F.lit(0)).alias("first_touch_n"),
+            F.coalesce("lt_n", F.lit(0)).alias("last_touch_n"),
+            F.coalesce("lin_micro", F.lit(0)).alias("linear_credit_micro"),
+        )
+    )
+
+
+@query(
     "ab_experiment_report",
     oracle="""
     WITH arms AS (
@@ -4668,49 +4809,64 @@ def hits_supplier_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back into the lazy chain (no per-round driver action).
     State is node-sized; rounds checkpoint alternately so the plan
     never compounds."""
-    edges = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy(
-            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        .localCheckpoint()
-    )
-    d38 = "decimal(38,0)"
+    e = supply_edge_counts(load_table(spark, sf_dir, "lineitem"))
+    return hits_ratings(e)
+
+
+def supply_edge_counts(lineitem: DataFrame) -> DataFrame:
+    """(s, p, w): supplier→part shipment counts — the ADDITIVE
+    sufficient statistic for HITS (lineitem rows are atomic, so edge
+    counts sum across any chopping into micro-batches). Split out so
+    streaming/hits_stream.py can maintain it. Bounded by the
+    supplier × part item domain, not the fact-table row count."""
+    return lineitem.groupBy(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+
+
+def hits_ratings(e: DataFrame) -> DataFrame:
+    """HITS hub/authority table from the supply edge relation. Shared
+    by the batch query and the streaming publisher so stream==batch
+    reduces to merge equality.
+
+    Arithmetic stays in BIGINT: raw masses are Σ w·v ≤ w_max ·
+    fan-out · 1e6 (~1e17 even at web-scale edge weights), the
+    re-quantized v lands back at ≤ 1e6 — two orders under int64, and
+    exact-integer either way so the HUGEINT oracle matches
+    bit-for-bit. The normalizing max is a map-side-combined AGGREGATE
+    broadcast back into the select — NOT an empty-partition window
+    (the node relation is the ITEM domain, ~10^8 rows at 100 TB; a
+    singleton window would ship all of it to one task, which the r9
+    10x lane measured as the lane's worst exponent before this form).
+    The raw mass is checkpointed per half-round so the broadcast job
+    re-reads node-sized state instead of replaying the edge joins."""
+    edges = e.localCheckpoint()
     a = edges.select("p").distinct().select(
-        "p", F.lit(_HITS_SCALE).cast(d38).alias("v")
+        "p", F.lit(_HITS_SCALE).cast("bigint").alias("v")
     )
+
+    def _norm(raw_df: DataFrame, key: str) -> DataFrame:
+        raw_df = raw_df.localCheckpoint()
+        m = raw_df.agg(
+            F.greatest(F.max("raw"), F.lit(1)).cast("bigint").alias("m")
+        )
+        return raw_df.crossJoin(F.broadcast(m)).select(
+            key, F.expr(f"(raw * {_HITS_SCALE}) div m").alias("v")
+        )
+
     h = None
-    for _ in range(_HITS_ITERS):
-        h_raw = (
+    for it in range(_HITS_ITERS):
+        h = _norm(
             edges.join(a, "p")
             .groupBy("s")
-            .agg(F.sum(F.col("w").cast(d38) * F.col("v")).alias("raw"))
+            .agg(F.sum(F.col("w") * F.col("v")).cast("bigint").alias("raw")),
+            "s",
         )
-        h_max = h_raw.agg(
-            F.greatest(F.max("raw"), F.lit(1).cast(d38)).alias("m")
-        )
-        h = (
-            h_raw.crossJoin(F.broadcast(h_max))
-            .select(
-                "s", F.expr(f"(raw * {_HITS_SCALE}) div m").alias("v")
-            )
-            .localCheckpoint()
-        )
-        a_raw = (
+        a = _norm(
             edges.join(h, "s")
             .groupBy("p")
-            .agg(F.sum(F.col("w").cast(d38) * F.col("v")).alias("raw"))
-        )
-        a_max = a_raw.agg(
-            F.greatest(F.max("raw"), F.lit(1).cast(d38)).alias("m")
-        )
-        a = (
-            a_raw.crossJoin(F.broadcast(a_max))
-            .select(
-                "p", F.expr(f"(raw * {_HITS_SCALE}) div m").alias("v")
-            )
-            .localCheckpoint()
+            .agg(F.sum(F.col("w") * F.col("v")).cast("bigint").alias("raw")),
+            "p",
         )
     scored = a.select(
         F.lit("auth").alias("kind"),

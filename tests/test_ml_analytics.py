@@ -1214,3 +1214,45 @@ def test_lift_deciles_identities(spark):
         for k in range(1, 11):
             assert d[k].cum_n >= (k * nt) // 10
     assert by["holdout"][1].lift_micro > 1_000_000
+
+
+def test_attribution_heuristics_planted_journeys(spark, tmp_path):
+    """Hand-computable first/last/linear on planted journeys:
+    u1 view->CONV; u2 click->CONV; u3 click->NULL (non-converting,
+    excluded); u4 view,click,view->CONV (first=view, last=view,
+    linear splits 500k/500k over the DISTINCT channel set)."""
+    import datetime
+
+    import duckdb
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+
+    def ev(eid, u, typ, s):
+        rows.append((eid, t0 + datetime.timedelta(seconds=s), u, typ, 0.0, "{}"))
+
+    ev(1, 1, "view", 0); ev(2, 1, "purchase", 1)
+    ev(3, 2, "click", 0); ev(4, 2, "purchase", 1)
+    ev(5, 3, "click", 0)
+    ev(6, 4, "view", 0); ev(7, 4, "click", 1); ev(8, 4, "view", 2)
+    ev(9, 4, "purchase", 3)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", rows)
+    con.execute(f"COPY e TO '{tmp_path}/events.parquet' (FORMAT PARQUET)")
+    out = {
+        r.channel: r
+        for r in registry.QUERIES["attribution_heuristics_events"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {"view", "click"}
+    assert out["view"].first_touch_n == 2
+    assert out["click"].first_touch_n == 1
+    assert out["view"].last_touch_n == 2
+    assert out["click"].last_touch_n == 1
+    assert out["view"].linear_credit_micro == 1_500_000
+    assert out["click"].linear_credit_micro == 1_500_000

@@ -40,6 +40,8 @@ N_ORDERS = 1_500_000  # 10x the sf0.1 orders row count
 N_LINEITEM = 6_000_000  # 10x sf0.1 lineitem; same 4 lines/order shape
 N_PARTS = 200_000
 N_SUPPS = 10_000
+N_EVENTS = 1_000_000  # 10x sf0.1 events; same 5-type domain
+N_USERS = 15_000  # keeps ~67 events/user like the testdata
 REPLICAS = 10
 
 # Family representative -> registered query (documents/embeddings, plus
@@ -159,6 +161,21 @@ FAMILIES = {
     # (a,b) co-occurrence aggregate) is corpus-linear while the driver
     # fit stays vocabulary-sized (and capped — see textrank_ratings).
     "textrank_cooc": "textrank_keywords",
+    # HITS: certifies each of the 8 quantized rounds stays edge-linear
+    # (two edge-keyed join+aggregates) with the normalizing max as a
+    # broadcast, on the same 10x lineitem as the pagerank family.
+    "graph_hits": "hits_supplier_part",
+    # PCA power iteration: certifies the corpus-scale work is ONE
+    # Arrow partial-Gram pass (4096-row shuffles) while the 64x64
+    # iteration stays driver-side.
+    "pca_power": "embedding_pca_power_exact",
+    # Markov attribution: certifies journey assembly (one user-keyed
+    # window) + transition counting stay corpus-linear while the
+    # 48-step absorption iteration stays on the channel-domain model.
+    "markov_attribution": "markov_attribution_events",
+    # Shapley attribution: same journey window + a (u, j) bit_or
+    # aggregate; everything after runs at 2^n_channels cardinality.
+    "shapley_attribution": "shapley_attribution_events",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
@@ -249,6 +266,25 @@ def gen_big(spark, d: str) -> None:
         .alias("l_quantity"),
     )
     lineitem.repartition(16).write.parquet(os.path.join(d, "lineitem.parquet"))
+    # Events at 10x the sf0.1 row count (same 5-type domain, same
+    # ~67 events/user density, one-month span) for the attribution
+    # families — journey windows are user-keyed, so user count scales
+    # with the corpus like the testdata's.
+    events = spark.range(N_EVENTS).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestampadd(SECOND, cast(pmod(xxhash64(id, 11), 2592000)"
+            " as int), timestamp'2024-01-01 00:00:00')"
+        ).alias("ts"),
+        F.pmod(F.xxhash64("id", F.lit(12)), F.lit(N_USERS)).alias("user_id"),
+        F.expr(
+            "elt(1 + pmod(xxhash64(id, 13), 5), 'view', 'click',"
+            " 'signup', 'error', 'purchase')"
+        ).alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    events.repartition(8).write.parquet(os.path.join(d, "events.parquet"))
 
 
 def _calib(spark) -> float:
@@ -269,6 +305,20 @@ def _clear_unigram_cache() -> None:
     from etl_pipeline_orchestration_spark.plans import corpus_ops
 
     corpus_ops._unigram_cache.clear()
+
+
+def _clear_persistent_state(spark) -> None:
+    """Unpersist every cached/localCheckpointed RDD left behind by the
+    previous family. Dozens of families run in ONE session and many
+    queries localCheckpoint node-sized state; without this the block
+    manager accumulates the whole lane's checkpoints and later families
+    (pagerank measured 0.52-0.61 in-lane vs 0.34 isolated, r9) pay the
+    storage-memory pressure of their predecessors. Nothing is reused
+    across families — each timed call rebuilds its own plan."""
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc
+    for rdd in list(jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
 
 
 # Per-family pre-rep hooks: invalidate memo caches so min-of-reps times
@@ -306,6 +356,7 @@ def main() -> int:
         calib_start = round(_calib(spark), 3)
         out: dict = {}
         for fam, qname in FAMILIES.items():
+            _clear_persistent_state(spark)
             fn = registry.QUERIES[qname]
             hook = PRE_HOOKS.get(fam)
             t1 = _time(spark, fn, sf1, reps, hook)
