@@ -2930,19 +2930,23 @@ def shapley_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     events = load_table(spark, sf_dir, "events")
-    chans = sorted(
-        r[0]
-        for r in events.filter(F.col("event_type") != "purchase")
+    # limit(13) bounds the collect itself: a high-cardinality type
+    # domain pulls at most 13 rows before the guard fires, never the
+    # whole vocabulary
+    chan_rows = (
+        events.filter(F.col("event_type") != "purchase")
         .select("event_type")
         .distinct()
+        .limit(13)
         .collect()
     )
-    n = len(chans)
-    if n > 12:
+    if len(chan_rows) > 12:
         raise ValueError(
-            f"exact Shapley attribution supports at most 12 channels"
-            f" (got {n}); use a sampling approximation beyond that"
+            "exact Shapley attribution supports at most 12 channels;"
+            " use a sampling approximation beyond that"
         )
+    chans = sorted(r[0] for r in chan_rows)
+    n = len(chans)
     cs = journey_channel_conversions(events)
     masks = spark.range(1 << n).select(F.col("id").cast("bigint").alias("S"))
     v = (
