@@ -230,6 +230,7 @@ HEADLINE = [
     "embedding_topk_lsh_exact",
     "abc_classification_parts",
     "cohort_ltv_per_member",
+    "zorder_pruning_audit",
 ]
 
 

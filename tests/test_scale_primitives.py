@@ -301,3 +301,25 @@ def test_jl_distortion_centered_and_complete(spark):
     mid = sum(((r.min_permille + r.max_permille) / 2) * r.n_pairs for r in rows) / n
     assert 700 < mid < 1400
     assert any(r.band == 10 for r in rows)
+
+
+def test_zorder_layout_prunes_box_query(spark):
+    """The audit must show the layout actually working: the natural
+    (orderkey) layout has no part/supplier locality so the box query
+    scans every file; the z-order layout confines the bottom-decile
+    box to a handful of z-ranges. Also pins Morton-code sanity: both
+    layouts cover the same rows across the same file count."""
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    out = {
+        r.layout: r
+        for r in registry.QUERIES["zorder_pruning_audit"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    nat, z = out["natural"], out["zorder"]
+    assert nat.n_rows == z.n_rows
+    assert nat.files_scanned == nat.n_files  # no locality -> scan all
+    assert z.files_scanned <= 4  # 10% x 10% box -> a few z-ranges
+    assert z.rows_scanned < nat.rows_scanned // 10
