@@ -342,3 +342,102 @@ def relational_functions_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(anchor, F.col("p_size")).alias("size_date"),
         F.datediff(anchor, F.lit("1995-01-01").cast("date")).alias("anchor_doy"),
     )
+
+
+@query(
+    "map_json_topk_combo",
+    oracle="""
+    SELECT 'map_fns' AS facet,
+           CAST(event_id AS VARCHAR) AS k1,
+           concat_ws('|',
+                     array_to_string(list_sort(json_keys(props)), ','),
+                     event_type) AS k2,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS n,
+           CAST(len(json_keys(props)) AS DOUBLE) AS v
+    FROM events
+    UNION ALL
+    SELECT 'json_extract' AS facet,
+           event_type AS k1,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                AS VARCHAR) AS k2,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 4) AS v
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'topk' AS facet,
+           CAST(o_orderkey AS VARCHAR) AS k1,
+           CAST(o_custkey AS VARCHAR) AS k2,
+           CAST(NULL AS BIGINT) AS n,
+           o_totalprice AS v
+    FROM (SELECT * FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+    """,
+)
+def map_json_topk_combo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2 F5 (map functions) + F6 (JSON extraction) + O1 (sort/limit
+    top-k) in one certified plan, freeing three window slots for the
+    round-9 flagships. The folded single-facet queries
+    (``map_functions_events``, ``json_extract_events``,
+    ``topk_orders_by_price``) remain registered after the window and
+    stay covered by the full oracle sweep.
+
+    Facets:
+    - ``map_fns``: parse events.props into a real MapType, then
+      size / element_at / map_keys, plus a constructed create_map
+      probed with element_at (identical expressions to
+      ``map_functions_events``).
+    - ``json_extract``: get_json_object over the raw JSON string with
+      an aggregate on the extracted value.
+    - ``topk``: orderBy().limit() → TakeOrderedAndProject (per-partition
+      top-k, driver merge of 10-row heaps — no global sort at scale).
+
+    Scale shape: three independent branches (two over events, one over
+    orders) unioned; the map/json branches are scan+project or a single
+    hash aggregate; nothing is collected.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    props_map = F.from_json("props", "map<string,bigint>")
+    built = F.create_map(F.lit("type"), F.col("event_type"))
+    map_b = ev.select(
+        F.lit("map_fns").alias("facet"),
+        F.col("event_id").cast("string").alias("k1"),
+        F.concat_ws(
+            "|",
+            F.concat_ws(",", F.array_sort(F.map_keys(props_map))),
+            F.element_at(built, "type"),
+        ).alias("k2"),
+        F.element_at(props_map, "k").alias("n"),
+        F.size(props_map).cast("double").alias("v"),
+    )
+    json_b = (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("int").cast("long"))
+            .cast("string")
+            .alias("k2"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("v"),
+        )
+        .select(
+            F.lit("json_extract").alias("facet"),
+            F.col("event_type").alias("k1"),
+            "k2",
+            "n",
+            "v",
+        )
+    )
+    topk_b = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.lit("topk").alias("facet"),
+            F.col("o_orderkey").cast("string").alias("k1"),
+            F.col("o_custkey").cast("string").alias("k2"),
+            F.lit(None).cast("long").alias("n"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    return map_b.unionAll(json_b).unionAll(topk_b)

@@ -38,14 +38,14 @@ SECTION2_CERTIFIERS = {
     "J6": "range_join_value_tiers",
     "J7": "asof_join_events_orders",
     "W1/W2/W3": "windows_combo",
-    "O1": "topk_orders_by_price",
+    "O1": "map_json_topk_combo",          # round-10 fold (F5+F6+O1)
     "O2/O3": "set_ops_full_combo",
     "F1/F2/F3": "relational_functions_combo",
     "F4": "token_stats",
-    "F5": "map_functions_events",
-    "F6": "json_extract_events",
-    "T1-tumbling": "tumbling_window_events",
-    "T1-session": "session_window_events",
+    "F5": "map_json_topk_combo",
+    "F6": "map_json_topk_combo",
+    # session facet rotated out round 10 — stays full-sweep oracled
+    "T1": "tumbling_window_events",
     "U1": "pandas_udf_normalize_text",
     "U2": "apply_in_pandas_order_zscore",
     "U3-mapInPandas": "multimodal_jpeg_decode",
@@ -64,10 +64,16 @@ SECTION2_CERTIFIERS = {
     "L-fingerprints": "doc_fingerprints_winnow",
     "L-multimodal": "multimodal_jpeg_decode",
     "flagship-corpus-stats": "corpus_report",
-    "flagship-bpe": "bpe_merge_sequence",
+    # bpe / upsert rotated out round 10 (both stay full-sweep oracled;
+    # snapshot_timetravel_diff certifies the snapshot machinery upsert
+    # builds on) to make room for the round-8/9 flagships below
     "flagship-snapshot": "snapshot_timetravel_diff",
-    "flagship-upsert": "upsert_timetravel_diff",
     "flagship-pagerank": "graph_pagerank_part_supplier",
+    "flagship-hits": "hits_supplier_part",
+    "flagship-shapley": "shapley_attribution_events",
+    "flagship-markov": "markov_attribution_events",
+    "flagship-pca-power": "embedding_pca_power_exact",
+    "flagship-classifier-lift": "classifier_lift_deciles",
 }
 
 # Round 8 closed the last two rows-only window slots with integer-exact
