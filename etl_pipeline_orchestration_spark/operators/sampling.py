@@ -117,18 +117,22 @@ def exact_allocation(
     # one map-side-combined scalar; validating here lets the rest of
     # the plan inline T as a literal (drops the broadcast crossJoin)
     t_row = counts.agg(F.sum("n_rows").alias("t")).head()
-    t = t_row["t"] if t_row is not None else None
-    if not t or total_n > t:
+    t = (t_row["t"] if t_row is not None else None) or 0
+    if total_n > t:
         raise ValueError(
             f"exact_allocation: total_n={total_n} exceeds the corpus row"
-            f" count ({t or 0}); an exact-N stratified sample cannot"
+            f" count ({t}); an exact-N stratified sample cannot"
             f" deliver more rows than exist"
         )
+    # total_n == 0 on an empty corpus is a legitimate no-op allocation;
+    # t is only a divisor below and counts is empty, so any non-zero
+    # literal yields the same (empty) result
+    t_div = t or 1
     quota = counts.select(
         "stratum",
         "n_rows",
-        F.expr(f"({total_n} * n_rows) div {t}").cast("bigint").alias("base_n"),
-        F.expr(f"({total_n} * n_rows) % {t}").cast("bigint").alias("rem"),
+        F.expr(f"({total_n} * n_rows) div {t_div}").cast("bigint").alias("base_n"),
+        F.expr(f"({total_n} * n_rows) % {t_div}").cast("bigint").alias("rem"),
     )
     leftover = quota.agg(
         (F.lit(total_n) - F.sum("base_n")).cast("bigint").alias("leftover")

@@ -4833,11 +4833,13 @@ def hits_ratings(e: DataFrame) -> DataFrame:
     by the batch query and the streaming publisher so stream==batch
     reduces to merge equality.
 
-    Arithmetic stays in BIGINT: raw masses are Σ w·v ≤ w_max ·
-    fan-out · 1e6 (~1e17 even at web-scale edge weights), the
-    re-quantized v lands back at ≤ 1e6 — two orders under int64, and
-    exact-integer either way so the HUGEINT oracle matches
-    bit-for-bit. The normalizing max is a map-side-combined AGGREGATE
+    Arithmetic: raw masses are Σ w·v ≤ w_max · fan-out · 1e6 (~1e17
+    even at web-scale edge weights) and stay in BIGINT, but the
+    rescale product raw·1e6 would overflow int64 once raw exceeds
+    ~9.2e12, so that one multiply is carried in DECIMAL(38,0) (exact,
+    matches the HUGEINT oracle bit-for-bit; `div` truncates — raw and
+    m are non-negative so trunc == floor on both engines) and only
+    the ≤ 1e6 quotient lands back in BIGINT. The normalizing max is a map-side-combined AGGREGATE
     broadcast back into the select — NOT an empty-partition window
     (the node relation is the ITEM domain, ~10^8 rows at 100 TB; a
     singleton window would ship all of it to one task, which the r9
@@ -4855,7 +4857,10 @@ def hits_ratings(e: DataFrame) -> DataFrame:
             F.greatest(F.max("raw"), F.lit(1)).cast("bigint").alias("m")
         )
         return raw_df.crossJoin(F.broadcast(m)).select(
-            key, F.expr(f"(raw * {_HITS_SCALE}) div m").alias("v")
+            key,
+            F.expr(
+                f"(CAST(raw AS DECIMAL(38,0)) * {_HITS_SCALE}) div m"
+            ).alias("v"),
         )
 
     h = None

@@ -118,3 +118,19 @@ def test_window_oracles_maximal():
 def test_oracle_order_matches_query_order():
     qnames = [n for n in entrymod.queries() if n in registry.ORACLES]
     assert list(entrymod.oracle_sql()) == qnames
+
+
+def test_readme_registry_count_is_fresh():
+    """The README's '(N named queries…)' figure must track the registry
+    (advisor r9: it had drifted 315 vs 319). Update README.md's plans/
+    line whenever a query is added."""
+    import re
+    from pathlib import Path
+
+    text = Path(__file__).resolve().parent.parent.joinpath("README.md").read_text()
+    m = re.search(r"\((\d+) named queries", text)
+    assert m, "README.md lost its '(N named queries' marker"
+    assert int(m.group(1)) == len(registry.QUERIES), (
+        f"README says {m.group(1)} named queries; registry has "
+        f"{len(registry.QUERIES)} — update README.md"
+    )

@@ -90,3 +90,16 @@ def test_over_allocation_raises_instead_of_underdelivering(spark):
         stratified_sample_exact(docs, "lang", total_n=100)
     # the boundary N == T delivers every row
     assert stratified_sample_exact(docs, "lang", total_n=9).count() == 9
+
+
+def test_empty_corpus_zero_n_is_a_noop_not_an_error(spark):
+    from etl_pipeline_orchestration_spark.operators.sampling import (
+        exact_allocation,
+    )
+
+    empty = spark.createDataFrame([], "doc_id bigint, lang string")
+    # total_n=0 on an empty corpus is a legitimate empty allocation
+    assert exact_allocation(empty, "lang", total_n=0).count() == 0
+    # but any positive ask still raises
+    with pytest.raises(ValueError, match="exceeds the corpus row count"):
+        exact_allocation(empty, "lang", total_n=1)
