@@ -1120,8 +1120,11 @@ def doc_fingerprints_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     token is char-folded once (h = h*131 + code mod 2^31-1, the classic
     Rabin-Karp base-131 form — public method), each 8-token shingle
     folds those token hashes, and hashes ≡ 0 (mod 4) are the sketch.
-    The sibling ``doc_fingerprints`` uses xxhash64 (stronger, JVM-only)
-    and can only be rows-checked; this variant trades hash quality for
+    The production ``rolling_hash_fingerprint`` operator uses xxhash64
+    (stronger, JVM-only) and can only be rows-checked (its standalone
+    rows-only registration was folded into the certified winnowing
+    lane in round 10; the operator stays pinned by
+    tests/test_dedup_similarity.py); this variant trades hash quality for
     an arithmetic both engines evaluate bit-identically, making the
     fingerprint RELATION itself oracle-verifiable — the sketch
     selection, dedup, and per-doc membership all get hash-equality

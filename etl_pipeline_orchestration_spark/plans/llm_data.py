@@ -84,12 +84,6 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(docs, cands, threshold=0.7)
 
 
-@query("dedup_simhash")  # fingerprint op — rows-only check
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_fingerprints(docs)
-
-
 @query("dedup_simhash_pairs")  # hash-family op — rows-only check
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with planted ground truth: docs with
@@ -388,21 +382,6 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.detect_language(docs)
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-@query("doc_fingerprints")  # sketch op — rows-only check
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing sketch per document, serialized to scalar columns (the
-    harness canonicalizes rows via pandas, which cannot hash raw
-    ``array<long>`` cells — emit a count + a 64-bit digest instead)."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = text.rolling_hash_fingerprint(docs)
-    sketch_str = F.concat_ws(",", F.transform(F.col("fingerprint"), lambda h: h.cast("string")))
-    return fp.select(
-        "doc_id",
-        F.size("fingerprint").alias("n_fingerprints"),
-        F.xxhash64(sketch_str).alias("fingerprint_sig"),
     )
 
 
@@ -4019,8 +3998,11 @@ def dedup_simhash_crossengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole banding over (8,8,8,7)-bit chunks, mega-bucket guard,
     exact bit_count(xor) verify — the DuckDB oracle replays every
     stage, upgrading the SimHash lane's driver row from rows-only to
-    hash-certified (the xxhash64 sibling dedup_simhash stays the
-    production path; same trade as dedup_minhash_crossengine)."""
+    hash-certified (the xxhash64 ``simhash_fingerprints`` operator
+    stays the production path, exercised by ``dedup_simhash_pairs``'s
+    planted truth — its standalone rows-only registration was folded
+    into this certified lane in round 10; same trade as
+    dedup_minhash_crossengine)."""
     from etl_pipeline_orchestration_spark.operators.dedup import (
         simhash_crossengine_pairs,
     )

@@ -18,9 +18,7 @@ JUSTIFICATIONS: dict[str, tuple[str, str]] = {
     "approx_quantile_sketch": ("test", "tests/test_sketches.py"),
     "dedup_minhash_lsh_candidates": ("sibling", "dedup_minhash_crossengine"),
     "dedup_minhash_verified": ("sibling", "dedup_minhash_crossengine"),
-    "dedup_simhash": ("sibling", "dedup_simhash_crossengine"),
     "dedup_simhash_pairs": ("sibling", "dedup_simhash_crossengine"),
-    "doc_fingerprints": ("sibling", "doc_fingerprints_winnow"),
     "embedding_topk_lsh": ("sibling", "embedding_topk_lsh_exact"),
     "embedding_topk_ivf": ("sibling", "embedding_topk_ivfpq_exact"),
     "embedding_near_dup_pairs": (
