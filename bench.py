@@ -231,6 +231,10 @@ HEADLINE = [
     "abc_classification_parts",
     "cohort_ltv_per_member",
     "zorder_pruning_audit",
+    # round 10 landings
+    "map_json_topk_combo",
+    "decision_tree_histogram_splits",
+    "decision_tree_leaf_stats",
 ]
 
 

@@ -5289,3 +5289,343 @@ def ab_guardrails_srm_conversion(
             )
         ).alias("z_conversion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram-based decision-tree split finding
+# ---------------------------------------------------------------------------
+
+_DT_SCALE = 1_000_000
+
+
+def _dtree_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(okey, y, f_year, f_month, f_band, f_items): the wide feature
+    frame for the order-completion tree. Integer features with small
+    domains — histogram bins by construction, the LightGBM/XGBoost
+    approximate-split discipline (one histogram per feature per node,
+    never a sort of the raw column)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_n = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items")
+    )
+    return (
+        orders.join(li_n, orders.o_orderkey == li_n.l_orderkey, "left")
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+            (F.year("o_orderdate") - 1992).cast("bigint").alias("f_year"),
+            F.month("o_orderdate").cast("bigint").alias("f_month"),
+            F.least(
+                F.floor(F.col("o_totalprice") / 25000), F.lit(7)
+            ).cast("bigint").alias("f_band"),
+            F.least(
+                F.coalesce(F.col("n_items"), F.lit(0)), F.lit(7)
+            ).cast("bigint").alias("f_items"),
+        )
+    )
+
+
+_DT_FEATURES = ("f_band", "f_items", "f_month", "f_year")
+
+
+def _dtree_unpivot(base: DataFrame, node_col) -> DataFrame:
+    """(node, y, f, v) rows — four rows per example."""
+    stack = ", ".join(f"'{f}', {f}" for f in _DT_FEATURES)
+    return base.select(
+        node_col.cast("bigint").alias("node"), "y", *(_DT_FEATURES)
+    ).selectExpr(
+        "node", "y", f"stack({len(_DT_FEATURES)}, {stack}) AS (f, v)"
+    )
+
+
+def _dtree_best_splits(feat: DataFrame) -> DataFrame:
+    """One best-split row per node from (node, y, f, v) rows:
+    per-(node, feature, value) class histograms, prefix sums over the
+    value order, and the quantized-Gini gain
+
+        gain_q = (S·(cpos² + (cn−cpos)²)) div cn
+               + (S·(rpos² + (rn−rpos)²)) div rn
+
+    (S = 1e6; the sum of per-side purity masses each frozen by exact
+    integer division — the quantized-ratio rule, so both engines agree
+    bit-for-bit; maximizing it minimizes weighted Gini up to the
+    deterministic truncation). Squares are carried in DECIMAL(38,0)
+    (counts² overflow int64 past ~3e9 rows; decimal38 holds N ≤ 1e16).
+    Ties break by (feature, value) ascending. Thresholds are v ≤ t.
+
+    Scale shape: ONE aggregate at (node × feature × bin) cardinality —
+    bins are single digits by construction — then windows and the
+    argmax run at histogram size, not corpus size. At the root the
+    argmax window's constant node key folds away to a SinglePartition
+    window: legitimate, because its input is the already-aggregated
+    histogram (≤ features × bins rows), never the corpus — the
+    exact_allocation-class SP case PLANS.md polices."""
+    hist = feat.groupBy("node", "f", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    wv = (
+        Window.partitionBy("node", "f")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("node", "f")
+    cum = hist.select(
+        "node",
+        "f",
+        "v",
+        F.sum("n").over(wv).alias("cn"),
+        F.sum("pos").over(wv).alias("cpos"),
+        F.sum("n").over(wt).alias("tn"),
+        F.sum("pos").over(wt).alias("tpos"),
+    )
+    gain = cum.filter(F.col("cn") < F.col("tn")).select(
+        "node",
+        "f",
+        "v",
+        "tn",
+        "tpos",
+        (
+            F.expr(
+                f"CAST(({_DT_SCALE} * (CAST(cpos AS DECIMAL(38,0)) * cpos"
+                f" + CAST(cn - cpos AS DECIMAL(38,0)) * (cn - cpos)))"
+                f" div cn AS BIGINT)"
+            )
+            + F.expr(
+                f"CAST(({_DT_SCALE} * (CAST(tpos - cpos AS DECIMAL(38,0))"
+                f" * (tpos - cpos)"
+                f" + CAST((tn - cn) - (tpos - cpos) AS DECIMAL(38,0))"
+                f" * ((tn - cn) - (tpos - cpos))))"
+                f" div (tn - cn) AS BIGINT)"
+            )
+        ).alias("gain_q"),
+    )
+    wbest = Window.partitionBy("node").orderBy(
+        F.col("gain_q").desc(), F.col("f"), F.col("v")
+    )
+    return (
+        gain.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "node",
+            F.col("f").alias("feature"),
+            F.col("v").alias("threshold"),
+            "gain_q",
+            F.col("tn").alias("n_node"),
+            F.col("tpos").alias("pos_node"),
+        )
+    )
+
+
+_DT_ORACLE_PREFIX = f"""
+    WITH li_n AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    base AS MATERIALIZED (
+      SELECT o.o_orderkey AS okey,
+             CAST(o.o_orderstatus = 'F' AS INT) AS y,
+             CAST(year(o.o_orderdate) - 1992 AS BIGINT) AS f_year,
+             CAST(month(o.o_orderdate) AS BIGINT) AS f_month,
+             CAST(least(floor(o.o_totalprice / 25000), 7) AS BIGINT)
+               AS f_band,
+             CAST(least(COALESCE(li_n.n_items, 0), 7) AS BIGINT) AS f_items
+      FROM orders o LEFT JOIN li_n ON li_n.l_orderkey = o.o_orderkey
+    ),
+    feat0 AS MATERIALIZED (
+      SELECT CAST(0 AS BIGINT) AS node, y, f, v FROM base
+      UNPIVOT (v FOR f IN (f_band, f_items, f_month, f_year))
+    ),
+    hist0 AS (
+      SELECT node, f, v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM feat0 GROUP BY node, f, v
+    ),
+    cum0 AS (
+      SELECT node, f, v,
+             sum(n) OVER (PARTITION BY node, f ORDER BY v) AS cn,
+             sum(pos) OVER (PARTITION BY node, f ORDER BY v) AS cpos,
+             sum(n) OVER (PARTITION BY node, f) AS tn,
+             sum(pos) OVER (PARTITION BY node, f) AS tpos
+      FROM hist0
+    ),
+    gain0 AS (
+      SELECT node, f, v, tn, tpos,
+             CAST(({_DT_SCALE} * (cpos * cpos + (cn - cpos) * (cn - cpos)))
+                  // cn AS BIGINT)
+             + CAST(({_DT_SCALE} * ((tpos - cpos) * (tpos - cpos)
+                     + ((tn - cn) - (tpos - cpos))
+                       * ((tn - cn) - (tpos - cpos))))
+                    // (tn - cn) AS BIGINT) AS gain_q
+      FROM cum0 WHERE cn < tn
+    ),
+    best0 AS MATERIALIZED (
+      SELECT * FROM gain0
+      ORDER BY gain_q DESC, f, v LIMIT 1
+    ),
+    sided AS MATERIALIZED (
+      SELECT CASE WHEN (CASE b.f
+                        WHEN 'f_band' THEN base.f_band
+                        WHEN 'f_items' THEN base.f_items
+                        WHEN 'f_month' THEN base.f_month
+                        ELSE base.f_year END) <= b.v
+                  THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS node,
+             base.y, base.f_band, base.f_items, base.f_month, base.f_year
+      FROM base CROSS JOIN best0 b
+    ),
+    feat1 AS MATERIALIZED (
+      SELECT node, y, f, v FROM sided
+      UNPIVOT (v FOR f IN (f_band, f_items, f_month, f_year))
+    ),
+    hist1 AS (
+      SELECT node, f, v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM feat1 GROUP BY node, f, v
+    ),
+    cum1 AS (
+      SELECT node, f, v,
+             sum(n) OVER (PARTITION BY node, f ORDER BY v) AS cn,
+             sum(pos) OVER (PARTITION BY node, f ORDER BY v) AS cpos,
+             sum(n) OVER (PARTITION BY node, f) AS tn,
+             sum(pos) OVER (PARTITION BY node, f) AS tpos
+      FROM hist1
+    ),
+    gain1 AS (
+      SELECT node, f, v, tn, tpos,
+             CAST(({_DT_SCALE} * (cpos * cpos + (cn - cpos) * (cn - cpos)))
+                  // cn AS BIGINT)
+             + CAST(({_DT_SCALE} * ((tpos - cpos) * (tpos - cpos)
+                     + ((tn - cn) - (tpos - cpos))
+                       * ((tn - cn) - (tpos - cpos))))
+                    // (tn - cn) AS BIGINT) AS gain_q
+      FROM cum1 WHERE cn < tn
+    ),
+    best1 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY node
+                                     ORDER BY gain_q DESC, f, v) AS rk
+        FROM gain1
+      ) WHERE rk = 1
+    )"""
+
+
+@query(
+    "decision_tree_histogram_splits",
+    oracle=_DT_ORACLE_PREFIX
+    + """
+    SELECT node, f AS feature, v AS threshold, gain_q,
+           tn AS n_node, tpos AS pos_node
+    FROM best0
+    UNION ALL
+    SELECT node, f, v, gain_q, tn, tpos FROM best1
+    """,
+)
+def decision_tree_histogram_splits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Depth-2 decision tree by DISTRIBUTED histogram split finding —
+    the LightGBM/XGBoost approximate-split pattern (Ke et al. 2017;
+    Chen & Guestrin 2016; public method): per level, ONE map-side-
+    combined aggregate builds per-(node, feature, bin) class
+    histograms, prefix sums over the bin order price every threshold,
+    and the argmax split maximizes an integer-quantized Gini purity
+    (exact on both engines — see ``_dtree_best_splits``). Predicts
+    order completion (o_orderstatus = 'F') from year/month/price-band/
+    item-count bins.
+
+    Split of labor (the k-means discipline): corpus-scale work is the
+    per-level histogram aggregate (4N unpivoted rows -> single-digit
+    bins per feature); only the ≤ 2^depth best-split rows (the MODEL)
+    come to the driver, which rebuilds the node predicate as a narrow
+    column expression for the next level — no corpus-side join against
+    the split table, no re-shuffle between levels.
+
+    100 TB shape: two passes over the fact join, each a scan +
+    hash-aggregate at histogram cardinality; the lineitem count join
+    shuffles once on the order key. Depth generalizes linearly in
+    passes (standard histogram-tree trade)."""
+    base = _dtree_base(spark, sf_dir)
+    best0_df = _dtree_best_splits(_dtree_unpivot(base, F.lit(0)))
+    b0 = best0_df.head()  # the MODEL (one row) — driver-sized by design
+    side = (
+        F.when(
+            F.col(b0["feature"]) <= F.lit(int(b0["threshold"])), F.lit(1)
+        ).otherwise(F.lit(2))
+    )
+    best1_df = _dtree_best_splits(_dtree_unpivot(base, side))
+    return best0_df.unionAll(best1_df)
+
+
+@query(
+    "decision_tree_leaf_stats",
+    oracle=_DT_ORACLE_PREFIX
+    + """,
+    leaves AS (
+      SELECT CASE WHEN b1.node IS NULL THEN s.node
+                  WHEN (CASE b1.f
+                        WHEN 'f_band' THEN s.f_band
+                        WHEN 'f_items' THEN s.f_items
+                        WHEN 'f_month' THEN s.f_month
+                        ELSE s.f_year END) <= b1.v
+                  THEN s.node * 2 + 1 ELSE s.node * 2 + 2 END AS leaf,
+             s.y
+      FROM sided s LEFT JOIN best1 b1 ON b1.node = s.node
+    )
+    SELECT leaf, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(2 * sum(y) > count(*) AS INT) AS pred_pos,
+           CAST(CASE WHEN 2 * sum(y) > count(*) THEN sum(y)
+                     ELSE count(*) - sum(y) END AS BIGINT) AS n_correct
+    FROM leaves GROUP BY leaf
+    """,
+)
+def decision_tree_leaf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL APPLICATION at corpus scale: every order routed down the
+    trained depth-2 tree to its leaf, then per-leaf class counts,
+    majority prediction (ties -> negative, deterministic), and
+    training-set correctness. The tree (≤ 3 split rows) is collected
+    driver-side and re-emitted as a narrow CASE expression — scoring
+    is a pure projection + one histogram-sized aggregate, no join
+    against the model and no shuffle beyond the final leaf group-by.
+    Leaf ids: node·2+1 / node·2+2 for split children, the node id
+    itself for unsplit (pure) nodes."""
+    base = _dtree_base(spark, sf_dir)
+    b0 = _dtree_best_splits(_dtree_unpivot(base, F.lit(0))).head()
+    side = (
+        F.when(
+            F.col(b0["feature"]) <= F.lit(int(b0["threshold"])), F.lit(1)
+        ).otherwise(F.lit(2))
+    )
+    best1 = {
+        int(r["node"]): r
+        for r in _dtree_best_splits(_dtree_unpivot(base, side)).collect()
+    }
+    sided = base.withColumn("node", side.cast("bigint"))
+    leaf = F.col("node")
+    for node, r in sorted(best1.items()):
+        leaf = F.when(
+            F.col("node") == node,
+            F.when(
+                F.col(r["feature"]) <= F.lit(int(r["threshold"])),
+                F.lit(node * 2 + 1),
+            ).otherwise(F.lit(node * 2 + 2)),
+        ).otherwise(leaf)
+    return (
+        sided.select(leaf.cast("bigint").alias("leaf"), "y")
+        .groupBy("leaf")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+        .select(
+            "leaf",
+            "n",
+            "n_pos",
+            (F.col("n_pos") * 2 > F.col("n")).cast("int").alias("pred_pos"),
+            F.when(F.col("n_pos") * 2 > F.col("n"), F.col("n_pos"))
+            .otherwise(F.col("n") - F.col("n_pos"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+    )

@@ -1256,3 +1256,50 @@ def test_attribution_heuristics_planted_journeys(spark, tmp_path):
     assert out["click"].last_touch_n == 1
     assert out["view"].linear_credit_micro == 1_500_000
     assert out["click"].linear_credit_micro == 1_500_000
+
+
+def test_dtree_split_matches_bruteforce_gini(spark):
+    """The histogram argmax must equal a brute-force scan of every
+    (feature, threshold) with the same quantized-Gini gain — parity
+    with the oracle alone would not catch a shared formula bug
+    (verify-skill rule: re-derivations also get a builtin/brute
+    check)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_orchestration_spark.plans.ml_analytics import (
+        _DT_SCALE,
+        _dtree_best_splits,
+        _dtree_unpivot,
+    )
+
+    rows = []
+    # f_band separates y almost perfectly; others are noise-ish
+    for i in range(200):
+        band = i % 4
+        y = 1 if (band <= 1) == (i % 17 != 0) else 0
+        rows.append((i, y, band, (i * 7) % 3, (i * 5) % 6, i % 2))
+    base = spark.createDataFrame(
+        rows, "okey bigint, y int, f_band bigint, f_items bigint,"
+        " f_month bigint, f_year bigint"
+    )
+    got = _dtree_best_splits(_dtree_unpivot(base, F.lit(0))).head()
+
+    # brute force on the same quantized gain
+    feats = {"f_band": 2, "f_items": 3, "f_month": 4, "f_year": 5}
+    best = None
+    for f, idx in sorted(feats.items()):
+        vals = sorted({r[idx] for r in rows})
+        for t in vals[:-1]:
+            lpos = sum(r[1] for r in rows if r[idx] <= t)
+            ln = sum(1 for r in rows if r[idx] <= t)
+            rpos = sum(r[1] for r in rows) - lpos
+            rn = len(rows) - ln
+            gq = (_DT_SCALE * (lpos * lpos + (ln - lpos) * (ln - lpos))) // ln
+            gq += (_DT_SCALE * (rpos * rpos + (rn - rpos) * (rn - rpos))) // rn
+            key = (-gq, f, t)
+            if best is None or key < best:
+                best = key
+    assert (got["feature"], int(got["threshold"])) == (best[1], best[2])
+    assert int(got["gain_q"]) == -best[0]
