@@ -235,6 +235,8 @@ HEADLINE = [
     "map_json_topk_combo",
     "decision_tree_histogram_splits",
     "decision_tree_leaf_stats",
+    "gbt_stump_boosting",
+    "gbt_training_curve",
 ]
 
 

@@ -3891,3 +3891,109 @@ def cohort_ltv_per_member(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ltv_millicents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering: top-k co-purchase recommendations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "itemitem_cf_topk",
+    oracle="""
+    WITH bp AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ci AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+      FROM bp GROUP BY l_partkey
+    ),
+    cij AS (
+      SELECT a.l_partkey AS part_i, b.l_partkey AS part_j,
+             CAST(count(*) AS BIGINT) AS co_count
+      FROM bp a JOIN bp b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.part_i, c.part_j, c.co_count,
+             CAST((1000000 * CAST(c.co_count AS HUGEINT) * c.co_count)
+                  // (ca.cnt * cb.cnt) AS BIGINT) AS cos2_q
+      FROM cij c
+      JOIN ci ca ON ca.l_partkey = c.part_i
+      JOIN ci cb ON cb.l_partkey = c.part_j
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY part_i
+               ORDER BY cos2_q DESC, co_count DESC, part_j) AS rk
+      FROM scored
+    )
+    SELECT part_i, part_j, co_count, cos2_q, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def itemitem_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering recommendations (Sarwar et al.
+    2001; the Amazon item-to-item pattern — public methods): for every
+    part, the top-3 co-purchased neighbors ranked by squared cosine
+    over binary basket vectors, cos²(i,j) = c_ij² / (c_i·c_j) —
+    squared to stay in EXACT integer arithmetic (monotone in cosine,
+    so ranks are identical; quantized at 1e6 by integer division,
+    multiply carried in DECIMAL(38,0)/HUGEINT since c_ij² overflows
+    int64 once items co-occur in > 3e9 baskets). Ties break by
+    (co_count desc, part_j asc), deterministically.
+
+    100 TB shape: candidate pairs come from a self-join keyed on the
+    ORDER (co-located shuffle on l_orderkey, never an all-pairs item
+    cross product), so pair work is Σ basket² — bounded because TPC-H
+    baskets hold ≤ 7 distinct parts (a production corpus caps or
+    samples mega-baskets first, the dedup mega-bucket guard's rule).
+    The pair aggregate and the two item-count joins shuffle at
+    pair/item cardinality; the per-item top-3 is a bounded window at
+    neighbor cardinality, partitioned by item — no single-partition
+    stage anywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bp = li.select("l_orderkey", "l_partkey").distinct()
+    ci = bp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    a, b = bp.alias("a"), bp.alias("b")
+    cij = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_i"),
+            F.col("b.l_partkey").alias("part_j"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_count"))
+    )
+    scored = (
+        cij.join(
+            ci.select(F.col("l_partkey").alias("part_i"), F.col("cnt").alias("c_i")),
+            "part_i",
+        )
+        .join(
+            ci.select(F.col("l_partkey").alias("part_j"), F.col("cnt").alias("c_j")),
+            "part_j",
+        )
+        .select(
+            "part_i",
+            "part_j",
+            "co_count",
+            F.expr(
+                "cast((1000000 * cast(co_count as decimal(38,0)) * co_count)"
+                " div (c_i * c_j) as bigint)"
+            ).alias("cos2_q"),
+        )
+    )
+    w = Window.partitionBy("part_i").orderBy(
+        F.col("cos2_q").desc(), F.col("co_count").desc(), F.col("part_j")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+    )

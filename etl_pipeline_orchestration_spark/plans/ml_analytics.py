@@ -5340,7 +5340,11 @@ def _dtree_unpivot(base: DataFrame, node_col) -> DataFrame:
 
 
 def _dtree_best_splits(feat: DataFrame) -> DataFrame:
-    """One best-split row per node from (node, y, f, v) rows:
+    """One best-split row per node from (node, y, f, v) ROWS — builds
+    the per-(node, feature, value) class histogram and delegates to
+    ``_dtree_splits_from_hist`` (shared with the cells-based streaming
+    path, which arrives pre-aggregated).
+
     per-(node, feature, value) class histograms, prefix sums over the
     value order, and the quantized-Gini gain
 
@@ -5365,6 +5369,15 @@ def _dtree_best_splits(feat: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("pos"),
     )
+    return _dtree_splits_from_hist(hist)
+
+
+def _dtree_splits_from_hist(hist: DataFrame) -> DataFrame:
+    """Best split per node from the PRE-AGGREGATED class histogram
+    (node, f, v, n, pos) — the shared tail of row-based and
+    cells-based (streaming-state) split finding. See
+    ``_dtree_best_splits`` for the criterion, quantization, and
+    overflow envelope."""
     wv = (
         Window.partitionBy("node", "f")
         .orderBy("v")
@@ -5629,3 +5642,628 @@ def decision_tree_leaf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision trees from CELLS (the streaming-state path)
+# ---------------------------------------------------------------------------
+
+_DT_CELL_FEATURES = ("f_band", "f_month", "f_prio", "f_year")
+
+
+def order_feature_cells(orders: DataFrame) -> DataFrame:
+    """(f_band, f_month, f_prio, f_year, y, n): the joint
+    feature-label contingency table of an orders relation — the
+    ADDITIVE state the streaming tree maintains. Because every feature
+    is a small-domain integer bin, the table is bounded by the feature
+    domain product (8·12·5·7·2 = 6,720 cells), corpus-size-free, and
+    LOSSLESS: any histogram tree of any depth derived from the cells
+    equals the tree trained on the raw rows exactly (orders-only
+    feature set — the streaming path has no lineitem join)."""
+    return (
+        orders.select(
+            F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(7))
+            .cast("bigint")
+            .alias("f_band"),
+            F.month("o_orderdate").cast("bigint").alias("f_month"),
+            F.substring("o_orderpriority", 1, 1)
+            .cast("bigint")
+            .alias("f_prio"),
+            (F.year("o_orderdate") - 1992).cast("bigint").alias("f_year"),
+            (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        )
+        .groupBy("f_band", "f_month", "f_prio", "f_year", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+def _cells_unpivot(cells: DataFrame, node_col) -> DataFrame:
+    """(node, f, v, n, pos) weighted histogram rows from cells — one
+    row per (cell, feature); pos carries the cell's positive mass."""
+    stack = ", ".join(f"'{f}', {f}" for f in _DT_CELL_FEATURES)
+    return (
+        cells.select(
+            node_col.cast("bigint").alias("node"),
+            "n",
+            (F.col("y").cast("bigint") * F.col("n")).alias("pos"),
+            *_DT_CELL_FEATURES,
+        )
+        .selectExpr(
+            "node",
+            "n",
+            "pos",
+            f"stack({len(_DT_CELL_FEATURES)}, {stack}) AS (f, v)",
+        )
+        .groupBy("node", "f", "v")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("pos"),
+        )
+    )
+
+
+def dtree_splits_from_cells(cells: DataFrame) -> DataFrame:
+    """Depth-2 histogram decision tree derived ENTIRELY from the cell
+    relation — same criterion, quantization, and tie-breaks as the
+    row-based ``decision_tree_histogram_splits``, but every pass runs
+    at CELL cardinality (≤ 6,720 rows), so deriving the model from
+    maintained streaming state costs nothing corpus-shaped. Node
+    routing is a pure projection over the cell's own feature columns
+    (features ARE the cell key, so cells never straddle a split)."""
+    b0_df = _dtree_splits_from_hist(_cells_unpivot(cells, F.lit(0)))
+    b0 = b0_df.head()
+    if b0 is None:
+        raise ValueError("dtree_splits_from_cells: empty cell relation")
+    side = (
+        F.when(
+            F.col(b0["feature"]) <= F.lit(int(b0["threshold"])), F.lit(1)
+        ).otherwise(F.lit(2))
+    )
+    best1 = _dtree_splits_from_hist(_cells_unpivot(cells, side))
+    return b0_df.unionAll(best1)
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted regression stumps (histogram split finding)
+# ---------------------------------------------------------------------------
+
+_GBT_S = 1000  # milli-unit quantization for per-side mean residuals
+_GBT_ROUNDS = 3
+_GBT_FEATURES = ("f_items", "f_month", "f_prio", "f_year")
+
+
+def _gbt_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(okey, y, f_items, f_month, f_prio, f_year): integer regression
+    frame — target y is the order total in WHOLE DOLLARS (exact-2dp
+    decimal -> cents -> div 100, the ab_cuped_adjusted discipline, so
+    both engines truncate identically), features are small-domain
+    integer bins (histogram bins by construction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_n = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items")
+    )
+    return orders.join(
+        li_n, orders.o_orderkey == li_n.l_orderkey, "left"
+    ).select(
+        F.col("o_orderkey").alias("okey"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) div 100"
+        ).alias("y"),
+        F.least(F.coalesce(F.col("n_items"), F.lit(0)), F.lit(7))
+        .cast("bigint")
+        .alias("f_items"),
+        F.month("o_orderdate").cast("bigint").alias("f_month"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("f_prio"),
+        (F.year("o_orderdate") - 1992).cast("bigint").alias("f_year"),
+    )
+
+
+def _gbt_best_stump(resid_feat: DataFrame) -> DataFrame:
+    """One best regression stump from (resid, features...) rows.
+
+    Squared-loss split criterion: maximize n_l*m̄_l² + n_r*m̄_r² (the
+    variance-reduction argmax — the total Σresid² term is constant per
+    split so it drops). Both per-side means and the gain are frozen by
+    exact integer division (the quantized-ratio rule): means at
+    S=1e3, gain = (n_l·ml_q² + n_r·mr_q²) div n. Residual sums can be
+    negative; Spark `div` and DuckDB integer `//` both truncate toward
+    zero (pinned by test_trunc_division_agrees_cross_engine_on_negatives).
+    Overflow envelope: |resid| ≤ ~6e5 dollars, so at 1.5e10 orders
+    (100 TB) |s| ≤ 9e15; S·s ≈ 9e18 rides the int64 edge, so the
+    multiply is carried in DECIMAL(38,0); ml_q ≤ 6e8, the gain's
+    n·ml_q² ≤ 5e27 also rides decimal38, and the div-by-n result
+    ≤ 4e17 fits bigint. Tie-breaks: (gain desc, feature, value).
+
+    Scale shape: ONE map-side-combined aggregate at (feature × bin)
+    cardinality; windows and argmax run on the histogram (≤ tens of
+    rows). The argmax window is SinglePartition over that already-
+    aggregated histogram — the exact_allocation-class legitimate SP
+    case, never the corpus."""
+    stack = ", ".join(f"'{f}', {f}" for f in _GBT_FEATURES)
+    u = resid_feat.selectExpr(
+        "resid", f"stack({len(_GBT_FEATURES)}, {stack}) AS (f, v)"
+    )
+    h = u.groupBy("f", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("resid").cast("bigint").alias("s"),
+    )
+    wv = (
+        Window.partitionBy("f")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("f")
+    c = h.select(
+        "f",
+        "v",
+        F.sum("n").over(wv).alias("cn"),
+        F.sum("s").over(wv).alias("cs"),
+        F.sum("n").over(wt).alias("tn"),
+        F.sum("s").over(wt).alias("ts"),
+    )
+    sides = c.filter(F.col("cn") < F.col("tn")).select(
+        "f",
+        "v",
+        "cn",
+        (F.col("tn") - F.col("cn")).alias("rn"),
+        "cs",
+        (F.col("ts") - F.col("cs")).alias("rs"),
+    )
+    means = sides.select(
+        "f",
+        "v",
+        "cn",
+        "rn",
+        "cs",
+        "rs",
+        F.expr(
+            f"cast(({_GBT_S} * cast(cs as decimal(38,0))) div cn as bigint)"
+        ).alias("ml_q"),
+        F.expr(
+            f"cast(({_GBT_S} * cast(rs as decimal(38,0))) div rn as bigint)"
+        ).alias("mr_q"),
+    )
+    gain = means.select(
+        "f",
+        "v",
+        "cn",
+        "rn",
+        "cs",
+        "rs",
+        F.expr(
+            "cast((cast(cn as decimal(38,0)) * ml_q * ml_q"
+            " + cast(rn as decimal(38,0)) * mr_q * mr_q)"
+            " div (cn + rn) as bigint)"
+        ).alias("gain_q"),
+    )
+    wbest = Window.orderBy(F.col("gain_q").desc(), F.col("f"), F.col("v"))
+    return (
+        gain.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("f").alias("feature"),
+            F.col("v").alias("threshold"),
+            "gain_q",
+            F.col("cn").alias("n_left"),
+            F.col("rn").alias("n_right"),
+            F.expr("cast(cast(cs as decimal(38,0)) div (2 * cn) as bigint)")
+            .alias("left_value"),
+            F.expr("cast(cast(rs as decimal(38,0)) div (2 * rn) as bigint)")
+            .alias("right_value"),
+        )
+    )
+
+
+def _gbt_train(spark: SparkSession, sf_dir: str, rounds: int = _GBT_ROUNDS):
+    """Boosting loop: fit `rounds` depth-1 stumps to the running
+    residual with learning rate ½ folded into the integer leaf value
+    (val = s div 2n — truncation keeps |val| < |2s/n| so each accepted
+    leaf strictly decreases its side's SSE; a zero-truncated leaf is a
+    no-op and the criterion simply re-selects deterministically).
+
+    Returns (base frame, mean_q, stumps, resid exprs per round 0..T).
+    Each round is ONE aggregate pass over the base frame; the model —
+    one stump row — comes to the driver and is re-emitted as a narrow
+    CASE expression, so the residual at round t is a closed-form
+    projection (no corpus materialization or model join between
+    rounds)."""
+    base = _gbt_base(spark, sf_dir)
+    m = base.agg(F.expr("sum(y) div count(1)").alias("mean_q")).head()
+    if m is None or m["mean_q"] is None:
+        raise ValueError("gbt: empty training frame")
+    mean_q = int(m["mean_q"])
+    resid = (F.col("y") - F.lit(mean_q)).cast("bigint")
+    resids = [resid]
+    stumps = []
+    for _ in range(rounds):
+        b = _gbt_best_stump(
+            base.select(resid.alias("resid"), *_GBT_FEATURES)
+        ).head()
+        if b is None:
+            raise ValueError("gbt: no splittable feature (constant frame)")
+        stumps.append(b)
+        step = F.when(
+            F.col(b["feature"]) <= F.lit(int(b["threshold"])),
+            F.lit(int(b["left_value"])),
+        ).otherwise(F.lit(int(b["right_value"])))
+        resid = (resid - step).cast("bigint")
+        resids.append(resid)
+    return base, mean_q, stumps, resids
+
+
+def _gbt_round_cte(k: int) -> str:
+    """One unrolled boosting round: histogram -> prefix sums -> argmax
+    stump -> residual update, mirroring _gbt_best_stump exactly
+    (HUGEINT where Spark carries DECIMAL(38,0))."""
+    fields = ", ".join(_GBT_FEATURES)
+    case_f = (
+        "CASE b.f WHEN 'f_items' THEN r.f_items"
+        " WHEN 'f_month' THEN r.f_month"
+        " WHEN 'f_prio' THEN r.f_prio ELSE r.f_year END"
+    )
+    return f"""
+    u{k} AS (
+      SELECT resid, f, v FROM r{k - 1}
+      UNPIVOT (v FOR f IN ({fields}))
+    ),
+    h{k} AS (
+      SELECT f, v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(resid) AS BIGINT) AS s
+      FROM u{k} GROUP BY f, v
+    ),
+    c{k} AS (
+      SELECT f, v,
+             sum(n) OVER (PARTITION BY f ORDER BY v) AS cn,
+             sum(s) OVER (PARTITION BY f ORDER BY v) AS cs,
+             sum(n) OVER (PARTITION BY f) AS tn,
+             sum(s) OVER (PARTITION BY f) AS ts
+      FROM h{k}
+    ),
+    g{k} AS (
+      SELECT f, v, cn, tn - cn AS rn, cs, ts - cs AS rs,
+             CAST(({_GBT_S} * CAST(cs AS HUGEINT)) // cn AS BIGINT) AS ml_q,
+             CAST(({_GBT_S} * CAST(ts - cs AS HUGEINT)) // (tn - cn)
+                  AS BIGINT) AS mr_q
+      FROM c{k} WHERE cn < tn
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT f, v,
+             CAST((CAST(cn AS HUGEINT) * ml_q * ml_q
+                   + CAST(rn AS HUGEINT) * mr_q * mr_q)
+                  // (cn + rn) AS BIGINT) AS gain_q,
+             cn AS n_left, rn AS n_right,
+             CAST(CAST(cs AS HUGEINT) // (2 * cn) AS BIGINT) AS lval,
+             CAST(CAST(rs AS HUGEINT) // (2 * rn) AS BIGINT) AS rval
+      FROM g{k}
+      ORDER BY gain_q DESC, f, v LIMIT 1
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT r.okey, r.f_items, r.f_month, r.f_prio, r.f_year,
+             r.resid - CASE WHEN ({case_f}) <= b.v
+                            THEN b.lval ELSE b.rval END AS resid
+      FROM r{k - 1} r CROSS JOIN b{k} b
+    )"""
+
+
+_GBT_ORACLE_PREFIX = (
+    f"""
+    WITH li_n AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    base AS MATERIALIZED (
+      SELECT o.o_orderkey AS okey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 100 AS y,
+             CAST(least(COALESCE(li_n.n_items, 0), 7) AS BIGINT) AS f_items,
+             CAST(month(o.o_orderdate) AS BIGINT) AS f_month,
+             CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS f_prio,
+             CAST(year(o.o_orderdate) - 1992 AS BIGINT) AS f_year
+      FROM orders o LEFT JOIN li_n ON li_n.l_orderkey = o.o_orderkey
+    ),
+    m AS (
+      SELECT CAST(sum(y) AS HUGEINT) // count(*) AS mean_q FROM base
+    ),
+    r0 AS MATERIALIZED (
+      SELECT okey, f_items, f_month, f_prio, f_year,
+             CAST(y - mean_q AS BIGINT) AS resid
+      FROM base CROSS JOIN m
+    ),"""
+    + ",".join(_gbt_round_cte(k) for k in range(1, _GBT_ROUNDS + 1))
+)
+
+
+@query(
+    "gbt_stump_boosting",
+    oracle=_GBT_ORACLE_PREFIX
+    + """
+    SELECT 1 AS round, f AS feature, v AS threshold, gain_q,
+           n_left, n_right, lval AS left_value, rval AS right_value
+    FROM b1
+    UNION ALL
+    SELECT 2, f, v, gain_q, n_left, n_right, lval, rval FROM b2
+    UNION ALL
+    SELECT 3, f, v, gain_q, n_left, n_right, lval, rval FROM b3
+    """,
+)
+def gbt_stump_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-boosted regression stumps by DISTRIBUTED histogram
+    split finding — squared loss, learning rate ½, three boosting
+    rounds (Friedman 2001's gradient boosting machine over the
+    LightGBM histogram discipline; public methods). Predicts the order
+    total in whole dollars from item-count/month/priority/year bins;
+    extends the reference's derive-a-column transform layer
+    (/root/reference/etl_pipeline.py:192-214) to trained models.
+
+    Split of labor: each round is ONE map-side-combined aggregate over
+    the residual frame (a pure projection — the model so far is a
+    driver-held CASE expression, never joined); only the argmax stump
+    row reaches the driver. 100 TB shape: T+1 scans of the fact join,
+    each collapsing to a (feature × bin) histogram; the lineitem count
+    join shuffles once on the order key and is reused by every round's
+    projection lineage. Residual math is exact integer (dollars), so
+    both engines agree bit-for-bit; see _gbt_best_stump for the
+    quantization and overflow envelope."""
+    _, _, stumps, _ = _gbt_train(spark, sf_dir)
+    rows = [
+        (
+            t + 1,
+            b["feature"],
+            int(b["threshold"]),
+            int(b["gain_q"]),
+            int(b["n_left"]),
+            int(b["n_right"]),
+            int(b["left_value"]),
+            int(b["right_value"]),
+        )
+        for t, b in enumerate(stumps)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round int, feature string, threshold bigint, gain_q bigint,"
+        " n_left bigint, n_right bigint, left_value bigint,"
+        " right_value bigint",
+    )
+
+
+@query(
+    "gbt_training_curve",
+    oracle=_GBT_ORACLE_PREFIX
+    + """
+    SELECT 0 AS round, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(resid AS HUGEINT) * resid) // count(*) AS BIGINT)
+             AS sse_avg_q
+    FROM r0
+    UNION ALL
+    SELECT 1, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(resid AS HUGEINT) * resid) // count(*) AS BIGINT)
+    FROM r1
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(resid AS HUGEINT) * resid) // count(*) AS BIGINT)
+    FROM r2
+    UNION ALL
+    SELECT 3, CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(resid AS HUGEINT) * resid) // count(*) AS BIGINT)
+    FROM r3
+    """,
+)
+def gbt_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-loss curve of the boosted model: mean squared residual
+    (quantized by exact integer division) after 0..3 boosting rounds —
+    the monotone-non-increasing certificate that boosting actually
+    fits (pinned by test_gbt_training_curve_monotone; leaf value
+    s div 2n always lies strictly inside the (0, 2s/n) SSE-decreasing
+    interval or is exactly 0).
+
+    All four rounds' losses are computed in ONE aggregate pass: the
+    round-t residual is a closed-form projection (base mean + the
+    driver-held stumps), so the pass carries four sum-of-squares
+    accumulators over one corpus scan. Sums ride DECIMAL(38,0)
+    (resid² ≤ 4e11 × 1.5e10 rows at 100 TB ≈ 5e21 > int64); the
+    per-row average then fits bigint."""
+    base, _, _, resids = _gbt_train(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for t, r in enumerate(resids):
+        aggs.append(F.sum(r.cast("decimal(38,0)") * r).alias(f"ss{t}"))
+    s = base.agg(*aggs)
+    stack = ", ".join(
+        f"{t}, cast(ss{t} div n as bigint)" for t in range(len(resids))
+    )
+    return s.selectExpr(
+        "n", f"stack({len(resids)}, {stack}) AS (round, sse_avg_q)"
+    ).select("round", "n", "sse_avg_q")
+
+
+# ---------------------------------------------------------------------------
+# Observational causal inference: stratified / IPW treatment effect
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_ipw_stratified_ate",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_mktsegment AS stratum,
+             CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                       % 4294967296 % 1000
+                  < 100 + 60 * (ascii(substr(c_mktsegment, 1, 1)) % 7)
+                  THEN 1 ELSE 0 END AS treat
+      FROM customer
+    ),
+    rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) // 100 AS y
+      FROM orders GROUP BY 1
+    ),
+    per AS (
+      SELECT c.stratum, c.treat, coalesce(r.y, 0) AS y
+      FROM cust c LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+    ),
+    s AS (
+      SELECT stratum,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(treat) AS BIGINT) AS n_treat,
+             CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS sy_t,
+             CAST(sum(CASE WHEN treat = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS sy_c
+      FROM per GROUP BY stratum
+    ),
+    strata AS (
+      SELECT stratum, n, n_treat,
+             CAST((1000000 * CAST(n_treat AS HUGEINT)) // n AS BIGINT)
+               AS p_hat_q,
+             CASE WHEN n_treat > 0 THEN
+               CAST((1000 * CAST(sy_t AS HUGEINT)) // n_treat AS BIGINT)
+             END AS y_treat_q,
+             CASE WHEN n - n_treat > 0 THEN
+               CAST((1000 * CAST(sy_c AS HUGEINT)) // (n - n_treat)
+                    AS BIGINT)
+             END AS y_ctrl_q,
+             sy_t, sy_c
+      FROM s
+    ),
+    strata2 AS (
+      SELECT stratum, n, n_treat, p_hat_q, y_treat_q, y_ctrl_q,
+             y_treat_q - y_ctrl_q AS effect_q, sy_t, sy_c
+      FROM strata
+    ),
+    allrow AS (
+      SELECT 'ALL' AS stratum,
+             CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(n_treat) AS BIGINT) AS n_treat,
+             CAST((1000000 * CAST(sum(n_treat) AS HUGEINT)) // sum(n)
+                  AS BIGINT) AS p_hat_q,
+             CAST((1000 * CAST(sum(sy_t) AS HUGEINT)) // sum(n_treat)
+                  AS BIGINT) AS y_treat_q,
+             CAST((1000 * CAST(sum(sy_c) AS HUGEINT))
+                  // (sum(n) - sum(n_treat)) AS BIGINT) AS y_ctrl_q,
+             CAST(sum(CAST(n AS HUGEINT) * effect_q)
+                  // sum(CASE WHEN effect_q IS NOT NULL THEN n END)
+                  AS BIGINT) AS effect_q
+      FROM strata2
+    )
+    SELECT stratum, n, n_treat, p_hat_q, y_treat_q, y_ctrl_q, effect_q
+    FROM strata2
+    UNION ALL
+    SELECT * FROM allrow
+    """,
+)
+def ab_ipw_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational treatment-effect estimation with CONFOUNDED
+    assignment: stratified ATE, equivalently inverse-propensity
+    weighting with exact discrete propensities (Horvitz & Thompson
+    1952; Rosenbaum & Rubin 1983 — public methods). The planted
+    'promotion' treatment rate varies BY SEGMENT (10%–28%, keyed off
+    the segment's first letter), so the naive treated-vs-control
+    contrast mixes segment composition into the effect; stratifying on
+    the confounder and re-weighting by stratum size removes it. With
+    discrete strata the stratum-frequency propensity estimate makes
+    IPW and the stratified estimator algebraically identical — the
+    query reports per-stratum cells plus an 'ALL' summary row whose
+    y_treat_q/y_ctrl_q are the NAIVE arm means and whose effect_q is
+    the stratified/IPW ATE (sum of n_s-weighted stratum effects over
+    the common-support population; strata missing an arm report NULL
+    and drop out of both the numerator and the denominator).
+
+    Quantization: outcomes in whole dollars (exact-2dp -> cents ->
+    div 100), arm means at S=1e3, propensities at 1e6 — every ratio
+    frozen by exact integer division (quantized-ratio rule), multiply
+    carried in DECIMAL(38,0)/HUGEINT (n_s·effect ≈ 1.5e19 > int64 at
+    100 TB).
+
+    100 TB shape: one orders scan collapsing to per-customer dollars,
+    one customer-keyed left join, one hash aggregate at stratum
+    cardinality, then driver-free arithmetic on the 5-row stratum
+    relation (the ALL row is an aggregate of that relation, not a
+    second corpus pass)."""
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    d38 = "decimal(38,0)"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("stratum"),
+        (
+            bucket_of(F.col("c_custkey"))
+            < F.lit(100)
+            + F.lit(60)
+            * F.pmod(F.ascii(F.substring("c_mktsegment", 1, 1)), F.lit(7))
+        )
+        .cast("int")
+        .alias("treat"),
+    )
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "sum(cast(cast(o_totalprice as decimal(18,2)) * 100"
+                " as bigint)) div 100"
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    per = cust.join(rev, cust.c_custkey == rev.o_custkey, "left").select(
+        "stratum", "treat", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    s = per.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("treat").cast("bigint").alias("n_treat"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sy_t"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sy_c"),
+    )
+    strata = s.select(
+        "stratum",
+        "n",
+        "n_treat",
+        F.expr(
+            f"cast((1000000 * cast(n_treat as {d38})) div n as bigint)"
+        ).alias("p_hat_q"),
+        F.expr(
+            f"case when n_treat > 0 then cast((1000 * cast(sy_t as {d38}))"
+            f" div n_treat as bigint) end"
+        ).alias("y_treat_q"),
+        F.expr(
+            f"case when n - n_treat > 0 then"
+            f" cast((1000 * cast(sy_c as {d38})) div (n - n_treat)"
+            f" as bigint) end"
+        ).alias("y_ctrl_q"),
+        "sy_t",
+        "sy_c",
+    ).withColumn("effect_q", F.col("y_treat_q") - F.col("y_ctrl_q"))
+    allrow = strata.agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("n_treat").cast("bigint").alias("tt"),
+        F.sum("sy_t").cast("bigint").alias("tsy_t"),
+        F.sum("sy_c").cast("bigint").alias("tsy_c"),
+        F.sum(F.col("n").cast(d38) * F.col("effect_q")).alias("eff_num"),
+        F.sum(F.when(F.col("effect_q").isNotNull(), F.col("n")))
+        .cast("bigint")
+        .alias("n_cs"),
+    ).select(
+        F.lit("ALL").alias("stratum"),
+        F.col("tn").alias("n"),
+        F.col("tt").alias("n_treat"),
+        F.expr(f"cast((1000000 * cast(tt as {d38})) div tn as bigint)").alias(
+            "p_hat_q"
+        ),
+        F.expr(f"cast((1000 * cast(tsy_t as {d38})) div tt as bigint)").alias(
+            "y_treat_q"
+        ),
+        F.expr(
+            f"cast((1000 * cast(tsy_c as {d38})) div (tn - tt) as bigint)"
+        ).alias("y_ctrl_q"),
+        F.expr("cast(eff_num div n_cs as bigint)").alias("effect_q"),
+    )
+    return strata.select(
+        "stratum", "n", "n_treat", "p_hat_q", "y_treat_q", "y_ctrl_q",
+        "effect_q",
+    ).unionByName(allrow)

@@ -101,3 +101,43 @@ def test_sequence_regex_exclusion_semantics(spark, tmp_path):
     assert got["immediate_bounce"] == (2, 4)  # users 2 AND 3 start "ve"
     assert got["double_purchase"] == (1, 4)
     assert got["error_then_recover"] == (1, 4)  # user 2 only
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering
+# ---------------------------------------------------------------------------
+
+
+def test_itemitem_cf_hand_computed_cosines(spark, tmp_path):
+    """Hand-built baskets: {1,2,3}, {1,2}, {1,2}, {1,4}. Then
+    c1=4, c2=3, c3=1, c4=1; c12=3, c13=1, c23=1, c14=1.
+    cos²(1,2)=9/12, cos²(2,1)=9/12, cos²(1,3)=1/4, cos²(1,4)=1/4,
+    cos²(3,2)=1/3 ... part 1's ranking: 2 (750000), then 3 vs 4 tie at
+    250000 with equal co_count -> part_j ascending."""
+    import duckdb
+
+    baskets = [(1, [1, 2, 3]), (2, [1, 2]), (3, [1, 2]), (4, [1, 4])]
+    rows = [(ok, p) for ok, parts in baskets for p in parts]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE li (l_orderkey BIGINT, l_partkey BIGINT)")
+    con.executemany("INSERT INTO li VALUES (?,?)", rows)
+    con.execute(f"COPY li TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)")
+
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    out = registry.QUERIES["itemitem_cf_topk"](spark, str(tmp_path)).collect()
+    by_i = {}
+    for r in sorted(out, key=lambda r: (r.part_i, r.rk)):
+        by_i.setdefault(r.part_i, []).append(r)
+    p1 = by_i[1]
+    assert [r.part_j for r in p1] == [2, 3, 4]
+    assert p1[0].cos2_q == (1_000_000 * 9) // 12
+    assert p1[1].cos2_q == (1_000_000 * 1) // 4
+    assert p1[2].cos2_q == (1_000_000 * 1) // 4
+    # part 3 recommends 1 and 2: cos²(3,1)=1/4, cos²(3,2)=1/3 -> 2 first
+    p3 = by_i[3]
+    assert [r.part_j for r in p3] == [2, 1]
+    assert p3[0].cos2_q == 1_000_000 // 3
+    # every item emits at most 3 neighbors
+    assert max(len(v) for v in by_i.values()) <= 3

@@ -1303,3 +1303,140 @@ def test_dtree_split_matches_bruteforce_gini(spark):
                 best = key
     assert (got["feature"], int(got["threshold"])) == (best[1], best[2])
     assert int(got["gain_q"]) == -best[0]
+
+
+def test_gbt_stump_matches_bruteforce_and_planted_signal(spark):
+    """The histogram stump argmax must equal a brute-force scan of
+    every (feature, threshold) under the same quantized criterion —
+    including NEGATIVE residual sums (trunc-toward-zero division on
+    both sides). The planted frame makes f_items the dominant signal;
+    the stump must find it."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_orchestration_spark.plans.ml_analytics import (
+        _GBT_S,
+        _gbt_best_stump,
+    )
+
+    def trunc(a, b):
+        return int(a / b)
+
+    rows = []
+    # resid strongly increasing in f_items; month/prio/year noise-ish;
+    # mix of signs so the negative-sum division path is exercised
+    for i in range(300):
+        items = i % 5
+        resid = (items - 2) * 1000 + ((i * 13) % 7) - 3
+        rows.append((resid, items, (i * 7) % 12 + 1, i % 5 + 1, i % 7))
+    base = spark.createDataFrame(
+        rows,
+        "resid bigint, f_items bigint, f_month bigint,"
+        " f_prio bigint, f_year bigint",
+    )
+    got = _gbt_best_stump(base).head()
+
+    feats = {"f_items": 1, "f_month": 2, "f_prio": 3, "f_year": 4}
+    best = None
+    for f, idx in sorted(feats.items()):
+        vals = sorted({r[idx] for r in rows})
+        for t in vals[:-1]:
+            ls = sum(r[0] for r in rows if r[idx] <= t)
+            ln = sum(1 for r in rows if r[idx] <= t)
+            rs = sum(r[0] for r in rows) - ls
+            rn = len(rows) - ln
+            ml = trunc(_GBT_S * ls, ln)
+            mr = trunc(_GBT_S * rs, rn)
+            gq = trunc(ln * ml * ml + rn * mr * mr, ln + rn)
+            key = (-gq, f, t)
+            if best is None or key < best:
+                best = key
+    assert got["feature"] == "f_items" == best[1]
+    assert int(got["threshold"]) == best[2]
+    assert int(got["gain_q"]) == -best[0]
+    # leaf values replay: trunc(s / 2n) on the winning split
+    t = best[2]
+    ls = sum(r[0] for r in rows if r[1] <= t)
+    ln = sum(1 for r in rows if r[1] <= t)
+    rs = sum(r[0] for r in rows) - ls
+    rn = len(rows) - ln
+    assert int(got["left_value"]) == trunc(ls, 2 * ln)
+    assert int(got["right_value"]) == trunc(rs, 2 * rn)
+
+
+def test_gbt_training_curve_monotone_and_consistent(spark):
+    """Boosting must never increase the training SSE (leaf value
+    s div 2n lies inside the decreasing interval or is 0), and the
+    stump table must be internally consistent with the curve run
+    (same deterministic training loop)."""
+    curve = sorted(
+        _q("gbt_training_curve")(spark, SF).collect(), key=lambda r: r.round
+    )
+    assert [r.round for r in curve] == [0, 1, 2, 3]
+    assert len({r.n for r in curve}) == 1
+    for a, b in zip(curve, curve[1:]):
+        assert b.sse_avg_q <= a.sse_avg_q, (a, b)
+    # at least one round actually moved the loss on real data
+    assert curve[-1].sse_avg_q < curve[0].sse_avg_q
+
+    stumps = _q("gbt_stump_boosting")(spark, SF).collect()
+    assert [r.round for r in sorted(stumps, key=lambda r: r.round)] == [1, 2, 3]
+    for r in stumps:
+        assert r.n_left > 0 and r.n_right > 0
+        assert r.gain_q >= 0
+
+
+def test_ipw_stratified_ate_removes_planted_confounding(spark, tmp_path):
+    """Planted Simpson's-paradox fixture: two segments with different
+    baseline outcomes AND different treatment rates (both keyed the
+    way the query keys them), constant additive effect tau. The naive
+    ALL-row contrast (y_treat_q - y_ctrl_q) must be biased away from
+    tau; the stratified/IPW effect_q must recover tau exactly (all
+    arithmetic integer-exact by construction)."""
+    import duckdb
+
+    KNUTH = 2654435761
+
+    def bucket(k):
+        return ((k % 2**31) * KNUTH) % 2**32 % 1000
+
+    def thr(seg):
+        return 100 + 60 * (ord(seg[0]) % 7)
+
+    # FURNITURE: thr 100 (10% treated), baseline 1000; BUILDING:
+    # thr 280 (28% treated), baseline 5000 -> treated pool over-weights
+    # the high-baseline segment => naive contrast biased upward.
+    tau = 700
+    custs, orders = [], []
+    for k in range(1, 2001):
+        seg = "FURNITURE" if k % 2 == 0 else "BUILDING"
+        treat = 1 if bucket(k) < thr(seg) else 0
+        base = 1000 if seg == "FURNITURE" else 5000
+        y = base + tau * treat
+        custs.append((k, seg))
+        orders.append((k, k, float(y)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (c_custkey BIGINT, c_mktsegment VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?,?)", custs)
+    con.execute(
+        "CREATE TABLE o (o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_totalprice DOUBLE)"
+    )
+    con.executemany("INSERT INTO o VALUES (?,?,?)", orders)
+    con.execute(f"COPY c TO '{tmp_path}/customer.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY o TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)")
+
+    out = {
+        r.stratum: r
+        for r in _q("ab_ipw_stratified_ate")(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"FURNITURE", "BUILDING", "ALL"}
+    for seg in ("FURNITURE", "BUILDING"):
+        assert out[seg].effect_q == tau * 1000, seg
+    allr = out["ALL"]
+    # stratified/IPW recovers tau; the naive contrast does not
+    assert allr.effect_q == tau * 1000
+    naive = allr.y_treat_q - allr.y_ctrl_q
+    assert naive > tau * 1000 + 100_000  # biased up by >100 dollars
+    # propensities match the planted rates per stratum
+    n_f, t_f = out["FURNITURE"].n, out["FURNITURE"].n_treat
+    assert out["FURNITURE"].p_hat_q == (1_000_000 * t_f) // n_f
