@@ -237,6 +237,13 @@ HEADLINE = [
     "decision_tree_leaf_stats",
     "gbt_stump_boosting",
     "gbt_training_curve",
+    "ab_ipw_stratified_ate",
+    "itemitem_cf_topk",
+    "wordpiece_merge_sequence",
+    "target_encode_oof",
+    "harmonic_centrality_ksource",
+    "offpolicy_ips_replay",
+    "stump_forest_oob",
 ]
 
 

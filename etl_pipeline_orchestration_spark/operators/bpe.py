@@ -157,3 +157,75 @@ def bpe_encode(text: str, merges: list[tuple[str, str, int]]) -> list[str]:
             s = s.replace(f"{SEP}{left}{S2}{right}{SEP}", f"{SEP}{left}{right}{SEP}")
         out.extend(x for x in s.split(SEP) if x)
     return out
+
+
+def _symbol_counts(state: DataFrame) -> DataFrame:
+    """(sym, sf): current-state symbol frequencies weighted by word
+    count — the unigram denominators of the WordPiece merge score."""
+    syms = F.filter(F.split(F.col("s"), SEP), lambda x: x != F.lit(""))
+    return (
+        state.select(F.explode(syms).alias("sym"), "c")
+        .groupBy("sym")
+        .agg(F.sum("c").cast("bigint").alias("sf"))
+    )
+
+
+_WP_S = 1_000_000_000_000  # 1e12 score quantization
+
+
+def wordpiece_train(
+    hist: DataFrame,
+    n_merges: int = 8,
+) -> tuple[list[tuple[str, str, int, int]], DataFrame]:
+    """WordPiece trainer (Schuster & Nakajima 2012; the BERT tokenizer
+    — public method): identical greedy merge loop to ``bpe_train``, but
+    the round argmax maximizes the LIKELIHOOD score
+    f(ab) / (f(a)·f(b)) instead of the raw pair count — preferring
+    pairs whose parts rarely occur apart. The score is frozen by exact
+    integer division at 1e12 (quantized-ratio rule); the denominator
+    product rides DECIMAL(38,0) (symbol frequencies can reach corpus
+    token count ~1e13 at 100 TB, whose square overflows int64). Ties
+    break by (score desc, pair freq desc, l, r) — a total order shared
+    with the DuckDB replay.
+
+    Returns (merges [(left, right, freq, score_q)], final state). Per
+    round: TWO histogram-space aggregates (pair counts + symbol
+    counts), two vocab-sized joins, a 1-row argmax collect, and one
+    string-replace projection — corpus touched only by the initial
+    word histogram."""
+    state = hist.select(
+        _sym_state().alias("s"), F.col("c").cast("bigint").alias("c")
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int, int]] = []
+    for _ in range(n_merges):
+        pc = _pair_counts(state)
+        sc = _symbol_counts(state)
+        top = (
+            pc.join(sc.selectExpr("sym AS l", "sf AS lf"), "l")
+            .join(sc.selectExpr("sym AS r", "sf AS rf"), "r")
+            .select(
+                "l",
+                "r",
+                "f",
+                F.expr(
+                    f"cast(({_WP_S} * cast(f as decimal(38,0)))"
+                    f" div (cast(lf as decimal(38,0)) * rf) as bigint)"
+                ).alias("score_q"),
+            )
+            .orderBy(F.desc("score_q"), F.desc("f"), "l", "r")
+            .limit(1)
+            .head()
+        )
+        if top is None:
+            break
+        left, right = top["l"], top["r"]
+        merges.append((left, right, int(top["f"]), int(top["score_q"])))
+        state = state.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"{SEP}{left}{S2}{right}{SEP}"),
+                F.lit(f"{SEP}{left}{right}{SEP}"),
+            ),
+        ).localCheckpoint(eager=True)
+    return merges, state

@@ -791,3 +791,58 @@ def sssp_bounded(
         if frontier.isEmpty():
             break
     return dist
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    n_sources: int = 4,
+    a: str = "a",
+    b: str = "b",
+    max_hops: int = 6,
+) -> DataFrame:
+    """(src, node, hops) — minimum hop distances from the ``n_sources``
+    smallest node ids to every node within ``max_hops``, undirected.
+    The k-source sampling primitive behind estimated centralities
+    (harmonic/closeness a la Eppstein & Wang 2004 — public method):
+    one BFS sweep carries ALL sources as a composite (src, node)
+    frontier key, so the sweep costs one edge-keyed shuffle join per
+    LEVEL (not per source), and total join work is O(k·E) worst case
+    with each (src, node) pair settled exactly once (left-anti against
+    the settled relation).
+
+    Sources are the k smallest node ids — deterministic and scale-
+    factor independent like bfs_hops' min-id rule; the seed is a
+    k-row sorted limit (TakeOrdered), never a collect."""
+    e = edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+    und = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        und.select(F.col("s").alias("node"))
+        .distinct()
+        .orderBy("node")
+        .limit(n_sources)
+        .select(
+            F.col("node").alias("src"),
+            "node",
+            F.lit(0).cast("long").alias("hops"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("src", "node")
+    for k in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier.node == und.s)
+            .select("src", F.col("d").alias("node"))
+            .distinct()
+            .join(dist.select("src", "node"), ["src", "node"], "left_anti")
+            .withColumn("hops", F.lit(k).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("src", "node")
+    return dist

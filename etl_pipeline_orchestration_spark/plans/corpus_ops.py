@@ -852,6 +852,117 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wp_train_ctes(n_merges: int = 8) -> str:
+    """CTE chain replaying WordPiece training in DuckDB: per round a
+    symbol-frequency CTE joins into the pair-count argmax so the score
+    f(ab)/(f(a)·f(b)) — frozen at 1e12 by integer division, HUGEINT
+    product — selects the merge, with the (score DESC, f DESC, l, r)
+    total tie order shared with operators/bpe.wordpiece_train."""
+    from etl_pipeline_orchestration_spark.operators.bpe import _WP_S
+
+    sep = "\x1f"
+    s2 = sep * 2
+    parts = [
+        f"""
+    WITH wh AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents
+      ) WHERE word <> '' GROUP BY word
+    ),
+    h0 AS (
+      SELECT '{s2}' || array_to_string(string_split(word, ''), '{s2}')
+               || '{s2}' AS s,
+             c
+      FROM wh
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""
+    sy{k} AS (
+      SELECT u.x AS sym, CAST(sum(c) AS BIGINT) AS sf
+      FROM (SELECT list_filter(string_split(s, '{sep}'), x -> x <> '')
+                     AS syl,
+                   c
+            FROM h{k - 1}),
+           unnest(syl) AS u(x)
+      GROUP BY 1
+    ),
+    p{k} AS (
+      SELECT sy[t.i] AS l, sy[t.i + 1] AS r, sum(c) AS f
+      FROM (SELECT list_filter(string_split(s, '{sep}'), x -> x <> '') AS sy,
+                   c
+            FROM h{k - 1}),
+           unnest(range(1, greatest(len(sy) - 1, 0) + 1)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    m{k} AS MATERIALIZED (
+      SELECT {k} AS step, p.l, p.r, CAST(p.f AS BIGINT) AS f,
+             CAST(({_WP_S} * CAST(p.f AS HUGEINT))
+                  // (CAST(sl.sf AS HUGEINT) * sr.sf) AS BIGINT) AS score_q
+      FROM p{k} p
+      JOIN sy{k} sl ON sl.sym = p.l
+      JOIN sy{k} sr ON sr.sym = p.r
+      ORDER BY score_q DESC, f DESC, p.l, p.r LIMIT 1
+    ),
+    h{k} AS (
+      SELECT replace(s, '{sep}' || m.l || '{s2}' || m.r || '{sep}',
+                        '{sep}' || m.l || m.r || '{sep}') AS s,
+             c
+      FROM h{k - 1}, m{k} m
+    )""")
+    return ",".join(parts)
+
+
+def _wp_merge_oracle(n_merges: int = 8) -> str:
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    return (
+        _wp_train_ctes(n_merges)
+        + f"""
+    SELECT CAST(step AS BIGINT) AS step, l AS left_sym, r AS right_sym,
+           l || r AS merged, f AS freq, score_q
+    FROM ({union})"""
+    )
+
+
+@query("wordpiece_merge_sequence", oracle=_wp_merge_oracle(8))
+def wordpiece_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative WordPiece training loop (8 merge rounds) over
+    the corpus word histogram — completing the tokenizer-trainer trio
+    (BPE = count-argmax merges, unigram-LM = top-down piece pruning,
+    WordPiece = likelihood-argmax merges, the BERT tokenizer). Same
+    greedy string-replace state machine as bpe_merge_sequence; the
+    round argmax maximizes f(ab)/(f(a)·f(b)) so character pairs that
+    almost always co-occur fuse before merely-frequent ones — on this
+    corpus the learned sequence diverges from BPE's (pinned by
+    test_wordpiece_diverges_from_bpe), which is exactly the behavioral
+    difference that matters. The DuckDB oracle replays all 8 rounds —
+    symbol frequencies, quantized scores, tie order — so the learned
+    sequence is hash-checked cross-engine.
+
+    100 TB shape: corpus scanned once for the word histogram; each
+    round is TWO vocabulary-bounded aggregates (pairs + symbol
+    unigrams) and two vocab-sized joins — no corpus re-scan, model-
+    sized (1-row) collects only."""
+    from etl_pipeline_orchestration_spark.operators.bpe import (
+        wordpiece_train,
+        word_histogram,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = wordpiece_train(word_histogram(docs), n_merges=8)
+    rows = [
+        (k + 1, l, r, l + r, f, sq)
+        for k, (l, r, f, sq) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "step bigint, left_sym string, right_sym string, "
+              "merged string, freq bigint, score_q bigint",
+    )
+
+
 @query(
     "vocab_encode_checksums",
     oracle="""

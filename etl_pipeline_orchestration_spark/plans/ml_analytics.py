@@ -6267,3 +6267,667 @@ def ab_ipw_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stratum", "n", "n_treat", "p_hat_q", "y_treat_q", "y_ctrl_q",
         "effect_q",
     ).unionByName(allrow)
+
+
+# ---------------------------------------------------------------------------
+# Out-of-fold target encoding (leakage-free categorical features)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "target_encode_oof",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    per AS (
+      SELECT c.c_nationkey AS cat,
+             CAST(((c.c_custkey % 2147483648) * 2654435761)
+                  % 4294967296 % 1000 // 200 AS BIGINT) AS fold,
+             coalesce(r.y, 0) AS y
+      FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+    ),
+    cells AS (
+      SELECT cat, fold, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM per GROUP BY cat, fold
+    ),
+    tot AS (
+      SELECT cat, fold, n, s,
+             sum(n) OVER (PARTITION BY cat) AS cn,
+             sum(s) OVER (PARTITION BY cat) AS cs
+      FROM cells
+    )
+    SELECT cat, fold, n AS n_in_fold,
+           CAST(cn - n AS BIGINT) AS n_oof,
+           CAST(cs - s AS BIGINT) AS sum_oof,
+           CASE WHEN cn - n > 0 THEN
+             CAST((1000000 * CAST(cs - s AS HUGEINT)) // (cn - n)
+                  AS BIGINT)
+           END AS enc_q
+    FROM tot
+    """,
+)
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-FOLD target encoding (the leakage-free mean-target
+    categorical feature of Micci-Barreca 2001 and every gradient-
+    boosting pipeline since — public method): encode customer
+    nationality by the mean order count of OTHER folds' customers in
+    the same category, so a row never sees its own target. Folds are
+    the stable Knuth-hash buckets div 200 (5 folds, the split-
+    assignment discipline of with_split); the encoding for (category,
+    fold) is (cat_total − fold_partial) / (cat_n − fold_n), frozen at
+    1e6 by exact integer division (quantized-ratio rule; HUGEINT /
+    DECIMAL38 multiply — the sum can reach 1.5e10 customers × 1e5
+    orders at 100 TB). Categories confined to one fold report NULL
+    (no out-of-fold evidence), deterministically on both engines.
+
+    100 TB shape: one orders scan to per-customer counts, one
+    customer-keyed left join, ONE aggregate at (category × fold)
+    cardinality; the complement arithmetic is a window over that tiny
+    relation, never a second corpus pass or a per-row fold join. The
+    encoded TABLE (category × fold, ≤ 125 rows here) is the model a
+    scoring join broadcasts — rows never carry their own fold's
+    leakage."""
+    counts = customer_order_counts(load_table(spark, sf_dir, "orders"))
+    return oof_encode_report(load_table(spark, sf_dir, "customer"), counts)
+
+
+def customer_order_counts(orders: DataFrame) -> DataFrame:
+    """(o_custkey, y): per-customer order counts — the ADDITIVE grain
+    the streaming maintenance member (streaming/target_encode_stream)
+    merges; order rows arrive whole, so partials sum exactly."""
+    return orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+
+
+def oof_encode_report(cust: DataFrame, counts: DataFrame) -> DataFrame:
+    """The derivation half of target_encode_oof (see its docstring),
+    computable from ANY source of the per-customer count relation —
+    scanned or streamed-and-stored."""
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    per = cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left"
+    ).select(
+        F.col("c_nationkey").alias("cat"),
+        (bucket_of(F.col("c_custkey")) / F.lit(200))
+        .cast("bigint")
+        .alias("fold"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    cells = per.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    w = Window.partitionBy("cat")
+    tot = cells.select(
+        "cat",
+        "fold",
+        "n",
+        "s",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+    )
+    return tot.select(
+        "cat",
+        "fold",
+        F.col("n").alias("n_in_fold"),
+        (F.col("cn") - F.col("n")).cast("bigint").alias("n_oof"),
+        (F.col("cs") - F.col("s")).cast("bigint").alias("sum_oof"),
+        F.expr(
+            "case when cn - n > 0 then"
+            " cast((1000000 * cast(cs - s as decimal(38,0)))"
+            " div (cn - n) as bigint) end"
+        ).alias("enc_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-source harmonic centrality over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "harmonic_centrality_ksource",
+    oracle=f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT a AS s, b AS d FROM edges
+      UNION ALL SELECT b AS s, a AS d FROM edges
+    ),
+    srcs AS MATERIALIZED (
+      SELECT s FROM (SELECT DISTINCT s FROM sym ORDER BY s LIMIT 4)
+    ),
+    walk(src, node, depth) AS (
+      SELECT s, s, 0 FROM srcs
+      UNION
+      SELECT w.src, u.d, w.depth + 1
+      FROM walk w JOIN sym u ON u.s = w.node
+      WHERE w.depth < {_BFS_MAX_HOPS}
+    ),
+    dist AS (
+      SELECT src, node, min(depth) AS hops FROM walk GROUP BY 1, 2
+    )
+    SELECT CAST(node AS BIGINT) AS part,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(hops) AS BIGINT) AS sum_hops,
+           CAST(sum(1000000 // hops) AS BIGINT) AS harmonic_q
+    FROM dist WHERE hops >= 1
+    GROUP BY node
+    ORDER BY harmonic_q DESC, part LIMIT 20
+    """,
+)
+def harmonic_centrality_ksource(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Estimated harmonic centrality by k-source BFS sampling
+    (Eppstein & Wang 2004; Boldi & Vigna's harmonic variant — public
+    methods): from k=4 deterministic sources (the smallest node ids),
+    every node's centrality estimate is Σ_s 1/d(s, node) — frozen as
+    the exact integer Σ (1e6 div hops), so both engines rank
+    identically. Top-20 nodes by (harmonic_q desc, part). Tenth member
+    of the graph suite (CC, PageRank, PPR, triangles, LPA, BFS, k-core,
+    SSSP, link prediction, HITS); the estimator converges as O(k)
+    sources for n-node graphs, so the production path scales k, not
+    the per-source cost.
+
+    100 TB shape: operators/graph.multi_source_bfs — ONE BFS sweep
+    carries all k sources as a composite (src, node) frontier, one
+    edge-keyed shuffle per LEVEL (not per source), each (src, node)
+    settled exactly once; the seed is a k-row TakeOrdered. The final
+    aggregate + top-k run at reached-node cardinality."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    dist = multi_source_bfs(edges, n_sources=4, max_hops=_BFS_MAX_HOPS)
+    return (
+        dist.filter(F.col("hops") >= 1)
+        .groupBy(F.col("node").cast("bigint").alias("part"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum("hops").cast("bigint").alias("sum_hops"),
+            F.sum(F.expr("1000000 div hops")).cast("bigint").alias(
+                "harmonic_q"
+            ),
+        )
+        .orderBy(F.col("harmonic_q").desc(), "part")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation: IPS replay with smoothed logging propensities
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "offpolicy_ips_replay",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(user_id % 4 AS BIGINT) AS ctx, event_type AS action,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS r
+      FROM events
+    ),
+    cells AS (
+      SELECT ctx, action, CAST(count(*) AS BIGINT) AS n_xa,
+             CAST(sum(r) AS BIGINT) AS sr
+      FROM ev GROUP BY ctx, action
+    ),
+    tot AS (
+      SELECT ctx, action, n_xa, sr,
+             sum(n_xa) OVER (PARTITION BY ctx) AS n_x,
+             CAST((1000000 * CAST(sr AS HUGEINT)) // n_xa AS BIGINT)
+               AS mean_q
+      FROM cells
+    ),
+    target AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY ctx
+                                     ORDER BY mean_q DESC, action) AS rk
+        FROM tot
+      ) WHERE rk = 1
+    ),
+    scored AS (
+      SELECT ctx, CAST(n_x AS BIGINT) AS n, action AS target_action,
+             n_xa AS n_matched,
+             CAST((1000000 * (CAST(n_x AS HUGEINT) + 25)) // (n_xa + 5)
+                  AS BIGINT) AS w_q,
+             CAST(sr // n_xa AS BIGINT) AS v_target_mean_micro,
+             sr
+      FROM target
+    ),
+    per_ctx AS (
+      SELECT ctx, n, target_action, n_matched, w_q, v_target_mean_micro,
+             CAST((CAST(sr AS HUGEINT) * w_q) // (CAST(n AS HUGEINT)
+                  * 1000000) AS BIGINT) AS v_ips_micro
+      FROM scored
+    )
+    SELECT ctx, n, target_action, n_matched, w_q, v_target_mean_micro,
+           v_ips_micro
+    FROM per_ctx
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), CAST(sum(n) AS BIGINT), NULL,
+           CAST(sum(n_matched) AS BIGINT), NULL,
+           CAST(sum(CAST(sr AS HUGEINT)) // sum(n_matched) AS BIGINT),
+           CAST(sum(CAST(sr AS HUGEINT) * w_q)
+                // (sum(CAST(n AS HUGEINT)) * 1000000) AS BIGINT)
+    FROM scored
+    """,
+)
+def offpolicy_ips_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual (off-policy) evaluation of a recommendation
+    policy by inverse-propensity-scored replay over the event log
+    (Horvitz-Thompson / Li et al. 2011's replay method — public):
+    context = user-id bucket, logged action = event type, reward =
+    event value in exact micro-units. The TARGET policy is the greedy
+    per-context argmax of mean reward (quantized, tie by action); the
+    LOGGING propensity is the add-k-smoothed empirical frequency
+    (n_xa+5)/(n_x+25) — smoothed exactly like a production logging
+    model's estimate, so the IPS value (reward x 1/propensity,
+    averaged over ALL logged rows) differs from the naive on-policy
+    mean of the matched rows, and the gap is the propensity-shrinkage
+    the estimator must price. A -1 'ALL' row aggregates contexts.
+
+    Every ratio is frozen by exact integer division (quantized-ratio
+    rule) with HUGEINT/DECIMAL(38,0) products (Σreward·w reaches
+    ~1e28 at 100 TB event counts).
+
+    100 TB shape: ONE events scan collapsing to (context × action)
+    cells (map-side combined); policy argmax, propensities, and both
+    estimators are windows/arithmetic at cell cardinality — the
+    estimator never re-touches rows because rewards enter as cell
+    sums."""
+    d38 = "decimal(38,0)"
+    ev = load_table(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(4)).cast("bigint").alias("ctx"),
+        F.col("event_type").alias("action"),
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("bigint")
+        .alias("r"),
+    )
+    cells = ev.groupBy("ctx", "action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xa"),
+        F.sum("r").cast("bigint").alias("sr"),
+    )
+    w = Window.partitionBy("ctx")
+    tot = cells.select(
+        "ctx",
+        "action",
+        "n_xa",
+        "sr",
+        F.sum("n_xa").over(w).alias("n_x"),
+        F.expr(
+            f"cast((1000000 * cast(sr as {d38})) div n_xa as bigint)"
+        ).alias("mean_q"),
+    )
+    wbest = Window.partitionBy("ctx").orderBy(
+        F.col("mean_q").desc(), F.col("action")
+    )
+    target = (
+        tot.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+    )
+    scored = target.select(
+        "ctx",
+        F.col("n_x").cast("bigint").alias("n"),
+        F.col("action").alias("target_action"),
+        F.col("n_xa").alias("n_matched"),
+        F.expr(
+            f"cast((1000000 * (cast(n_x as {d38}) + 25)) div (n_xa + 5)"
+            f" as bigint)"
+        ).alias("w_q"),
+        F.expr("cast(sr div n_xa as bigint)").alias("v_target_mean_micro"),
+        "sr",
+    )
+    per_ctx = scored.select(
+        "ctx",
+        "n",
+        "target_action",
+        "n_matched",
+        "w_q",
+        "v_target_mean_micro",
+        F.expr(
+            f"cast((cast(sr as {d38}) * w_q)"
+            f" div (cast(n as {d38}) * 1000000) as bigint)"
+        ).alias("v_ips_micro"),
+    )
+    allrow = scored.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_matched").cast("bigint").alias("n_matched"),
+        F.expr(
+            f"cast(sum(cast(sr as {d38})) div sum(n_matched) as bigint)"
+        ).alias("v_target_mean_micro"),
+        F.expr(
+            f"cast(sum(cast(sr as {d38}) * w_q)"
+            f" div (sum(cast(n as {d38})) * 1000000) as bigint)"
+        ).alias("v_ips_micro"),
+    ).select(
+        F.lit(-1).cast("bigint").alias("ctx"),
+        "n",
+        F.lit(None).cast("string").alias("target_action"),
+        "n_matched",
+        F.lit(None).cast("bigint").alias("w_q"),
+        "v_target_mean_micro",
+        "v_ips_micro",
+    )
+    return per_ctx.unionByName(allrow)
+
+
+# ---------------------------------------------------------------------------
+# Cross-fitted stump forest with out-of-bag evaluation
+# ---------------------------------------------------------------------------
+
+
+def _stump_with_labels(hist: DataFrame) -> DataFrame:
+    """Best classification stump from a pre-aggregated (f, v, n, pos)
+    class histogram, with per-side majority labels and training size —
+    the quantized-Gini argmax of _dtree_splits_from_hist extended with
+    the side stats the forest's OOB/ensemble evaluation needs. Ties:
+    (gain desc, f, v); label ties -> 0."""
+    wv = (
+        Window.partitionBy("f")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("f")
+    cum = hist.select(
+        "f",
+        "v",
+        F.sum("n").over(wv).alias("cn"),
+        F.sum("pos").over(wv).alias("cpos"),
+        F.sum("n").over(wt).alias("tn"),
+        F.sum("pos").over(wt).alias("tpos"),
+    )
+    gain = cum.filter(F.col("cn") < F.col("tn")).select(
+        "f",
+        "v",
+        "cn",
+        "cpos",
+        (F.col("tn") - F.col("cn")).alias("rn"),
+        (F.col("tpos") - F.col("cpos")).alias("rpos"),
+        "tn",
+        (
+            F.expr(
+                f"CAST(({_DT_SCALE} * (CAST(cpos AS DECIMAL(38,0)) * cpos"
+                f" + CAST(cn - cpos AS DECIMAL(38,0)) * (cn - cpos)))"
+                f" div cn AS BIGINT)"
+            )
+            + F.expr(
+                f"CAST(({_DT_SCALE} * (CAST(tpos - cpos AS DECIMAL(38,0))"
+                f" * (tpos - cpos)"
+                f" + CAST((tn - cn) - (tpos - cpos) AS DECIMAL(38,0))"
+                f" * ((tn - cn) - (tpos - cpos))))"
+                f" div (tn - cn) AS BIGINT)"
+            )
+        ).alias("gain_q"),
+    )
+    wbest = Window.orderBy(F.col("gain_q").desc(), F.col("f"), F.col("v"))
+    return (
+        gain.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("f").alias("feature"),
+            F.col("v").alias("threshold"),
+            "gain_q",
+            F.col("tn").alias("n_train"),
+            (F.col("cpos") * 2 > F.col("cn")).cast("int").alias("label_l"),
+            (F.col("rpos") * 2 > F.col("rn")).cast("int").alias("label_r"),
+        )
+    )
+
+
+def _forest_oracle() -> str:
+    knuth = "((okey % 2147483648) * 2654435761) % 4294967296 % 1000 % 4"
+    fields = ", ".join(_DT_FEATURES)
+    parts = [f"""
+    WITH li_n AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    base AS MATERIALIZED (
+      SELECT o.o_orderkey AS okey,
+             CAST(o.o_orderstatus = 'F' AS INT) AS y,
+             CAST(year(o.o_orderdate) - 1992 AS BIGINT) AS f_year,
+             CAST(month(o.o_orderdate) AS BIGINT) AS f_month,
+             CAST(least(floor(o.o_totalprice / 25000), 7) AS BIGINT)
+               AS f_band,
+             CAST(least(COALESCE(li_n.n_items, 0), 7) AS BIGINT) AS f_items
+      FROM orders o LEFT JOIN li_n ON li_n.l_orderkey = o.o_orderkey
+    ),
+    basef AS MATERIALIZED (
+      SELECT *, CAST({knuth} AS BIGINT) AS fold FROM base
+    ),
+    jh AS MATERIALIZED (
+      SELECT fold, f, v, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS pos
+      FROM (SELECT fold, y, f, v FROM basef
+            UNPIVOT (v FOR f IN ({fields})))
+      GROUP BY fold, f, v
+    )"""]
+    for t, excl in enumerate(_DT_FEATURES):
+        parts.append(f"""
+    h{t} AS (
+      SELECT f, v, CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS pos
+      FROM jh WHERE fold <> {t} AND f <> '{excl}'
+      GROUP BY f, v
+    ),
+    c{t} AS (
+      SELECT f, v,
+             sum(n) OVER (PARTITION BY f ORDER BY v) AS cn,
+             sum(pos) OVER (PARTITION BY f ORDER BY v) AS cpos,
+             sum(n) OVER (PARTITION BY f) AS tn,
+             sum(pos) OVER (PARTITION BY f) AS tpos
+      FROM h{t}
+    ),
+    g{t} AS (
+      SELECT f, v, cn, cpos, tn - cn AS rn, tpos - cpos AS rpos, tn,
+             CAST(({_DT_SCALE} * (cpos * cpos + (cn - cpos) * (cn - cpos)))
+                  // cn AS BIGINT)
+             + CAST(({_DT_SCALE} * ((tpos - cpos) * (tpos - cpos)
+                     + ((tn - cn) - (tpos - cpos))
+                       * ((tn - cn) - (tpos - cpos))))
+                    // (tn - cn) AS BIGINT) AS gain_q
+      FROM c{t} WHERE cn < tn
+    ),
+    b{t} AS MATERIALIZED (
+      SELECT f, v, gain_q, tn AS n_train,
+             CAST(2 * cpos > cn AS INT) AS ll,
+             CAST(2 * rpos > rn AS INT) AS rl
+      FROM g{t} ORDER BY gain_q DESC, f, v LIMIT 1
+    ),
+    oob{t} AS (
+      SELECT CAST(sum(jh.n) AS BIGINT) AS oob_n,
+             CAST(sum(CASE WHEN jh.v <= b.v
+                           THEN CASE WHEN b.ll = 1 THEN jh.pos
+                                     ELSE jh.n - jh.pos END
+                           ELSE CASE WHEN b.rl = 1 THEN jh.pos
+                                     ELSE jh.n - jh.pos END END)
+                  AS BIGINT) AS oob_correct
+      FROM jh, b{t} b WHERE jh.fold = {t} AND jh.f = b.f
+    )""")
+    vote = " + ".join(
+        f"(CASE WHEN (CASE b{t}.f WHEN 'f_band' THEN basef.f_band"
+        f" WHEN 'f_items' THEN basef.f_items"
+        f" WHEN 'f_month' THEN basef.f_month"
+        f" ELSE basef.f_year END) <= b{t}.v"
+        f" THEN b{t}.ll ELSE b{t}.rl END)"
+        for t in range(len(_DT_FEATURES))
+    )
+    froms = ", ".join(f"b{t}" for t in range(len(_DT_FEATURES)))
+    parts.append(f"""
+    ens AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN CAST(2 * ({vote}) > 4 AS INT) = basef.y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM basef, {froms}
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS tree, f AS feature,"
+        f" v AS threshold, gain_q, n_train, oob_n, oob_correct"
+        f" FROM b{t}, oob{t}"
+        for t in range(len(_DT_FEATURES))
+    )
+    return (
+        ",".join(parts)
+        + f"""
+    {sel}
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT), NULL, NULL, NULL,
+           (SELECT CAST(count(*) AS BIGINT) FROM basef), n, n_correct
+    FROM ens"""
+    )
+
+
+@query("stump_forest_oob", oracle=_forest_oracle())
+def stump_forest_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-fitted stump forest with out-of-bag evaluation: four
+    classification stumps, tree t trained on the three folds != t
+    (pasting/cross-fitting — Breiman 1999's subbagging, Chernozhukov's
+    cross-fitting discipline) with feature t excluded (random-subspace,
+    Ho 1998 — all public methods). Each tree is then scored on its
+    HELD-OUT fold (true OOB accuracy — no row is ever scored by a tree
+    that saw it), and a final row reports the 4-tree majority-vote
+    ensemble accuracy over the whole corpus (2-2 ties -> negative,
+    deterministic).
+
+    Split of labor: ONE corpus-scale aggregate builds the joint
+    (fold × feature × bin) class histogram; every tree's training AND
+    its OOB evaluation read that histogram (train = sum over the
+    other folds, eval = the held-out fold's marginal on the tree's own
+    feature) — so 4 trees cost the same corpus work as 1. Only the
+    ensemble vote needs rows again (votes join features ACROSS columns,
+    not derivable from marginals): one projection pass with the four
+    driver-held stumps as CASE literals. Gain/labels are the
+    decision_tree_histogram_splits quantized-Gini discipline — exact on
+    both engines.
+
+    100 TB shape: two corpus passes total (histogram + ensemble vote),
+    both map-side combined; per-tree work runs at histogram
+    cardinality; driver traffic is 4 stump rows."""
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    base = _dtree_base(spark, sf_dir).withColumn(
+        "fold", F.pmod(bucket_of(F.col("okey")), F.lit(4)).cast("bigint")
+    )
+    stack = ", ".join(f"'{f}', {f}" for f in _DT_FEATURES)
+    jh = (
+        base.selectExpr(
+            "fold", "y", f"stack({len(_DT_FEATURES)}, {stack}) AS (f, v)"
+        )
+        .groupBy("fold", "f", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        .localCheckpoint(eager=True)  # histogram-sized; read 8 times
+    )
+    out_rows = []
+    stumps = []
+    for t, excl in enumerate(_DT_FEATURES):
+        h = (
+            jh.filter((F.col("fold") != t) & (F.col("f") != excl))
+            .groupBy("f", "v")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("pos").cast("bigint").alias("pos"),
+            )
+        )
+        b = _stump_with_labels(h).head()
+        if b is None:
+            raise ValueError("stump_forest_oob: no splittable feature")
+        stumps.append(b)
+        oob = (
+            jh.filter((F.col("fold") == t) & (F.col("f") == b["feature"]))
+            .agg(
+                F.sum("n").cast("bigint").alias("oob_n"),
+                F.sum(
+                    F.when(
+                        F.col("v") <= int(b["threshold"]),
+                        F.col("pos")
+                        if int(b["label_l"]) == 1
+                        else F.col("n") - F.col("pos"),
+                    ).otherwise(
+                        F.col("pos")
+                        if int(b["label_r"]) == 1
+                        else F.col("n") - F.col("pos")
+                    )
+                )
+                .cast("bigint")
+                .alias("oob_correct"),
+            )
+            .head()
+        )
+        out_rows.append(
+            (
+                t,
+                b["feature"],
+                int(b["threshold"]),
+                int(b["gain_q"]),
+                int(b["n_train"]),
+                int(oob["oob_n"]),
+                int(oob["oob_correct"]),
+            )
+        )
+    votes = sum(
+        (
+            F.when(
+                F.col(b["feature"]) <= F.lit(int(b["threshold"])),
+                F.lit(int(b["label_l"])),
+            ).otherwise(F.lit(int(b["label_r"])))
+            for b in stumps
+        ),
+        start=F.lit(0),
+    )
+    ens = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            ((votes * 2 > 4).cast("int") == F.col("y")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    ).head()
+    out_rows.append(
+        (-1, None, None, None, int(ens["n"]), int(ens["n"]), int(ens["n_correct"]))
+    )
+    return spark.createDataFrame(
+        out_rows,
+        "tree bigint, feature string, threshold bigint, gain_q bigint,"
+        " n_train bigint, oob_n bigint, oob_correct bigint",
+    )

@@ -127,12 +127,12 @@ CERTIFICATION_WINDOW: tuple[str, ...] = (
     "doc_fingerprints_winnow",
     # multimodal (also certifies U3 mapInPandas)
     "multimodal_jpeg_decode",            # round-5 flagship
-    # flagship extensions rounds 3-5 (bpe_merge_sequence and
-    # upsert_timetravel_diff rotated out round 10 — both stay
-    # full-sweep oracled; snapshot_timetravel_diff certifies the same
-    # snapshot/time-travel machinery upsert builds on)
-    "corpus_report",
-    "snapshot_timetravel_diff",
+    # flagship extensions rounds 3-5 (bpe_merge_sequence,
+    # upsert_timetravel_diff, and — later in round 10 — corpus_report
+    # and snapshot_timetravel_diff rotated out; all stay full-sweep
+    # oracled, and the snapshot/time-travel machinery keeps dedicated
+    # pytest modules: test_snapshots.py, test_streaming_upsert.py,
+    # test_corpus_stats_stream.py)
     "graph_pagerank_part_supplier",
     # round-8/9 flagships rotated in round 10 (judge r9 ask #1): the
     # driver certifies the newest work — integer-exact HITS, Shapley +
@@ -142,6 +142,10 @@ CERTIFICATION_WINDOW: tuple[str, ...] = (
     "markov_attribution_events",
     "embedding_pca_power_exact",
     "classifier_lift_deciles",
+    # round-10 flagships (same policy, applied to this round's work):
+    # histogram decision-tree split finding and gradient-boosted stumps
+    "decision_tree_histogram_splits",
+    "gbt_stump_boosting",
 )
 
 

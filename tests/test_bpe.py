@@ -151,3 +151,74 @@ def test_separator_bearing_token_fails_loudly(spark):
     # clean corpus unaffected by the guard
     clean = spark.createDataFrame([("ok token",)], ["text"])
     assert word_histogram(clean).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# WordPiece trainer
+# ---------------------------------------------------------------------------
+
+
+def _ref_wordpiece(hist: dict[str, int], n_merges: int, scale: int):
+    """Reference WordPiece: same symbol-list state machine as
+    _ref_train, argmax on trunc(scale*f(ab) / (f(a)*f(b))) with
+    (score desc, f desc, l, r) tie order."""
+    state = {tuple(w): c for w, c in hist.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        sc = collections.Counter()
+        for syms, c in state.items():
+            for s in syms:
+                sc[s] += c
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        scored = {
+            (l, r): (scale * f) // (sc[l] * sc[r]) for (l, r), f in pc.items()
+        }
+        (l, r) = min(
+            scored,
+            key=lambda k: (-scored[k], -pc[k], k[0], k[1]),
+        )
+        merges.append((l, r, pc[(l, r)], scored[(l, r)]))
+        new_state = collections.Counter()
+        for syms, c in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state[tuple(out)] += c
+        state = dict(new_state)
+    return merges
+
+
+def test_wordpiece_matches_reference_and_diverges_from_bpe(spark):
+    """The distributed WordPiece loop must equal an independent pure-
+    Python replay, and on this corpus its merge sequence must DIFFER
+    from BPE's — 'zq' appears only 3 times but z and q occur nowhere
+    else (likelihood 1), while 'th' is frequent but t/h are spread
+    across many words; BPE grabs the frequent pair, WordPiece the
+    exclusive one."""
+    from etl_pipeline_orchestration_spark.operators.bpe import (
+        _WP_S,
+        wordpiece_train,
+    )
+
+    corpus = CORPUS + ["zq zq zq"]
+    docs = spark.createDataFrame([(t,) for t in corpus], ["text"])
+    hist = collections.Counter(
+        w for t in corpus for w in t.split() if w
+    )
+    want = _ref_wordpiece(dict(hist), 6, _WP_S)
+    got, _ = wordpiece_train(word_histogram(docs), n_merges=6)
+    assert got == want
+    assert got[0][:2] == ("z", "q")  # exclusive pair wins round 1
+
+    bpe, _ = bpe_train(word_histogram(docs), n_merges=6)
+    assert [(l, r) for l, r, _ in bpe] != [(l, r) for l, r, _, _ in got]
+    assert bpe[0][:2] != ("z", "q")  # BPE prefers the frequent pair

@@ -63,17 +63,20 @@ SECTION2_CERTIFIERS = {
     "L-lang-id": "lang_id_confusion",
     "L-fingerprints": "doc_fingerprints_winnow",
     "L-multimodal": "multimodal_jpeg_decode",
-    "flagship-corpus-stats": "corpus_report",
-    # bpe / upsert rotated out round 10 (both stay full-sweep oracled;
-    # snapshot_timetravel_diff certifies the snapshot machinery upsert
-    # builds on) to make room for the round-8/9 flagships below
-    "flagship-snapshot": "snapshot_timetravel_diff",
+    # bpe / upsert / corpus_report / snapshot_timetravel_diff rotated
+    # out round 10 (all stay full-sweep oracled; snapshots and corpus
+    # stats keep dedicated pytest modules — test_snapshots.py,
+    # test_streaming_upsert.py, test_corpus_stats_stream.py) to make
+    # room for the round-8/9/10 flagships below: the driver certifies
+    # the newest work.
     "flagship-pagerank": "graph_pagerank_part_supplier",
     "flagship-hits": "hits_supplier_part",
     "flagship-shapley": "shapley_attribution_events",
     "flagship-markov": "markov_attribution_events",
     "flagship-pca-power": "embedding_pca_power_exact",
     "flagship-classifier-lift": "classifier_lift_deciles",
+    "flagship-dtree": "decision_tree_histogram_splits",
+    "flagship-gbt": "gbt_stump_boosting",
 }
 
 # Round 8 closed the last two rows-only window slots with integer-exact

@@ -353,3 +353,51 @@ def test_ppr_query_rounding_margins(spark):
     assert ranks
     min_margin = min(abs(r * 1e9 - math.floor(r * 1e9) - 0.5) for r in ranks)
     assert min_margin > 1e-3, f"half-boundary margin too thin: {min_margin}"
+
+
+def test_multi_source_bfs_matches_python_replay(spark):
+    """Composite-frontier BFS == per-source python BFS on a planted
+    graph (path + branch + disconnected pair), and the harmonic sum is
+    the exact integer 1e6-div replay."""
+    import collections
+
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 6), (6, 7), (10, 11)]
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+
+    def bfs(src, max_hops=6):
+        dist = {src: 0}
+        frontier = [src]
+        for k in range(1, max_hops + 1):
+            nxt = [d for n in frontier for d in adj[n] if d not in dist]
+            for d in nxt:
+                dist.setdefault(d, k)
+            frontier = sorted(set(nxt))
+            if not frontier:
+                break
+        return dist
+
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {
+        (r.src, r.node): r.hops
+        for r in multi_source_bfs(df, n_sources=4).collect()
+    }
+    want = {}
+    for s in (1, 2, 3, 4):  # four smallest node ids
+        for n, h in bfs(s).items():
+            want[(s, n)] = h
+    assert got == want
+    # node 10/11 component unreachable from the sampled sources
+    assert not any(n in (10, 11) for (_, n) in got)
+    # harmonic replay for node 5: d(1,5)=4 d(2,5)=3 d(3,5)=2 d(4,5)=1
+    h5 = sum(1_000_000 // d for d in (4, 3, 2, 1))
+    agg = collections.Counter()
+    for (s, n), h in got.items():
+        if h >= 1:
+            agg[n] += 1_000_000 // h
+    assert agg[5] == h5

@@ -1440,3 +1440,172 @@ def test_ipw_stratified_ate_removes_planted_confounding(spark, tmp_path):
     # propensities match the planted rates per stratum
     n_f, t_f = out["FURNITURE"].n, out["FURNITURE"].n_treat
     assert out["FURNITURE"].p_hat_q == (1_000_000 * t_f) // n_f
+
+
+def test_target_encode_oof_excludes_own_fold(spark, tmp_path):
+    """Planted fixture: one category whose target differs BY FOLD —
+    the encoding for fold k must equal the mean of the other folds
+    only (own-fold rows excluded), and a single-fold category must
+    report NULL (no out-of-fold evidence)."""
+    import duckdb
+
+    KNUTH = 2654435761
+
+    def fold_of(k):
+        return ((k % 2**31) * KNUTH) % 2**32 % 1000 // 200
+
+    custs, orders = [], []
+    okey = 1
+    # category 7: y == fold number (each customer gets `fold` orders)
+    by_fold = {}
+    k = 1
+    while len(by_fold) < 5 or min(len(v) for v in by_fold.values()) < 2:
+        f = fold_of(k)
+        custs.append((k, 7))
+        by_fold.setdefault(f, []).append(k)
+        for _ in range(f):
+            orders.append((okey, k)); okey += 1
+        k += 1
+    # category 9: all its customers land in ONE fold -> enc NULL
+    lone = []
+    kk = k
+    target_fold = fold_of(kk)
+    while len(lone) < 3:
+        if fold_of(kk) == target_fold:
+            custs.append((kk, 9)); lone.append(kk)
+            orders.append((okey, kk)); okey += 1
+        kk += 1
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (c_custkey BIGINT, c_nationkey BIGINT)")
+    con.executemany("INSERT INTO c VALUES (?,?)", custs)
+    con.execute("CREATE TABLE o (o_orderkey BIGINT, o_custkey BIGINT)")
+    con.executemany("INSERT INTO o VALUES (?,?)", orders)
+    con.execute(f"COPY c TO '{tmp_path}/customer.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY o TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)")
+
+    rows = _q("target_encode_oof")(spark, str(tmp_path)).collect()
+    cat7 = {r.fold: r for r in rows if r.cat == 7}
+    n_tot = sum(len(v) for v in by_fold.values())
+    s_tot = sum(f * len(v) for f, v in by_fold.items())
+    for f, members in by_fold.items():
+        n_oof = n_tot - len(members)
+        s_oof = s_tot - f * len(members)
+        assert cat7[f].n_oof == n_oof
+        assert cat7[f].enc_q == (1_000_000 * s_oof) // n_oof, f
+    cat9 = [r for r in rows if r.cat == 9]
+    assert len(cat9) == 1 and cat9[0].enc_q is None
+
+
+def test_ips_replay_hand_computed(spark, tmp_path):
+    """Planted log, one context (all user_ids ≡ 1 mod 4): action 'a'
+    logged 15x with reward 2.0, action 'b' 5x with reward 10.0. The
+    greedy target picks 'b' (higher mean). Naive matched mean = 10e6
+    micro. Smoothed propensity = (5+5)/(20+25) = 10/45; IPS =
+    sr_b * w / (n * 1e6) with w = (1e6*45) div 10."""
+    import datetime
+
+    import duckdb
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 1
+    for i in range(15):
+        rows.append((eid, t0, 1 + 4 * i, "a", 2.0, "{}")); eid += 1
+    for i in range(5):
+        rows.append((eid, t0, 1 + 4 * i, "b", 10.0, "{}")); eid += 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.executemany("INSERT INTO e VALUES (?,?,?,?,?,?)", rows)
+    con.execute(f"COPY e TO '{tmp_path}/events.parquet' (FORMAT PARQUET)")
+
+    out = {r.ctx: r for r in _q("offpolicy_ips_replay")(spark, str(tmp_path)).collect()}
+    r1 = out[1]
+    assert r1.target_action == "b"
+    assert r1.n == 20 and r1.n_matched == 5
+    assert r1.v_target_mean_micro == 10_000_000
+    w_q = (1_000_000 * 45) // 10
+    assert r1.w_q == w_q
+    sr_b = 5 * 10_000_000
+    assert r1.v_ips_micro == (sr_b * w_q) // (20 * 1_000_000)
+    # smoothing pulls the propensity toward 1/K (10/45 ≈ 0.22 < the
+    # empirical 0.25), so IPS up-weights: 11.25e6 vs naive 10e6 — the
+    # estimator-vs-naive gap the query exists to expose
+    assert r1.v_ips_micro == 11_250_000 != r1.v_target_mean_micro
+    allr = out[-1]
+    assert allr.n == 20 and allr.target_action is None
+
+
+def test_stump_forest_matches_python_replay(spark):
+    """Full independent replay at sf0.001: folds, per-tree cross-fitted
+    training (feature t excluded, folds != t), quantized-Gini argmax,
+    majority labels, OOB accuracy on the held-out fold, and the 4-tree
+    ensemble vote — every output cell must match."""
+    from etl_pipeline_orchestration_spark.plans.ml_analytics import (
+        _DT_FEATURES,
+        _DT_SCALE,
+        _dtree_base,
+    )
+
+    KNUTH = 2654435761
+    rows = _dtree_base(spark, SF).collect()
+    feats = list(_DT_FEATURES)
+
+    def fold_of(okey):
+        return ((okey % 2**31) * KNUTH) % 2**32 % 1000 % 4
+
+    data = [
+        (fold_of(r.okey), r.y, {f: r[f] for f in feats}) for r in rows
+    ]
+    stumps = []
+    want = []
+    for t, excl in enumerate(feats):
+        train = [(y, fv) for fo, y, fv in data if fo != t]
+        best = None
+        for f in sorted(feats):
+            if f == excl:
+                continue
+            vals = sorted({fv[f] for _, fv in train})
+            tot_n = len(train)
+            tot_p = sum(y for y, _ in train)
+            for v in vals[:-1]:
+                ln = sum(1 for _, fv in train if fv[f] <= v)
+                lp = sum(y for y, fv in train if fv[f] <= v)
+                rn, rp = tot_n - ln, tot_p - lp
+                gq = (_DT_SCALE * (lp * lp + (ln - lp) * (ln - lp))) // ln
+                gq += (_DT_SCALE * (rp * rp + (rn - rp) * (rn - rp))) // rn
+                key = (-gq, f, v)
+                if best is None or key < best:
+                    best = key
+                    side = (ln, lp, rn, rp)
+        gq, f, v = -best[0], best[1], best[2]
+        ln, lp, rn, rp = side
+        ll, rl = int(2 * lp > ln), int(2 * rp > rn)
+        stumps.append((f, v, ll, rl))
+        oob = [(y, fv) for fo, y, fv in data if fo == t]
+        correct = sum(
+            1
+            for y, fv in oob
+            if (ll if fv[f] <= v else rl) == y
+        )
+        want.append((t, f, v, gq, len(train), len(oob), correct))
+    ens_correct = sum(
+        1
+        for _, y, fv in data
+        if int(
+            2 * sum(ll if fv[f] <= v else rl for f, v, ll, rl in stumps) > 4
+        )
+        == y
+    )
+    want.append((-1, None, None, None, len(data), len(data), ens_correct))
+
+    got = sorted(
+        (tuple(r) for r in _q("stump_forest_oob")(spark, SF).collect()),
+        key=lambda r: r[0],
+    )
+    assert got == sorted(want, key=lambda r: r[0])
+    # cross-fitting guarantees: tree t never uses its excluded feature
+    for t, (f, _, _, _) in enumerate(stumps):
+        assert f != feats[t]

@@ -176,6 +176,25 @@ FAMILIES = {
     # Shapley attribution: same journey window + a (u, j) bit_or
     # aggregate; everything after runs at 2^n_channels cardinality.
     "shapley_attribution": "shapley_attribution_events",
+    # item-item CF: certifies candidate pairs stay Σ basket² (the
+    # order-keyed self-join) while item-count joins and the per-item
+    # top-3 window run at pair/item cardinality — never an item
+    # cross-product — as orders grow 10x.
+    "itemitem_cf": "itemitem_cf_topk",
+    # gradient-boosted stumps: certifies each boosting round stays ONE
+    # map-side-combined histogram aggregate over the fact join (the
+    # model rides as driver literals), so cost is rounds x scan.
+    "gbt_boosting": "gbt_stump_boosting",
+    # WordPiece trainer: certifies rounds stay histogram-space like the
+    # BPE family — the corpus is scanned once into (word, c); the
+    # per-round pair + symbol-unigram aggregates and score joins are
+    # vocabulary-bounded.
+    "wordpiece_trainer": "wordpiece_merge_sequence",
+    # k-source harmonic centrality: certifies the composite-frontier
+    # BFS stays one edge-keyed shuffle per LEVEL with each (src, node)
+    # settled once — O(k·E) total, on the same 10x lineitem graph as
+    # bfs_hops.
+    "graph_harmonic": "harmonic_centrality_ksource",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
