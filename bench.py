@@ -244,6 +244,7 @@ HEADLINE = [
     "harmonic_centrality_ksource",
     "offpolicy_ips_replay",
     "stump_forest_oob",
+    "gbt_conformal_intervals",
 ]
 
 

@@ -3954,16 +3954,35 @@ def itemitem_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor cardinality, partitioned by item — no single-partition
     stage anywhere."""
     li = load_table(spark, sf_dir, "lineitem")
-    bp = li.select("l_orderkey", "l_partkey").distinct()
+    return itemitem_topk_of(basket_pairs(li))
+
+
+def basket_pairs(lineitem: DataFrame) -> DataFrame:
+    """DISTINCT (l_orderkey, l_partkey) — the basket relation. A SET,
+    so per-batch partials merge by distinct-union (order-free,
+    replay-idempotent): the state the streaming CF maintenance member
+    (streaming/itemitem_stream.py) stores."""
+    return lineitem.select("l_orderkey", "l_partkey").distinct()
+
+
+def itemitem_topk_of(bp: DataFrame) -> DataFrame:
+    """The derivation half of itemitem_cf_topk (see its docstring),
+    computable from ANY source of the basket relation — scanned or
+    streamed-and-stored."""
     ci = bp.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
     a, b = bp.alias("a"), bp.alias("b")
-    cij = (
+    # Aggregate ONE orientation (i < j) and mirror AFTER the aggregate:
+    # co-counts are symmetric, so this halves the pair-aggregate
+    # shuffle — the query's dominant exchange (it was the repo's #1
+    # absolute shuffle writer in SHUFFLE_AUDIT before the fold) — while
+    # the mirror is a narrow map over the already-aggregated pairs.
+    half = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .groupBy(
             F.col("a.l_partkey").alias("part_i"),
@@ -3971,8 +3990,8 @@ def itemitem_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("co_count"))
     )
-    scored = (
-        cij.join(
+    scored_half = (
+        half.join(
             ci.select(F.col("l_partkey").alias("part_i"), F.col("cnt").alias("c_i")),
             "part_i",
         )
@@ -3988,6 +4007,17 @@ def itemitem_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast((1000000 * cast(co_count as decimal(38,0)) * co_count)"
                 " div (c_i * c_j) as bigint)"
             ).alias("cos2_q"),
+        )
+    )
+    # cos² and co_count are symmetric, so the item-count joins and the
+    # score run on the HALF orientation; only the per-item top-3 window
+    # sees both directions (a narrow union of the scored relation).
+    scored = scored_half.unionByName(
+        scored_half.select(
+            F.col("part_j").alias("part_i"),
+            F.col("part_i").alias("part_j"),
+            "co_count",
+            "cos2_q",
         )
     )
     w = Window.partitionBy("part_i").orderBy(

@@ -5868,7 +5868,14 @@ def _gbt_train(spark: SparkSession, sf_dir: str, rounds: int = _GBT_ROUNDS):
     CASE expression, so the residual at round t is a closed-form
     projection (no corpus materialization or model join between
     rounds)."""
-    base = _gbt_base(spark, sf_dir)
+    return _gbt_train_from(_gbt_base(spark, sf_dir), rounds)
+
+
+def _gbt_train_from(base: DataFrame, rounds: int = _GBT_ROUNDS):
+    """The boosting loop over a caller-supplied (y, features) frame —
+    split out so the conformal query can train on the TRAIN folds only
+    (the split-conformal guarantee needs a model the calibration rows
+    never touched)."""
     m = base.agg(F.expr("sum(y) div count(1)").alias("mean_q")).head()
     if m is None or m["mean_q"] is None:
         raise ValueError("gbt: empty training frame")
@@ -6930,4 +6937,150 @@ def stump_forest_oob(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows,
         "tree bigint, feature string, threshold bigint, gain_q bigint,"
         " n_train bigint, oob_n bigint, oob_correct bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals for the boosted regressor
+# ---------------------------------------------------------------------------
+
+
+def _gbt_conformal_oracle() -> str:
+    knuth = "((okey % 2147483648) * 2654435761) % 4294967296 % 1000 % 4"
+    step = "".join(
+        f" + CASE WHEN (CASE b{k}.f WHEN 'f_items' THEN t.f_items"
+        f" WHEN 'f_month' THEN t.f_month"
+        f" WHEN 'f_prio' THEN t.f_prio ELSE t.f_year END) <= b{k}.v"
+        f" THEN b{k}.lval ELSE b{k}.rval END"
+        for k in range(1, _GBT_ROUNDS + 1)
+    )
+    froms = ", ".join(f"b{k}" for k in range(1, _GBT_ROUNDS + 1))
+    return (
+        f"""
+    WITH li_n AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    baseall AS MATERIALIZED (
+      SELECT o.o_orderkey AS okey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 100 AS y,
+             CAST(least(COALESCE(li_n.n_items, 0), 7) AS BIGINT) AS f_items,
+             CAST(month(o.o_orderdate) AS BIGINT) AS f_month,
+             CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS f_prio,
+             CAST(year(o.o_orderdate) - 1992 AS BIGINT) AS f_year,
+             CAST(((o.o_orderkey % 2147483648) * 2654435761)
+                  % 4294967296 % 1000 % 4 AS BIGINT) AS fold
+      FROM orders o LEFT JOIN li_n ON li_n.l_orderkey = o.o_orderkey
+    ),
+    base AS MATERIALIZED (
+      SELECT okey, y, f_items, f_month, f_prio, f_year
+      FROM baseall WHERE fold <= 1
+    ),
+    m AS (
+      SELECT CAST(sum(y) AS HUGEINT) // count(*) AS mean_q FROM base
+    ),
+    r0 AS MATERIALIZED (
+      SELECT okey, f_items, f_month, f_prio, f_year,
+             CAST(y - mean_q AS BIGINT) AS resid
+      FROM base CROSS JOIN m
+    ),"""
+        + ",".join(_gbt_round_cte(k) for k in range(1, _GBT_ROUNDS + 1))
+        + f""",
+    cal AS MATERIALIZED (
+      SELECT abs(t.y - (m.mean_q{step})) AS s
+      FROM baseall t CROSS JOIN m, {froms} WHERE t.fold = 2
+    ),
+    nq AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal,
+             least((9 * (count(*) + 1) + 9) // 10, count(*)) AS kq
+      FROM cal
+    ),
+    q AS MATERIALIZED (
+      SELECT CAST(s AS BIGINT) AS qhat FROM
+        (SELECT s, row_number() OVER (ORDER BY s) AS rn FROM cal), nq
+      WHERE rn = kq
+    ),
+    test AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN abs(t.y - (m.mean_q{step})) <= q.qhat
+                           THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM baseall t CROSS JOIN m, {froms}, q WHERE t.fold = 3
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_train,
+           nq.n_cal, test.n_test, q.qhat, test.covered,
+           CAST((1000000 * CAST(test.covered AS HUGEINT)) // test.n_test
+                AS BIGINT) AS coverage_ppm
+    FROM nq, q, test"""
+    )
+
+
+@query("gbt_conformal_intervals", oracle=_gbt_conformal_oracle())
+def gbt_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction INTERVALS for the boosted regressor
+    (Vovk et al.; Lei et al. 2018 — public method), closing the
+    uncertainty loop on the round-10 GBT exactly as
+    quality_classifier_conformal does for classification: train on
+    folds {0,1} (stable Knuth buckets), take the nonconformity
+    s = |y − ŷ| in exact integer dollars on the disjoint calibration
+    fold 2, pick qhat as the ceil(0.9·(n+1))-th SMALLEST s (a SELECTED
+    value — no interpolation, both engines agree bit-for-bit), and
+    report fold-3 test coverage of ŷ ± qhat. The ≥90% marginal
+    guarantee needs only exchangeability and a calibration fold the
+    boosting never saw — which the unrolled-training oracle certifies
+    by construction (its CTE chain trains on folds ≤ 1 only).
+
+    100 TB shape: training is the GBT histogram discipline (4 scans);
+    scoring is the driver-held model as a CASE projection; the
+    calibration rank is one window over the CALIBRATION FOLD (quarter-
+    sized, not corpus — and at real scale the same selection runs on
+    the hist_quantiles bounded-domain path since s is integer
+    dollars); coverage is one aggregate. Driver traffic: 3 stump rows
+    + 2 scalars."""
+    from etl_pipeline_orchestration_spark.operators.sampling import bucket_of
+
+    baseall = _gbt_base(spark, sf_dir).withColumn(
+        "fold", F.pmod(bucket_of(F.col("okey")), F.lit(4)).cast("bigint")
+    )
+    train = baseall.filter(F.col("fold") <= 1).select(
+        "okey", "y", *_GBT_FEATURES
+    )
+    _, _, _, resids = _gbt_train_from(train)
+    s_expr = F.abs(resids[-1])  # |y - pred| as a pure projection
+    cal = baseall.filter(F.col("fold") == 2).select(s_expr.alias("s"))
+    nq = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal")).select(
+        "n_cal",
+        F.least(
+            F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")
+        ).alias("kq"),
+    )
+    wq = Window.orderBy("s")  # calibration-fold-sized, never corpus
+    q = (
+        cal.select("s", F.row_number().over(wq).alias("rn"))
+        .join(F.broadcast(nq), F.col("rn") == F.col("kq"))
+        .select(F.col("s").cast("bigint").alias("qhat"), "n_cal")
+    )
+    test = (
+        baseall.filter(F.col("fold") == 3)
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.first("qhat").alias("qhat"),
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum((s_expr <= F.col("qhat")).cast("int"))
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    n_train = train.count()
+    return test.select(
+        F.lit(int(n_train)).cast("bigint").alias("n_train"),
+        "n_cal",
+        "n_test",
+        "qhat",
+        "covered",
+        F.expr(
+            "cast((1000000 * cast(covered as decimal(38,0))) div n_test"
+            " as bigint)"
+        ).alias("coverage_ppm"),
     )

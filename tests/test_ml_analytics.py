@@ -1609,3 +1609,20 @@ def test_stump_forest_matches_python_replay(spark):
     # cross-fitting guarantees: tree t never uses its excluded feature
     for t, (f, _, _, _) in enumerate(stumps):
         assert f != feats[t]
+
+
+def test_gbt_conformal_coverage_guarantee(spark):
+    """Split-conformal marginal guarantee: fold-3 coverage of ŷ ± qhat
+    must be ≥ ~90% (the finite-sample bound allows ≥ 0.9 - 1/(n_cal+1)
+    slack below and exchangeability noise; we assert the practical
+    band), qhat must be a SELECTED calibration value, and the folds
+    must partition the corpus."""
+    r = _q("gbt_conformal_intervals")(spark, SF).head()
+    assert r.n_train + r.n_cal + r.n_test > 0
+    total = _q("gbt_training_curve")(spark, SF).head().n
+    # folds 0..3 partition: train(2 folds)+cal+test == all orders
+    assert r.n_train + r.n_cal + r.n_test == total
+    assert r.qhat >= 0
+    cov = r.covered / r.n_test
+    assert cov >= 0.9 - 1.0 / (r.n_cal + 1) - 0.05, cov
+    assert r.coverage_ppm == (1_000_000 * r.covered) // r.n_test
