@@ -245,6 +245,8 @@ HEADLINE = [
     "offpolicy_ips_replay",
     "stump_forest_oob",
     "gbt_conformal_intervals",
+    "feature_mi_ranking",
+    "dp_noisy_counts",
 ]
 
 

@@ -7084,3 +7084,196 @@ def gbt_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("coverage_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature ranking
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "feature_mi_ranking",
+    oracle="""
+    WITH li_n AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    base AS MATERIALIZED (
+      SELECT CAST(o.o_orderstatus = 'F' AS INT) AS y,
+             CAST(year(o.o_orderdate) - 1992 AS BIGINT) AS f_year,
+             CAST(month(o.o_orderdate) AS BIGINT) AS f_month,
+             CAST(least(floor(o.o_totalprice / 25000), 7) AS BIGINT)
+               AS f_band,
+             CAST(least(COALESCE(li_n.n_items, 0), 7) AS BIGINT) AS f_items
+      FROM orders o LEFT JOIN li_n ON li_n.l_orderkey = o.o_orderkey
+    ),
+    cells AS (
+      SELECT f, v, y, CAST(count(*) AS BIGINT) AS n_xy
+      FROM (SELECT y, f, v FROM base
+            UNPIVOT (v FOR f IN (f_band, f_items, f_month, f_year)))
+      GROUP BY f, v, y
+    ),
+    marg AS (
+      SELECT f, v, y, n_xy,
+             sum(n_xy) OVER (PARTITION BY f, v) AS n_x,
+             sum(n_xy) OVER (PARTITION BY f, y) AS n_y,
+             sum(n_xy) OVER (PARTITION BY f) AS n
+      FROM cells
+    ),
+    mi AS (
+      SELECT f AS feature,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(
+               (CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (ln(CAST(n_xy AS DOUBLE)) + ln(CAST(n AS DOUBLE))
+                  - ln(CAST(n_x AS DOUBLE)) - ln(CAST(n_y AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_micro
+      FROM marg GROUP BY f
+    )
+    SELECT feature, n, mi_micro,
+           CAST(row_number() OVER (ORDER BY mi_micro DESC, feature)
+                AS BIGINT) AS rk
+    FROM mi
+    """,
+)
+def feature_mi_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; label) for each decision-tree
+    feature against order completion — the filter-method feature
+    ranking (Cover & Thomas; public) that tells a pipeline which
+    columns are worth a tree/model before training one. Per feature:
+    I = Σ_cells (n_xy/N)·ln(n_xy·N / (n_x·n_y)), with the log expanded
+    to ln(n_xy)+ln(N)−ln(n_x)−ln(n_y) so every double cast stays below
+    2^53 (the DuckDB HUGEINT→DOUBLE hazard — products like n_xy·N
+    exceed it at 100 TB), and each CELL's term frozen to integer
+    micro-nats (floor(x·1e6 + 0.5), the dsir_importance_resample
+    discipline) before the int64 sum — so the cross-engine result is
+    exact despite the transcendental. Ranking ties break by feature
+    name. The empirical-MI ≥ 0 identity and the
+    zero-MI-for-independent / high-MI-for-deterministic contrasts are
+    pinned by test_feature_mi_planted_signal.
+
+    100 TB shape: ONE map-side-combined aggregate at (feature × bin ×
+    label) cardinality (≤ 4·12·2 cells); marginals are windows over
+    that tiny relation; nothing else touches the corpus."""
+    base = _dtree_base(spark, sf_dir)
+    stack = ", ".join(f"'{f}', {f}" for f in _DT_FEATURES)
+    cells = (
+        base.selectExpr(
+            "y", f"stack({len(_DT_FEATURES)}, {stack}) AS (f, v)"
+        )
+        .groupBy("f", "v", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    )
+    marg = cells.select(
+        "f",
+        "v",
+        "y",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("f", "v")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("f", "y")).alias("n_y"),
+        F.sum("n_xy").over(Window.partitionBy("f")).alias("n"),
+    )
+    term = F.expr(
+        "cast(floor((cast(n_xy as double) / cast(n as double))"
+        " * (ln(cast(n_xy as double)) + ln(cast(n as double))"
+        "    - ln(cast(n_x as double)) - ln(cast(n_y as double)))"
+        " * 1000000 + 0.5) as bigint)"
+    )
+    mi = marg.groupBy(F.col("f").alias("feature")).agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(term).cast("bigint").alias("mi_micro"),
+    )
+    w = Window.orderBy(F.col("mi_micro").desc(), F.col("feature"))
+    return mi.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (deterministic inverse-CDF noise)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dp_noisy_counts",
+    oracle="""
+    WITH counts AS (
+      SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1
+    ),
+    seeded AS (
+      SELECT nation, n,
+             (CAST((nation * 2654435761 + 987654321) % 4294967296
+                   AS DOUBLE) + 0.5) / 4294967296.0 AS u
+      FROM counts
+    ),
+    noised AS (
+      SELECT nation, n, u,
+             CAST(floor(
+               ln(1.0 - 2.0 * abs(u - 0.5)) * (-1.0)
+               * 1000000 + 0.5) AS BIGINT) AS noise_micro
+      FROM seeded
+    )
+    SELECT nation, n,
+           CAST(CASE WHEN u < 0.5 THEN -noise_micro
+                     ELSE noise_micro END + n * 1000000 AS BIGINT)
+             AS noisy_micro,
+           CAST(1000000 AS BIGINT) AS eps_micro
+    FROM noised
+    """,
+)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private released counts (Dwork et al. 2006 —
+    the Laplace mechanism; public): per-nation customer counts plus
+    Laplace(Δ/ε) noise with sensitivity Δ=1 and ε=1, completing the
+    governance family (k-anonymity, l-diversity, PII scan/redaction,
+    erasure). The noise is drawn by the inverse CDF
+    x = −sgn(u−½)·(1/ε)·ln(1−2|u−½|) from a DETERMINISTIC per-group
+    uniform (Knuth multiplicative hash of the group key, the
+    bucket_of/gumbel-resample discipline) — so both engines release
+    the identical integers and the mechanism is reproducible under a
+    fixed seed salt, exactly how DP releases are audited. The term is
+    frozen to integer micro-units (floor(x·1e6+0.5)) before the sign
+    is applied, the corpus_ops gumbel rule. (A production release
+    rotates the salt per epoch; the deterministic-seed form is the
+    TESTABLE core — noise distribution and privacy accounting are
+    unchanged.)
+
+    Scale shape: one hash aggregate at group cardinality; the noise is
+    a narrow projection over the aggregate — nothing row-scale."""
+    counts = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    seeded = counts.select(
+        "nation",
+        "n",
+        (
+            (
+                F.pmod(
+                    F.col("nation") * F.lit(2654435761)
+                    + F.lit(987654321),
+                    F.lit(4294967296),
+                ).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    noised = seeded.select(
+        "nation",
+        "n",
+        "u",
+        F.expr(
+            "cast(floor(ln(1.0 - 2.0 * abs(u - 0.5)) * (-1.0)"
+            " * 1000000 + 0.5) as bigint)"
+        ).alias("noise_micro"),
+    )
+    return noised.select(
+        "nation",
+        "n",
+        F.expr(
+            "cast(case when u < 0.5 then -noise_micro else noise_micro end"
+            " + n * 1000000 as bigint)"
+        ).alias("noisy_micro"),
+        F.lit(1000000).cast("bigint").alias("eps_micro"),
+    )

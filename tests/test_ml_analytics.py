@@ -1626,3 +1626,69 @@ def test_gbt_conformal_coverage_guarantee(spark):
     cov = r.covered / r.n_test
     assert cov >= 0.9 - 1.0 / (r.n_cal + 1) - 0.05, cov
     assert r.coverage_ppm == (1_000_000 * r.covered) // r.n_test
+
+
+def test_feature_mi_planted_signal(spark, tmp_path):
+    """MI semantics on planted data: a feature that DETERMINES the
+    label gets I = H(Y) (binary entropy of the label split, here
+    ln 2); an independent feature gets ~0; ranking follows."""
+    import math
+
+    import duckdb
+
+    custs = []  # reuse orders/lineitem shape: build orders directly
+    orders, lines = [], []
+    for k in range(1, 1201):
+        # month parity DETERMINES status (k%12 odd ⇔ k odd); the price
+        # band (k//2)%8 is EXACTLY independent of k's parity over the
+        # 1200 = 75·16 full blocks, so its MI is exactly 0
+        month = 1 + (k % 12)
+        status = "F" if month % 2 == 0 else "O"
+        price = 10000.0 + ((k // 2) % 8) * 25000.0
+        orders.append(
+            (k, status, f"199{2 + k % 7}-{month:02d}-15", price, "3-MEDIUM")
+        )
+        lines.append((k, 1))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE o (o_orderkey BIGINT, o_orderstatus VARCHAR,"
+        " o_orderdate DATE, o_totalprice DOUBLE, o_orderpriority VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO o VALUES (?,?,CAST(? AS DATE),?,?)", orders
+    )
+    con.execute("CREATE TABLE l (l_orderkey BIGINT, l_linenumber INT)")
+    con.executemany("INSERT INTO l VALUES (?,?)", lines)
+    con.execute(f"COPY o TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)")
+    con.execute(f"COPY l TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)")
+
+    out = {r.feature: r for r in _q("feature_mi_ranking")(spark, str(tmp_path)).collect()}
+    # month determines y exactly -> I(month; y) = H(y) = ln 2 (balanced)
+    assert abs(out["f_month"].mi_micro / 1e6 - math.log(2)) < 2e-3
+    assert out["f_month"].rk == 1
+    # price band is EXACTLY independent of label -> MI exactly 0
+    assert out["f_band"].mi_micro == 0
+    # year (k%7) nearly independent of parity -> MI ~ 0
+    assert abs(out["f_year"].mi_micro) < 5_000  # < 0.005 nats
+    # items constant (all orders have 1 line) -> exactly 0
+    assert out["f_items"].mi_micro == 0
+
+
+def test_dp_noisy_counts_inverse_cdf_replay(spark):
+    """The released integers must equal a python replay of the
+    Laplace inverse CDF from the same Knuth-seeded uniforms, and the
+    noise must actually perturb (not all zero) while staying
+    plausible for Laplace(1) (|noise| < 15 w.p. ~1-6e-7)."""
+    import math
+
+    rows = _q("dp_noisy_counts")(spark, SF).collect()
+    assert len(rows) == 25
+    nonzero = 0
+    for r in rows:
+        u = (((r.nation * 2654435761 + 987654321) % 2**32) + 0.5) / 2**32
+        mag = math.floor(-math.log(1.0 - 2.0 * abs(u - 0.5)) * 1e6 + 0.5)
+        noise = -mag if u < 0.5 else mag
+        assert r.noisy_micro == r.n * 1_000_000 + noise, r.nation
+        assert abs(noise) < 15_000_000
+        nonzero += noise != 0
+    assert nonzero >= 20
