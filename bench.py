@@ -247,6 +247,7 @@ HEADLINE = [
     "gbt_conformal_intervals",
     "feature_mi_ranking",
     "dp_noisy_counts",
+    "kneser_ney_trigram_scores",
 ]
 
 

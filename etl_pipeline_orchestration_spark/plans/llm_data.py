@@ -5488,3 +5488,138 @@ def pca_ratings(spark: SparkSession, state: DataFrame) -> DataFrame:
 embedding_pca_power_exact.__doc__ = embedding_pca_power_exact.__doc__.format(
     iters=_PCA_ITERS
 )
+
+
+@query(
+    "kneser_ney_trigram_scores",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS w
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+      FROM d, unnest(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    ),
+    c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+           FROM tg GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12,
+                  CAST(count(DISTINCT w3) AS BIGINT) AS n1f12
+           FROM tg GROUP BY 1, 2),
+    m23 AS (SELECT w2, w3, CAST(count(DISTINCT w1) AS BIGINT) AS cnt23
+            FROM tg GROUP BY 1, 2),
+    m2 AS (SELECT w2, CAST(sum(cnt23) AS BIGINT) AS cnt2dot,
+                  CAST(count(*) AS BIGINT) AS n1fmid
+           FROM m23 GROUP BY 1),
+    b3 AS (SELECT w3,
+                  CAST(count(DISTINCT w1 || chr(31) || w2) AS BIGINT)
+                    AS cntdot3
+           FROM tg GROUP BY 1),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c3)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(avg(ln(
+             greatest(c123 - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+               / c12
+             + (CAST(0.75 AS DOUBLE) * n1f12 / c12) * (
+                 greatest(cnt23 - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                   / cnt2dot
+                 + (CAST(0.75 AS DOUBLE) * n1fmid / cnt2dot)
+                   * (CAST(cntdot3 AS DOUBLE) / tt)
+               )
+           )) * 1e6) / 1e6 AS avg_logprob
+    FROM tg JOIN c3 USING (w1, w2, w3) JOIN c2 USING (w1, w2)
+            JOIN m23 USING (w2, w3) JOIN m2 USING (w2)
+            JOIN b3 USING (w3) CROSS JOIN tt
+    GROUP BY doc_id
+    """,
+)
+def kneser_ney_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated TRIGRAM Kneser-Ney scoring (Kneser & Ney 1995;
+    Chen & Goodman 1998 — the full recursive chain the bigram sibling
+    truncates): p(w3|w1w2) = max(c123−d,0)/c12 + λ(w1w2)·p_mid(w3|w2),
+    where the mid level runs on CONTINUATION counts (N1+(·w2w3) over
+    N1+(·w2·)) and bottoms out at P_cont(w3) = N1+(··w3)/|trigram
+    types| — all lower-order statistics derived from the trigram
+    relation per Chen-Goodman's continuation-count rule, d = 0.75 at
+    both levels. The fluency filter this powers separates rare-but-
+    grammatical continuations from burst artifacts two full orders
+    deeper than the bigram score.
+
+    Plan: ONE trigram relation (in-place zip_with of three slices, one
+    explode) feeds five count aggregates — (w1w2w3), (w1w2),
+    continuation (w2w3), (w2), (w3) — all map-side combined at n-gram-
+    type cardinality, then one six-way join back to trigram rows and a
+    per-doc average. The probability is a single float expression of
+    exact integer counts (identical association both engines); avg-of-
+    ln rounds at 1e-6, the family discipline. The w1||chr(31)||w2
+    distinct-pair key mirrors Spark's count_distinct(w1, w2) exactly
+    (U+001F cannot appear in whitespace-split tokens — the BPE
+    separator guard's argument).
+
+    100 TB shape: corpus touched once for the trigram explode; every
+    model relation is vocabulary-polynomial-bounded and the final join
+    shuffles on n-gram keys — no driver state at all."""
+    from etl_pipeline_orchestration_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = text._norm_words("text")
+    n = F.size(w)
+    tg_arr = F.zip_with(
+        F.zip_with(
+            F.slice(w, 1, n - 2),
+            F.slice(w, 2, n - 2),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        F.slice(w, 3, n - 2),
+        lambda p, c: F.struct(
+            p.w1.alias("w1"), p.w2.alias("w2"), c.alias("w3")
+        ),
+    )
+    tg = (
+        docs.filter(n >= 3)
+        .select("doc_id", F.explode(tg_arr).alias("t"))
+        .select("doc_id", "t.w1", "t.w2", "t.w3")
+    )
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    c2 = tg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12"),
+        F.count_distinct("w3").alias("n1f12"),
+    )
+    m23 = tg.groupBy("w2", "w3").agg(
+        F.count_distinct("w1").alias("cnt23")
+    )
+    m2 = m23.groupBy("w2").agg(
+        F.sum("cnt23").alias("cnt2dot"),
+        F.count(F.lit(1)).alias("n1fmid"),
+    )
+    b3 = tg.groupBy("w3").agg(
+        F.count_distinct("w1", "w2").alias("cntdot3")
+    )
+    tt = c3.agg(F.count(F.lit(1)).alias("tt"))
+    d_ = F.lit(0.75)
+    p_mid = (
+        F.greatest(F.col("cnt23") - d_, F.lit(0.0)) / F.col("cnt2dot")
+        + (d_ * F.col("n1fmid") / F.col("cnt2dot"))
+        * (F.col("cntdot3").cast("double") / F.col("tt"))
+    )
+    p = (
+        F.greatest(F.col("c123") - d_, F.lit(0.0)) / F.col("c12")
+        + (d_ * F.col("n1f12") / F.col("c12")) * p_mid
+    )
+    return (
+        tg.join(c3, ["w1", "w2", "w3"])
+        .join(c2, ["w1", "w2"])
+        .join(m23, ["w2", "w3"])
+        .join(m2, "w2")
+        .join(b3, "w3")
+        .join(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            (F.round(F.avg(F.log(p)) * 1e6) / 1e6).alias("avg_logprob"),
+        )
+    )

@@ -1692,3 +1692,91 @@ def test_dp_noisy_counts_inverse_cdf_replay(spark):
         assert abs(noise) < 15_000_000
         nonzero += noise != 0
     assert nonzero >= 20
+
+
+def test_kn_trigram_python_replay_and_normalization(spark, tmp_path):
+    """Full python replay of the interpolated trigram KN chain on a
+    planted corpus — per-doc scores must match to the 1e-6 rounding —
+    and the model must be a PROPER distribution: for a seen context
+    (w1,w2), p(w3|w1w2) summed over the whole seen vocabulary is
+    exactly 1 (the discount mass λ re-enters through the continuation
+    chain)."""
+    import collections
+    import math
+
+    import duckdb
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran on the mat",
+        "a dog sat on a rug",
+        "the dog ran to the rug",
+        "cat and dog sat here now",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO docs VALUES (?,?)", list(enumerate(texts, 1))
+    )
+    con.execute(
+        f"COPY docs TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+
+    tgs = []
+    docs_tg = {}
+    for i, t in enumerate(texts, 1):
+        ws = t.split()
+        cur = [(ws[j], ws[j + 1], ws[j + 2]) for j in range(len(ws) - 2)]
+        docs_tg[i] = cur
+        tgs.extend(cur)
+    c3 = collections.Counter(tgs)
+    c2 = collections.Counter((a, b) for a, b, _ in tgs)
+    n1f12 = {
+        k: len({w3 for (a, b, w3) in c3 if (a, b) == k}) for k in c2
+    }
+    m23 = {
+        (b, c): len({a for (a, bb, cc) in c3 if (bb, cc) == (b, c)})
+        for (_, b, c) in c3
+    }
+    m2dot = collections.Counter()
+    m2n1f = collections.Counter()
+    for (b, c), v in m23.items():
+        m2dot[b] += v
+        m2n1f[b] += 1
+    b3 = {
+        c: len({(a, b) for (a, b, cc) in c3 if cc == c})
+        for (_, _, c) in c3
+    }
+    tt = len(c3)
+    d = 0.75
+
+    def p_mid(w2, w3):
+        cnt = m23.get((w2, w3), 0)
+        return max(cnt - d, 0.0) / m2dot[w2] + (
+            d * m2n1f[w2] / m2dot[w2]
+        ) * (b3.get(w3, 0) / tt)
+
+    def p(w1, w2, w3):
+        return max(c3[(w1, w2, w3)] - d, 0.0) / c2[(w1, w2)] + (
+            d * n1f12[(w1, w2)] / c2[(w1, w2)]
+        ) * p_mid(w2, w3)
+
+    got = {
+        r.doc_id: r
+        for r in _q("kneser_ney_trigram_scores")(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    for i, cur in docs_tg.items():
+        want = sum(math.log(p(*t)) for t in cur) / len(cur)
+        want = round(want * 1e6) / 1e6
+        assert got[i].n_trigrams == len(cur)
+        assert abs(got[i].avg_logprob - want) <= 1e-6, i
+
+    # properness: sum over the whole seen w3 vocabulary == 1
+    vocab = sorted({w for t in texts for w in t.split()})
+    ctx = ("the", "cat")
+    total = sum(p(ctx[0], ctx[1], w3) for w3 in vocab)
+    # P_cont sums to 1 over vocab => interpolated mass closes exactly
+    assert abs(sum(b3.get(w, 0) for w in vocab) / tt - 1.0) < 1e-12
+    assert abs(total - 1.0) < 1e-9
