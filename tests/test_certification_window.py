@@ -69,14 +69,17 @@ SECTION2_CERTIFIERS = {
     # test_streaming_upsert.py, test_corpus_stats_stream.py) to make
     # room for the round-8/9/10 flagships below: the driver certifies
     # the newest work.
+    # r8/r9 flagships (hits, shapley, markov, pca-power, classifier
+    # lift) rotated out round 11 after their driver-green r10 rows —
+    # all stay full-sweep oracled with dedicated pytest coverage.
     "flagship-pagerank": "graph_pagerank_part_supplier",
-    "flagship-hits": "hits_supplier_part",
-    "flagship-shapley": "shapley_attribution_events",
-    "flagship-markov": "markov_attribution_events",
-    "flagship-pca-power": "embedding_pca_power_exact",
-    "flagship-classifier-lift": "classifier_lift_deciles",
     "flagship-dtree": "decision_tree_histogram_splits",
     "flagship-gbt": "gbt_stump_boosting",
+    "flagship-gbt-curve": "gbt_training_curve",
+    "flagship-kneser-ney": "kneser_ney_trigram_scores",
+    "flagship-wordpiece": "wordpiece_merge_sequence",
+    "flagship-harmonic": "harmonic_centrality_ksource",
+    "flagship-itemitem-cf": "itemitem_cf_topk",
 }
 
 # Round 8 closed the last two rows-only window slots with integer-exact
