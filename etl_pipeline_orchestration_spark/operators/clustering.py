@@ -109,3 +109,122 @@ def kmeans_fit_assign(
 
     out = vectors.select(F.col(id_col), _final(F.col(vec_col)).alias("__a__"))
     return out.select(id_col, "__a__.cluster_id", "__a__.sq_dist")
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division (toward zero): Python ``//`` floors,
+    but Spark ``div`` and the oracle's guarded division truncate, and
+    centroid tick sums CAN be negative."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def kmeans_fit_assign_quantized(
+    vectors: DataFrame,
+    k: int = 10,
+    iters: int = 8,
+    dim: int = 64,
+    scale: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INTEGER-EXACT distributed Lloyd k-means — the same plan shape as
+    ``kmeans_fit_assign`` (Arrow-matmul assignment, model-sized partial
+    -sum shuffle per round, centroids as driver MODEL state) but run on
+    quantized ticks round(v * 2^20) with truncating-division centroid
+    means, so every distance, argmin, and centroid is an exact int64
+    on any engine. This removes the one thing that kept the k-means
+    surface rows-only: a float argmin near a bisector could flip on a
+    last-ulp BLAS-vs-SQL difference and cascade; over integers there
+    is no bisector ambiguity (ties break to the lowest cluster index,
+    deterministically, on both engines).
+
+    Deterministic seeding: cluster j starts as the truncated mean of
+    ticks over {id % k == j} — distributed (one model-sized aggregate),
+    replayable in SQL. Empty clusters keep their previous centroid.
+
+    All integer magnitudes are safe in float64 matmuls: |tick| < 2^20,
+    so any dot/sq term is < 64 * 2^40 = 2^46 << 2^53.
+
+    Returns (id, cluster_id int, sq_dist_q long) under the final
+    centroids."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    xq = vectors.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({vec_col},"
+            f" v -> cast(round(cast(v as double) * {float(scale)}) as bigint))"
+        ).alias("xq"),
+    ).localCheckpoint()  # consumed by every round's assign + update
+
+    def _collect_centroids(grouped) -> tuple[np.ndarray, np.ndarray]:
+        cents = np.zeros((k, dim), dtype=np.int64)
+        nonempty = np.zeros(k, dtype=bool)
+        for r in grouped:
+            cents[int(r["j"]), int(r["i"])] = _trunc_div(int(r["s"]), int(r["n"]))
+            nonempty[int(r["j"])] = True
+        return cents, nonempty
+
+    init = (
+        xq.select(
+            (F.col(id_col) % k).cast("int").alias("j"),
+            F.posexplode("xq").alias("i", "v"),
+        )
+        .groupBy("j", "i")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    cents, _ = _collect_centroids(init)
+
+    def _assign_ticks_udf(c: np.ndarray):
+        cf = c.astype(np.float64)
+        c_sq = (cf * cf).sum(axis=1)
+
+        @pandas_udf("int")
+        def _nearest(emb: pd.Series) -> pd.Series:
+            if len(emb) == 0:
+                return pd.Series([], dtype="int32")
+            mat = np.stack(emb.to_numpy()).astype(np.float64)
+            d = c_sq - 2.0 * (mat @ cf.T)  # ||x||^2 constant per row
+            return pd.Series(d.argmin(axis=1).astype("int32"))
+
+        return _nearest
+
+    for _ in range(iters):
+        assigned = xq.select(
+            "xq", _assign_ticks_udf(cents)(F.col("xq")).alias("j")
+        )
+        partials = (
+            assigned.select("j", F.posexplode("xq").alias("i", "v"))
+            .groupBy("j", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        upd, nonempty = _collect_centroids(partials)
+        cents = np.where(nonempty[:, None], upd, cents)
+
+    cf = cents.astype(np.float64)
+    c_sq = (cf * cf).sum(axis=1)
+
+    @pandas_udf("cluster_id int, sq_dist_q long")
+    def _final(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster_id": pd.Series([], dtype="int32"),
+                    "sq_dist_q": pd.Series([], dtype="int64"),
+                }
+            )
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        d = (mat * mat).sum(axis=1, keepdims=True) - 2.0 * (mat @ cf.T) + c_sq
+        return pd.DataFrame(
+            {
+                "cluster_id": d.argmin(axis=1).astype("int32"),
+                "sq_dist_q": d.min(axis=1).astype("int64"),
+            }
+        )
+
+    out = xq.select(F.col(id_col), _final(F.col("xq")).alias("__a__"))
+    return out.select(id_col, "__a__.cluster_id", "__a__.sq_dist_q")

@@ -1862,38 +1862,107 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_kmeans_clusters")  # iterative; not SQL-expressible
-def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed Lloyd k-means over the embedding corpus
-    (operators/clustering.py): 8 full rounds — Arrow-matmul assignment
-    (narrow) + model-sized partial-sum shuffle per round — then cluster
-    sizes and within-cluster scatter under the final centroids. The
-    ground-truth recovery test (tests/test_clustering.py) checks the
-    planted label structure is found; this entry records the
-    distributed path end-to-end.
+def _kmeans_q_oracle(k: int = 10, iters: int = 8) -> str:
+    """Unrolled quantized-Lloyd oracle: every round is distance ->
+    argmin (row_number tie-break to lowest cluster) -> truncated-mean
+    centroid update over integer ticks, exactly mirroring
+    clustering.kmeans_fit_assign_quantized. Empty clusters COALESCE to
+    the previous round's centroid."""
+    mean_c = tdiv_sql("CAST(sum(x) AS BIGINT)", "CAST(count(*) AS BIGINT)")
+    cols = (
+        f"(SELECT jj.j, ii.i"
+        f" FROM (SELECT unnest(range(0, {k})) AS j) jj,"
+        f" (SELECT unnest(range(1, 65)) AS i) ii)"
+    )
+    rounds = []
+    for t in range(1, iters + 1):
+        rounds.append(f"""
+    d{t} AS (
+      SELECT xq.vec_id, c.j,
+             CAST(sum((xq.x - c.c) * (xq.x - c.c)) AS BIGINT) AS d
+      FROM xq JOIN c{t - 1} c ON xq.i = c.i GROUP BY 1, 2
+    ),
+    a{t} AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT cols.j, cols.i, COALESCE(u.c, p.c) AS c
+      FROM {cols} cols
+      JOIN c{t - 1} p ON p.j = cols.j AND p.i = cols.i
+      LEFT JOIN (
+        SELECT a.j, xq.i, {mean_c} AS c
+        FROM xq JOIN a{t} a ON a.vec_id = xq.vec_id
+        GROUP BY 1, 2
+      ) u ON u.j = cols.j AND u.i = cols.i
+    )""")
+    return f"""
+    WITH xq AS MATERIALIZED (
+      SELECT vec_id, t.i AS i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    c0 AS MATERIALIZED (
+      SELECT cols.j, cols.i, COALESCE(u.c, 0) AS c
+      FROM {cols} cols
+      LEFT JOIN (
+        SELECT CAST(vec_id % {k} AS BIGINT) AS j, i, {mean_c} AS c
+        FROM xq GROUP BY 1, 2
+      ) u ON u.j = cols.j AND u.i = cols.i
+    ),{",".join(rounds)},
+    df AS (
+      SELECT xq.vec_id, c.j,
+             CAST(sum((xq.x - c.c) * (xq.x - c.c)) AS BIGINT) AS d
+      FROM xq JOIN c{iters} c ON xq.i = c.i GROUP BY 1, 2
+    ),
+    af AS (
+      SELECT vec_id, j, d FROM (
+        SELECT vec_id, j, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM df
+      ) WHERE rn = 1
+    )
+    SELECT CAST(j AS INT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(d) AS BIGINT) AS sum_sq_dist_q
+    FROM af GROUP BY 1
+    """
 
-    Deliberately rows-only (unlike graph_pagerank_part_supplier, which
-    got an unrolled-iteration oracle): Lloyd's ARGMIN assignment is a
-    discrete selection over float distances — a vector near-equidistant
-    to two centroids can flip clusters on a last-ulp BLAS-vs-SQL
-    difference, and one flip cascades through every later centroid
-    update. No rounding scale bounds a discrete cascade, so a DuckDB
-    twin would be parity theater with a regenerating fixture; the
-    honest checks are the planted-structure recovery, monotone
-    objective, and determinism tests."""
+
+@query("embedding_kmeans_clusters", oracle=_kmeans_q_oracle())
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding corpus: 8 full
+    rounds — Arrow-matmul assignment (narrow) + model-sized partial-sum
+    shuffle per round — then cluster sizes and within-cluster scatter
+    under the final centroids.
+
+    Hash-certified since round 11 via the QUANTIZED production path
+    (clustering.kmeans_fit_assign_quantized): ticks round(v * 2^20),
+    truncated-mean centroids, integer distances — Lloyd's argmin over
+    exact integers has no bisector ambiguity, so the one cascade risk
+    that kept this rows-only (a float argmin flipping on a last-ulp
+    BLAS-vs-SQL difference) is gone by construction, and the oracle
+    replays all 8 rounds unrolled. The float sibling
+    (clustering.kmeans_fit_assign) remains the general operator,
+    pinned by the planted-structure / monotone-objective / determinism
+    tests in tests/test_clustering.py.
+
+    100 TB shape unchanged: per round, one narrow Arrow-matmul pass +
+    one (k x dim)-sized partial-sum shuffle; only centroids (model
+    state) ever reach the driver."""
     from etl_pipeline_orchestration_spark.operators.clustering import (
-        kmeans_fit_assign,
+        kmeans_fit_assign_quantized,
     )
 
     vecs = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_fit_assign(vecs, k=10, iters=8, dim=64)
-    return (
-        assigned.groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-            (F.round(F.avg("sq_dist") * 1000) / 1000).alias("mean_sq_dist"),
-        )
-        .orderBy("cluster_id")
+    assigned = kmeans_fit_assign_quantized(vecs, k=10, iters=8, dim=64)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("sq_dist_q").cast("bigint").alias("sum_sq_dist_q"),
     )
 
 
@@ -4022,7 +4091,73 @@ _DHASH_BANDS = 4
 _DHASH_MAX_HAMMING = 3
 
 
-@query("multimodal_dhash_neardup")
+_DHASH_ORACLE = """
+    WITH g AS (
+      SELECT doc_id, doc_id % 4 AS m,
+             ((doc_id // 4) * 2654435761) % 100003 AS seed
+      FROM documents
+    ),
+    pxb AS (
+      SELECT g.doc_id, g.m, t.x, t.y,
+             (t.x * t.x * (g.seed % 13 + 3)
+              + t.y * t.y * ((g.seed // 13) % 17 + 5)
+              + t.x * t.y * (g.seed % 7 + 1)
+              + t.x * ((g.seed // 91) % 29)
+              + t.y * ((g.seed // 7) % 31)
+              + g.seed) % 101 AS b
+      FROM g, (SELECT x.i AS x, y.i AS y
+               FROM unnest(range(0, 18)) AS x(i),
+                    unnest(range(0, 16)) AS y(i)) t
+    ),
+    px AS (
+      SELECT doc_id, x, y,
+             CASE WHEN m = 1 THEN b + 7
+                  WHEN m = 2 THEN b * 2
+                  WHEN m = 3 AND x = 3 AND y = 3 THEN b + 50
+                  ELSE b END AS p
+      FROM pxb
+    ),
+    cells AS (
+      SELECT doc_id, y // 2 AS r, x // 2 AS c,
+             CAST(sum(p) AS BIGINT) AS s
+      FROM px GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT l.doc_id, l.r, l.c,
+             CASE WHEN l.s > rr.s THEN 1 ELSE 0 END AS bit
+      FROM cells l JOIN cells rr
+        ON rr.doc_id = l.doc_id AND rr.r = l.r AND rr.c = l.c + 1
+      WHERE l.c < 8
+    ),
+    bands AS (
+      SELECT doc_id,
+             CAST((63 - (r * 8 + c)) // 16 AS BIGINT) AS band_id,
+             CAST(sum(CAST(bit AS BIGINT)
+                      * (CAST(1 AS BIGINT)
+                         << CAST((63 - (r * 8 + c)) % 16 AS INT)))
+                  AS BIGINT) AS band_val
+      FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+      SELECT c.id_a, c.id_b,
+             CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hamming
+      FROM cand c
+      JOIN bits ba ON ba.doc_id = c.id_a
+      JOIN bits bb ON bb.doc_id = c.id_b AND bb.r = ba.r AND bb.c = ba.c
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+"""
+
+
+@query("multimodal_dhash_neardup", oracle=_DHASH_ORACLE)
 def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection by perceptual hash: REAL PNG
     decode → 64-bit dHash (integer block-sum difference hash,
@@ -4038,10 +4173,17 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     {mh} < {bands} bands forces at least one identical band, so recall
     at the threshold is GUARANTEED, not probabilistic), the verify is
     JVM-side bit_count(xor) on int64 — never an all-pairs join; the
-    decode+hash pass is one Arrow-batched narrow map. No SQL oracle —
-    DuckDB cannot decode PNGs — so this is a rows-only driver entry
-    backed by planted-truth pytest (the accepted precedent for
-    codec-dependent ops)."""
+    decode+hash pass is one Arrow-batched narrow map.
+
+    Hash-certified since round 11 by the generator-vs-decoder
+    differential (the multimodal_wav_features discipline): the oracle
+    never touches a PNG byte — it regenerates the pixels from the
+    synthesis closed form, recomputes the block sums / difference
+    bits / 16-bit bands / Hamming verify in pure integer SQL, and the
+    whole pipeline (encoder, decoder, hash, banding, verify) must
+    agree bit-for-bit. The fixture's 2x2-exact cell grid (18x16 into
+    9x8) makes every step integer, so unlike the FFT path there is no
+    float anywhere to diverge."""
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synth_png_neardup_media(docs)
     hashes = multimodal.dhash_batch(media).localCheckpoint()

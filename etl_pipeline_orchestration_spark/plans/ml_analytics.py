@@ -5793,6 +5793,15 @@ def _gbt_best_stump(resid_feat: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("resid").cast("bigint").alias("s"),
     )
+    return _gbt_stump_from_hist(h)
+
+
+def _gbt_stump_from_hist(h: DataFrame) -> DataFrame:
+    """Histogram (f, v, n, s) -> the argmax stump row. Split out of
+    ``_gbt_best_stump`` so the streaming cells path
+    (``gbt_stumps_from_cells``) can feed a WEIGHTED histogram (cell
+    counts/residual totals) through the identical criterion,
+    quantization, and tie-breaks."""
     wv = (
         Window.partitionBy("f")
         .orderBy("v")
@@ -5902,6 +5911,118 @@ def _gbt_train_from(base: DataFrame, rounds: int = _GBT_ROUNDS):
         resid = (resid - step).cast("bigint")
         resids.append(resid)
     return base, mean_q, stumps, resids
+
+
+# Streaming GBT state: orders-only feature set (the dtree_stream rule —
+# no lineitem join on the maintenance path), so f_items is replaced by
+# the price band.
+_GBT_CELL_FEATURES = ("f_band", "f_month", "f_prio", "f_year")
+
+
+def order_gbt_cells(orders: DataFrame) -> DataFrame:
+    """(f_band, f_month, f_prio, f_year, n, sy): the additive
+    sufficient statistic for squared-loss histogram BOOSTING of any
+    number of rounds — the nineteenth streaming-maintenance member's
+    state (streaming/gbt_stream.py).
+
+    Why (n, Σy) per cell suffices: every stump splits on features
+    only, so the boosted model's prediction — and therefore the
+    residual y − pred — is CONSTANT within a feature cell. The
+    per-cell residual total at any round is sy − n·pred(cell), a pure
+    projection of the maintained cells, so every round's histogram
+    (and hence the whole stump sequence) rebuilds exactly from state
+    bounded by the feature-domain product (8·12·5·7 = 3,360 cells ×
+    2 numbers), corpus-size-free. Same discipline as
+    ``order_feature_cells`` with a sum column alongside the count."""
+    return (
+        orders.select(
+            F.least(F.floor(F.col("o_totalprice") / 25000), F.lit(7))
+            .cast("bigint")
+            .alias("f_band"),
+            F.month("o_orderdate").cast("bigint").alias("f_month"),
+            F.substring("o_orderpriority", 1, 1)
+            .cast("bigint")
+            .alias("f_prio"),
+            (F.year("o_orderdate") - 1992).cast("bigint").alias("f_year"),
+            F.expr(
+                "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+                " div 100"
+            ).alias("y"),
+        )
+        .groupBy(*_GBT_CELL_FEATURES)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sy"),
+        )
+    )
+
+
+def gbt_stumps_from_cells(
+    cells: DataFrame, rounds: int = _GBT_ROUNDS
+) -> DataFrame:
+    """Boosted stump sequence derived ENTIRELY from the maintained
+    cell relation — identical criterion, quantization (_GBT_S), and
+    tie-breaks as the row-based ``_gbt_train_from``, but every round's
+    histogram aggregate runs at CELL cardinality (≤ 3,360 rows). The
+    per-round weighted histogram h(f, v) = (Σ n_cell, Σ (sy − n·pred))
+    equals the row-level (count, Σ resid) exactly, so streamed-cells
+    training is bit-identical to batch training on the drained history
+    over the same feature set (twin-pinned in tests/test_gbt_stream.py).
+    """
+    m = cells.agg(
+        F.expr("cast(sum(sy) div sum(n) as bigint)").alias("mean_q")
+    ).head()
+    if m is None or m["mean_q"] is None:
+        raise ValueError("gbt_stumps_from_cells: empty cell relation")
+    mean_q = int(m["mean_q"])
+    pred = F.lit(mean_q).cast("bigint")
+    stack = ", ".join(f"'{f}', {f}" for f in _GBT_CELL_FEATURES)
+    rows = []
+    for t in range(rounds):
+        cr = cells.select(
+            *_GBT_CELL_FEATURES,
+            "n",
+            (F.col("sy") - F.col("n") * pred).cast("bigint").alias("r"),
+        )
+        h = (
+            cr.selectExpr(
+                "n",
+                "r",
+                f"stack({len(_GBT_CELL_FEATURES)}, {stack}) AS (f, v)",
+            )
+            .groupBy("f", "v")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("r").cast("bigint").alias("s"),
+            )
+        )
+        b = _gbt_stump_from_hist(h).head()
+        if b is None:
+            raise ValueError("gbt_stumps_from_cells: no splittable feature")
+        rows.append(
+            (
+                t + 1,
+                b["feature"],
+                int(b["threshold"]),
+                int(b["gain_q"]),
+                int(b["n_left"]),
+                int(b["n_right"]),
+                int(b["left_value"]),
+                int(b["right_value"]),
+            )
+        )
+        step = F.when(
+            F.col(b["feature"]) <= F.lit(int(b["threshold"])),
+            F.lit(int(b["left_value"])),
+        ).otherwise(F.lit(int(b["right_value"])))
+        pred = (pred + step).cast("bigint")
+    spark = cells.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "round int, feature string, threshold bigint, gain_q bigint,"
+        " n_left bigint, n_right bigint, left_value bigint,"
+        " right_value bigint",
+    )
 
 
 def _gbt_round_cte(k: int) -> str:

@@ -35,6 +35,9 @@ def test_every_registered_query_matches_its_oracle(spark):
     # power-iteration form; 20 -> 18 in r10 when the redundant
     # dedup_simhash / doc_fingerprints registrations folded into their
     # certified cross-engine lanes (operators stay pinned by planted
-    # tests). Still <6% of the registry; raise this ONLY with a per-op
+    # tests); 18 -> 16 in r11 when embedding_kmeans_clusters moved to
+    # the quantized-exact Lloyd path (unrolled 8-round oracle) and
+    # multimodal_dhash_neardup gained its generator-vs-decoder integer
+    # oracle. Still <5% of the registry; raise this ONLY with a per-op
     # justification in the commit, never to paper over a lost oracle.
-    assert result["rows_only"] <= 18
+    assert result["rows_only"] <= 16

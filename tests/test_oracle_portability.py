@@ -88,6 +88,9 @@ NONNEG_DIV_OK: dict[str, str] = {
     "line_level_dedup_report": "shingle index arithmetic",
     "markov_attribution_events": "absorption masses non-negative, "
     "denominators are positive normalizers",
+    "multimodal_dhash_neardup": "group index doc_id//4, seed digit "
+    "extraction, pixel->cell indexes y//2 x//2, and bit-position // 16 "
+    "— all on non-negative integers",
     "multimodal_png_decode": "pixel coordinate checksum algebra on "
     "non-negative indexes",
     "multimodal_png_resize": "same pixel-index algebra",

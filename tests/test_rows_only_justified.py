@@ -28,9 +28,10 @@ JUSTIFICATIONS: dict[str, tuple[str, str]] = {
     "embedding_pq_topk": ("sibling", "embedding_topk_ivfpq_exact"),
     "embedding_topk_ivfpq": ("sibling", "embedding_topk_ivfpq_exact"),
     "multimodal_embed_topk": ("sibling", "embedding_topk_bruteforce"),
-    "embedding_kmeans_clusters": ("sibling", "embedding_kmeans_exact"),
+    # embedding_kmeans_clusters hash-certified r11 (quantized Lloyd +
+    # unrolled oracle); multimodal_dhash_neardup hash-certified r11
+    # (generator-vs-decoder integer differential)
     "dedup_incremental_candidates": ("test", "tests/test_dedup_similarity.py"),
-    "multimodal_dhash_neardup": ("test", "tests/test_multimodal.py"),
     "multimodal_audio_spectral": ("test", "tests/test_multimodal.py"),
     "embedding_outlier_iforest": ("test", "tests/test_iforest.py"),
     "unigram_vocab_pieces": ("test", "tests/test_unigram.py"),
