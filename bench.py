@@ -248,6 +248,8 @@ HEADLINE = [
     "feature_mi_ranking",
     "dp_noisy_counts",
     "kneser_ney_trigram_scores",
+    "embedding_dbscan_clusters",
+    "t_closeness_risk_report",
 ]
 
 

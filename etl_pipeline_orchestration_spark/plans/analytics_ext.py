@@ -3683,6 +3683,157 @@ def l_diversity_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "t_closeness_risk_report",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ),
+    gl AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1
+    ),
+    glc AS (
+      SELECT band, CAST(sum(c) OVER (ORDER BY band) AS BIGINT) AS ccum
+      FROM gl
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS m
+      FROM gl
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, band,
+             CAST(count(*) AS BIGINT) AS cg
+      FROM base GROUP BY 1, 2, 3
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(cg) AS BIGINT) AS ng
+      FROM cls GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT k.c_nationkey, k.c_mktsegment, k.ng, g.band, g.ccum,
+             COALESCE(c.cg, 0) AS cg
+      FROM classes k
+      CROSS JOIN glc g
+      LEFT JOIN cls c
+        ON c.c_nationkey = k.c_nationkey
+       AND c.c_mktsegment = k.c_mktsegment
+       AND c.band = g.band
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, ng, band, ccum,
+             CAST(sum(cg) OVER (PARTITION BY c_nationkey, c_mktsegment
+                                ORDER BY band) AS BIGINT) AS cgcum
+      FROM dense
+    ),
+    emd AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(any_value(c.ng) AS BIGINT) AS n_class,
+             CAST(sum(abs(CAST(c.cgcum AS HUGEINT) * t.n
+                          - CAST(c.ng AS HUGEINT) * c.ccum))
+                  AS HUGEINT) AS terms
+      FROM cum c, tot t GROUP BY 1, 2
+    )
+    SELECT e.c_nationkey, e.c_mktsegment, e.n_class,
+           CAST((1000000 * e.terms)
+                // (CAST(e.n_class AS HUGEINT) * t.n * (t.m - 1))
+                AS BIGINT) AS t_micro
+    FROM emd e, tot t
+    """,
+)
+def t_closeness_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance t-closeness audit (Li, Li & Venkatasubramanian
+    2007 — the distribution-disclosure complement to k-anonymity and
+    l-diversity): a class can pass both and still leak if its SENSITIVE
+    distribution differs sharply from the global one (e.g. a class
+    whose balances are all in the top band). Per quasi-identifier class
+    (nation x market segment), the Earth Mover's Distance between the
+    class's ordered balance-band distribution and the global one:
+    EMD = (1/(m-1)) * sum_v |P_cum(v) - Q_cum(v)|.
+
+    Exactness: cumulative fractions are compared by integer
+    CROSS-MULTIPLICATION (|cgcum*N - ng*ccum| — the quantized-ratio
+    rule; HUGEINT/DECIMAL(38,0) since the product exceeds int64 at
+    scale) and frozen to micro-units by one truncating division. No
+    float anywhere.
+
+    100 TB shape: one aggregate at (class x band) cardinality with
+    map-side combine, a broadcast of the m-row global histogram, and
+    a class-keyed window at dense (class x band) cardinality — report
+    size = class count."""
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+    gl = base.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wg = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    glc = gl.select("band", F.sum("c").over(wg).cast("bigint").alias("ccum"))
+    tot = gl.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    cls = base.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cg")
+    )
+    classes = cls.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cg").cast("bigint").alias("ng")
+    )
+    dense = (
+        classes.crossJoin(F.broadcast(glc))
+        .join(cls, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "ng",
+            "band",
+            "ccum",
+            F.coalesce("cg", F.lit(0)).alias("cg"),
+        )
+    )
+    wc = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dense.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "ng",
+        "ccum",
+        F.sum("cg").over(wc).cast("bigint").alias("cgcum"),
+    )
+    emd = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.first("ng").alias("n_class"),
+            F.sum(
+                F.abs(
+                    F.col("cgcum").cast("decimal(38,0)") * F.col("n")
+                    - F.col("ng").cast("decimal(38,0)") * F.col("ccum")
+                )
+            ).alias("terms"),
+            F.first("n").alias("n_tot"),
+            F.first("m").alias("m_bands"),
+        )
+    )
+    return emd.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_class").cast("bigint").alias("n_class"),
+        F.expr(
+            "cast((1000000 * terms)"
+            " div (cast(n_class as decimal(38,0)) * n_tot * (m_bands - 1))"
+            " as bigint)"
+        ).alias("t_micro"),
+    )
+
+
+@query(
     "abc_classification_parts",
     oracle="""
     WITH rev AS (

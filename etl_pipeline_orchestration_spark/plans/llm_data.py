@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_orchestration_spark.operators import (
     dedup,
+    density,
     graph,
     multimodal,
     similarity,
@@ -1963,6 +1964,150 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.sum("sq_dist_q").cast("bigint").alias("sum_sq_dist_q"),
+    )
+
+
+_DBSCAN_EPS2 = 500_000_000  # eps ~ 0.021 in embedding units (tight dups)
+_DBSCAN_MINPTS = 5
+
+_DBSCAN_ORACLE = f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+      UNION ALL
+      SELECT vec_id + k.k * 1000000000, t.i,
+             CAST(embedding[t.i] AS DOUBLE)
+             + CASE WHEN (t.i - 1) % 2 = 0
+                    THEN CAST(0.0005 AS DOUBLE) * k.k
+                    ELSE -CAST(0.0005 AS DOUBLE) * k.k END
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t,
+           (SELECT unnest(range(1, 5)) AS k) k
+      WHERE vec_id < 40
+      UNION ALL
+      SELECT vec_id + 5000000000, t.i,
+             CAST(embedding[t.i] AS DOUBLE)
+             + CASE WHEN (t.i - 1) % 2 = 0
+                    THEN CAST(0.0005 AS DOUBLE) * 8
+                    ELSE -CAST(0.0005 AS DOUBLE) * 8 END
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+      WHERE vec_id < 10
+    ),
+    xq AS MATERIALIZED (
+      SELECT vec_id, i,
+             CAST(round(v * 1048576.0) AS BIGINT) AS x
+      FROM corpus
+    ),
+    ids AS (SELECT DISTINCT vec_id FROM xq),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM xq a JOIN xq b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+      HAVING sum((a.x - b.x) * (a.x - b.x)) <= {_DBSCAN_EPS2}
+    ),
+    sym AS MATERIALIZED (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS nb FROM sym GROUP BY u),
+    core AS MATERIALIZED (
+      SELECT a.vec_id AS u,
+             COALESCE(d.nb, 0) + 1 >= {_DBSCAN_MINPTS} AS is_core
+      FROM ids a LEFT JOIN deg d ON d.u = a.vec_id
+    ),
+    cset AS (SELECT u FROM core WHERE is_core),
+    cedges AS (
+      SELECT s.u AS s, s.v AS d FROM sym s
+      JOIN cset c1 ON c1.u = s.u JOIN cset c2 ON c2.u = s.v
+    ),
+    reach(n, r) AS (
+      SELECT u, u FROM cset
+      UNION
+      SELECT e.s, r.r FROM cedges e JOIN reach r ON e.d = r.n
+    ),
+    comp AS (
+      SELECT n AS u, CAST(min(r) AS BIGINT) AS cluster FROM reach GROUP BY n
+    ),
+    border AS (
+      SELECT s.u, CAST(min(c.cluster) AS BIGINT) AS cluster
+      FROM sym s
+      JOIN comp c ON c.u = s.v
+      JOIN core k ON k.u = s.u AND NOT k.is_core
+      GROUP BY s.u
+    )
+    SELECT core.u AS vec_id,
+           CASE WHEN core.is_core THEN 'core'
+                WHEN b.cluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CASE WHEN core.is_core THEN comp.cluster
+                WHEN b.cluster IS NOT NULL THEN b.cluster
+                ELSE CAST(-1 AS BIGINT) END AS cluster
+    FROM core
+    LEFT JOIN comp ON comp.u = core.u
+    LEFT JOIN border b ON b.u = core.u
+"""
+
+
+@query("embedding_dbscan_clusters", oracle=_DBSCAN_ORACLE)
+def embedding_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering over the embedding corpus (Ester et
+    al. 1996; public method) — the density complement to the Lloyd
+    path: finds arbitrarily-shaped dense regions, labels sparse points
+    noise, no k to pick. Runs on 2^20-tick quantized vectors so every
+    distance, neighbor count, and label is integer-exact cross-engine.
+
+    The part that must survive 100 TB is the eps-NEIGHBOR JOIN, and it
+    is EXACT without all-pairs (operators/density.py): Voronoi pivot
+    cells + triangle-inequality halo replication (the distributed
+    similarity-join literature's standard construction), with the halo
+    test evaluated square-free in integers. The ORACLE is the
+    independent brute-force all-pairs relation + recursive-CTE
+    components — so the hash compare certifies the partitioned join's
+    COMPLETENESS (a dropped halo pair flips a neighbor count and the
+    whole labeling), not just engine agreement on one algorithm.
+
+    Labels are the deterministic DBSCAN refinement: core = >= minPts
+    in the closed eps-ball, clusters = pointer-jump components over
+    core-core edges (min core id), border joins the MIN cluster label
+    among its core neighbors, noise = -1.
+
+    Planted truth (the near-dup plant, extended to DENSITY structure):
+    each vec_id < 40 gets four alternating-noise copies at scales
+    0.0005k (a 5-member family — every member has exactly minPts-1
+    in-family neighbors, so all are cores and the family is one
+    cluster labeled by its base id), and vec_id < 10 additionally gets
+    a scale-8 'chain' copy within eps of only the k=3,4 members — a
+    BORDER point by construction. Natural pairs sit >= 1.3e12 ticks^2
+    apart (~50x eps^2), so everything unplanted must come out noise.
+    eps << typical distances is exactly the regime where the halo
+    prunes and the join is subquadratic — the regime DBSCAN is for."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    to_d = F.transform("embedding", lambda x: x.cast("double"))
+
+    def _noised(k: int):
+        return F.transform(
+            "embedding",
+            lambda x, i: x.cast("double")
+            + F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            * (F.lit(0.0005).cast("double") * F.lit(k)),
+        )
+
+    corpus = vecs.select("vec_id", to_d.alias("vd"))
+    for k in (1, 2, 3, 4):
+        corpus = corpus.unionByName(
+            vecs.filter(F.col("vec_id") < 40).select(
+                (F.col("vec_id") + k * 1_000_000_000).alias("vec_id"),
+                _noised(k).alias("vd"),
+            )
+        )
+    corpus = corpus.unionByName(
+        vecs.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 5_000_000_000).alias("vec_id"),
+            _noised(8).alias("vd"),
+        )
+    )
+    ticks = density.quantize_ticks(corpus, vec_col="vd")
+    return density.dbscan(
+        ticks, eps2=_DBSCAN_EPS2, min_pts=_DBSCAN_MINPTS
     )
 
 

@@ -121,6 +121,8 @@ NONNEG_DIV_OK: dict[str, str] = {
     "sql_udf_pricing_summary": "cents * discount-percent // 100",
     "stratified_sample_exact_n": "largest-remainder quota of counts",
     "stump_forest_oob": "Gini gains (squares) and fold counts",
+    "t_closeness_risk_report": "EMD terms are sums of abs() cross-"
+    "multiplications; denominators are positive count products",
     "target_encode_oof": "cs - s >= 0 (category total minus in-fold "
     "part of a sum of non-negative prices); fold hash // 200",
     "theil_sen_daily_revenue": "median rank (n+1)//2",
