@@ -195,6 +195,11 @@ FAMILIES = {
     # settled once — O(k·E) total, on the same 10x lineitem graph as
     # bfs_hops.
     "graph_harmonic": "harmonic_centrality_ksource",
+    # exact eps-join DBSCAN: sqrt(n) pivots balance the pivot pass
+    # against within-cell matmuls at O(dim * n^1.5); the lane certifies
+    # the halo actually prunes (eps << typical distances) instead of
+    # degenerating to m x all-pairs
+    "dbscan": "embedding_dbscan_clusters",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
