@@ -250,6 +250,9 @@ HEADLINE = [
     "kneser_ney_trigram_scores",
     "embedding_dbscan_clusters",
     "t_closeness_risk_report",
+    "mst_copurchase_parts",
+    "single_linkage_clusters_parts",
+    "optimal_segmentation_weekly_revenue",
 ]
 
 

@@ -846,3 +846,130 @@ def multi_source_bfs(
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("src", "node")
     return dist
+
+
+def _driver_kruskal(rows, comp_of: dict) -> list:
+    """Exact Kruskal finish over collected cross-component edges under
+    the (w, u, v) total order — equals continuing Boruvka rounds under
+    the same order (the forest of a totally ordered edge set is
+    unique). ``comp_of`` seeds the union-find with the current
+    contraction."""
+    parent = dict(comp_of)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    out = []
+    for w, u, v, cu, cv in sorted(rows):
+        ru, rv = find(cu), find(cv)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+            out.append((u, v, w))
+    return out
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+    max_rounds: int = 16,
+    driver_threshold: int | None = None,
+) -> DataFrame:
+    """Minimum spanning FOREST by distributed Boruvka (Boruvka 1926;
+    the standard parallel MST algorithm — public method): each round,
+    every component selects its minimum outgoing edge under the TOTAL
+    order (w, u, v) — the lexicographic tie-break makes all edge
+    weights effectively distinct, so the forest is UNIQUE and both
+    engines agree bit-for-bit — then selected component pairs contract
+    via connected components. Components at least halve per round, so
+    rounds = O(log V); each round is one edge-keyed join against the
+    component map plus a component-keyed argmin — edge-linear, the
+    pagerank discipline. Early exit when no cross-component edge
+    remains (a disconnected graph yields its spanning forest).
+
+    Input edges must be canonical (u < v, one row per edge). Returns
+    the forest's (u, v, w) rows.
+
+    Hybrid finish (the connected_components discipline): once the
+    remaining cross-component edge relation fits the heap-scaled
+    driver gate, an exact Kruskal under the SAME (w, u, v) order
+    finishes on the driver — identical output (the forest of a totally
+    ordered edge set is unique), and the distributed rounds remain the
+    100 TB path (pinned equal with driver_threshold=0 in tests)."""
+    if driver_threshold is None:
+        driver_threshold = driver_gate_threshold(
+            edges.sparkSession.conf.get("spark.driver.memory", "1g")
+        )
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    ).localCheckpoint(eager=True)
+    comp = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select("v"))
+        .distinct()
+        .select("node", F.col("node").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    chosen_rounds = []
+    for _ in range(max_rounds):
+        lab = (
+            e.join(comp.select(F.col("node").alias("u"),
+                               F.col("c").alias("cu")), "u")
+            .join(comp.select(F.col("node").alias("v"),
+                              F.col("c").alias("cv")), "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint(eager=True)  # feeds both argmin orientations
+        )
+        n_cross = lab.count()
+        if n_cross == 0:
+            break
+        if n_cross <= driver_threshold:
+            rows = [
+                (int(r["w"]), int(r["u"]), int(r["v"]),
+                 int(r["cu"]), int(r["cv"]))
+                for r in lab.collect()
+            ]
+            comp_of = {c: c for _, _, _, cu, cv in rows for c in (cu, cv)}
+            finished = _driver_kruskal(rows, comp_of)
+            if finished:
+                spark = edges.sparkSession
+                chosen_rounds.append(
+                    spark.createDataFrame(
+                        finished, "u long, v long, w long"
+                    )
+                )
+            break
+        cand = lab.select(
+            F.col("cu").alias("c"), "u", "v", "w", "cu", "cv"
+        ).unionAll(
+            lab.select(F.col("cv").alias("c"), "u", "v", "w", "cu", "cv")
+        )
+        wmin = Window.partitionBy("c").orderBy("w", "u", "v")
+        sel = (
+            cand.withColumn("rn", F.row_number().over(wmin))
+            .filter(F.col("rn") == 1)
+            .localCheckpoint(eager=True)  # feeds chosen edges AND merge map
+        )
+        chosen_rounds.append(
+            sel.select("u", "v", "w").distinct().localCheckpoint(eager=True)
+        )
+        mapping = connected_components(
+            sel.select(F.col("cu").alias("src"), F.col("cv").alias("dst")),
+            "src",
+            "dst",
+        ).select(F.col("node").alias("c"), F.col("component").alias("nc"))
+        comp = (
+            comp.join(mapping, "c", "left")
+            .select("node", F.coalesce("nc", F.col("c")).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+    if not chosen_rounds:
+        return e.filter(F.lit(False)).select("u", "v", "w")
+    out = chosen_rounds[0]
+    for df in chosen_rounds[1:]:
+        out = out.unionAll(df)
+    return out.distinct()

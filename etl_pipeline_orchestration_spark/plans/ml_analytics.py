@@ -4758,6 +4758,499 @@ sssp_weighted_copurchase.__doc__ = sssp_weighted_copurchase.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# Optimal k-segmentation of the daily revenue series (Bellman DP)
+# ---------------------------------------------------------------------------
+
+_OPTSEG_K = 4
+
+
+def _optseg_oracle(k: int = _OPTSEG_K) -> str:
+    """Unrolled Bellman layers + argmin backtrack. Costs and DP totals
+    ride HUGEINT (S^2 exceeds int64 at scale); divisions are bare //
+    on provably non-negative operands (floor == trunc everywhere)."""
+    layers = []
+    for m in range(2, k + 1):
+        layers.append(f"""
+    dp{m} AS MATERIALIZED (
+      SELECT i, total, j FROM (
+        SELECT c.i, p.total + c.cq AS total, c.j,
+               row_number() OVER (PARTITION BY c.i
+                                  ORDER BY p.total + c.cq, c.j) AS rn
+        FROM cseg c JOIN dp{m - 1} p ON p.i = c.j
+      ) WHERE rn = 1
+    )""")
+    backs = ["bk AS (SELECT max(i) AS b FROM pref WHERE i > 0)"]
+    prev = "bk"
+    for m in range(k, 1, -1):
+        backs.append(
+            f"b{m - 1} AS (SELECT d.j AS b FROM dp{m} d, {prev}"
+            f" WHERE d.i = {prev}.b)"
+        )
+        prev = f"b{m - 1}"
+    bound_rows = []
+    for m in range(1, k + 1):
+        lo = "0" if m == 1 else f"(SELECT b FROM b{m - 1})"
+        hi = "(SELECT b FROM bk)" if m == k else f"(SELECT b FROM b{m})"
+        bound_rows.append(
+            f"SELECT {m} AS seg, {lo} AS lo, {hi} AS hi"
+        )
+    layer_chain = ",".join(layers)
+    back_chain = ",\n    ".join(backs)
+    bounds_sql = " UNION ALL ".join(bound_rows)
+    return f"""
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS day,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(generate_series((SELECT min(day) FROM weekly),
+                                    (SELECT max(day) FROM weekly),
+                                    INTERVAL 7 DAY))::DATE AS day
+    ),
+    filled AS (
+      SELECT s.day, COALESCE(d.rev_cents, 0) AS rev_cents
+      FROM spine s LEFT JOIN weekly d ON d.day = s.day
+    ),
+    pref AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             day,
+             CAST(sum(rev_cents) OVER (ORDER BY day) AS HUGEINT) AS s,
+             CAST(sum(CAST(rev_cents AS HUGEINT) * rev_cents)
+                  OVER (ORDER BY day) AS HUGEINT) AS ss
+      FROM filled
+      UNION ALL
+      SELECT 0, NULL, 0, 0
+    ),
+    cseg AS MATERIALIZED (
+      SELECT a.i AS j, b.i AS i, b.s - a.s AS s,
+             (b.ss - a.ss)
+             - ((b.s - a.s) * (b.s - a.s)) // (b.i - a.i) AS cq
+      FROM pref a JOIN pref b ON a.i < b.i
+    ),
+    dp1 AS MATERIALIZED (
+      SELECT i, cq AS total, j FROM cseg WHERE j = 0
+    ),{layer_chain},
+    {back_chain},
+    bounds AS ({bounds_sql})
+    SELECT bo.seg,
+           ps.day AS start_day,
+           pe.day AS end_day,
+           CAST(bo.hi - bo.lo AS BIGINT) AS n_days,
+           CAST(c.s AS BIGINT) AS sum_cents,
+           CAST(c.cq // 1000000 AS BIGINT) AS cost_mega
+    FROM bounds bo
+    JOIN cseg c ON c.j = bo.lo AND c.i = bo.hi
+    JOIN pref ps ON ps.i = bo.lo + 1
+    JOIN pref pe ON pe.i = bo.hi
+    """
+
+
+@query("optimal_segmentation_weekly_revenue", oracle=_optseg_oracle())
+def optimal_segmentation_weekly_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT optimal k-segmentation of the gap-filled weekly-revenue
+    series (Bellman 1961 dynamic programming over segment costs) — the
+    provably-optimal counterpart to revenue_changepoints_binseg's
+    greedy recursion, and the v-optimal-histogram primitive engines
+    use for optimizer statistics. Minimizes the sum of integer-frozen
+    within-segment SSEs cq(a,b) = SS - S^2 div len (quantized-ratio
+    rule; all operands non-negative so floor == trunc on every
+    engine), k = {k} segments, argmin ties to the earliest boundary.
+
+    Exactness at any scale: S^2 exceeds int64, so costs and DP totals
+    ride DECIMAL(38,0) on Spark and HUGEINT in DuckDB; the truncating
+    division uses the exact (a - a%b)/b identity Spark-side (decimal
+    `div` silently overflows to long — measured) and bare // on the
+    oracle's HUGEINTs.
+
+    Week grain is the DP's planning resolution (the daily series keeps
+    binseg): exact DP is Theta(n^2 k) in series length by nature, so
+    the grain chooses the cost — ~344 weeks gives a ~59k-pair cost
+    relation vs ~3M at day grain (measured 19 s -> ~3 s Spark-side)
+    with boundaries a planner actually acts on.
+
+    100 TB shape: the fact table collapses to the week-cardinality
+    aggregate FIRST; the O(n^2) cost relation and the k DP layers run
+    at week-pair cardinality, never corpus rows, and only the k+1
+    boundary indices reach the driver — the same domain-bounded-series
+    discipline as binseg/Holt-Winters."""
+    k = _OPTSEG_K
+    daily = daily_orders_aggregate(load_table(spark, sf_dir, "orders"))
+    weekly = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("day")
+    ).agg(F.sum("rev_cents").cast("bigint").alias("rev_cents"))
+    spine = weekly.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 7 days"))
+        ).alias("day")
+    )
+    filled = spine.join(F.broadcast(weekly), "day", "left").select(
+        "day",
+        F.coalesce("rev_cents", F.lit(0)).cast("bigint").alias("rev_cents"),
+    )
+    d38 = "decimal(38,0)"
+    wday = Window.orderBy("day")
+    wcum = wday.rowsBetween(Window.unboundedPreceding, 0)
+    pref = filled.select(
+        F.row_number().over(wday).cast("bigint").alias("i"),
+        "day",
+        F.sum(F.col("rev_cents").cast(d38)).over(wcum).cast(d38).alias("s"),
+        F.sum(F.col("rev_cents").cast(d38) * F.col("rev_cents"))
+        .over(wcum)
+        .cast(d38)
+        .alias("ss"),
+    ).unionByName(
+        spark.sql(
+            "SELECT cast(0 as bigint) i, cast(null as date) day,"
+            " cast(0 as decimal(38,0)) s, cast(0 as decimal(38,0)) ss"
+        )
+    ).localCheckpoint()  # feeds the O(n^2) cost relation + lookups
+    a = pref.select(
+        F.col("i").alias("j"), F.col("s").alias("sj"), F.col("ss").alias("ssj")
+    )
+    b = pref.select("i", "s", "ss")
+    sdiff = (F.col("s") - F.col("sj")).cast(d38)
+    sq = (sdiff * sdiff).cast(d38)
+    ln = (F.col("i") - F.col("j")).cast(d38)
+    cseg = (
+        a.join(b, F.col("j") < F.col("i"))
+        .select(
+            "j",
+            "i",
+            sdiff.alias("sgs"),
+            (
+                (F.col("ss") - F.col("ssj")).cast(d38)
+                - ((sq - sq % ln) / ln).cast(d38)
+            ).alias("cq"),
+        )
+        .localCheckpoint()  # reused by every DP layer + final lookups
+    )
+    layers: dict[int, DataFrame] = {
+        1: cseg.filter(F.col("j") == 0).select(
+            "i", F.col("cq").alias("total"), "j"
+        )
+    }
+    for m in range(2, k + 1):
+        prev = layers[m - 1].select(
+            F.col("i").alias("j"), F.col("total").alias("ptot")
+        )
+        layers[m] = (
+            cseg.join(prev, "j")
+            .groupBy("i")
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("ptot") + F.col("cq")).alias("total"),
+                        F.col("j").alias("j"),
+                    )
+                ).alias("b")
+            )
+            .select("i", "b.total", "b.j")
+            .localCheckpoint()
+        )
+    n = int(pref.agg(F.max("i")).head()[0])
+    bounds = [n]
+    cur = n
+    for m in range(k, 1, -1):
+        cur = int(layers[m].filter(F.col("i") == cur).head()["j"])
+        bounds.append(cur)
+    bounds.append(0)
+    bounds.reverse()  # [0, b1, ..., n]
+    want = {(bounds[m - 1], bounds[m]) for m in range(1, k + 1)}
+    cond = None
+    for lo, hi in want:
+        c = (F.col("j") == lo) & (F.col("i") == hi)
+        cond = c if cond is None else (cond | c)
+    crows = {
+        (int(r["j"]), int(r["i"])): r for r in cseg.filter(cond).collect()
+    }
+    days = {
+        int(r["i"]): r["day"]
+        for r in pref.filter(
+            F.col("i").isin(
+                sorted({x for b_ in bounds for x in (b_, b_ + 1)})
+            )
+        ).collect()
+    }
+    rows = []
+    for m in range(1, k + 1):
+        lo, hi = bounds[m - 1], bounds[m]
+        r = crows[(lo, hi)]
+        rows.append(
+            (
+                m,
+                days[lo + 1],
+                days[hi],
+                hi - lo,
+                int(r["sgs"]),
+                int(r["cq"]) // 1_000_000,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "seg int, start_day date, end_day date, n_days bigint,"
+        " sum_cents bigint, cost_mega bigint",
+    )
+
+
+optimal_segmentation_weekly_revenue.__doc__ = (
+    optimal_segmentation_weekly_revenue.__doc__.format(k=_OPTSEG_K)
+)
+
+
+# ---------------------------------------------------------------------------
+# Minimum spanning forest (distributed Boruvka)
+# ---------------------------------------------------------------------------
+
+_MST_ROUNDS = 12  # components at least halve per round; 2^12 >> |parts|
+
+
+def _mst_oracle(rounds: int = _MST_ROUNDS) -> str:
+    """Unrolled Boruvka rounds; each round is per-component argmin
+    under the (w, u, v) total order + a recursive-CTE contraction of
+    the selected component pairs (DuckDB supports multiple recursive
+    members in one WITH RECURSIVE). Later rounds on an already-
+    contracted forest are exact no-ops, so a fixed unroll equals the
+    Spark side's early-exit loop."""
+    steps = []
+    for k in range(1, rounds + 1):
+        steps.append(f"""
+    lab{k} AS MATERIALIZED (
+      SELECT ed.u, ed.v, ed.w, pu.c AS cu, pv.c AS cv
+      FROM ed
+      JOIN c{k - 1} pu ON pu.node = ed.u
+      JOIN c{k - 1} pv ON pv.node = ed.v
+      WHERE pu.c <> pv.c
+    ),
+    sel{k} AS MATERIALIZED (
+      SELECT u, v, w, x AS cu, y AS cv FROM (
+        SELECT c, u, v, w, x, y,
+               row_number() OVER (PARTITION BY c ORDER BY w, u, v) AS rn
+        FROM (SELECT cu AS c, u, v, w, cu AS x, cv AS y FROM lab{k}
+              UNION ALL
+              SELECT cv, u, v, w, cu, cv FROM lab{k})
+      ) WHERE rn = 1
+    ),
+    pe{k} AS (
+      SELECT DISTINCT cu AS s, cv AS d FROM sel{k}
+      UNION
+      SELECT cv, cu FROM sel{k}
+    ),
+    reach{k}(n, r) AS (
+      SELECT c, c FROM (SELECT DISTINCT c FROM c{k - 1})
+      UNION
+      SELECT pe.s, rr.r FROM pe{k} pe JOIN reach{k} rr ON pe.d = rr.n
+    ),
+    m{k} AS (SELECT n, min(r) AS mn FROM reach{k} GROUP BY n),
+    c{k} AS MATERIALIZED (
+      SELECT p.node, m.mn AS c FROM c{k - 1} p JOIN m{k} m ON m.n = p.c
+    )""")
+        chain = ",".join(steps)
+    final = " UNION ALL ".join(
+        f"SELECT u, v, w FROM sel{k}" for k in range(1, rounds + 1)
+    )
+    return f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS a, b.l_partkey AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    ed AS MATERIALIZED (
+      SELECT a AS u, b AS v, CAST(GREATEST(1, 10 - n) AS BIGINT) AS w
+      FROM edges
+    ),
+    c0 AS MATERIALIZED (
+      SELECT nn AS node, nn AS c
+      FROM (SELECT u AS nn FROM ed UNION SELECT v FROM ed)
+    ),
+    {chain}
+    SELECT DISTINCT CAST(u AS BIGINT) AS part_a, CAST(v AS BIGINT) AS part_b,
+           CAST(w AS BIGINT) AS w
+    FROM ({final})
+    """
+
+
+@query("mst_copurchase_parts", oracle=_mst_oracle())
+def mst_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the weighted co-purchase part graph
+    (same edge relation and weights as sssp_weighted_copurchase) by
+    DISTRIBUTED Boruvka — the backbone-extraction primitive behind
+    single-linkage clustering, network simplification, and hub
+    detection, and the eleventh graph-suite member. The (w, u, v)
+    lexicographic total order makes the forest UNIQUE, so the Spark
+    pointer-jump contraction and the oracle's unrolled
+    argmin + recursive-CTE rounds must agree edge-for-edge.
+
+    100 TB shape (operators/graph.boruvka_msf): O(log V) rounds, each
+    ONE edge-keyed join against the node->component map plus a
+    component-keyed argmin (map-side combinable) and a contraction on
+    the SELECTED pairs only (component-count-sized, at least halving
+    per round) — never an edge^2 or node^2 relation."""
+    from etl_pipeline_orchestration_spark.operators.graph import boruvka_msf
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.greatest(F.lit(1), F.lit(10) - F.col("n"))
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    msf = boruvka_msf(edges, max_rounds=_MST_ROUNDS)
+    return msf.select(
+        F.col("u").cast("bigint").alias("part_a"),
+        F.col("v").cast("bigint").alias("part_b"),
+        F.col("w").cast("bigint").alias("w"),
+    )
+
+
+_SL_CUT = 3  # single-linkage threshold on the 1..8 co-purchase weights
+
+
+@query(
+    "single_linkage_clusters_parts",
+    oracle=f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS a, b.l_partkey AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    ed AS MATERIALIZED (
+      SELECT a AS u, b AS v, CAST(GREATEST(1, 10 - n) AS BIGINT) AS w
+      FROM edges
+    ),
+    nodes AS (SELECT u AS node FROM ed UNION SELECT v FROM ed),
+    keep AS (SELECT u, v FROM ed WHERE w <= {_SL_CUT}),
+    sym AS (SELECT u AS s, v AS d FROM keep UNION SELECT v, u FROM keep),
+    reach(n, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.s, rr.r FROM sym e JOIN reach rr ON e.d = rr.n
+    )
+    SELECT CAST(n AS BIGINT) AS part,
+           CAST(min(r) AS BIGINT) AS cluster
+    FROM reach GROUP BY n
+    """,
+)
+def single_linkage_clusters_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-linkage clustering of the co-purchase graph at distance
+    threshold {cut} — via the MINIMUM SPANNING FOREST: cutting MSF
+    edges above the threshold yields exactly the connected components
+    of the full threshold graph (the classic MST-cut identity behind
+    SLINK/HDBSCAN; public method). The engines take DELIBERATELY
+    different routes — Spark clusters over the (V-1)-edge forest from
+    boruvka_msf, the oracle over the full raw threshold graph — so the
+    hash compare certifies the identity itself, not one shared
+    algorithm.
+
+    100 TB shape: the forest is edge-linear to build (boruvka_msf) and
+    V-1 edges thereafter, so every threshold cut / dendrogram level is
+    a components pass over a FOREST-sized relation instead of the full
+    edge set — the reason production single-linkage runs via MST."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        boruvka_msf,
+        connected_components,
+    )
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("a").alias("u"),
+            F.col("b").alias("v"),
+            F.greatest(F.lit(1), F.lit(10) - F.col("n"))
+            .cast("bigint")
+            .alias("w"),
+        )
+        .localCheckpoint()  # feeds the forest build AND the node universe
+    )
+    msf = boruvka_msf(edges, max_rounds=_MST_ROUNDS)
+    kept = msf.filter(F.col("w") <= _SL_CUT).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    comp = connected_components(kept, "src", "dst").select(
+        F.col("node").alias("part"), F.col("component").alias("cluster")
+    )
+    nodes = (
+        edges.select(F.col("u").alias("part"))
+        .union(edges.select("v"))
+        .distinct()
+    )
+    return (
+        nodes.join(comp, "part", "left")
+        .select(
+            F.col("part").cast("bigint").alias("part"),
+            F.coalesce("cluster", F.col("part"))
+            .cast("bigint")
+            .alias("cluster"),
+        )
+    )
+
+
+single_linkage_clusters_parts.__doc__ = (
+    single_linkage_clusters_parts.__doc__.format(cut=_SL_CUT)
+)
+
+
+# ---------------------------------------------------------------------------
 # HITS hubs & authorities (quantized iteration, integer-exact)
 # ---------------------------------------------------------------------------
 

@@ -99,6 +99,9 @@ NONNEG_DIV_OK: dict[str, str] = {
     "multimodal_wav_features": "n_samples * 1000 // sample_rate",
     "offpolicy_ips_replay": "rewards are non-negative revenue cents; "
     "counts and Laplace-smoothed propensities",
+    "optimal_segmentation_weekly_revenue": "segment SSE division "
+    "S^2 // len on non-negative squares; cq >= 0 by Cauchy-Schwarz "
+    "for the // 1e6 output scaling",
     "pack_sequences_greedy": "prefix sum excluding current row >= 0",
     "pii_column_scan": "match counts over row counts",
     "quality_classifier_auc": "gradient update guarded by tdiv; "
