@@ -253,6 +253,8 @@ HEADLINE = [
     "mst_copurchase_parts",
     "single_linkage_clusters_parts",
     "optimal_segmentation_weekly_revenue",
+    "logrank_reorder_gaps_ab",
+    "rdd_balance_cutoff_revenue",
 ]
 
 

@@ -4758,6 +4758,380 @@ sssp_weighted_copurchase.__doc__ = sssp_weighted_copurchase.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# Regression discontinuity: revenue at the zero-balance cutoff
+# ---------------------------------------------------------------------------
+
+_RDD_BW_CENTS = 100_000  # +/- $1000 bandwidth around the 0-balance cutoff
+
+
+def _rdd_side_sql(name: str, pred: str) -> str:
+    """One side's exact-integer local-linear fit: sufficient statistics
+    in HUGEINT, slope/means/intercept frozen by guarded truncating
+    divisions (covariance numerators and x-means CAN be negative)."""
+    from etl_pipeline_orchestration_spark.plans.registry import tdiv_sql
+
+    slope = tdiv_sql(
+        "1000000 * (nn * sxy - sx * sy)", "GREATEST(nn * sxx - sx * sx, 1)"
+    )
+    xbar = tdiv_sql("1000 * sx", "nn")
+    return f"""
+    {name} AS (
+      SELECT nn, sl_micro, xb_milli, yb_milli,
+             yb_milli - {tdiv_sql("sl_micro * xb_milli", "1000000")}
+               AS a_milli
+      FROM (
+        SELECT nn, {slope} AS sl_micro, {xbar} AS xb_milli,
+               (1000 * sy) // nn AS yb_milli
+        FROM (
+          SELECT CAST(count(*) AS HUGEINT) AS nn,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+          FROM band WHERE {pred}
+        )
+      )
+    )"""
+
+
+@query(
+    "rdd_balance_cutoff_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    band AS (
+      SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             COALESCE(r.y, 0) AS y
+      FROM customer c LEFT JOIN rev r ON r.o_custkey = c.c_custkey
+      WHERE ABS(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            <= {_RDD_BW_CENTS}
+    ),{_rdd_side_sql("lo", "x < 0")},{_rdd_side_sql("hi", "x >= 0")}
+    SELECT CAST(lo.nn AS BIGINT) AS n_below,
+           CAST(hi.nn AS BIGINT) AS n_above,
+           CAST(lo.sl_micro AS BIGINT) AS slope_below_micro,
+           CAST(hi.sl_micro AS BIGINT) AS slope_above_micro,
+           CAST(lo.a_milli AS BIGINT) AS intercept_below_milli,
+           CAST(hi.a_milli AS BIGINT) AS intercept_above_milli,
+           CAST(hi.a_milli - lo.a_milli AS BIGINT) AS rdd_effect_milli
+    FROM lo, hi
+    """,
+)
+def rdd_balance_cutoff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity design at the zero-balance
+    cutoff (Thistlethwaite & Campbell 1960; the third causal
+    identification strategy after DiD and IPW): customers just below
+    vs just above zero account balance, local LINEAR fit of total
+    revenue on balance within a +/- $1000 bandwidth on EACH side, and
+    the treatment effect is the jump between the two intercepts at the
+    cutoff — the slope terms absorb the smooth trend a naive
+    above/below mean comparison confounds.
+
+    Exactness: sufficient statistics (n, Sx, Sy, Sxx, Sxy) are one
+    exact-integer aggregate per side; slope, means, and intercepts are
+    frozen by GUARDED truncating divisions (covariance numerators and
+    the x-mean are signed — tdiv_sql / the (a - a%b)/b identity, since
+    Spark decimal div overflows silently), carried in
+    HUGEINT/DECIMAL(38,0) because n*Sxy exceeds int64 at scale. Both
+    engines emit identical integers; no float anywhere.
+
+    100 TB shape: one orders aggregate at customer grain, one
+    broadcast-joinable band filter pushed to the customer scan, and a
+    2-row sufficient-statistic aggregate — the ab_cuped shape."""
+    d38 = "decimal(38,0)"
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    band = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("x"),
+            F.col("c_custkey").alias("o_custkey"),
+        )
+        .filter(F.abs(F.col("x")) <= _RDD_BW_CENTS)
+        .join(rev, "o_custkey", "left")
+        .select("x", F.coalesce("y", F.lit(0)).cast("bigint").alias("y"))
+    )
+
+    def tdiv_dec(a, b):
+        return ((a - a % b) / b).cast(d38)
+
+    def side(pred):
+        s = band.filter(pred).agg(
+            F.count(F.lit(1)).cast(d38).alias("nn"),
+            F.sum("x").cast(d38).alias("sx"),
+            F.sum("y").cast(d38).alias("sy"),
+            F.sum(F.col("x").cast(d38) * F.col("x")).cast(d38).alias("sxx"),
+            F.sum(F.col("x").cast(d38) * F.col("y")).cast(d38).alias("sxy"),
+        )
+        sl = tdiv_dec(
+            (
+                F.lit(1000000).cast(d38)
+                * (F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            ).cast(d38),
+            F.greatest(
+                (F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast(d38),
+                F.lit(1).cast(d38),
+            ),
+        )
+        xb = tdiv_dec(
+            (F.lit(1000).cast(d38) * F.col("sx")).cast(d38), F.col("nn")
+        )
+        yb = tdiv_dec(
+            (F.lit(1000).cast(d38) * F.col("sy")).cast(d38), F.col("nn")
+        )
+        out = s.select(
+            F.col("nn"),
+            sl.alias("sl_micro"),
+            xb.alias("xb_milli"),
+            yb.alias("yb_milli"),
+        )
+        return out.select(
+            "nn",
+            "sl_micro",
+            "xb_milli",
+            (
+                F.col("yb_milli")
+                - tdiv_dec(
+                    (F.col("sl_micro") * F.col("xb_milli")).cast(d38),
+                    F.lit(1000000).cast(d38),
+                )
+            ).alias("a_milli"),
+        )
+
+    lo = side(F.col("x") < 0).select(
+        F.col("nn").alias("nn_lo"),
+        F.col("sl_micro").alias("sl_lo"),
+        F.col("a_milli").alias("a_lo"),
+    )
+    hi = side(F.col("x") >= 0).select(
+        F.col("nn").alias("nn_hi"),
+        F.col("sl_micro").alias("sl_hi"),
+        F.col("a_milli").alias("a_hi"),
+    )
+    return lo.crossJoin(hi).select(
+        F.col("nn_lo").cast("bigint").alias("n_below"),
+        F.col("nn_hi").cast("bigint").alias("n_above"),
+        F.col("sl_lo").cast("bigint").alias("slope_below_micro"),
+        F.col("sl_hi").cast("bigint").alias("slope_above_micro"),
+        F.col("a_lo").cast("bigint").alias("intercept_below_milli"),
+        F.col("a_hi").cast("bigint").alias("intercept_above_milli"),
+        (F.col("a_hi") - F.col("a_lo"))
+        .cast("bigint")
+        .alias("rdd_effect_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: reorder-gap survival, arm A vs arm B
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "logrank_reorder_gaps_ab",
+    oracle="""
+    WITH arms AS (
+      SELECT c_custkey,
+             CASE WHEN ((c_custkey % 2147483648) * 2654435761)
+                       % 4294967296 % 1000 < 500
+                  THEN 1 ELSE 0 END AS a
+      FROM customer
+    ),
+    d AS (SELECT DISTINCT o_custkey, o_orderdate FROM orders),
+    mx AS (SELECT max(o_orderdate) AS m FROM orders),
+    seq AS (
+      SELECT o_custkey, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate) AS nxt
+      FROM d
+    ),
+    dur AS (
+      SELECT ar.a,
+             CAST(date_diff('day', s.o_orderdate,
+                            COALESCE(s.nxt, (SELECT m FROM mx)))
+                  AS BIGINT) AS t,
+             CAST(s.nxt IS NOT NULL AS INT) AS ev
+      FROM seq s JOIN arms ar ON ar.c_custkey = s.o_custkey
+    ),
+    h AS (
+      SELECT t,
+             CAST(sum(CASE WHEN a = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(ev) AS BIGINT) AS dd,
+             CAST(sum(a) AS BIGINT) AS m1,
+             CAST(count(*) AS BIGINT) AS mm
+      FROM dur GROUP BY t
+    ),
+    r AS (
+      SELECT t, d1, dd,
+             CAST((SELECT sum(m1) FROM h)
+                  - COALESCE(sum(m1) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS HUGEINT) AS n1,
+             CAST((SELECT sum(mm) FROM h)
+                  - COALESCE(sum(mm) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS HUGEINT) AS n
+      FROM h
+    ),
+    terms AS (
+      SELECT d1,
+             (1000000 * CAST(dd AS HUGEINT) * n1) // n AS e1,
+             ((((1000000 * CAST(dd AS HUGEINT) * n1) // n)
+               * (n - n1)) // n
+              * (n - dd)) // GREATEST(n - 1, 1) AS v1
+      FROM r WHERE dd > 0
+    ),
+    agg AS (
+      SELECT CAST(sum(d1) AS BIGINT) AS o_a,
+             CAST(sum(e1) AS BIGINT) AS e_a_micro,
+             CAST(sum(v1) AS BIGINT) AS v_micro
+      FROM terms
+    ),
+    sizes AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(sum(1 - a) AS BIGINT) AS n_b
+      FROM dur
+    )
+    SELECT s.n_a, s.n_b, g.o_a, g.e_a_micro, g.v_micro,
+           (CAST(g.o_a AS DOUBLE) * 1e6 - CAST(g.e_a_micro AS DOUBLE))
+             / sqrt(CAST(g.v_micro AS DOUBLE) * 1e6) AS z
+    FROM agg g, sizes s
+    """,
+)
+def logrank_reorder_gaps_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (Mantel 1966; the standard two-sample survival
+    comparison) on the customer REORDER-gap curves of the hashed A/B
+    arms — completes the survival family (Kaplan-Meier curve) the way
+    Welch/CUPED/DiD complete the mean family: O - E of arm-A events
+    accumulated over the joint event times, with the hypergeometric
+    variance.
+
+    Exactness: risk sets and event counts are exact integers from ONE
+    (gap-time x arm) histogram (the mann_whitney discipline — no
+    per-row ranking); the expected-count and variance terms are frozen
+    to micro-units by CHAINED truncating divisions on non-negative
+    HUGEINT/DECIMAL(38,0) operands (each stage re-divides by n so no
+    intermediate exceeds 1e6*d — the spec is the chained-quantized
+    statistic, identical on both engines), and z is one identical
+    float expression over three exact integers.
+
+    100 TB shape: orders collapse to per-customer consecutive-date
+    gaps (one window at customer grain), then to the gap-time
+    histogram; every window after that runs at distinct-gap
+    cardinality (day-domain-bounded)."""
+    arms = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        (
+            (F.col("c_custkey") % F.lit(2147483648)) * F.lit(2654435761)
+            % F.lit(4294967296)
+            % 1000
+            < 500
+        )
+        .cast("int")
+        .alias("a"),
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select("o_custkey", F.to_date("o_orderdate").alias("od")).distinct()
+    mx = d.agg(F.max("od").alias("m"))
+    wseq = Window.partitionBy("o_custkey").orderBy("od")
+    seq = d.select("o_custkey", "od", F.lead("od").over(wseq).alias("nxt"))
+    dur = (
+        seq.crossJoin(F.broadcast(mx))
+        .join(arms, "o_custkey")
+        .select(
+            "a",
+            F.datediff(F.coalesce("nxt", "m"), F.col("od"))
+            .cast("bigint")
+            .alias("t"),
+            F.col("nxt").isNotNull().cast("int").alias("ev"),
+        )
+    )
+    h = dur.groupBy("t").agg(
+        F.sum(F.when(F.col("a") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("ev").cast("bigint").alias("dd"),
+        F.sum("a").cast("bigint").alias("m1"),
+        F.count(F.lit(1)).cast("bigint").alias("mm"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d38 = "decimal(38,0)"
+    r = h.select(
+        "t",
+        "d1",
+        "dd",
+        (
+            F.sum("m1").over(wall)
+            - F.coalesce(F.sum("m1").over(wprev), F.lit(0))
+        )
+        .cast(d38)
+        .alias("n1"),
+        (
+            F.sum("mm").over(wall)
+            - F.coalesce(F.sum("mm").over(wprev), F.lit(0))
+        )
+        .cast(d38)
+        .alias("n"),
+    ).filter(F.col("dd") > 0)
+
+    def tdiv_dec(a, b):
+        return ((a - a % b) / b).cast(d38)
+
+    e1 = tdiv_dec(
+        (F.lit(1000000).cast(d38) * F.col("dd") * F.col("n1")).cast(d38),
+        F.col("n"),
+    )
+    v1 = tdiv_dec(
+        (e1 * (F.col("n") - F.col("n1"))).cast(d38), F.col("n")
+    )
+    v2 = tdiv_dec(
+        (v1 * (F.col("n") - F.col("dd"))).cast(d38),
+        F.greatest(F.col("n") - 1, F.lit(1).cast(d38)),
+    )
+    terms = r.select("d1", e1.alias("e1"), v2.alias("v1"))
+    agg = terms.agg(
+        F.sum("d1").cast("bigint").alias("o_a"),
+        F.sum("e1").cast("bigint").alias("e_a_micro"),
+        F.sum("v1").cast("bigint").alias("v_micro"),
+    )
+    sizes = dur.agg(
+        F.sum("a").cast("bigint").alias("n_a"),
+        F.sum(F.lit(1) - F.col("a")).cast("bigint").alias("n_b"),
+    )
+    return agg.crossJoin(F.broadcast(sizes)).select(
+        "n_a",
+        "n_b",
+        "o_a",
+        "e_a_micro",
+        "v_micro",
+        (
+            (F.col("o_a").cast("double") * F.lit(1e6)
+             - F.col("e_a_micro").cast("double"))
+            / F.sqrt(F.col("v_micro").cast("double") * F.lit(1e6))
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Optimal k-segmentation of the daily revenue series (Bellman DP)
 # ---------------------------------------------------------------------------
 

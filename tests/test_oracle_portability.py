@@ -86,6 +86,13 @@ NONNEG_DIV_OK: dict[str, str] = {
     "jl_projection_distortion": "squared-norm ratio",
     "l_diversity_risk_report": "segment counts",
     "line_level_dedup_report": "shingle index arithmetic",
+    "logrank_reorder_gaps_ab": "expected-count/variance chain divides "
+    "1e6*d*n1-style products of counts (non-negative) by risk-set "
+    "sizes; the signed O-E difference happens in the final float z "
+    "expression, not in integer division",
+    "rdd_balance_cutoff_revenue": "signed covariance/x-mean/intercept "
+    "divisions are tdiv-guarded; the bare sites are the y-mean "
+    "(1000*sy)//nn on non-negative revenue sums",
     "markov_attribution_events": "absorption masses non-negative, "
     "denominators are positive normalizers",
     "multimodal_dhash_neardup": "group index doc_id//4, seed digit "
