@@ -255,6 +255,7 @@ HEADLINE = [
     "optimal_segmentation_weekly_revenue",
     "logrank_reorder_gaps_ab",
     "rdd_balance_cutoff_revenue",
+    "nelson_aalen_reorder_gaps",
 ]
 
 

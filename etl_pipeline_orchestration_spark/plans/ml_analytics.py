@@ -4938,6 +4938,106 @@ def rdd_balance_cutoff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "nelson_aalen_reorder_gaps",
+    oracle="""
+    WITH d AS (SELECT DISTINCT o_custkey, o_orderdate FROM orders),
+    mx AS (SELECT max(o_orderdate) AS m FROM orders),
+    seq AS (
+      SELECT o_custkey, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate) AS nxt
+      FROM d
+    ),
+    dur AS (
+      SELECT CAST(date_diff('day', o_orderdate,
+                            COALESCE(nxt, (SELECT m FROM mx))) AS BIGINT) AS t,
+             CAST(nxt IS NOT NULL AS INT) AS ev
+      FROM seq
+    ),
+    h AS (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d_events,
+             CAST(count(*) AS BIGINT) AS m_total
+      FROM dur GROUP BY t
+    ),
+    r AS (
+      SELECT t, d_events,
+             CAST((SELECT sum(m_total) FROM h)
+                  - COALESCE(sum(m_total) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM h
+    )
+    SELECT t AS gap_days, n_risk, d_events,
+           CAST(sum((1000000 * d_events) // n_risk)
+                    OVER (ORDER BY t) AS BIGINT) AS cum_hazard_micro
+    FROM r
+    """,
+)
+def nelson_aalen_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of the customer reorder gap
+    (Nelson 1972 / Aalen 1978) — the additive-hazard companion to the
+    Kaplan-Meier product curve (same durations, same administrative
+    censoring at the corpus max date): H(t) = sum of d_i/n_i over
+    event times <= t, the estimator of choice when hazards are
+    compared or integrated.
+
+    Exactness: same histogram discipline as kaplan_meier — risk sets
+    are exact integer suffix sums over the gap-time histogram, and
+    each hazard increment is frozen to micro-units by truncating
+    division (d and n_risk non-negative, so floor == trunc on every
+    engine), then prefix-summed in int64. Unlike KM's log-space float
+    terms, the NA estimator is integer end to end.
+
+    100 TB shape: one customer-grain window for gaps, one day-domain
+    histogram, windows at distinct-gap cardinality."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select("o_custkey", "o_orderdate").distinct()
+    mx = d.agg(F.max("o_orderdate").alias("m"))
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    seq = d.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(wseq).alias("nxt"),
+    )
+    dur = seq.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.coalesce("nxt", "m"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("t"),
+        F.col("nxt").isNotNull().cast("int").alias("ev"),
+    )
+    h = dur.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d_events"),
+        F.count(F.lit(1)).cast("bigint").alias("m_total"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    r = h.select(
+        "t",
+        "d_events",
+        (
+            F.sum("m_total").over(wall)
+            - F.coalesce(F.sum("m_total").over(wprev), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    return r.select(
+        F.col("t").alias("gap_days"),
+        "n_risk",
+        "d_events",
+        F.sum(
+            F.expr("(1000000 * d_events) div n_risk")
+        )
+        .over(wcum)
+        .cast("bigint")
+        .alias("cum_hazard_micro"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Log-rank test: reorder-gap survival, arm A vs arm B
 # ---------------------------------------------------------------------------

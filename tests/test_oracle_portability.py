@@ -104,6 +104,8 @@ NONNEG_DIV_OK: dict[str, str] = {
     "multimodal_vad_segments": "sample index // frame size",
     "multimodal_video_frames": "triangular-number pixel sums",
     "multimodal_wav_features": "n_samples * 1000 // sample_rate",
+    "nelson_aalen_reorder_gaps": "hazard increment (1e6*d)//n_risk on "
+    "non-negative event counts and positive risk sets",
     "offpolicy_ips_replay": "rewards are non-negative revenue cents; "
     "counts and Laplace-smoothed propensities",
     "optimal_segmentation_weekly_revenue": "segment SSE division "

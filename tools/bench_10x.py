@@ -200,6 +200,10 @@ FAMILIES = {
     # the halo actually prunes (eps << typical distances) instead of
     # degenerating to m x all-pairs
     "dbscan": "embedding_dbscan_clusters",
+    # Boruvka forest on the 10x co-purchase graph: certifies the
+    # edge-linear rounds + component-map joins (and the driver-gate
+    # Kruskal finish) hold as pair counts grow
+    "graph_mst": "mst_copurchase_parts",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
@@ -399,9 +403,12 @@ def main() -> int:
             fn = registry.QUERIES[qname]
             hook = PRE_HOOKS.get(fam)
             t1 = _time(spark, fn, sf1, reps, hook)
-            # one extra rep on the 10x side: its rep-to-rep spread is
-            # what the exponent amplifies (log10 of the ratio), and the
-            # r9/r10 pagerank drift was all in this term
+            # re-warm the 10x corpus immediately before ITS reps: the
+            # run-start warm scan gets evicted by earlier families
+            # (measured: pagerank's 10x wall swung 9.2/12.3/17.9 s
+            # across runs with STABLE calibration until this), and one
+            # extra rep since the exponent amplifies 10x-side spread
+            _warm_dir(spark, big)
             t10 = _time(spark, fn, big, reps + 1, hook)
             out[fam] = {
                 "query": qname,
