@@ -3513,7 +3513,7 @@ def _clf_oracle(train_where: str = "TRUE", by_split: bool = False) -> str:
     SELECT {split_sel}f.y,
            CAST(({zf}) >= 0 AS INT) AS pred,
            COUNT(*) AS n_docs,
-           SUM({zf}) AS sum_score_micro
+           CAST(SUM({zf}) AS BIGINT) AS sum_score_micro
     FROM feats f CROSS JOIN b{TRAIN_ITERS} b
     GROUP BY 1, 2{split_grp}
     """

@@ -6500,10 +6500,11 @@ _DT_ORACLE_PREFIX = f"""
     oracle=_DT_ORACLE_PREFIX
     + """
     SELECT node, f AS feature, v AS threshold, gain_q,
-           tn AS n_node, tpos AS pos_node
+           CAST(tn AS BIGINT) AS n_node, CAST(tpos AS BIGINT) AS pos_node
     FROM best0
     UNION ALL
-    SELECT node, f, v, gain_q, tn, tpos FROM best1
+    SELECT node, f, v, gain_q, CAST(tn AS BIGINT), CAST(tpos AS BIGINT)
+    FROM best1
     """,
 )
 def decision_tree_histogram_splits(
@@ -7082,12 +7083,16 @@ _GBT_ORACLE_PREFIX = (
     oracle=_GBT_ORACLE_PREFIX
     + """
     SELECT 1 AS round, f AS feature, v AS threshold, gain_q,
-           n_left, n_right, lval AS left_value, rval AS right_value
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           lval AS left_value, rval AS right_value
     FROM b1
     UNION ALL
-    SELECT 2, f, v, gain_q, n_left, n_right, lval, rval FROM b2
+    SELECT 2, f, v, gain_q, CAST(n_left AS BIGINT), CAST(n_right AS BIGINT),
+           lval, rval FROM b2
     UNION ALL
-    SELECT 3, f, v, gain_q, n_left, n_right, lval, rval FROM b3
+    SELECT 3, f, v, gain_q, CAST(n_left AS BIGINT), CAST(n_right AS BIGINT),
+           lval, rval FROM b3
     """,
 )
 def gbt_stump_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7870,7 +7875,7 @@ def _forest_oracle() -> str:
       FROM c{t} WHERE cn < tn
     ),
     b{t} AS MATERIALIZED (
-      SELECT f, v, gain_q, tn AS n_train,
+      SELECT f, v, gain_q, CAST(tn AS BIGINT) AS n_train,
              CAST(2 * cpos > cn AS INT) AS ll,
              CAST(2 * rpos > rn AS INT) AS rl
       FROM g{t} ORDER BY gain_q DESC, f, v LIMIT 1
