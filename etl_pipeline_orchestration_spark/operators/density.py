@@ -85,6 +85,11 @@ def epsilon_join_exact(
 
     import numpy as np
 
+    # Materialize the input once: the count, pivot collection, and the
+    # pivot-distance pass below are three separate actions, and callers
+    # like embedding_dbscan_clusters feed a multi-way-unioned lineage
+    # that would otherwise be recomputed per action.
+    ticks = ticks.localCheckpoint(eager=True)
     if n_pivots is None:
         n_pivots = max(8, math.isqrt(ticks.count()))
     pivots = [

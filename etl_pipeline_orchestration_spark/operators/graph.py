@@ -967,6 +967,27 @@ def boruvka_msf(
             .select("node", F.coalesce("nc", F.col("c")).alias("c"))
             .localCheckpoint(eager=True)
         )
+    else:  # no break: round budget exhausted — probe for completeness
+        remaining = (
+            e.join(comp.select(F.col("node").alias("u"),
+                               F.col("c").alias("cu")), "u")
+            .join(comp.select(F.col("node").alias("v"),
+                              F.col("c").alias("cv")), "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .limit(1)
+            .count()
+        )
+        if remaining:
+            # Components only guarantee halving, so a component larger
+            # than 2^max_rounds nodes can outlive the budget; returning
+            # here would silently emit an incomplete forest (and any
+            # unrolled cross-engine oracle with the same budget could
+            # not detect it). Raise like k_core does.
+            raise ValueError(
+                f"boruvka_msf: cross-component edges remain after "
+                f"{max_rounds} rounds — raise max_rounds (and any "
+                "unrolled oracle's round budget with it)"
+            )
     if not chosen_rounds:
         return e.filter(F.lit(False)).select("u", "v", "w")
     out = chosen_rounds[0]

@@ -99,3 +99,23 @@ def test_registered_query_runs(spark):
     df = QUERIES["mst_copurchase_parts"](spark, SF)
     assert df.columns == ["part_a", "part_b", "w"]
     assert df.count() > 50
+
+
+def test_round_budget_exhaustion_raises(spark):
+    """An exhausted max_rounds with cross-component edges left must
+    raise (r11 advice): components only guarantee halving, so a
+    component larger than 2^max_rounds nodes can outlive the budget,
+    and silently returning would emit an incomplete forest the
+    unrolled oracle (same budget) could not detect. Pair-merge shape:
+    round 1 contracts {1,2} and {3,4}, leaving the bridge (2,3)."""
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (3, 4, 1), (2, 3, 100)], "u long, v long, w long"
+    )
+    with pytest.raises(ValueError, match="raise max_rounds"):
+        boruvka_msf(edges, max_rounds=1, driver_threshold=0)
+    # same graph, enough rounds: complete spanning tree of 4 nodes
+    got = {
+        tuple(map(int, (r["u"], r["v"], r["w"])))
+        for r in boruvka_msf(edges, max_rounds=2, driver_threshold=0).collect()
+    }
+    assert got == {(1, 2, 1), (3, 4, 1), (2, 3, 100)}

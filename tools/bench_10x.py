@@ -402,12 +402,15 @@ def main() -> int:
             _clear_persistent_state(spark)
             fn = registry.QUERIES[qname]
             hook = PRE_HOOKS.get(fam)
-            t1 = _time(spark, fn, sf1, reps, hook)
-            # re-warm the 10x corpus immediately before ITS reps: the
-            # run-start warm scan gets evicted by earlier families
-            # (measured: pagerank's 10x wall swung 9.2/12.3/17.9 s
-            # across runs with STABLE calibration until this), and one
-            # extra rep since the exponent amplifies 10x-side spread
+            # SYMMETRIC protocol (r11 advice): identical rep count and a
+            # just-before-timing re-warm on BOTH sides. The run-start
+            # warm scan gets evicted by earlier families (measured:
+            # pagerank's 10x wall swung 9.2/12.3/17.9 s across runs
+            # with STABLE calibration until the re-warm landed); giving
+            # only the 10x side the re-warm + an extra rep one-sidedly
+            # biased t_10x down and flattened the reported exponent.
+            _warm_dir(spark, sf1)
+            t1 = _time(spark, fn, sf1, reps + 1, hook)
             _warm_dir(spark, big)
             t10 = _time(spark, fn, big, reps + 1, hook)
             out[fam] = {
@@ -423,8 +426,8 @@ def main() -> int:
             "n_docs_10x": N_DOCS,
             "n_vecs_10x": N_VECS,
             "reps": reps,
-            "protocol": "warm-scan both corpora before timing; "
-            "min of reps (1x) / reps+1 (10x)",
+            "protocol": "symmetric: re-warm each corpus immediately "
+            "before its timing block; min of reps+1 on both sides",
             "calibration_sec_start": calib_start,
             "calibration_sec_end": calib_end,
             "families": out,
