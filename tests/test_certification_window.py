@@ -70,16 +70,20 @@ SECTION2_CERTIFIERS = {
     # room for the round-8/9/10 flagships below: the driver certifies
     # the newest work.
     # r8/r9 flagships (hits, shapley, markov, pca-power, classifier
-    # lift) rotated out round 11 after their driver-green r10 rows —
-    # all stay full-sweep oracled with dedicated pytest coverage.
-    "flagship-pagerank": "graph_pagerank_part_supplier",
+    # lift) rotated out round 11 after their driver-green r10 rows;
+    # r10/r11 flagships (pagerank, gbt-curve, kneser-ney, wordpiece,
+    # harmonic, itemitem-cf) rotated out round 12 after their
+    # driver-green r11 rows — all stay full-sweep oracled with
+    # dedicated pytest coverage. The two tree-model slots stay until
+    # driver-green (oracle fetch-path defects fixed r11/r12).
     "flagship-dtree": "decision_tree_histogram_splits",
     "flagship-gbt": "gbt_stump_boosting",
-    "flagship-gbt-curve": "gbt_training_curve",
-    "flagship-kneser-ney": "kneser_ney_trigram_scores",
-    "flagship-wordpiece": "wordpiece_merge_sequence",
-    "flagship-harmonic": "harmonic_centrality_ksource",
-    "flagship-itemitem-cf": "itemitem_cf_topk",
+    "flagship-dbscan": "embedding_dbscan_clusters",
+    "flagship-mst": "mst_copurchase_parts",
+    "flagship-kmeans": "embedding_kmeans_clusters",
+    "flagship-dhash": "multimodal_dhash_neardup",
+    "flagship-optseg": "optimal_segmentation_weekly_revenue",
+    "flagship-tcloseness": "t_closeness_risk_report",
 }
 
 # Round 8 closed the last two rows-only window slots with integer-exact
