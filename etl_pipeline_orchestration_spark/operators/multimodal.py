@@ -497,13 +497,23 @@ def wav_decode(data: bytes):
     return sr, n, pcm
 
 
-def synth_wav_media(docs: DataFrame) -> DataFrame:
+def synth_wav_media(
+    docs: DataFrame, n_base: int = 400, n_step: int = 200
+) -> DataFrame:
     """Deterministic audio fixture: one real WAV per document — a pure
-    sine at f = 200 + (doc_id % 20)*20 Hz, sr = 8000, n = 400 +
-    (doc_id % 5)*200 samples, amplitude 12000, quantized with
+    sine at f = 200 + (doc_id % 20)*20 Hz, sr = 8000, n = n_base +
+    (doc_id % 5)*n_step samples, amplitude 12000, quantized with
     floor(x + 0.5) (explicit, so an SQL oracle can regenerate the exact
     PCM with its own sin()). Arrow-batched mapInPandas, same shape as
-    the PNG fixture."""
+    the PNG fixture.
+
+    The default clip lengths put some tones mid-bin (f*n/sr half-
+    integral — the spectral-leakage regime the within-one-bin pytest
+    covers). ``n_base=800, n_step=400`` makes every tone BIN-ALIGNED
+    (f is a multiple of 20 = 8000/400, and every n is a multiple of
+    400, so f*n/8000 is integral): a rectangular window of an exactly
+    periodic sine leaks nothing, which is what lets the spectral query
+    publish hash-certifiable closed-form features."""
     import numpy as np
 
     from etl_pipeline_orchestration_spark.operators.partitioning import (
@@ -518,7 +528,7 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 f = 200 + (d % 20) * 20
-                n = 400 + (d % 5) * 200
+                n = n_base + (d % 5) * n_step
                 i = np.arange(n, dtype=np.float64)
                 x = np.floor(12000.0 * np.sin(2.0 * np.pi * f * i / 8000.0) + 0.5)
                 payloads.append(wav_encode_pcm16(x.astype("<i2"), 8000))

@@ -4384,20 +4384,56 @@ multimodal_dhash_neardup.__doc__ = multimodal_dhash_neardup.__doc__.format(
 )
 
 
-@query("multimodal_audio_spectral")
+@query(
+    "multimodal_audio_spectral",
+    oracle="""
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(800 + (doc_id % 5) * 400 AS BIGINT) AS n_samples,
+           CAST(200 + (doc_id % 20) * 20 AS DOUBLE) AS dom_freq_3dp,
+           CAST(200 + (doc_id % 20) * 20 AS DOUBLE) AS centroid_3dp,
+           CAST(200 + (doc_id % 20) * 20 AS DOUBLE) AS rolloff85_3dp
+    FROM documents
+    """,
+)
 def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-domain audio features over the WAV fixture: dominant
     frequency, spectral centroid, 85% rolloff per clip (operators/
     multimodal.py:audio_spectral_batch) — the pitch/timbre layer on
     top of multimodal_wav_features' time-domain pass (RMS, zero
-    crossings). The fixture plants a pure sine per document, so the
-    tests assert the FFT argmax recovers the planted frequency to
-    within one bin (sr/n) — genuine signal recovery, not just
-    plumbing. Rows-only driver entry (an FFT has no SQL oracle), the
-    codec-dependent precedent."""
+    crossings).
+
+    Generator-vs-decoder differential (the dHash discipline): the
+    fixture here uses BIN-ALIGNED clip lengths (n = 800 + (d%5)*400,
+    so f*n/sr is integral for every planted tone), which makes all
+    three published features closed-form — a rectangular window of an
+    exactly periodic sine has zero leakage, so the FFT power argmax,
+    the centroid, and the 85% rolloff all sit exactly on the planted
+    frequency; quantization noise (floor(x+0.5) on amplitude-12000
+    PCM) perturbs each by O(1/(3nA^2)) ~ 1e-11 relative, orders of
+    magnitude inside the 3dp quantizer below. The Spark side still
+    does the REAL work — WAV encode, stdlib decode, numpy rfft — and
+    the oracle knows only the generator's arithmetic, so any decode/
+    FFT/feature defect hash-fails. The spectral-leakage regime
+    (half-integral f*n/sr) stays covered by the within-one-bin pytest
+    over the default fixture (tests/test_multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.synth_wav_media(docs)
-    return multimodal.audio_spectral_batch(media)
+    media = multimodal.synth_wav_media(docs, n_base=800, n_step=400)
+    feats = multimodal.audio_spectral_batch(media)
+
+    def q3(c: str):  # floor(x*1e3+0.5)/1e3 — the engine-exact quantizer
+        return (
+            F.floor(F.col(c) * F.lit(1000.0) + F.lit(0.5)) / F.lit(1000.0)
+        )
+
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        q3("dom_freq_hz").alias("dom_freq_3dp"),
+        q3("centroid_hz").alias("centroid_3dp"),
+        q3("rolloff85_hz").alias("rolloff85_3dp"),
+    )
 
 
 def _clf_cv_oracle(k: int = 5) -> str:

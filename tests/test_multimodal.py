@@ -549,16 +549,19 @@ def test_dhash_neardup_recovers_planted_groups(spark):
 # ------------------------------------------------------- audio spectral
 
 
-def test_audio_spectral_recovers_planted_frequency(spark):
-    """The FFT dominant bin must land within one frequency-resolution
-    step (sr/n) of the planted sine for EVERY clip; centroid and
-    rolloff sit near the tone for a pure sine."""
-    from etl_pipeline_orchestration_spark.plans import registry
+def test_audio_spectral_recovers_planted_frequency_leaky(spark):
+    """Spectral-LEAKAGE regime: the default fixture puts some tones
+    mid-bin (f*n/sr half-integral), where the FFT dominant bin must
+    still land within one frequency-resolution step (sr/n) of the
+    planted sine for EVERY clip; centroid and rolloff sit near the
+    tone for a pure sine. (The registered query uses the bin-aligned
+    fixture and is hash-certified against its closed-form oracle —
+    this test keeps the harder leaky case covered.)"""
+    import etl_pipeline_orchestration_spark.operators.multimodal as mm
+    from etl_pipeline_orchestration_spark.sources.tables import load_table
 
-    registry.load_all()
-    rows = registry.QUERIES["multimodal_audio_spectral"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = mm.audio_spectral_batch(mm.synth_wav_media(docs)).collect()
     assert len(rows) == 500
     for r in rows:
         f = 200 + (r.doc_id % 20) * 20
@@ -569,6 +572,26 @@ def test_audio_spectral_recovers_planted_frequency(spark):
         assert abs(r.rolloff85_hz - f) <= 2 * resolution, (r.doc_id, f)
         assert r.sample_rate == 8000
         assert r.n_samples == 400 + (r.doc_id % 5) * 200
+
+
+def test_audio_spectral_query_is_exact_on_aligned_tones(spark):
+    """The registered query's bin-aligned fixture makes every feature
+    EXACTLY the planted frequency after the 3dp quantizer — the claim
+    its closed-form oracle certifies cross-engine."""
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["multimodal_audio_spectral"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 500
+    for r in rows:
+        f = float(200 + (r.doc_id % 20) * 20)
+        assert r.dom_freq_3dp == f, (r.doc_id, r.dom_freq_3dp, f)
+        assert r.centroid_3dp == f, (r.doc_id, r.centroid_3dp, f)
+        assert r.rolloff85_3dp == f, (r.doc_id, r.rolloff85_3dp, f)
+        assert r.sample_rate == 8000
+        assert r.n_samples == 800 + (r.doc_id % 5) * 400
 
 
 # ---------------------------------------------------------------- VAD --

@@ -31,8 +31,9 @@ JUSTIFICATIONS: dict[str, tuple[str, str]] = {
     # embedding_kmeans_clusters hash-certified r11 (quantized Lloyd +
     # unrolled oracle); multimodal_dhash_neardup hash-certified r11
     # (generator-vs-decoder integer differential)
+    # multimodal_audio_spectral hash-certified r12 (bin-aligned tones
+    # make dom/centroid/rolloff closed-form; generator-vs-decoder)
     "dedup_incremental_candidates": ("test", "tests/test_dedup_similarity.py"),
-    "multimodal_audio_spectral": ("test", "tests/test_multimodal.py"),
     "embedding_outlier_iforest": ("test", "tests/test_iforest.py"),
     "unigram_vocab_pieces": ("test", "tests/test_unigram.py"),
     "unigram_tokenize_stats": ("test", "tests/test_unigram.py"),
