@@ -994,3 +994,109 @@ def boruvka_msf(
     for df in chosen_rounds[1:]:
         out = out.unionAll(df)
     return out.distinct()
+
+
+SPECTRAL_SCALE = 1 << 20
+SPECTRAL_ITERS = 10
+
+
+def spectral_bisection(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iters: int = SPECTRAL_ITERS,
+    scale: int = SPECTRAL_SCALE,
+) -> DataFrame:
+    """(node, v_q, cluster): normalized-cut spectral bipartition
+    (Shi & Malik 2000; public method) by INTEGER-EXACT deflated power
+    iteration on the lazy random walk P' = (I + D^-1 A) / 2 — the
+    twelfth graph-suite member, the spectral counterpart to LPA/
+    k-means/DBSCAN/single-linkage clustering.
+
+    P's top eigenvector is trivial (all-ones, eigenvalue 1); deflating
+    it leaves the second eigenvector — the relaxed normalized-cut
+    indicator whose sign pattern is the classic bipartition. Each
+    round, in exact int64 arithmetic both engines replay bit-for-bit:
+
+        y_u    = sum_{v in N(u)} x_v                 (one arc join)
+        p_u    = trunc((x_u * deg_u + y_u) / (2 deg_u))   [lazy step]
+        mean_q = trunc(sum(deg_u * p_u) / sum(deg_u))     [deflation:
+                 subtract the walk-stationary projection onto 1]
+        x_u    = trunc((p_u - mean_q) * scale / m),
+                 m = max(max_p - mean_q, mean_q - min_p, 1)  [rescale]
+
+    The lazy half-step shifts the spectrum into [0, 1] so the iterate
+    converges to the SECOND-LARGEST eigenvalue's vector (never the
+    most-negative one), and the deterministic start x0 = ((node % 11)
+    - 5) * (scale/5) has a nonzero component on it for any graph that
+    is not adversarially symmetric. Truncating division uses Spark
+    ``div`` semantics; the DuckDB oracle mirrors it with the
+    registry.tdiv_sql guard. Quantization perturbs the direction by
+    O(1/scale) per round — the cluster SIGN is the deliverable, pinned
+    on planted two-community graphs in tests/test_graph.py.
+
+    100 TB shape: one edge-keyed shuffle join + one map-side-combined
+    3-scalar aggregate per round (the pagerank discipline), node
+    relation localCheckpoint'ed per round so plans stay flat; the
+    driver sees 3 scalars per round, never rows.
+
+    Input edges must be canonical (u < v, one row per edge).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    arcs = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = arcs.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    x = deg.select(
+        F.col("u").alias("node"),
+        "deg",
+        (((F.col("u") % 11) - 5) * F.lit(scale // 5))
+        .cast("bigint")
+        .alias("x"),
+    ).localCheckpoint(eager=True)
+    total_deg = x.agg(F.sum("deg")).collect()[0][0]
+    for _ in range(iters):
+        nb = (
+            arcs.join(
+                x.select(F.col("node").alias("v"), F.col("x").alias("xv")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.sum("xv").cast("bigint").alias("y"))
+        )
+        p = (
+            x.join(nb, x["node"] == nb["u"])
+            .select(
+                "node",
+                "deg",
+                F.expr("(x * deg + y) div (2 * deg)").alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        s_row = p.agg(
+            F.sum(F.col("deg") * F.col("p")).alias("s"),
+            F.max("p").alias("mx"),
+            F.min("p").alias("mn"),
+        ).collect()[0]
+        mean_q = _trunc_div_int(int(s_row["s"]), int(total_deg))
+        m = max(int(s_row["mx"]) - mean_q, mean_q - int(s_row["mn"]), 1)
+        x = p.select(
+            "node",
+            "deg",
+            F.expr(f"((p - {mean_q}L) * {scale}L) div {m}L").alias("x"),
+        ).localCheckpoint(eager=True)
+    return x.select(
+        "node",
+        F.col("x").alias("v_q"),
+        (F.col("x") >= 0).cast("int").alias("cluster"),
+    )
+
+
+def _trunc_div_int(a: int, b: int) -> int:
+    """Truncated integer division (toward zero): Spark ``div`` and the
+    oracle's tdiv guard truncate, Python ``//`` floors."""
+    return -((-a) // b) if a < 0 else a // b

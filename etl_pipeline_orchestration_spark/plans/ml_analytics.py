@@ -8377,3 +8377,148 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("noisy_micro"),
         F.lit(1000000).cast("bigint").alias("eps_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral bipartition (deflated quantized power iteration)
+# ---------------------------------------------------------------------------
+
+_SPECTRAL_ITERS = 10
+_SPECTRAL_SCALE = 1 << 20
+
+
+def _spectral_oracle(
+    iters: int = _SPECTRAL_ITERS, scale: int = _SPECTRAL_SCALE
+) -> str:
+    """Unrolled deflated power iteration on the lazy walk — chained
+    per-round CTEs (the _pagerank_oracle discipline), every division a
+    tdiv guard so the arithmetic is floor/trunc-invariant and exactly
+    Spark's ``div``."""
+    steps = []
+    for k in range(1, iters + 1):
+        lazy = tdiv_sql("xp.x * d.deg + nb.y", "2 * d.deg")
+        mean = tdiv_sql(
+            "sum(p.deg * p.p)", "(SELECT dsum FROM dd)"
+        )
+        resc = tdiv_sql(
+            f"(p.p - s.mean_q) * {scale}",
+            "GREATEST(s.mxp - s.mean_q, s.mean_q - s.mnp, 1)",
+        )
+        steps.append(f"""
+    nb{k} AS MATERIALIZED (
+      SELECT a.u, CAST(sum(x.x) AS BIGINT) AS y
+      FROM arcs a JOIN x{k - 1} x ON x.node = a.v GROUP BY a.u
+    ),
+    p{k} AS MATERIALIZED (
+      SELECT d.u AS node, d.deg, CAST({lazy} AS BIGINT) AS p
+      FROM dg d
+      JOIN x{k - 1} xp ON xp.node = d.u
+      JOIN nb{k} nb ON nb.u = d.u
+    ),
+    sc{k} AS MATERIALIZED (
+      SELECT CAST({mean} AS BIGINT) AS mean_q,
+             max(p.p) AS mxp, min(p.p) AS mnp
+      FROM p{k} p
+    ),
+    x{k} AS MATERIALIZED (
+      SELECT p.node, CAST({resc} AS BIGINT) AS x
+      FROM p{k} p, sc{k} s
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    arcs AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL
+      SELECT b, a FROM edges
+    ),
+    dg AS MATERIALIZED (
+      SELECT u, CAST(count(*) AS BIGINT) AS deg FROM arcs GROUP BY u
+    ),
+    dd AS (SELECT CAST(sum(deg) AS BIGINT) AS dsum FROM dg),
+    x0 AS MATERIALIZED (
+      SELECT u AS node,
+             CAST(((u % 11) - 5) * {scale // 5} AS BIGINT) AS x
+      FROM dg
+    ),
+    {chain}
+    SELECT CAST(node AS BIGINT) AS part, CAST(x AS BIGINT) AS v_q,
+           CAST(x >= 0 AS INT) AS cluster
+    FROM x{iters}
+    """
+
+
+@query("spectral_bipartition_parts", oracle=_spectral_oracle())
+def spectral_bipartition_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-cut spectral bipartition of the co-purchase part
+    graph (same >= 2-co-occurrence edge relation as
+    mst_copurchase_parts) — Shi & Malik 2000's relaxation, computed by
+    the INTEGER-EXACT deflated power iteration in
+    operators/graph.py:spectral_bisection: {iters} lazy-walk rounds,
+    walk-stationary deflation of the trivial all-ones eigenvector,
+    max-abs rescale to {scale} ticks, truncating division throughout.
+    Output is the quantized second-eigenvector iterate and its sign
+    bipartition per part.
+
+    Cross-engine claim: every round is exact int64 arithmetic, so the
+    DuckDB oracle unrolls the identical {iters} rounds and must match
+    the iterate VALUE bit-for-bit — not just the signs. Ground truth
+    beyond parity: tests/test_graph.py pins the sign split on planted
+    two-clique graphs against the known community structure and the
+    numpy Fiedler vector.
+
+    100 TB shape: one edge-keyed shuffle join plus one
+    map-side-combined 3-scalar aggregate per round (the pagerank
+    discipline); the driver sees 3 scalars per round. Extends the
+    reference's derive-a-column layer
+    (/root/reference/etl_pipeline.py:192-214) to graph-structure
+    features the way pagerank/harmonic/k-core already do."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        spectral_bisection,
+    )
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    out = spectral_bisection(
+        edges, iters=_SPECTRAL_ITERS, scale=_SPECTRAL_SCALE
+    )
+    return out.select(
+        F.col("node").cast("bigint").alias("part"),
+        F.col("v_q").cast("bigint"),
+        F.col("cluster").cast("int"),
+    )
+
+
+spectral_bipartition_parts.__doc__ = spectral_bipartition_parts.__doc__.format(
+    iters=_SPECTRAL_ITERS, scale=_SPECTRAL_SCALE
+)

@@ -1,4 +1,4 @@
-"""Streaming quality-classifier maintenance — the twenty-first
+"""Streaming quality-classifier maintenance — the twenty-second
 streaming-maintenance member: the trained document-quality classifier
 (operators/classifier.py) kept current as document files land, without
 ever re-scanning the corpus.

@@ -401,3 +401,71 @@ def test_multi_source_bfs_matches_python_replay(spark):
         if h >= 1:
             agg[n] += 1_000_000 // h
     assert agg[5] == h5
+
+
+def test_spectral_bisection_splits_planted_cliques(spark):
+    """Two 6-cliques joined by ONE bridge edge: the normalized-cut
+    relaxation's sign pattern must recover the planted communities
+    exactly, and must agree with the numpy Fiedler-style eigenvector
+    of the same lazy-walk operator (up to global sign)."""
+    import itertools
+
+    import numpy as np
+
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        spectral_bisection,
+    )
+
+    a = list(range(1, 7))
+    b = list(range(101, 107))
+    edges = (
+        [(u, v) for u, v in itertools.combinations(a, 2)]
+        + [(u, v) for u, v in itertools.combinations(b, 2)]
+        + [(6, 101)]  # the bridge
+    )
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        int(r["node"]): (int(r["v_q"]), int(r["cluster"]))
+        for r in spectral_bisection(df).collect()
+    }
+    assert set(got) == set(a) | set(b)
+    ca = {got[n][1] for n in a}
+    cb = {got[n][1] for n in b}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+
+    # numpy ground truth: second eigenvector of the lazy walk
+    nodes = sorted(got)
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[idx[u], idx[v]] = A[idx[v], idx[u]] = 1.0
+    P = (np.eye(n) + A / A.sum(axis=1, keepdims=True)) / 2.0
+    vals, vecs = np.linalg.eig(P)
+    order = np.argsort(-vals.real)
+    fiedler = vecs[:, order[1]].real
+    want_signs = np.sign(fiedler)
+    got_signs = np.array(
+        [1.0 if got[nodes[i]][0] >= 0 else -1.0 for i in range(n)]
+    )
+    agree = float(np.mean(got_signs == want_signs))
+    assert agree in (0.0, 1.0), f"partial sign agreement {agree}"
+
+
+def test_spectral_bisection_splits_disconnected_components(spark):
+    """Two disjoint triangles: after deflating the stationary
+    projection, the iterate is constant per component with opposite
+    signs — the lambda-2 = 1 case."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        spectral_bisection,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3), (11, 12), (12, 13), (11, 13)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        int(r["node"]): int(r["cluster"])
+        for r in spectral_bisection(df).collect()
+    }
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[11], got[12], got[13]}) == 1
+    assert got[1] != got[11]
