@@ -1100,3 +1100,61 @@ def _trunc_div_int(a: int, b: int) -> int:
     """Truncated integer division (toward zero): Spark ``div`` and the
     oracle's tdiv guard truncate, Python ``//`` floors."""
     return -((-a) // b) if a < 0 else a // b
+
+
+WALK_COIN_M = 1 << 31
+WALK_COIN_A = 1103515245
+WALK_COIN_C = 1566083941
+WALK_COIN_B = 12345
+
+
+def deterministic_walks(
+    arcs: DataFrame, steps: int, src: str = "u", dst: str = "v"
+) -> DataFrame:
+    """(walk_id, step, node): one walk per distinct source node, moved
+    ``steps`` times — the DeepWalk corpus-generation primitive
+    (Perozzi 2014; public method) made engine-replayable: at each step
+    the walker takes the neighbor minimizing a deterministic LCG-style
+    coin over (walk_id, step, neighbor), tie to the lowest neighbor id,
+    instead of an RNG draw. Coins are built mod 2^31 with every factor
+    < 2^31, so no intermediate exceeds 2^62 — exact int64 on both
+    engines, no ANSI overflow. A graph-shaped corpus like this feeds
+    skip-gram embedding training exactly as token windows do for text.
+
+    Each step is ONE edge-keyed join plus a per-walk min_by — walker
+    state is node-sized, never materializing neighborhoods. Walks from
+    every node is the standard DeepWalk setting (r walks/node folds in
+    by salting walk_id; one suffices for the deterministic variant).
+
+    ``arcs`` must be the symmetric arc relation (both directions
+    present; every node has out-degree >= 1)."""
+    a = arcs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    cur = a.select(F.col("u").alias("walk_id")).distinct().select(
+        "walk_id", F.col("walk_id").alias("node")
+    ).localCheckpoint(eager=True)
+    frames = [cur.select("walk_id", F.lit(0).alias("step"), "node")]
+    for t in range(1, steps + 1):
+        coin = (
+            (F.col("walk_id") % WALK_COIN_M) * WALK_COIN_A % WALK_COIN_M
+            + F.lit((t * WALK_COIN_B) % WALK_COIN_M)
+            + (F.col("v") % WALK_COIN_M) * WALK_COIN_C % WALK_COIN_M
+        ) % WALK_COIN_M
+        cur = (
+            cur.join(a, cur["node"] == a["u"])
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    "v", F.struct(coin.alias("c"), F.col("v").alias("v"))
+                ).alias("node")
+            )
+            .localCheckpoint(eager=True)
+        )
+        frames.append(
+            cur.select("walk_id", F.lit(t).alias("step"), "node")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "walk_id", F.col("step").cast("int").alias("step"), "node"
+    )

@@ -8522,3 +8522,164 @@ def spectral_bipartition_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 spectral_bipartition_parts.__doc__ = spectral_bipartition_parts.__doc__.format(
     iters=_SPECTRAL_ITERS, scale=_SPECTRAL_SCALE
 )
+
+
+# ---------------------------------------------------------------------------
+# DeepWalk skip-gram pair corpus (deterministic random walks)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 8
+_WALK_WINDOW = 2
+
+
+def _deepwalk_oracle(
+    steps: int = _WALK_STEPS, window: int = _WALK_WINDOW
+) -> str:
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        WALK_COIN_A,
+        WALK_COIN_B,
+        WALK_COIN_C,
+        WALK_COIN_M,
+    )
+
+    frames = ["SELECT walk_id, 0 AS step, cur AS node FROM wk0"]
+    chain = []
+    for t in range(1, steps + 1):
+        coin = (
+            f"(((c.walk_id % {WALK_COIN_M}) * {WALK_COIN_A})"
+            f" % {WALK_COIN_M}"
+            f" + {(t * WALK_COIN_B) % WALK_COIN_M}"
+            f" + ((a.v % {WALK_COIN_M}) * {WALK_COIN_C})"
+            f" % {WALK_COIN_M}) % {WALK_COIN_M}"
+        )
+        chain.append(f"""
+    wk{t} AS MATERIALIZED (
+      SELECT walk_id, v AS cur FROM (
+        SELECT c.walk_id, a.v,
+               row_number() OVER (PARTITION BY c.walk_id
+                                  ORDER BY {coin}, a.v) AS rn
+        FROM wk{t - 1} c JOIN arcs a ON a.u = c.cur
+      ) WHERE rn = 1
+    )""")
+        frames.append(
+            f"SELECT walk_id, {t} AS step, cur AS node FROM wk{t}"
+        )
+    traj = "\n      UNION ALL ".join(frames)
+    return f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS MATERIALIZED (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    arcs AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL
+      SELECT b, a FROM edges
+    ),
+    wk0 AS MATERIALIZED (
+      SELECT u AS walk_id, u AS cur FROM (SELECT DISTINCT u FROM arcs)
+    ),
+    {",".join(chain)},
+    traj AS MATERIALIZED (
+      {traj}
+    )
+    SELECT CAST(a.node AS BIGINT) AS part_a,
+           CAST(b.node AS BIGINT) AS part_b,
+           CAST(count(*) AS BIGINT) AS n
+    FROM traj a JOIN traj b
+      ON a.walk_id = b.walk_id
+     AND b.step > a.step AND b.step <= a.step + {window}
+    GROUP BY 1, 2
+    """
+
+
+@query("deepwalk_skipgram_pairs", oracle=_deepwalk_oracle())
+def deepwalk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair corpus from DETERMINISTIC random walks
+    over the co-purchase part graph (DeepWalk, Perozzi 2014; the
+    graph-embedding analogue of token-window pair extraction, and the
+    step that turns a graph into TRAINING DATA for an embedding
+    model). One walk per node, {steps} steps
+    (operators/graph.py:deterministic_walks): each step the walker
+    takes the neighbor minimizing an LCG-style integer coin over
+    (walk_id, step, neighbor) — engine-replayable where an RNG draw
+    is not — then (center, context) pairs within a {window}-step
+    forward window aggregate to exact counts.
+
+    Cross-engine claim: walks are pure integer argmins (coins mod 2^31
+    with bounded factors; ties to the lowest neighbor id), so the
+    DuckDB oracle replays every trajectory node-for-node and the pair
+    counts match bit-for-bit.
+
+    100 TB shape: walker state is (node-count x 2) ints; each step is
+    one edge-keyed shuffle join + a per-walk min_by (map-side
+    combinable). The pair self-join runs on the trajectory relation —
+    (steps+1) rows per walk, never the edge set — and the output is
+    vocabulary-pair-bounded. r walks per node = salt walk_id; window
+    and steps are the standard DeepWalk knobs."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        deterministic_walks,
+    )
+
+    sets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice("parts", i + 2, F.size("parts")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    edges = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
+    )
+    arcs = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    traj = deterministic_walks(arcs, steps=_WALK_STEPS)
+    a = traj.select(
+        F.col("walk_id").alias("w"),
+        F.col("step").alias("sa"),
+        F.col("node").alias("part_a"),
+    )
+    b = traj.select(
+        F.col("walk_id").alias("w"),
+        F.col("step").alias("sb"),
+        F.col("node").alias("part_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a["w"] == b["w"])
+            & (b["sb"] > a["sa"])
+            & (b["sb"] <= a["sa"] + _WALK_WINDOW),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("part_a").cast("bigint"),
+            F.col("part_b").cast("bigint"),
+            "n",
+        )
+    )
+
+
+deepwalk_skipgram_pairs.__doc__ = deepwalk_skipgram_pairs.__doc__.format(
+    steps=_WALK_STEPS, window=_WALK_WINDOW
+)

@@ -469,3 +469,44 @@ def test_spectral_bisection_splits_disconnected_components(spark):
     assert len({got[1], got[2], got[3]}) == 1
     assert len({got[11], got[12], got[13]}) == 1
     assert got[1] != got[11]
+
+
+def test_deterministic_walks_match_python_replay(spark):
+    """Every trajectory must equal an independent python replay of the
+    coin-argmin walk rule on the same arc set — ground truth beyond
+    cross-engine parity — and every consecutive pair must be a real
+    arc."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        WALK_COIN_A,
+        WALK_COIN_B,
+        WALK_COIN_C,
+        WALK_COIN_M,
+        deterministic_walks,
+    )
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 5), (5, 6)]
+    arcs = edges + [(v, u) for u, v in edges]
+    df = spark.createDataFrame(arcs, "u long, v long")
+    steps = 6
+    got = {}
+    for r in deterministic_walks(df, steps=steps).collect():
+        got[(int(r["walk_id"]), int(r["step"]))] = int(r["node"])
+
+    nbrs: dict[int, list[int]] = {}
+    for u, v in arcs:
+        nbrs.setdefault(u, []).append(v)
+
+    def coin(w, t, v):
+        return (
+            (w % WALK_COIN_M) * WALK_COIN_A % WALK_COIN_M
+            + (t * WALK_COIN_B) % WALK_COIN_M
+            + (v % WALK_COIN_M) * WALK_COIN_C % WALK_COIN_M
+        ) % WALK_COIN_M
+
+    for start in nbrs:
+        cur = start
+        assert got[(start, 0)] == start
+        for t in range(1, steps + 1):
+            cur = min(nbrs[cur], key=lambda v: (coin(start, t, v), v))
+            assert got[(start, t)] == cur, (start, t)
+    assert len(got) == len(nbrs) * (steps + 1)
