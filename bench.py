@@ -256,6 +256,9 @@ HEADLINE = [
     "logrank_reorder_gaps_ab",
     "rdd_balance_cutoff_revenue",
     "nelson_aalen_reorder_gaps",
+    # round 12
+    "spectral_bipartition_parts",
+    "deepwalk_skipgram_pairs",
 ]
 
 

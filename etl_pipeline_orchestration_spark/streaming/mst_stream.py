@@ -38,6 +38,8 @@ __all__ = [
     "stream_baskets_to_warehouse",
     "copurchase_edges_of",
     "published_msf",
+    "published_spectral_bipartition",
+    "published_deepwalk_pairs",
 ]
 
 
@@ -70,3 +72,66 @@ def published_msf(spark, snaps: SnapshotTable) -> DataFrame:
     """The spanning forest re-derived from the maintained baskets —
     identical (w, u, v) total order to the batch path."""
     return boruvka_msf(copurchase_edges_of(snaps.read()))
+
+
+def published_spectral_bipartition(spark, snaps: SnapshotTable) -> DataFrame:
+    """Normalized-cut spectral bipartition re-derived from the
+    maintained baskets — same unweighted >= 2-co-occurrence edge
+    relation, same integer deflated power iteration as the batch query
+    (plans/ml_analytics.spectral_bipartition_parts), so the published
+    (part, v_q, cluster) rows equal a from-scratch batch run
+    bit-for-bit. A third consumer of member #21's basket statistic
+    (forest, single-linkage, spectral) — one maintained state, many
+    graph products."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        spectral_bisection,
+    )
+
+    e = copurchase_edges_of(snaps.read()).select("u", "v")
+    out = spectral_bisection(e)
+    return out.select(
+        F.col("node").cast("bigint").alias("part"),
+        F.col("v_q").cast("bigint"),
+        F.col("cluster").cast("int"),
+    )
+
+
+def published_deepwalk_pairs(spark, snaps: SnapshotTable) -> DataFrame:
+    """DeepWalk skip-gram pair counts re-derived from the maintained
+    baskets — same deterministic coin-argmin walks as the batch query
+    (plans/ml_analytics.deepwalk_skipgram_pairs); walks are NOT
+    incrementally maintainable (one new edge can reroute any
+    trajectory from its insertion step onward), so this rides the
+    re-derive-at-read discipline like the forest does."""
+    from etl_pipeline_orchestration_spark.operators.graph import (
+        deterministic_walks,
+    )
+
+    e = copurchase_edges_of(snaps.read()).select("u", "v")
+    arcs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    traj = deterministic_walks(arcs, steps=8)
+    a = traj.select(
+        F.col("walk_id").alias("w"),
+        F.col("step").alias("sa"),
+        F.col("node").alias("part_a"),
+    )
+    b = traj.select(
+        F.col("walk_id").alias("w"),
+        F.col("step").alias("sb"),
+        F.col("node").alias("part_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a["w"] == b["w"])
+            & (b["sb"] > a["sa"])
+            & (b["sb"] <= a["sa"] + 2),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("part_a").cast("bigint"),
+            F.col("part_b").cast("bigint"),
+            "n",
+        )
+    )

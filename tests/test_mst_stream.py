@@ -69,3 +69,24 @@ def test_published_forest_equals_batch(spark, tmp_path_factory, tmp_path, order)
     got = _rows(published_msf(spark, snaps))
     assert got == want
     assert len(got) > 50
+
+
+@pytest.mark.parametrize("order", [(0, 1, 2, 3), (2, 0, 3, 1)])
+def test_published_spectral_and_walks_equal_batch(
+    spark, tmp_path_factory, tmp_path, order
+):
+    """The basket statistic serves every graph product: spectral
+    bipartition and DeepWalk pair counts re-derived from streamed
+    baskets must equal their one-shot batch queries bit-for-bit under
+    both arrival orders."""
+    from etl_pipeline_orchestration_spark.streaming.mst_stream import (
+        published_deepwalk_pairs,
+        published_spectral_bipartition,
+    )
+
+    li_dir = _chunked_li_dir(tmp_path_factory, order)
+    snaps = _drain(spark, li_dir, tmp_path)
+    want_spec = _rows(registry.QUERIES["spectral_bipartition_parts"](spark, SF))
+    assert _rows(published_spectral_bipartition(spark, snaps)) == want_spec
+    want_walks = _rows(registry.QUERIES["deepwalk_skipgram_pairs"](spark, SF))
+    assert _rows(published_deepwalk_pairs(spark, snaps)) == want_walks
