@@ -259,6 +259,7 @@ HEADLINE = [
     # round 12
     "spectral_bipartition_parts",
     "deepwalk_skipgram_pairs",
+    "suffix_array_ranks_docs",
 ]
 
 

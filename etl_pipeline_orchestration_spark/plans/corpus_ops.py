@@ -4558,3 +4558,168 @@ def pii_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         for row in aggs:
             out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed suffix array by prefix doubling (Manber-Myers)
+# ---------------------------------------------------------------------------
+
+_SA_ROUNDS = 7  # prefixes of length 2^7 = 128 > the 100-token doc cap
+# gid = doc_id * stride + idx. The stride must leave headroom for the
+# LARGEST shift: a round joins gid + 2^(rounds-1), and idx + shift must
+# stay inside the document's block or the lookup ALIASES into the next
+# document's positions (caught by the python suffix-sort ground-truth
+# test — the cross-engine hash alone could not see it, both engines
+# shared the bug).
+_SA_STRIDE = 256  # >= doc cap (128) + max shift (64)
+
+
+def _suffix_array_oracle(rounds: int = _SA_ROUNDS) -> str:
+    chain = []
+    prev = "r0"
+    for t in range(rounds):
+        k = 1 << t
+        chain.append(f"""
+    r{t + 1} AS MATERIALIZED (
+      SELECT a.gid, a.doc_id, a.idx,
+             dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0)) AS r
+      FROM {prev} a LEFT JOIN {prev} b ON b.gid = a.gid + {k}
+    )""")
+        prev = f"r{t + 1}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+      FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, i.i - 1 AS idx,
+             doc_id * {_SA_STRIDE} + i.i - 1 AS gid, ts[i.i] AS tk
+      FROM toks, (SELECT unnest(range(1, {_SA_STRIDE + 1})) AS i) i
+      WHERE i.i <= len(ts)
+    ),
+    r0 AS MATERIALIZED (
+      SELECT gid, doc_id, idx, dense_rank() OVER (ORDER BY tk) AS r
+      FROM tok
+    ),
+    {",".join(chain)}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(idx AS BIGINT) AS pos,
+           CAST(r AS BIGINT) AS suffix_rank
+    FROM {prev}
+    """
+
+
+@query("suffix_array_ranks_docs", oracle=_suffix_array_oracle())
+def suffix_array_ranks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED suffix array of the tokenized corpus by prefix
+    doubling (Manber & Myers 1990; the index behind ExactSubstr dedup,
+    Lee et al. 2022) — every (doc, position) gets the dense
+    lexicographic rank of its token suffix, {rounds} doubling rounds
+    comparing prefixes of length 2^{rounds} >= the document cap.
+    Suffixes are document-bounded (position gid+k exists only within
+    the document, so past-the-end compares as rank 0 — lower than any
+    real rank), and EQUAL suffixes get EQUAL ranks: rank collisions
+    after the final round are exactly the repeated token spans
+    substring dedup mines.
+
+    Round arithmetic both engines replay bit-for-bit: rank_0 = dense
+    rank of the token string (binary UTF-8 order on both engines);
+    rank_{{t+1}} = dense rank of the pair (rank_t[i], rank_t[i+2^t]).
+    The Spark side computes each dense rank WITHOUT a global window:
+    distinct pairs -> bucket by the rank-1 projection (a monotone
+    coarsening of the pair order) -> per-bucket row_number + exclusive
+    bucket offsets (plans/scale_primitives.assign_contiguous_ids_ordered,
+    the global_contiguous_ids discipline) -> broadcast-join the B-row
+    offset relation and join ranks back on the pair. The only
+    single-partition step anywhere is the B-row bucket prefix sum.
+
+    100 TB shape: log(doc cap) rounds, each a shifted self-join on gid
+    (hash-partitioned), a distinct at PAIR cardinality, and the
+    bucketed rank machinery — never a corpus-wide sorted window; state
+    is one (gid, rank) relation, localCheckpoint'ed per round. The
+    gid packing (doc_id * {stride} + idx) bounds documents at {stride}
+    tokens — the loader guard raises past it (callers shard longer
+    docs the way ExactSubstr shards its corpus)."""
+    from etl_pipeline_orchestration_spark.plans.scale_primitives import (
+        assign_contiguous_ids_ordered,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "idx", "tk"
+        ),
+    )
+    maxlen = tok.agg(F.max("idx")).first()[0] + 1
+    if (
+        maxlen + (1 << (_SA_ROUNDS - 1)) > _SA_STRIDE
+        or (1 << _SA_ROUNDS) < maxlen
+    ):
+        raise ValueError(
+            f"suffix_array_ranks_docs: document of {maxlen} tokens exceeds "
+            f"the {_SA_STRIDE}-token packing/round budget (stride must "
+            "cover doc length + the largest 2^(rounds-1) shift) — raise "
+            "_SA_STRIDE/_SA_ROUNDS and the oracle's unroll together"
+        )
+    tok = tok.select(
+        "doc_id",
+        "idx",
+        (F.col("doc_id") * _SA_STRIDE + F.col("idx")).alias("gid"),
+        "tk",
+    ).localCheckpoint(eager=True)
+
+    # rank_0: dense lexicographic rank of the token string, via ordered
+    # contiguous ids over the DISTINCT vocabulary. Projection: first 7
+    # chars packed base-257 with codepoints clamped at 256 — monotone
+    # for any UTF-8 text (UTF-8 byte order == codepoint order), equal
+    # strings project equal.
+    vocab = tok.select("tk").distinct()
+    proj = F.expr(
+        "aggregate(transform(sequence(1, 7),"
+        " i -> least(coalesce(ascii(substring(tk, i, 1)), -1) + 1, 256)),"
+        " 0L, (acc, d) -> acc * 257L + d)"
+    )
+    vr = assign_contiguous_ids_ordered(
+        vocab, ["tk"], proj, id_col="vid"
+    ).select("tk", (F.col("vid") + 1).alias("r"))
+    ranks = tok.join(vr, "tk").select(
+        "gid", "doc_id", "idx", "r"
+    ).localCheckpoint(eager=True)
+
+    for t in range(_SA_ROUNDS):
+        k = 1 << t
+        nxt = ranks.select(
+            (F.col("gid") - k).alias("gid_l"), F.col("r").alias("r2")
+        )
+        pairs = (
+            ranks.join(nxt, ranks["gid"] == nxt["gid_l"], "left")
+            .select(
+                "gid",
+                "doc_id",
+                "idx",
+                F.col("r").alias("r1"),
+                F.coalesce("r2", F.lit(0)).cast("bigint").alias("r2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dr = assign_contiguous_ids_ordered(
+            pairs.select("r1", "r2").distinct(),
+            ["r1", "r2"],
+            F.col("r1"),
+            id_col="nid",
+        ).select("r1", "r2", (F.col("nid") + 1).alias("nr"))
+        ranks = (
+            pairs.join(dr, ["r1", "r2"])
+            .select("gid", "doc_id", "idx", F.col("nr").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("idx").cast("bigint").alias("pos"),
+        F.col("r").cast("bigint").alias("suffix_rank"),
+    )
+
+
+suffix_array_ranks_docs.__doc__ = suffix_array_ranks_docs.__doc__.format(
+    rounds=_SA_ROUNDS, stride=_SA_STRIDE
+)

@@ -74,27 +74,34 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ID_BUCKETS = 32
 
 
-def assign_contiguous_ids(
+def assign_contiguous_ids_ordered(
     df: DataFrame,
-    key_col: str,
+    order_cols: list[str],
+    proj: F.Column,
     n_buckets: int = _ID_BUCKETS,
     id_col: str = "global_id",
 ) -> DataFrame:
-    """Contiguous 0..n-1 ids in ``key_col`` order (keys must be unique
-    numerics) without a global single-partition window. Plan shape:
-    (1) approx_percentile samples B-1 boundary values (one scalar-sized
-    collect); (2) a codegen'd fold over the literal boundary array
-    assigns each row its bucket; (3) per-bucket counts shuffle B rows;
-    (4) the exclusive prefix sum over those B rows is the only
-    single-partition step (B rows); (5) a broadcast join attaches
-    offsets and a window PARTITIONED BY BUCKET (parallel across
-    buckets, each a bounded key range) adds the local row_number. At
-    10^12 rows every stage stays bounded: no task ever sees more than
-    one bucket's rows. Correct for ANY boundary placement (monotone
-    bucketing + exact offsets); boundaries only balance the work."""
+    """Contiguous 0..n-1 ids in ``order_cols`` lexicographic order
+    (rows must be unique under that order) without a global
+    single-partition window. ``proj`` is any NUMERIC, MONOTONE
+    COARSENING of the order (equal-order rows must project equal;
+    order must never invert) — it exists only to bucket the work; the
+    within-bucket sort uses the true ``order_cols``. Plan shape:
+    (1) approx_percentile samples B-1 boundary values of ``proj`` (one
+    scalar-sized collect); (2) a codegen'd fold over the literal
+    boundary array assigns each row its bucket; (3) per-bucket counts
+    shuffle B rows; (4) the exclusive prefix sum over those B rows is
+    the only single-partition step (B rows); (5) a broadcast join
+    attaches offsets and a window PARTITIONED BY BUCKET (parallel
+    across buckets, each a bounded range) adds the local row_number.
+    At 10^12 rows every stage stays bounded: no task ever sees more
+    than one bucket's rows. Correct for ANY boundary placement
+    (monotone bucketing + exact offsets); boundaries only balance the
+    work, and a coarse ``proj`` (heavy duplication) only skews it."""
     fracs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
-    bounds = df.agg(
-        F.expr(f"approx_percentile({key_col}, array({fracs}), 10000)")
+    with_p = df.withColumn("__proj", proj)
+    bounds = with_p.agg(
+        F.expr(f"approx_percentile(__proj, array({fracs}), 10000)")
     ).first()[0]
     # Distinct boundaries only (duplicate quantiles on skewed keys
     # would create empty buckets — harmless, but smaller literals win).
@@ -103,9 +110,9 @@ def assign_contiguous_ids(
     bucket = F.aggregate(
         barr,
         F.lit(0),
-        lambda acc, b: acc + F.when(F.col(key_col) > b, 1).otherwise(0),
+        lambda acc, b: acc + F.when(F.col("__proj") > b, 1).otherwise(0),
     )
-    with_b = df.withColumn("__bucket", bucket)
+    with_b = with_p.withColumn("__bucket", bucket)
     counts = with_b.groupBy("__bucket").agg(
         F.count(F.lit(1)).alias("__n_rows")
     )
@@ -118,7 +125,7 @@ def assign_contiguous_ids(
         "__bucket",
         F.coalesce(F.sum("__n_rows").over(w_off), F.lit(0)).alias("__offset"),
     )
-    w_local = Window.partitionBy("__bucket").orderBy(key_col)
+    w_local = Window.partitionBy("__bucket").orderBy(*order_cols)
     return (
         with_b.join(F.broadcast(offsets), "__bucket")
         .select(
@@ -127,6 +134,20 @@ def assign_contiguous_ids(
                 F.col("__offset") + F.row_number().over(w_local) - 1
             ).cast("bigint").alias(id_col),
         )
+    )
+
+
+def assign_contiguous_ids(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = _ID_BUCKETS,
+    id_col: str = "global_id",
+) -> DataFrame:
+    """Contiguous 0..n-1 ids in ``key_col`` order (keys must be unique
+    numerics) — see ``assign_contiguous_ids_ordered`` for the
+    distributed plan shape (here the key is its own projection)."""
+    return assign_contiguous_ids_ordered(
+        df, [key_col], F.col(key_col), n_buckets=n_buckets, id_col=id_col
     )
 
 

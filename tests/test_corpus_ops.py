@@ -1243,3 +1243,41 @@ def test_line_level_dedup_matches_independent_python(spark):
     # non-vacuous: the synthetic corpus plants near-duplicate docs, so
     # cross-document repeated segments must exist and be removed
     assert removed_total > 0
+
+
+def test_suffix_array_ranks_match_python_suffix_sort(spark):
+    """Ground truth beyond cross-engine parity: the published rank of
+    every (doc, pos) must equal the dense rank of its token suffix
+    under python's tuple sort (UTF-8 lexicographic, suffixes
+    document-bounded; equal suffixes share a rank)."""
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    got = {
+        (int(r["doc_id"]), int(r["pos"])): int(r["suffix_rank"])
+        for r in registry.QUERIES["suffix_array_ranks_docs"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT doc_id, string_split_regex(trim(text), '\\s+') FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    suffixes = []
+    for doc_id, toks in rows:
+        for i in range(len(toks)):
+            suffixes.append((tuple(toks[i:]), int(doc_id), i))
+    suffixes.sort(key=lambda s: s[0])
+    want = {}
+    rank = 0
+    prev = None
+    for suf, doc_id, i in suffixes:
+        if suf != prev:
+            rank += 1
+            prev = suf
+        want[(doc_id, i)] = rank
+    assert len(got) == len(want)
+    assert got == want
