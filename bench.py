@@ -260,6 +260,7 @@ HEADLINE = [
     "spectral_bipartition_parts",
     "deepwalk_skipgram_pairs",
     "suffix_array_ranks_docs",
+    "repeated_ngram_spans_report",
 ]
 
 

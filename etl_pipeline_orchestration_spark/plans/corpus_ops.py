@@ -4639,11 +4639,34 @@ def suffix_array_ranks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gid packing (doc_id * {stride} + idx) bounds documents at {stride}
     tokens — the loader guard raises past it (callers shard longer
     docs the way ExactSubstr shards its corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    maxlen = docs.agg(
+        F.max(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    ).first()[0]
+    if (1 << _SA_ROUNDS) < maxlen:
+        raise ValueError(
+            f"suffix_array_ranks_docs: {maxlen}-token document exceeds "
+            f"the 2^{_SA_ROUNDS} full-distinction budget — raise "
+            "_SA_ROUNDS and the oracle's unroll together"
+        )
+    ranks = suffix_rank_frame(docs, _SA_ROUNDS)
+    return ranks.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("idx").cast("bigint").alias("pos"),
+        F.col("r").cast("bigint").alias("suffix_rank"),
+    )
+
+
+def suffix_rank_frame(docs: DataFrame, rounds: int) -> DataFrame:
+    """(gid, doc_id, idx, r): token-suffix dense ranks after ``rounds``
+    doubling rounds (prefixes of length 2^rounds compared) — the
+    prefix-doubling core shared by the full suffix array and its
+    repeated-n-gram consumers. See suffix_array_ranks_docs for the
+    plan-shape discussion."""
     from etl_pipeline_orchestration_spark.plans.scale_primitives import (
         assign_contiguous_ids_ordered,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
@@ -4651,15 +4674,14 @@ def suffix_array_ranks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     maxlen = tok.agg(F.max("idx")).first()[0] + 1
-    if (
-        maxlen + (1 << (_SA_ROUNDS - 1)) > _SA_STRIDE
-        or (1 << _SA_ROUNDS) < maxlen
-    ):
+    # Deliberately partial comparisons (an n-gram report at small
+    # ``rounds``) are fine; the ALIASING bound is the hard one.
+    if maxlen + (1 << (rounds - 1)) > _SA_STRIDE:
         raise ValueError(
-            f"suffix_array_ranks_docs: document of {maxlen} tokens exceeds "
-            f"the {_SA_STRIDE}-token packing/round budget (stride must "
+            f"suffix_rank_frame: document of {maxlen} tokens exceeds "
+            f"the {_SA_STRIDE}-token packing budget (stride must "
             "cover doc length + the largest 2^(rounds-1) shift) — raise "
-            "_SA_STRIDE/_SA_ROUNDS and the oracle's unroll together"
+            "_SA_STRIDE and the oracle's unroll together"
         )
     tok = tok.select(
         "doc_id",
@@ -4686,7 +4708,7 @@ def suffix_array_ranks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid", "doc_id", "idx", "r"
     ).localCheckpoint(eager=True)
 
-    for t in range(_SA_ROUNDS):
+    for t in range(rounds):
         k = 1 << t
         nxt = ranks.select(
             (F.col("gid") - k).alias("gid_l"), F.col("r").alias("r2")
@@ -4713,13 +4735,143 @@ def suffix_array_ranks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("gid", "doc_id", "idx", F.col("nr").alias("r"))
             .localCheckpoint(eager=True)
         )
-    return ranks.select(
-        F.col("doc_id").cast("bigint"),
-        F.col("idx").cast("bigint").alias("pos"),
-        F.col("r").cast("bigint").alias("suffix_rank"),
-    )
+    return ranks
 
 
 suffix_array_ranks_docs.__doc__ = suffix_array_ranks_docs.__doc__.format(
     rounds=_SA_ROUNDS, stride=_SA_STRIDE
+)
+
+
+_NGRAM_ROUNDS = 4  # 2^4 = 16-token grams
+_NGRAM_TOPK = 20
+
+
+def _repeated_ngram_oracle(
+    rounds: int = _NGRAM_ROUNDS, topk: int = _NGRAM_TOPK
+) -> str:
+    n = 1 << rounds
+    chain = []
+    prev = "r0"
+    for t in range(rounds):
+        k = 1 << t
+        chain.append(f"""
+    r{t + 1} AS MATERIALIZED (
+      SELECT a.gid, a.doc_id, a.idx,
+             dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0)) AS r
+      FROM {prev} a LEFT JOIN {prev} b ON b.gid = a.gid + {k}
+    )""")
+        prev = f"r{t + 1}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+      FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, i.i - 1 AS idx,
+             doc_id * {_SA_STRIDE} + i.i - 1 AS gid, ts[i.i] AS tk
+      FROM toks, (SELECT unnest(range(1, {_SA_STRIDE + 1})) AS i) i
+      WHERE i.i <= len(ts)
+    ),
+    r0 AS MATERIALIZED (
+      SELECT gid, doc_id, idx, dense_rank() OVER (ORDER BY tk) AS r
+      FROM tok
+    ),
+    {",".join(chain)},
+    full_spans AS (
+      SELECT f.gid, f.doc_id, f.idx, f.r
+      FROM {prev} f JOIN toks t ON t.doc_id = f.doc_id
+      WHERE f.idx + {n} <= len(t.ts)
+    ),
+    groups AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             min(gid) AS min_gid
+      FROM full_spans GROUP BY r HAVING count(*) >= 2
+    ),
+    named AS (
+      SELECT g.n_occurrences, g.n_docs,
+             CAST(g.min_gid // {_SA_STRIDE} AS BIGINT) AS doc_id,
+             CAST(g.min_gid % {_SA_STRIDE} AS BIGINT) AS pos,
+             array_to_string(
+               t.ts[(g.min_gid % {_SA_STRIDE}) + 1
+                    : (g.min_gid % {_SA_STRIDE}) + {n}], ' ') AS gram
+      FROM groups g
+      JOIN toks t ON t.doc_id = g.min_gid // {_SA_STRIDE}
+    )
+    SELECT gram, n_occurrences, n_docs, doc_id, pos
+    FROM named
+    ORDER BY n_occurrences DESC, gram
+    LIMIT {topk}
+    """
+
+
+@query("repeated_ngram_spans_report", oracle=_repeated_ngram_oracle())
+def repeated_ngram_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{topk} most-repeated {n}-token grams in the corpus — the
+    boilerplate/memorization report an ExactSubstr-style pass starts
+    from, read straight off the suffix-rank structure: after
+    {rounds} doubling rounds a rank ties exactly the positions whose
+    next {n} tokens agree, so 'repeated {n}-grams' is ONE group-by over
+    the rank frame (positions with at least {n} tokens remaining) —
+    no n-gram shingle explosion, no hash collisions to verify, the
+    suffix-array payoff. Emits the gram text (from the group's minimum
+    position), its occurrence and document counts.
+
+    Same engine-exact round arithmetic as suffix_array_ranks_docs
+    (suffix_rank_frame); ordering is (count desc, gram asc) — distinct
+    groups have distinct grams, so the top-{topk} cut is deterministic
+    on both engines."""
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        suffix_rank_frame,
+    )
+
+    n = 1 << _NGRAM_ROUNDS
+    docs = load_table(spark, sf_dir, "documents")
+    ranks = suffix_rank_frame(docs, _NGRAM_ROUNDS)
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    spans = ranks.join(lens, "doc_id").filter(
+        F.col("idx") + n <= F.col("n_tokens")
+    )
+    groups = (
+        spans.groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("gid").alias("min_gid"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+    named = (
+        groups.withColumn(
+            "doc_id", F.expr(f"min_gid div {_SA_STRIDE}L")
+        )
+        .withColumn("pos", (F.col("min_gid") % _SA_STRIDE).cast("bigint"))
+        .join(
+            docs.select(
+                "doc_id",
+                F.split(F.trim(F.col("text")), r"\s+").alias("ts"),
+            ),
+            "doc_id",
+        )
+        .select(
+            F.array_join(
+                F.slice(F.col("ts"), (F.col("pos") + 1).cast("int"), n), " "
+            ).alias("gram"),
+            "n_occurrences",
+            "n_docs",
+            F.col("doc_id").cast("bigint"),
+            F.col("pos"),
+        )
+    )
+    return named.orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    ).limit(_NGRAM_TOPK)
+
+
+repeated_ngram_spans_report.__doc__ = repeated_ngram_spans_report.__doc__.format(
+    rounds=_NGRAM_ROUNDS, n=1 << _NGRAM_ROUNDS, topk=_NGRAM_TOPK
 )

@@ -1281,3 +1281,43 @@ def test_suffix_array_ranks_match_python_suffix_sort(spark):
         want[(doc_id, i)] = rank
     assert len(got) == len(want)
     assert got == want
+
+
+def test_repeated_ngram_report_matches_direct_counts(spark):
+    """Independent ground truth: the report's (gram, counts) rows must
+    equal a direct python 16-gram count over the corpus — no suffix
+    machinery involved."""
+    from collections import Counter
+
+    import duckdb
+
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    got = [
+        (r["gram"], int(r["n_occurrences"]), int(r["n_docs"]))
+        for r in registry.QUERIES["repeated_ngram_spans_report"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    ]
+
+    rows = duckdb.sql(
+        "SELECT doc_id, string_split_regex(trim(text), '\\s+') FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    occ = Counter()
+    docs_of = {}
+    for doc_id, toks in rows:
+        for i in range(len(toks) - 16 + 1):
+            g = " ".join(toks[i : i + 16])
+            occ[g] += 1
+            docs_of.setdefault(g, set()).add(doc_id)
+    want = sorted(
+        (
+            (g, c, len(docs_of[g]))
+            for g, c in occ.items()
+            if c >= 2
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    assert [(g, c, d) for g, c, d in want] == got

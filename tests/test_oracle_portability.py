@@ -125,6 +125,8 @@ NONNEG_DIV_OK: dict[str, str] = {
     "of 0/1 labels",
     "quality_classifier_train": "gradient update guarded by tdiv; "
     "f1..f5 are 100*count // count features",
+    "repeated_ngram_spans_report": "gid unpacking min_gid // stride on "
+    "non-negative packed position ids",
     "retention_cohort_matrix": "active counts over cohort size",
     "revenue_changepoints_binseg": "SSE-gain numerators are squares",
     "semdedup_prune": "k = count(*) // 256",
