@@ -4673,7 +4673,10 @@ def suffix_rank_frame(docs: DataFrame, rounds: int) -> DataFrame:
             "idx", "tk"
         ),
     )
-    maxlen = tok.agg(F.max("idx")).first()[0] + 1
+    stats = tok.agg(
+        F.max("idx").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).first()
+    maxlen, n_pos = int(stats["mx"]) + 1, int(stats["n"])
     # Deliberately partial comparisons (an n-gram report at small
     # ``rounds``) are fine; the ALIASING bound is the hard one.
     if maxlen + (1 << (rounds - 1)) > _SA_STRIDE:
@@ -4704,9 +4707,11 @@ def suffix_rank_frame(docs: DataFrame, rounds: int) -> DataFrame:
     vr = assign_contiguous_ids_ordered(
         vocab, ["tk"], proj, id_col="vid"
     ).select("tk", (F.col("vid") + 1).alias("r"))
-    ranks = tok.join(vr, "tk").select(
-        "gid", "doc_id", "idx", "r"
-    ).localCheckpoint(eager=True)
+    # Loop state is (gid, r) ONLY — doc_id/idx are recovered from the
+    # gid packing at the end, halving what every round checkpoints.
+    ranks = tok.join(vr, "tk").select("gid", "r").localCheckpoint(
+        eager=True
+    )
 
     for t in range(rounds):
         k = 1 << t
@@ -4717,25 +4722,38 @@ def suffix_rank_frame(docs: DataFrame, rounds: int) -> DataFrame:
             ranks.join(nxt, ranks["gid"] == nxt["gid_l"], "left")
             .select(
                 "gid",
-                "doc_id",
-                "idx",
                 F.col("r").alias("r1"),
                 F.coalesce("r2", F.lit(0)).cast("bigint").alias("r2"),
             )
             .localCheckpoint(eager=True)
         )
+        # Dense ranks are near-uniform on [1, n_pos], so static
+        # equal-width boundaries balance the buckets without the
+        # per-round percentile scan (any placement is correct).
         dr = assign_contiguous_ids_ordered(
             pairs.select("r1", "r2").distinct(),
             ["r1", "r2"],
             F.col("r1"),
             id_col="nid",
+            bounds=[n_pos * i // 32 for i in range(1, 32)],
         ).select("r1", "r2", (F.col("nid") + 1).alias("nr"))
         ranks = (
             pairs.join(dr, ["r1", "r2"])
-            .select("gid", "doc_id", "idx", F.col("nr").alias("r"))
+            .select("gid", F.col("nr").alias("r"))
             .localCheckpoint(eager=True)
         )
-    return ranks
+        # Fully-distinct ranks reproduce themselves in every later
+        # round (pairs sort by the unique r1, re-densify to the same
+        # values), so the early exit is EXACTLY the fixed unroll the
+        # oracle runs — one cheap agg on the fresh checkpoint.
+        if ranks.agg(F.max("r")).first()[0] == n_pos:
+            break
+    return ranks.select(
+        "gid",
+        F.expr(f"gid div {_SA_STRIDE}L").alias("doc_id"),
+        (F.col("gid") % _SA_STRIDE).alias("idx"),
+        "r",
+    )
 
 
 suffix_array_ranks_docs.__doc__ = suffix_array_ranks_docs.__doc__.format(
