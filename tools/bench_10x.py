@@ -204,6 +204,14 @@ FAMILIES = {
     # edge-linear rounds + component-map joins (and the driver-gate
     # Kruskal finish) hold as pair counts grow
     "graph_mst": "mst_copurchase_parts",
+    # prefix doubling: log(doc cap) rounds of shifted self-join +
+    # bucketed dense rank — the exponent certifies the rounds stay
+    # position-linear (the pair relation never exceeds positions).
+    "suffix_array": "suffix_array_ranks_docs",
+    # spectral power iteration / walks: per-round edge joins — the
+    # pagerank lane shape on the same 10x co-purchase graph.
+    "graph_spectral": "spectral_bipartition_parts",
+    "deepwalk_pairs": "deepwalk_skipgram_pairs",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
