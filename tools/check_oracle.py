@@ -146,7 +146,15 @@ def run_sweep(sf_dir: str, only: set[str] | None = None, spark=None) -> dict:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    result = run_sweep(sf_dir, set(sys.argv[2:]))
+    names = set(sys.argv[2:])
+    if names == {"--window"}:
+        # The driver's exact 50-slot correctness sample — run it at
+        # sf0.01 before round end to de-risk CORRECTNESS_r{N}.
+        from etl_pipeline_orchestration_spark.plans import registry
+
+        registry.load_all()
+        names = set(registry.CERTIFICATION_WINDOW)
+    result = run_sweep(sf_dir, names)
     return 1 if result["fail"] else 0
 
 
