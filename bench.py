@@ -261,6 +261,7 @@ HEADLINE = [
     "deepwalk_skipgram_pairs",
     "suffix_array_ranks_docs",
     "repeated_ngram_spans_report",
+    "repeated_span_powers_report",
 ]
 
 

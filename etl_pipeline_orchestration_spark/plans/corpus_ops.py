@@ -4657,7 +4657,9 @@ def suffix_array_ranks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def suffix_rank_frame(docs: DataFrame, rounds: int) -> DataFrame:
+def suffix_rank_frame(
+    docs: DataFrame, rounds: int, capture: dict | None = None
+) -> DataFrame:
     """(gid, doc_id, idx, r): token-suffix dense ranks after ``rounds``
     doubling rounds (prefixes of length 2^rounds compared) — the
     prefix-doubling core shared by the full suffix array and its
@@ -4670,7 +4672,13 @@ def suffix_rank_frame(docs: DataFrame, rounds: int) -> DataFrame:
     collect + re-parallelize dense rank pays two corpus-sized
     serialization trips per round; measured 36.8 s vs 22.2 s for the
     bucketed distributed rank at sf0.1 (270k positions, local[32]).
-    The distributed path is both the at-scale shape AND the fast one."""
+    The distributed path is both the at-scale shape AND the fast one.
+
+    ``capture``: optional dict filled with {t: (gid, r) frame} for the
+    initial ranks (t = -1, single-token grain) and after each round t —
+    consumers like the span-power histogram read every doubling level
+    off ONE run. Early-exited rounds are absent; their ranks equal the
+    last captured frame (fully-distinct ranks reproduce themselves)."""
     from etl_pipeline_orchestration_spark.plans.scale_primitives import (
         assign_contiguous_ids_ordered,
     )
@@ -4720,6 +4728,8 @@ def suffix_rank_frame(docs: DataFrame, rounds: int) -> DataFrame:
     ranks = tok.join(vr, "tk").select("gid", "r").localCheckpoint(
         eager=True
     )
+    if capture is not None:
+        capture[-1] = ranks
 
     for t in range(rounds):
         k = 1 << t
@@ -4750,6 +4760,8 @@ def suffix_rank_frame(docs: DataFrame, rounds: int) -> DataFrame:
             .select("gid", F.col("nr").alias("r"))
             .localCheckpoint(eager=True)
         )
+        if capture is not None:
+            capture[t] = ranks
         # Fully-distinct ranks reproduce themselves in every later
         # round (pairs sort by the unique r1, re-densify to the same
         # values), so the early exit is EXACTLY the fixed unroll the
@@ -4900,4 +4912,117 @@ def repeated_ngram_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 repeated_ngram_spans_report.__doc__ = repeated_ngram_spans_report.__doc__.format(
     rounds=_NGRAM_ROUNDS, n=1 << _NGRAM_ROUNDS, topk=_NGRAM_TOPK
+)
+
+
+def _span_powers_oracle(rounds: int = _SA_ROUNDS) -> str:
+    chain = []
+    prev = "r0"
+    for t in range(rounds):
+        k = 1 << t
+        chain.append(f"""
+    r{t + 1} AS MATERIALIZED (
+      SELECT a.gid, a.doc_id, a.idx,
+             dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0)) AS r
+      FROM {prev} a LEFT JOIN {prev} b ON b.gid = a.gid + {k}
+    )""")
+        prev = f"r{t + 1}"
+    stats = []
+    for t in range(rounds + 1):
+        span = 1 << t
+        stats.append(f"""
+    stat{t} AS (
+      SELECT CAST({span} AS BIGINT) AS span_len,
+             CAST(coalesce(sum(c), 0) AS BIGINT) AS n_positions,
+             CAST(count(*) AS BIGINT) AS n_groups
+      FROM (
+        SELECT f.r, count(*) AS c
+        FROM r{t} f JOIN toks t2 ON t2.doc_id = f.doc_id
+        WHERE f.idx + {span} <= len(t2.ts)
+        GROUP BY f.r HAVING count(*) >= 2
+      )
+    )""")
+    final = "\n    UNION ALL ".join(
+        f"SELECT * FROM stat{t}" for t in range(rounds + 1)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+      FROM documents
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, i.i - 1 AS idx,
+             doc_id * {_SA_STRIDE} + i.i - 1 AS gid, ts[i.i] AS tk
+      FROM toks, (SELECT unnest(range(1, {_SA_STRIDE + 1})) AS i) i
+      WHERE i.i <= len(ts)
+    ),
+    r0 AS MATERIALIZED (
+      SELECT gid, doc_id, idx, dense_rank() OVER (ORDER BY tk) AS r
+      FROM tok
+    ),
+    {",".join(chain)},
+    {",".join(stats)}
+    {final}
+    """
+
+
+@query("repeated_span_powers_report", oracle=_span_powers_oracle())
+def repeated_span_powers_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pressure profile of the corpus: for every power-of-two
+    span length 1..2^{rounds}, how many positions sit inside a token
+    span that occurs at least twice (and in how many distinct repeated
+    spans) — the curve that tells a curation pass where substring
+    dedup will bite (C4-style line dedup acts at short spans,
+    ExactSubstr at 50+ tokens). Read directly off the prefix-doubling
+    levels: rank ties at level k among positions with 2^k tokens
+    remaining ARE the repeated-2^k-gram groups, so the whole profile
+    costs ONE doubling run ({rounds} rounds) plus one bounded
+    aggregate per level.
+
+    Same engine-exact arithmetic as suffix_array_ranks_docs; levels
+    past the early exit have no rank ties by construction, so reading
+    them off the last materialized level is exact."""
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        suffix_rank_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    captured: dict = {}
+    suffix_rank_frame(docs, _SA_ROUNDS, capture=captured)
+    last_t = max(captured)
+    out = None
+    for t in range(-1, _SA_ROUNDS):
+        span = 1 << (t + 1)
+        frame = captured.get(t, captured[last_t])
+        valid = (
+            frame.select(
+                "r",
+                F.expr(f"gid div {_SA_STRIDE}L").alias("doc_id"),
+                (F.col("gid") % _SA_STRIDE).alias("idx"),
+            )
+            .join(lens, "doc_id")
+            .filter(F.col("idx") + span <= F.col("n_tokens"))
+        )
+        groups = (
+            valid.groupBy("r")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+        )
+        stat = groups.agg(
+            F.lit(span).cast("bigint").alias("span_len"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias(
+                "n_positions"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        )
+        out = stat if out is None else out.unionByName(stat)
+    return out
+
+
+repeated_span_powers_report.__doc__ = repeated_span_powers_report.__doc__.format(
+    rounds=_SA_ROUNDS
 )

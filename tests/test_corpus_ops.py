@@ -1321,3 +1321,38 @@ def test_repeated_ngram_report_matches_direct_counts(spark):
         key=lambda t: (-t[1], t[0]),
     )[:20]
     assert [(g, c, d) for g, c, d in want] == got
+
+
+def test_span_powers_report_matches_direct_counts(spark):
+    """Independent ground truth for two levels of the dedup-pressure
+    profile: span 1 (token-frequency ties) and span 16 (direct 16-gram
+    counts, the ngram-report grain) recomputed in python."""
+    from collections import Counter
+
+    import duckdb
+
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    got = {
+        int(r["span_len"]): (int(r["n_positions"]), int(r["n_groups"]))
+        for r in registry.QUERIES["repeated_span_powers_report"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 4, 8, 16, 32, 64, 128}
+
+    rows = duckdb.sql(
+        "SELECT doc_id, string_split_regex(trim(text), '\\s+') FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    for span in (1, 16):
+        occ = Counter()
+        for _, toks in rows:
+            for i in range(len(toks) - span + 1):
+                occ[tuple(toks[i : i + span])] += 1
+        n_pos = sum(c for c in occ.values() if c >= 2)
+        n_groups = sum(1 for c in occ.values() if c >= 2)
+        assert got[span] == (n_pos, n_groups), (span, got[span])
+    # 128-token spans exceed every document: level must be empty
+    assert got[128] == (0, 0)
