@@ -4574,7 +4574,12 @@ _SA_ROUNDS = 7  # prefixes of length 2^7 = 128 > the 100-token doc cap
 _SA_STRIDE = 256  # >= doc cap (128) + max shift (64)
 
 
-def _suffix_array_oracle(rounds: int = _SA_ROUNDS) -> str:
+def _doubling_with_prefix(rounds: int) -> str:
+    """Shared WITH-prefix of every prefix-doubling oracle: toks/tok/r0
+    plus the chained dense-rank rounds r1..r{rounds} (ADVICE r12 — ONE
+    place to keep in sync with _SA_STRIDE and the round arithmetic).
+    Callers append their final SELECT (or further CTEs after a comma)
+    reading r{rounds}; toks/tok stay in scope for gram naming."""
     chain = []
     prev = "r0"
     for t in range(rounds):
@@ -4601,10 +4606,14 @@ def _suffix_array_oracle(rounds: int = _SA_ROUNDS) -> str:
       SELECT gid, doc_id, idx, dense_rank() OVER (ORDER BY tk) AS r
       FROM tok
     ),
-    {",".join(chain)}
+    {",".join(chain)}"""
+
+
+def _suffix_array_oracle(rounds: int = _SA_ROUNDS) -> str:
+    return f"""{_doubling_with_prefix(rounds)}
     SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(idx AS BIGINT) AS pos,
            CAST(r AS BIGINT) AS suffix_rank
-    FROM {prev}
+    FROM r{rounds}
     """
 
 
@@ -4637,8 +4646,14 @@ def suffix_array_ranks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed rank machinery — never a corpus-wide sorted window; state
     is one (gid, rank) relation, localCheckpoint'ed per round. The
     gid packing (doc_id * {stride} + idx) bounds documents at {stride}
-    tokens — the loader guard raises past it (callers shard longer
-    docs the way ExactSubstr shards its corpus)."""
+    tokens — the loader guard raises past it (repeated_ngram_spans_sharded
+    is the sharded caller for longer corpora).
+
+    This query IS the doubling loop and always pays it (its bench
+    timing and 10x exponent measure the loop); it REFRESHES the
+    session memo as a free side effect so the derived readers (the
+    16-gram report, the span-power profile) reuse its captured levels
+    — ``suffix_rank_levels`` / ``publish_suffix_ranks``."""
     docs = load_table(spark, sf_dir, "documents")
     maxlen = docs.agg(
         F.max(F.size(F.split(F.trim(F.col("text")), r"\s+")))
@@ -4649,7 +4664,9 @@ def suffix_array_ranks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"the 2^{_SA_ROUNDS} full-distinction budget — raise "
             "_SA_ROUNDS and the oracle's unroll together"
         )
-    ranks = suffix_rank_frame(docs, _SA_ROUNDS)
+    captured: dict = {}
+    ranks = suffix_rank_frame(docs, _SA_ROUNDS, capture=captured)
+    _suffix_memo_store(spark, sf_dir, captured)
     return ranks.select(
         F.col("doc_id").cast("bigint"),
         F.col("idx").cast("bigint").alias("pos"),
@@ -4768,7 +4785,18 @@ def suffix_rank_frame(
         # oracle runs — one cheap agg on the fresh checkpoint.
         if ranks.agg(F.max("r")).first()[0] == n_pos:
             break
-    return ranks.select(
+    return _unpack_gid(ranks)
+
+
+suffix_array_ranks_docs.__doc__ = suffix_array_ranks_docs.__doc__.format(
+    rounds=_SA_ROUNDS, stride=_SA_STRIDE
+)
+
+
+def _unpack_gid(frame: DataFrame) -> DataFrame:
+    """Recover (doc_id, idx) from the gid packing of a (gid, r) rank
+    frame — the loop state carries gid only (see suffix_rank_frame)."""
+    return frame.select(
         "gid",
         F.expr(f"gid div {_SA_STRIDE}L").alias("doc_id"),
         (F.col("gid") % _SA_STRIDE).alias("idx"),
@@ -4776,9 +4804,98 @@ def suffix_rank_frame(
     )
 
 
-suffix_array_ranks_docs.__doc__ = suffix_array_ranks_docs.__doc__.format(
-    rounds=_SA_ROUNDS, stride=_SA_STRIDE
-)
+def _level_frame(levels: dict, t: int) -> DataFrame:
+    """Rank frame after doubling round ``t`` (t = -1 is the
+    single-token grain). Early-exited rounds are absent from the
+    capture; their ranks equal the last materialized level
+    (fully-distinct ranks reproduce themselves — suffix_rank_frame)."""
+    if t in levels:
+        return levels[t]
+    last = max(levels)
+    if t < last:
+        raise KeyError(f"level {t} missing below last captured {last}")
+    return levels[last]
+
+
+# Session-scoped memo of the captured prefix-doubling levels over the
+# standard documents table, keyed by (applicationId, sf_dir) — the
+# _SPAN_MEMO discipline applied to suffix ranks (VERDICT r12 item 2):
+# the doubling loop is the expensive half of the suffix family and its
+# captured levels are position-sized localCheckpoints. The full
+# suffix-array query ALWAYS recomputes (its bench timing / 10x exponent
+# keep measuring the doubling loop) and REFRESHES the memo as a free
+# side effect; derived readers (the 16-gram report, the span-power
+# profile) read captured levels off one run instead of re-running it.
+_SUFFIX_MEMO: dict[tuple[str, str], dict] = {}
+
+
+def _suffix_memo_store(spark: SparkSession, sf_dir: str, levels: dict) -> None:
+    if len(_SUFFIX_MEMO) > 8:  # a handful of (session, sf) pairs, ever
+        _SUFFIX_MEMO.clear()
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    _SUFFIX_MEMO[key] = levels
+
+
+def suffix_rank_levels(
+    spark: SparkSession, sf_dir: str, from_levels: dict | None = None
+) -> dict:
+    """Captured doubling levels ``{t: (gid, r) frame}`` (t = -1 and
+    each materialized round) of the ``_SA_ROUNDS``-round suffix-rank
+    run over the documents table — computed at most once per
+    (session, sf_dir). ``from_levels`` (typically
+    ``suffix_levels_from_stacked(snaps.read())``) overrides the
+    computation entirely, the ``from_spans=`` pattern."""
+    if from_levels is not None:
+        return from_levels
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    got = _SUFFIX_MEMO.get(key)
+    if got is None:
+        captured: dict = {}
+        suffix_rank_frame(
+            load_table(spark, sf_dir, "documents"), _SA_ROUNDS,
+            capture=captured,
+        )
+        _suffix_memo_store(spark, sf_dir, captured)
+        got = captured
+    return got
+
+
+def publish_suffix_ranks(
+    spark: SparkSession, sf_dir: str, loader, table: str = "suffix_ranks"
+):
+    """Publish every doubling level as ONE stacked SnapshotTable
+    (level, gid, r) — the durable form of the memo: the nightly
+    pipeline pays the doubling loop once, publishes the levels as a
+    new version, and every downstream report passes
+    ``from_levels=suffix_levels_from_stacked(snaps.read())`` instead
+    of re-ranking. Returns the SnapshotTable."""
+    from etl_pipeline_orchestration_spark.loader import SnapshotTable
+
+    captured: dict = {}
+    suffix_rank_frame(
+        load_table(spark, sf_dir, "documents"), _SA_ROUNDS, capture=captured
+    )
+    stacked = None
+    for t in sorted(captured):
+        part = captured[t].select(
+            F.lit(t).cast("int").alias("level"), "gid", "r"
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    snaps = SnapshotTable(loader, table)
+    snaps.write(stacked)
+    return snaps
+
+
+def suffix_levels_from_stacked(df: DataFrame) -> dict:
+    """Rebuild the ``{t: (gid, r) frame}`` dict from a stacked
+    (level, gid, r) snapshot read — partition-pruned per level on a
+    real table format; a filter on the level column here."""
+    levels = sorted(
+        int(r["level"]) for r in df.select("level").distinct().collect()
+    )
+    return {
+        t: df.filter(F.col("level") == t).select("gid", "r") for t in levels
+    }
 
 
 _NGRAM_ROUNDS = 4  # 2^4 = 16-token grams
@@ -4789,36 +4906,10 @@ def _repeated_ngram_oracle(
     rounds: int = _NGRAM_ROUNDS, topk: int = _NGRAM_TOPK
 ) -> str:
     n = 1 << rounds
-    chain = []
-    prev = "r0"
-    for t in range(rounds):
-        k = 1 << t
-        chain.append(f"""
-    r{t + 1} AS MATERIALIZED (
-      SELECT a.gid, a.doc_id, a.idx,
-             dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0)) AS r
-      FROM {prev} a LEFT JOIN {prev} b ON b.gid = a.gid + {k}
-    )""")
-        prev = f"r{t + 1}"
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
-      FROM documents
-    ),
-    tok AS MATERIALIZED (
-      SELECT doc_id, i.i - 1 AS idx,
-             doc_id * {_SA_STRIDE} + i.i - 1 AS gid, ts[i.i] AS tk
-      FROM toks, (SELECT unnest(range(1, {_SA_STRIDE + 1})) AS i) i
-      WHERE i.i <= len(ts)
-    ),
-    r0 AS MATERIALIZED (
-      SELECT gid, doc_id, idx, dense_rank() OVER (ORDER BY tk) AS r
-      FROM tok
-    ),
-    {",".join(chain)},
+    return f"""{_doubling_with_prefix(rounds)},
     full_spans AS (
       SELECT f.gid, f.doc_id, f.idx, f.r
-      FROM {prev} f JOIN toks t ON t.doc_id = f.doc_id
+      FROM r{rounds} f JOIN toks t ON t.doc_id = f.doc_id
       WHERE f.idx + {n} <= len(t.ts)
     ),
     groups AS (
@@ -4859,14 +4950,19 @@ def repeated_ngram_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same engine-exact round arithmetic as suffix_array_ranks_docs
     (suffix_rank_frame); ordering is (count desc, gram asc) — distinct
     groups have distinct grams, so the top-{topk} cut is deterministic
-    on both engines."""
-    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
-        suffix_rank_frame,
-    )
+    on both engines.
 
+    DERIVED reader: ranks after {rounds} rounds are level
+    {rounds} - 1 of the session-memoized doubling run
+    (``suffix_rank_levels`` — computed here only if no producer ran
+    yet), identical to a fresh {rounds}-round run because round t
+    depends only on rounds < t and the early-exit fallback is the
+    same fixed-point rule."""
     n = 1 << _NGRAM_ROUNDS
     docs = load_table(spark, sf_dir, "documents")
-    ranks = suffix_rank_frame(docs, _NGRAM_ROUNDS)
+    ranks = _unpack_gid(
+        _level_frame(suffix_rank_levels(spark, sf_dir), _NGRAM_ROUNDS - 1)
+    )
     lens = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
@@ -4916,17 +5012,6 @@ repeated_ngram_spans_report.__doc__ = repeated_ngram_spans_report.__doc__.format
 
 
 def _span_powers_oracle(rounds: int = _SA_ROUNDS) -> str:
-    chain = []
-    prev = "r0"
-    for t in range(rounds):
-        k = 1 << t
-        chain.append(f"""
-    r{t + 1} AS MATERIALIZED (
-      SELECT a.gid, a.doc_id, a.idx,
-             dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0)) AS r
-      FROM {prev} a LEFT JOIN {prev} b ON b.gid = a.gid + {k}
-    )""")
-        prev = f"r{t + 1}"
     stats = []
     for t in range(rounds + 1):
         span = 1 << t
@@ -4945,22 +5030,7 @@ def _span_powers_oracle(rounds: int = _SA_ROUNDS) -> str:
     final = "\n    UNION ALL ".join(
         f"SELECT * FROM stat{t}" for t in range(rounds + 1)
     )
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
-      FROM documents
-    ),
-    tok AS MATERIALIZED (
-      SELECT doc_id, i.i - 1 AS idx,
-             doc_id * {_SA_STRIDE} + i.i - 1 AS gid, ts[i.i] AS tk
-      FROM toks, (SELECT unnest(range(1, {_SA_STRIDE + 1})) AS i) i
-      WHERE i.i <= len(ts)
-    ),
-    r0 AS MATERIALIZED (
-      SELECT gid, doc_id, idx, dense_rank() OVER (ORDER BY tk) AS r
-      FROM tok
-    ),
-    {",".join(chain)},
+    return f"""{_doubling_with_prefix(rounds)},
     {",".join(stats)}
     {final}
     """
@@ -4981,29 +5051,24 @@ def repeated_span_powers_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same engine-exact arithmetic as suffix_array_ranks_docs; levels
     past the early exit have no rank ties by construction, so reading
-    them off the last materialized level is exact."""
-    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
-        suffix_rank_frame,
-    )
+    them off the last materialized level is exact.
 
+    DERIVED reader: every level comes off the session-memoized
+    doubling run (``suffix_rank_levels`` — computed here only if no
+    producer ran yet)."""
     docs = load_table(spark, sf_dir, "documents")
     lens = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     ).localCheckpoint(eager=True)
-    captured: dict = {}
-    suffix_rank_frame(docs, _SA_ROUNDS, capture=captured)
-    last_t = max(captured)
+    captured = suffix_rank_levels(spark, sf_dir)
     out = None
     for t in range(-1, _SA_ROUNDS):
         span = 1 << (t + 1)
-        frame = captured.get(t, captured[last_t])
+        frame = _level_frame(captured, t)
         valid = (
-            frame.select(
-                "r",
-                F.expr(f"gid div {_SA_STRIDE}L").alias("doc_id"),
-                (F.col("gid") % _SA_STRIDE).alias("idx"),
-            )
+            _unpack_gid(frame)
+            .select("r", "doc_id", "idx")
             .join(lens, "doc_id")
             .filter(F.col("idx") + span <= F.col("n_tokens"))
         )

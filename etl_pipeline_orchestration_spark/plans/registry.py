@@ -195,14 +195,17 @@ CERTIFICATION_WINDOW: tuple[str, ...] = (
     # tests/test_oracle_portability.py, test_oracle_output_types.py).
     "decision_tree_histogram_splits",
     "gbt_stump_boosting",
-    # round-11 flagships, sweep-green and rotated in round 12 for their
-    # driver certificate (VERDICT r11 ask #4).
-    "embedding_dbscan_clusters",
-    "mst_copurchase_parts",
-    "embedding_kmeans_clusters",
-    "multimodal_dhash_neardup",
-    "optimal_segmentation_weekly_revenue",
-    "t_closeness_risk_report",
+    # round-12 flagships, sweep-green and rotated in round 13 for their
+    # driver certificate (VERDICT r12 ask #1). The r11 flagships
+    # (dbscan, mst, kmeans, dhash, optimal segmentation, t-closeness)
+    # rotated out after their driver-green r12 rows — all stay
+    # full-sweep oracled with dedicated pytest coverage.
+    "suffix_array_ranks_docs",
+    "repeated_ngram_spans_report",
+    "repeated_span_powers_report",
+    "spectral_bipartition_parts",
+    "deepwalk_skipgram_pairs",
+    "multimodal_audio_spectral",
 )
 
 

@@ -78,12 +78,16 @@ SECTION2_CERTIFIERS = {
     # driver-green (oracle fetch-path defects fixed r11/r12).
     "flagship-dtree": "decision_tree_histogram_splits",
     "flagship-gbt": "gbt_stump_boosting",
-    "flagship-dbscan": "embedding_dbscan_clusters",
-    "flagship-mst": "mst_copurchase_parts",
-    "flagship-kmeans": "embedding_kmeans_clusters",
-    "flagship-dhash": "multimodal_dhash_neardup",
-    "flagship-optseg": "optimal_segmentation_weekly_revenue",
-    "flagship-tcloseness": "t_closeness_risk_report",
+    # r11 flagships (dbscan, mst, kmeans, dhash, optseg, t-closeness)
+    # rotated out round 13 after their driver-green r12 rows — all stay
+    # full-sweep oracled with dedicated pytest coverage. The r12
+    # flagships below hold the slots for their driver certificate.
+    "flagship-suffix-array": "suffix_array_ranks_docs",
+    "flagship-ngram-spans": "repeated_ngram_spans_report",
+    "flagship-span-powers": "repeated_span_powers_report",
+    "flagship-spectral-cut": "spectral_bipartition_parts",
+    "flagship-deepwalk": "deepwalk_skipgram_pairs",
+    "flagship-audio-spectral": "multimodal_audio_spectral",
 }
 
 # Round 8 closed the last two rows-only window slots with integer-exact

@@ -1019,6 +1019,40 @@ def test_substring_span_relation_memoized_and_publishable(spark, tmp_path):
     )
 
 
+def test_suffix_rank_levels_memoized_and_publishable(spark, tmp_path):
+    """VERDICT r12 item 2: the doubling levels are computed ONCE per
+    (session, sf_dir) and shared by the n-gram / span-power readers;
+    the producer query (suffix_array_ranks_docs) always recomputes and
+    refreshes the memo; the durable form publishes the stacked levels
+    as a SnapshotTable and rebuilds the level dict via from_levels=
+    without re-ranking."""
+    from etl_pipeline_orchestration_spark.loader import WarehouseLoader
+    from etl_pipeline_orchestration_spark.plans import corpus_ops
+
+    a = corpus_ops.suffix_rank_levels(spark, SF)
+    b = corpus_ops.suffix_rank_levels(spark, SF)
+    assert a is b  # memo hit: the doubling loop ran at most once
+    assert -1 in a and 0 in a
+
+    # the producer ALWAYS recomputes (honest bench timing) and
+    # refreshes the memo as a side effect
+    corpus_ops.suffix_array_ranks_docs(spark, SF)
+    c = corpus_ops.suffix_rank_levels(spark, SF)
+    assert c is not a and set(c) == set(a)
+
+    loader = WarehouseLoader(spark, str(tmp_path / "wh"))
+    snaps = corpus_ops.publish_suffix_ranks(spark, SF, loader)
+    via = corpus_ops.suffix_levels_from_stacked(snaps.read())
+    assert set(via) == set(c)
+    for t in sorted(c):
+        assert sorted(map(tuple, via[t].collect())) == sorted(
+            map(tuple, c[t].select("gid", "r").collect())
+        )
+    # the override plugs straight into the reader
+    got = corpus_ops.suffix_rank_levels(spark, SF, from_levels=via)
+    assert got is via
+
+
 def test_epoch_shuffle_decorrelates_epochs(spark):
     """Each epoch is a full permutation and consecutive epochs are NOT
     near-rotations of each other (the failure mode of mixing the epoch

@@ -147,13 +147,20 @@ def run_sweep(sf_dir: str, only: set[str] | None = None, spark=None) -> dict:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = set(sys.argv[2:])
-    if names == {"--window"}:
-        # The driver's exact 50-slot correctness sample — run it at
-        # sf0.01 before round end to de-risk CORRECTNESS_r{N}.
+    # --window composes with explicit names (ADVICE r12: it used to be
+    # recognized only as the sole argument and was otherwise silently
+    # filtered away as an unknown query name). Any other dash-prefixed
+    # token is an error, not a query name.
+    if "--window" in names:
+        names.discard("--window")
         from etl_pipeline_orchestration_spark.plans import registry
 
         registry.load_all()
-        names = set(registry.CERTIFICATION_WINDOW)
+        names |= set(registry.CERTIFICATION_WINDOW)
+    unknown_flags = sorted(n for n in names if n.startswith("-"))
+    if unknown_flags:
+        print(f"unrecognized flags: {unknown_flags}", file=sys.stderr)
+        return 2
     result = run_sweep(sf_dir, names)
     return 1 if result["fail"] else 0
 
