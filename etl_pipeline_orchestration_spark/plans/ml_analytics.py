@@ -8597,6 +8597,41 @@ def _deepwalk_oracle(
     """
 
 
+def skipgram_pairs_from_trajectory(
+    traj: DataFrame, window: int = _WALK_WINDOW
+) -> DataFrame:
+    """(part_a, part_b, n): exact skip-gram pair counts within a
+    ``window``-step forward window over a (walk_id, step, node)
+    trajectory — shared by the batch query below and the streaming
+    re-derivation (streaming/mst_stream.published_deepwalk_pairs) so
+    the two surfaces cannot drift (ADVICE r12)."""
+    a = traj.select(
+        F.col("walk_id").alias("w"),
+        F.col("step").alias("sa"),
+        F.col("node").alias("part_a"),
+    )
+    b = traj.select(
+        F.col("walk_id").alias("w"),
+        F.col("step").alias("sb"),
+        F.col("node").alias("part_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a["w"] == b["w"])
+            & (b["sb"] > a["sa"])
+            & (b["sb"] <= a["sa"] + window),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("part_a").cast("bigint"),
+            F.col("part_b").cast("bigint"),
+            "n",
+        )
+    )
+
+
 @query("deepwalk_skipgram_pairs", oracle=_deepwalk_oracle())
 def deepwalk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram training-pair corpus from DETERMINISTIC random walks
@@ -8653,31 +8688,7 @@ def deepwalk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     traj = deterministic_walks(arcs, steps=_WALK_STEPS)
-    a = traj.select(
-        F.col("walk_id").alias("w"),
-        F.col("step").alias("sa"),
-        F.col("node").alias("part_a"),
-    )
-    b = traj.select(
-        F.col("walk_id").alias("w"),
-        F.col("step").alias("sb"),
-        F.col("node").alias("part_b"),
-    )
-    return (
-        a.join(
-            b,
-            (a["w"] == b["w"])
-            & (b["sb"] > a["sa"])
-            & (b["sb"] <= a["sa"] + _WALK_WINDOW),
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .select(
-            F.col("part_a").cast("bigint"),
-            F.col("part_b").cast("bigint"),
-            "n",
-        )
-    )
+    return skipgram_pairs_from_trajectory(traj, window=_WALK_WINDOW)
 
 
 deepwalk_skipgram_pairs.__doc__ = deepwalk_skipgram_pairs.__doc__.format(

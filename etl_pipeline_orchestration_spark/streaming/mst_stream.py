@@ -102,36 +102,20 @@ def published_deepwalk_pairs(spark, snaps: SnapshotTable) -> DataFrame:
     (plans/ml_analytics.deepwalk_skipgram_pairs); walks are NOT
     incrementally maintainable (one new edge can reroute any
     trajectory from its insertion step onward), so this rides the
-    re-derive-at-read discipline like the forest does."""
+    re-derive-at-read discipline like the forest does. Walk length,
+    window, and the pairing logic are IMPORTED from the batch module
+    (ADVICE r12) so the published streaming surface cannot silently
+    diverge if the batch constants change."""
     from etl_pipeline_orchestration_spark.operators.graph import (
         deterministic_walks,
+    )
+    from etl_pipeline_orchestration_spark.plans.ml_analytics import (
+        _WALK_STEPS,
+        _WALK_WINDOW,
+        skipgram_pairs_from_trajectory,
     )
 
     e = copurchase_edges_of(snaps.read()).select("u", "v")
     arcs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    traj = deterministic_walks(arcs, steps=8)
-    a = traj.select(
-        F.col("walk_id").alias("w"),
-        F.col("step").alias("sa"),
-        F.col("node").alias("part_a"),
-    )
-    b = traj.select(
-        F.col("walk_id").alias("w"),
-        F.col("step").alias("sb"),
-        F.col("node").alias("part_b"),
-    )
-    return (
-        a.join(
-            b,
-            (a["w"] == b["w"])
-            & (b["sb"] > a["sa"])
-            & (b["sb"] <= a["sa"] + 2),
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .select(
-            F.col("part_a").cast("bigint"),
-            F.col("part_b").cast("bigint"),
-            "n",
-        )
-    )
+    traj = deterministic_walks(arcs, steps=_WALK_STEPS)
+    return skipgram_pairs_from_trajectory(traj, window=_WALK_WINDOW)

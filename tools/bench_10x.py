@@ -406,7 +406,25 @@ def main() -> int:
         _warm_dir(spark, big)
         calib_start = round(_calib(spark), 3)
         out: dict = {}
-        for fam, qname in FAMILIES.items():
+        # De-bias the session tail (VERDICT r12 item 7): families late
+        # in the lane read high from accumulated session state (the
+        # graph cluster measured 0.51-0.58 in-lane vs 0.23-0.34
+        # isolated), so the lane ORDER rotates deterministically per
+        # round — the rotation offset defaults to the committed round
+        # count (BENCH_r*.json files), overridable via
+        # SPARK_GRAFT_10X_ROTATE. No RNG: reruns of the same round
+        # reproduce the same order.
+        fams = list(FAMILIES.items())
+        rot = os.environ.get("SPARK_GRAFT_10X_ROTATE")
+        if rot is None:
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            rot = len(
+                [n for n in os.listdir(repo)
+                 if n.startswith("BENCH_r") and n.endswith(".json")]
+            )
+        offset = (int(rot) * 7) % len(fams)  # coprime stride: tails move
+        fams = fams[offset:] + fams[:offset]
+        for fam, qname in fams:
             _clear_persistent_state(spark)
             fn = registry.QUERIES[qname]
             hook = PRE_HOOKS.get(fam)
@@ -433,9 +451,16 @@ def main() -> int:
             "sf_1x": sf1,
             "n_docs_10x": N_DOCS,
             "n_vecs_10x": N_VECS,
+            # reps_effective is what each timing block actually runs
+            # (ADVICE r12: the symmetric protocol takes min over
+            # reps + 1 executions per side; "reps" alone misled).
             "reps": reps,
+            "reps_effective": reps + 1,
+            "family_order_rotation": offset,
             "protocol": "symmetric: re-warm each corpus immediately "
-            "before its timing block; min of reps+1 on both sides",
+            "before its timing block; min of reps+1 on both sides; "
+            "family order rotated per round to de-bias the session "
+            "tail",
             "calibration_sec_start": calib_start,
             "calibration_sec_end": calib_end,
             "families": out,
