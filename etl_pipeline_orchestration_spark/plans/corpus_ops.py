@@ -4574,12 +4574,11 @@ _SA_ROUNDS = 7  # prefixes of length 2^7 = 128 > the 100-token doc cap
 _SA_STRIDE = 256  # >= doc cap (128) + max shift (64)
 
 
-def _doubling_with_prefix(rounds: int) -> str:
-    """Shared WITH-prefix of every prefix-doubling oracle: toks/tok/r0
-    plus the chained dense-rank rounds r1..r{rounds} (ADVICE r12 — ONE
-    place to keep in sync with _SA_STRIDE and the round arithmetic).
-    Callers append their final SELECT (or further CTEs after a comma)
-    reading r{rounds}; toks/tok stay in scope for gram naming."""
+def _doubling_chain(rounds: int) -> str:
+    """The chained dense-rank rounds r1..r{rounds} — requires an r0 CTE
+    exposing (gid, doc_id, idx, r) in scope. Shared by the standard
+    prefix (below) and the sharded-corpus oracle, whose r0 is built
+    over shard-packed gids instead."""
     chain = []
     prev = "r0"
     for t in range(rounds):
@@ -4591,6 +4590,15 @@ def _doubling_with_prefix(rounds: int) -> str:
       FROM {prev} a LEFT JOIN {prev} b ON b.gid = a.gid + {k}
     )""")
         prev = f"r{t + 1}"
+    return ",".join(chain)
+
+
+def _doubling_with_prefix(rounds: int) -> str:
+    """Shared WITH-prefix of every prefix-doubling oracle: toks/tok/r0
+    plus the chained dense-rank rounds r1..r{rounds} (ADVICE r12 — ONE
+    place to keep in sync with _SA_STRIDE and the round arithmetic).
+    Callers append their final SELECT (or further CTEs after a comma)
+    reading r{rounds}; toks/tok stay in scope for gram naming."""
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
@@ -4606,7 +4614,7 @@ def _doubling_with_prefix(rounds: int) -> str:
       SELECT gid, doc_id, idx, dense_rank() OVER (ORDER BY tk) AS r
       FROM tok
     ),
-    {",".join(chain)}"""
+    {_doubling_chain(rounds)}"""
 
 
 def _suffix_array_oracle(rounds: int = _SA_ROUNDS) -> str:
@@ -5090,4 +5098,280 @@ def repeated_span_powers_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 repeated_span_powers_report.__doc__ = repeated_span_powers_report.__doc__.format(
     rounds=_SA_ROUNDS
+)
+
+
+# ---------------------------------------------------------------------------
+# Long-document sharding for the suffix family (VERDICT r12 item 3)
+# ---------------------------------------------------------------------------
+# Real pre-training corpora are kilotoken-scale documents; the gid
+# packing bounds an UNsharded document at _SA_STRIDE tokens and the
+# loader guard refuses past it. The sharded path is how the family
+# degrades gracefully instead: documents split into overlapping shards
+# the way Lee et al. 2022 shard ExactSubstr's corpus.
+#
+# Shard geometry for an n-token window: body B = _SHARD_BODY full-window
+# start positions per shard plus an (n-1)-token overlap tail. Window
+# start p then has a FULL copy in EXACTLY one shard (shard p div B: the
+# overlap makes boundary-straddling windows whole, and p's full-window
+# condition fails in the previous shard's tail because idx > B - 1
+# there) — so reconciliation is dedup-free by construction, not by a
+# distinct.
+
+_SHARD_BODY = 224  # + 15-token overlap + 2^3 max shift = 247 <= _SA_STRIDE
+_SHARD_MAX = 4096  # shards per document bound (gid headroom: doc * 2^20)
+
+
+def sharded_ngram_corpus(docs: DataFrame, n: int) -> DataFrame:
+    """Explode documents into overlap-sharded pseudo-documents bounded
+    by the _SA_STRIDE packing budget. Returns (sid, doc_id, shard_no,
+    shard_ts) with sid = doc_id * _SHARD_MAX + shard_no; global token
+    position = shard_no * _SHARD_BODY + local idx."""
+    ov = n - 1
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ts")
+    )
+    nsh = F.expr(
+        f"greatest((size(ts) - {ov} + {_SHARD_BODY - 1}) "
+        f"div {_SHARD_BODY}, 1)"
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.sequence(F.lit(0), (nsh - 1).cast("int"))
+            ).alias("shard_no"),
+        )
+        .select(
+            (F.col("doc_id") * _SHARD_MAX + F.col("shard_no")).alias("sid"),
+            "doc_id",
+            "shard_no",
+            F.slice(
+                "ts",
+                (F.col("shard_no") * _SHARD_BODY + 1).cast("int"),
+                _SHARD_BODY + ov,
+            ).alias("shard_ts"),
+        )
+    )
+
+
+_PLANT_LONG_N = 5  # planted >stride documents
+_PLANT_LONG_BASE = 2_000_000_000  # planted ids, disjoint from the corpus
+
+
+def _planted_long_doc_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus {n} planted 600-token documents — far past the
+    {stride}-token unsharded budget — each built from per-(doc,
+    position) unique filler with ONE shared 16-token passage planted
+    twice: at position 215 (its window [215, 230] STRADDLES the first
+    shard-body boundary at {body}) and at position 400 (interior of
+    shard 1). The base corpus is unchanged, so the sharded report must
+    find the base corpus's repeats exactly as the unsharded one does,
+    PLUS the planted passage at 2x{n} occurrences across {n} docs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    passage = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.concat(F.lit("pp_"), i.cast("string")),
+    )
+
+    def filler(lo: int, hi: int):
+        return F.transform(
+            F.sequence(F.lit(lo), F.lit(hi)),
+            lambda i: F.format_string("w%d_%d", F.col("doc_id"), i),
+        )
+
+    planted = docs.filter(F.col("doc_id") < _PLANT_LONG_N).select(
+        (F.col("doc_id") + _PLANT_LONG_BASE).cast("long").alias("doc_id"),
+        F.array_join(
+            F.concat(
+                filler(0, 214),
+                passage,
+                filler(231, 399),
+                passage,
+                filler(416, 599),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+def _sharded_ngram_oracle(
+    rounds: int = _NGRAM_ROUNDS, topk: int = _NGRAM_TOPK
+) -> str:
+    n = 1 << rounds
+    ov = n - 1
+    b = _SHARD_BODY
+    pos_pack = _SHARD_MAX * _SA_STRIDE  # gid // this == original doc
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT d.doc_id + {_PLANT_LONG_BASE} AS doc_id,
+             array_to_string(
+               list_concat(list_concat(list_concat(list_concat(
+                 list_transform(range(0, 215),
+                                i -> concat('w', d.doc_id, '_', i)),
+                 list_transform(range(0, 16), i -> concat('pp_', i))),
+                 list_transform(range(231, 400),
+                                i -> concat('w', d.doc_id, '_', i))),
+                 list_transform(range(0, 16), i -> concat('pp_', i))),
+                 list_transform(range(416, 600),
+                                i -> concat('w', d.doc_id, '_', i))),
+               ' ') AS text
+      FROM documents d WHERE d.doc_id < {_PLANT_LONG_N}
+    ),
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+      FROM corpus
+    ),
+    shards AS MATERIALIZED (
+      SELECT doc_id, s.s AS shard_no,
+             doc_id * {_SHARD_MAX} + s.s AS sid,
+             ts[s.s * {b} + 1 : s.s * {b} + {b + ov}] AS sts
+      FROM toks,
+           unnest(range(0, greatest((len(ts) - {ov} + {b - 1}) // {b}, 1)))
+             AS s(s)
+    ),
+    tok AS MATERIALIZED (
+      SELECT sid, i.i - 1 AS idx,
+             sid * {_SA_STRIDE} + i.i - 1 AS gid, sts[i.i] AS tk,
+             len(sts) AS sh_len
+      FROM shards, (SELECT unnest(range(1, {b + ov + 1})) AS i) i
+      WHERE i.i <= len(sts)
+    ),
+    r0 AS MATERIALIZED (
+      SELECT gid, sid AS doc_id, idx, dense_rank() OVER (ORDER BY tk) AS r
+      FROM tok
+    ),
+    {_doubling_chain(rounds)},
+    full_spans AS (
+      SELECT f.gid, f.r
+      FROM r{rounds} f JOIN tok t ON t.gid = f.gid
+      WHERE f.idx + {n} <= t.sh_len
+    ),
+    pos AS (
+      SELECT r, gid // {pos_pack} AS odoc,
+             ((gid // {_SA_STRIDE}) % {_SHARD_MAX}) * {b}
+               + gid % {_SA_STRIDE} AS gpos
+      FROM full_spans
+    ),
+    groups AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT odoc) AS BIGINT) AS n_docs,
+             min(odoc * {pos_pack} + gpos) AS min_g
+      FROM pos GROUP BY r HAVING count(*) >= 2
+    ),
+    named AS (
+      SELECT g.n_occurrences, g.n_docs,
+             CAST(g.min_g // {pos_pack} AS BIGINT) AS doc_id,
+             CAST(g.min_g % {pos_pack} AS BIGINT) AS pos,
+             array_to_string(
+               t.ts[(g.min_g % {pos_pack}) + 1
+                    : (g.min_g % {pos_pack}) + {n}], ' ') AS gram
+      FROM groups g
+      JOIN toks t ON t.doc_id = g.min_g // {pos_pack}
+    )
+    SELECT gram, n_occurrences, n_docs, doc_id, pos
+    FROM named
+    ORDER BY n_occurrences DESC, gram
+    LIMIT {topk}
+    """
+
+
+@query("repeated_ngram_spans_sharded", oracle=_sharded_ngram_oracle())
+def repeated_ngram_spans_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-gram boilerplate report over a corpus with documents FAR
+    past the {stride}-token unsharded packing budget — the sharding
+    half of the suffix family (VERDICT r12 item 3): documents split
+    into {body}-window-start shards with a 15-token overlap
+    (sharded_ngram_corpus for the exactly-one-full-copy argument), the
+    prefix-doubling run ranks the sharded pseudo-corpus globally, and
+    positions map back to (document, global position) with NO
+    reconciliation dedup. The corpus plants a repeated passage whose
+    first occurrence STRADDLES the first shard boundary
+    (_planted_long_doc_corpus), pinning that no span is lost at a
+    boundary; the python ground-truth test replays the counts with no
+    suffix/shard machinery at all.
+
+    100 TB shape: same as suffix_array_ranks_docs per round; sharding
+    adds one narrow explode (corpus grows by len/{body} overlap copies,
+    ~7% at the overlap/body ratio) and removes the per-document length
+    cap — the guard that refused kilotoken documents becomes a
+    {maxsh}-shard (≈920k-token) bound."""
+    n = 1 << _NGRAM_ROUNDS
+    corpus = _planted_long_doc_corpus(spark, sf_dir)
+    shards = sharded_ngram_corpus(corpus, n)
+    mx = shards.agg(F.max("shard_no")).first()[0]
+    if mx is not None and mx >= _SHARD_MAX:
+        raise ValueError(
+            f"repeated_ngram_spans_sharded: document needs {mx + 1} "
+            f"shards, past the {_SHARD_MAX}-shard gid budget — raise "
+            "_SHARD_MAX and the oracle together"
+        )
+    pseudo = shards.select(
+        F.col("sid").alias("doc_id"),
+        F.array_join("shard_ts", " ").alias("text"),
+    )
+    ranks = suffix_rank_frame(pseudo, _NGRAM_ROUNDS)  # doc_id == sid
+    slens = shards.select("sid", F.size("shard_ts").alias("sh_len"))
+    pos_pack = _SHARD_MAX * _SA_STRIDE
+    pos = (
+        ranks.join(slens, ranks["doc_id"] == slens["sid"])
+        .filter(F.col("idx") + n <= F.col("sh_len"))
+        .select(
+            "r",
+            F.expr(f"gid div {pos_pack}L").alias("odoc"),
+            (
+                F.expr(f"(gid div {_SA_STRIDE}L) % {_SHARD_MAX}")
+                * _SHARD_BODY
+                + F.col("gid") % _SA_STRIDE
+            ).alias("gpos"),
+        )
+    )
+    groups = (
+        pos.groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("odoc").cast("bigint").alias("n_docs"),
+            F.min(F.col("odoc") * pos_pack + F.col("gpos")).alias("min_g"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+    named = (
+        groups.select(
+            "n_occurrences",
+            "n_docs",
+            F.expr(f"min_g div {pos_pack}L").alias("doc_id"),
+            (F.col("min_g") % pos_pack).cast("bigint").alias("pos"),
+        )
+        .join(
+            corpus.select(
+                "doc_id",
+                F.split(F.trim(F.col("text")), r"\s+").alias("ts"),
+            ),
+            "doc_id",
+        )
+        .select(
+            F.array_join(
+                F.slice(F.col("ts"), (F.col("pos") + 1).cast("int"), n), " "
+            ).alias("gram"),
+            "n_occurrences",
+            "n_docs",
+            F.col("doc_id").cast("bigint"),
+            "pos",
+        )
+    )
+    return named.orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    ).limit(_NGRAM_TOPK)
+
+
+repeated_ngram_spans_sharded.__doc__ = repeated_ngram_spans_sharded.__doc__.format(
+    stride=_SA_STRIDE, body=_SHARD_BODY, maxsh=_SHARD_MAX
+)
+
+_planted_long_doc_corpus.__doc__ = _planted_long_doc_corpus.__doc__.format(
+    n=_PLANT_LONG_N, stride=_SA_STRIDE, body=_SHARD_BODY
 )

@@ -127,6 +127,8 @@ NONNEG_DIV_OK: dict[str, str] = {
     "f1..f5 are 100*count // count features",
     "repeated_ngram_spans_report": "gid unpacking min_gid // stride on "
     "non-negative packed position ids",
+    "repeated_ngram_spans_sharded": "shard counts ceil((len-ov)/body) "
+    "and gid/shard/position unpacking — all non-negative packed ids",
     "retention_cohort_matrix": "active counts over cohort size",
     "revenue_changepoints_binseg": "SSE-gain numerators are squares",
     "semdedup_prune": "k = count(*) // 256",
