@@ -429,14 +429,136 @@ def embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, list(qvec), k=10)
 
 
-@query("embedding_topk_ivf")  # approx op — rows-only check
+_IVF_EXACT_ORACLE = """
+    WITH xq AS (
+      SELECT vec_id, t.i AS i,
+             CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1048576.0)
+                  AS BIGINT) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    c0 AS (
+      SELECT vec_id % 16 AS j, i,
+             CAST((CAST(sum(x) AS BIGINT)
+                   - CAST(sum(x) AS BIGINT) % CAST(count(*) AS BIGINT))
+                  / CAST(count(*) AS BIGINT) AS BIGINT) AS c
+      FROM xq GROUP BY 1, 2
+    ),
+    d1 AS (
+      SELECT xq.vec_id, c0.j,
+             CAST(sum((xq.x - c0.c) * (xq.x - c0.c)) AS BIGINT) AS d
+      FROM xq JOIN c0 ON xq.i = c0.i GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.j, xq.i,
+             CAST((CAST(sum(xq.x) AS BIGINT)
+                   - CAST(sum(xq.x) AS BIGINT) % CAST(count(*) AS BIGINT))
+                  / CAST(count(*) AS BIGINT) AS BIGINT) AS c
+      FROM xq JOIN a1 ON xq.vec_id = a1.vec_id GROUP BY 1, 2
+    ),
+    qv AS (SELECT i, x FROM xq WHERE vec_id = 0),
+    pdist AS (
+      SELECT c1.j, CAST(sum((qv.x - c1.c) * (qv.x - c1.c)) AS BIGINT) AS d
+      FROM c1 JOIN qv ON c1.i = qv.i GROUP BY 1
+    ),
+    probes AS (
+      SELECT j FROM (
+        SELECT j, row_number() OVER (ORDER BY d, j) AS rn FROM pdist
+      ) WHERE rn <= 3
+    ),
+    d2 AS (
+      SELECT xq.vec_id, c1.j,
+             CAST(sum((xq.x - c1.c) * (xq.x - c1.c)) AS BIGINT) AS d
+      FROM xq JOIN c1 ON xq.i = c1.i GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT a2.vec_id, a2.j FROM a2 JOIN probes ON a2.j = probes.j
+    ),
+    dots AS (
+      SELECT xq.vec_id, CAST(sum(xq.x * qv.x) AS BIGINT) AS dot_q
+      FROM xq JOIN qv ON xq.i = qv.i
+      WHERE xq.vec_id IN (SELECT vec_id FROM cand)
+      GROUP BY 1
+    )
+    SELECT c.vec_id, CAST(c.j AS INT) AS list_j, d.dot_q
+    FROM cand c JOIN dots d ON c.vec_id = d.vec_id
+    ORDER BY d.dot_q DESC, c.vec_id LIMIT 10
+"""
+
+
+@query("embedding_topk_ivf", oracle=_IVF_EXACT_ORACLE)
 def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN: k-means centroids (driver-trained on a hash
-    sample), cluster assignment via one Arrow matmul pass, exact cosine
-    only inside the 3 probed clusters."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return similarity.ivf_topk(emb, list(qvec), k=10, n_centroids=16, n_probe=3)
+    """IVF-bucketed ANN, hash-certified end-to-end (VERDICT r12 item 6
+    — this slot was the last plausibly-certifiable rows-only entry):
+    the pure-IVF composition — coarse quantizer, inverted-list probe,
+    exact scoring inside the probed lists — over integer ticks
+    ``round(v * 2^20)``, the ``embedding_topk_ivfpq_exact`` machinery
+    minus the PQ stage.
+
+    * Coarse: the certified one-Lloyd-round integer k-means at k=16
+      (init j = vec_id % 16, truncating-division centroid update,
+      exact int64 L2 reassignment, ties to lowest j).
+    * Probe: the 3 centroids nearest the query under int64 L2.
+    * Score: exact integer dot product, top 10 by (dot desc, vec_id),
+      computed ONLY for rows in the probed lists — the IVF contract
+      that cuts the scan to ~n_probe/k of the corpus.
+
+    The float production OPERATOR (driver-sampled float k-means +
+    Arrow matmul assignment, similarity.ivf_topk) remains the at-scale
+    path and keeps its planted-truth recall tests
+    (tests/test_dedup_similarity.py) and the 10x scale lane's ann_ivf
+    family; this registered query is its integer-exact twin with the
+    same plan shape (model-sized collects, codegen fold assignment,
+    TakeOrderedAndProject top-k)."""
+    dfq = _quantize_vecs(
+        load_table(spark, sf_dir, "embeddings")
+    ).localCheckpoint()
+    c0 = _kmeans_exact_centroids_of(
+        dfq.withColumn("j", (F.col("vec_id") % 16).cast("int"))
+    )
+    j1, _ = _kmeans_exact_assign_expr(c0)
+    c1 = _kmeans_exact_centroids_of(dfq.select("vec_id", "xq", j1))
+    q = [
+        int(v)
+        for v in dfq.filter(F.col("vec_id") == 0).select("xq").head()[0]
+    ]
+    probes = [
+        j
+        for _, j in sorted(
+            (sum((qi - ci) ** 2 for qi, ci in zip(q, c1[j])), j) for j in c1
+        )[:3]
+    ]
+    j2, _ = _kmeans_exact_assign_expr(c1)
+    qarr = F.array(*[F.lit(v) for v in q])
+    dot = F.aggregate(
+        F.zip_with("xq", qarr, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        dfq.select("vec_id", "xq", j2)
+        .filter(F.col("j").isin(probes))
+        .select(
+            "vec_id",
+            F.col("j").cast("int").alias("list_j"),
+            dot.alias("dot_q"),
+        )
+        .orderBy(F.col("dot_q").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 @query("embedding_near_dup_pairs")  # approx op — rows-only check

@@ -38,6 +38,8 @@ def test_every_registered_query_matches_its_oracle(spark):
     # tests); 18 -> 16 in r11 when embedding_kmeans_clusters moved to
     # the quantized-exact Lloyd path (unrolled 8-round oracle) and
     # multimodal_dhash_neardup gained its generator-vs-decoder integer
-    # oracle. Still <5% of the registry; raise this ONLY with a per-op
+    # oracle; 16 -> 14 in r13 (multimodal_audio_spectral certified r12;
+    # embedding_topk_ivf certified r13 via the integer-exact IVF).
+    # Still <5% of the registry; raise this ONLY with a per-op
     # justification in the commit, never to paper over a lost oracle.
-    assert result["rows_only"] <= 16
+    assert result["rows_only"] <= 14

@@ -20,7 +20,9 @@ JUSTIFICATIONS: dict[str, tuple[str, str]] = {
     "dedup_minhash_verified": ("sibling", "dedup_minhash_crossengine"),
     "dedup_simhash_pairs": ("sibling", "dedup_simhash_crossengine"),
     "embedding_topk_lsh": ("sibling", "embedding_topk_lsh_exact"),
-    "embedding_topk_ivf": ("sibling", "embedding_topk_ivfpq_exact"),
+    # embedding_topk_ivf hash-certified r13 (integer-exact IVF: the
+    # ivfpq_exact machinery minus PQ; float ivf_topk operator keeps
+    # its recall tests)
     "embedding_near_dup_pairs": (
         "sibling",
         "embedding_near_dup_pairs_crossengine",
