@@ -262,6 +262,8 @@ HEADLINE = [
     "suffix_array_ranks_docs",
     "repeated_ngram_spans_report",
     "repeated_span_powers_report",
+    "repeated_ngram_spans_sharded",
+    "contamination_suffix_spans",
 ]
 
 

@@ -2484,10 +2484,11 @@ def publish_substring_spans(
     return snaps
 
 
-@query(
-    "dedup_substring_spans",
-    oracle="""
-    WITH corpus AS (
+# The planted-corpus CTE shared by every oracle detecting over
+# _planted_substring_corpus (the spans/removal fingerprint pair and the
+# suffix-rank contamination report) — one place to keep in sync with
+# the Spark-side planting.
+_PLANTED_SUBSTR_CORPUS_CTE = """corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT d.doc_id + 1000000000 AS doc_id,
@@ -2498,7 +2499,13 @@ def publish_substring_spans(
                  (string_split_regex(trim(d.text), '\\s+'))[1:24]),
                ' ') AS text
       FROM documents d WHERE d.doc_id < 30
-    ),
+    )"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH {_PLANTED_SUBSTR_CORPUS_CTE},
     w AS (
       SELECT doc_id,
              list_transform(string_split_regex(trim(text), '\\s+'),
@@ -2571,19 +2578,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_substring_removal_report",
-    oracle="""
-    WITH corpus AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT d.doc_id + 1000000000 AS doc_id,
-             array_to_string(
-               list_concat(
-                 list_transform(range(1, 6),
-                                i -> concat('u', d.doc_id, '_', i)),
-                 (string_split_regex(trim(d.text), '\\s+'))[1:24]),
-               ' ') AS text
-      FROM documents d WHERE d.doc_id < 30
-    ),
+    oracle=f"""
+    WITH {_PLANTED_SUBSTR_CORPUS_CTE},
     w AS (
       SELECT doc_id,
              list_transform(string_split_regex(trim(text), '\\s+'),
@@ -5374,4 +5370,146 @@ repeated_ngram_spans_sharded.__doc__ = repeated_ngram_spans_sharded.__doc__.form
 
 _planted_long_doc_corpus.__doc__ = _planted_long_doc_corpus.__doc__.format(
     n=_PLANT_LONG_N, stride=_SA_STRIDE, body=_SHARD_BODY
+)
+
+
+# ---------------------------------------------------------------------------
+# Train-test contamination via the suffix index (ExactSubstr route)
+# ---------------------------------------------------------------------------
+
+_CONTAM_ROUNDS = 3  # 2^3 = 8-token grain, the substring-dedup window
+_CONTAM_EVAL_BASE = 1_000_000_000  # planted ids are the "eval" split
+
+
+def _contam_suffix_oracle(rounds: int = _CONTAM_ROUNDS) -> str:
+    n = 1 << rounds
+    return f"""
+    WITH {_PLANTED_SUBSTR_CORPUS_CTE},
+    toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts
+      FROM corpus
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, i.i - 1 AS idx,
+             doc_id * {_SA_STRIDE} + i.i - 1 AS gid, ts[i.i] AS tk
+      FROM toks, (SELECT unnest(range(1, {_SA_STRIDE + 1})) AS i) i
+      WHERE i.i <= len(ts)
+    ),
+    r0 AS MATERIALIZED (
+      SELECT gid, doc_id, idx, dense_rank() OVER (ORDER BY tk) AS r
+      FROM tok
+    ),
+    {_doubling_chain(rounds)},
+    pos AS (
+      SELECT f.r, f.doc_id, f.idx
+      FROM r{rounds} f JOIN toks t ON t.doc_id = f.doc_id
+      WHERE f.idx + {n} <= len(t.ts)
+    ),
+    train_groups AS (
+      SELECT r FROM pos GROUP BY r
+      HAVING min(doc_id) < {_CONTAM_EVAL_BASE}
+    ),
+    marked AS (
+      SELECT doc_id, idx,
+             idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+               AS g
+      FROM pos
+      WHERE doc_id >= {_CONTAM_EVAL_BASE}
+        AND r IN (SELECT r FROM train_groups)
+    ),
+    spans AS (
+      SELECT doc_id, min(idx) + 1 AS ss, max(idx) + {n} AS se
+      FROM marked GROUP BY doc_id, g
+      HAVING max(idx) + {n} - min(idx) >= 16
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(se - ss + 1) AS BIGINT) AS n_overlap_tokens,
+           CAST(max(se - ss + 1) AS BIGINT) AS max_span_len
+    FROM spans GROUP BY doc_id
+    """
+
+
+@query("contamination_suffix_spans", oracle=_contam_suffix_oracle())
+def contamination_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test contamination by the EXACT-INDEX route: for every
+    eval-split document, the token spans it shares verbatim with ANY
+    train document — suffix-rank ties at the {n}-gram grain
+    (suffix_rank_frame over the combined corpus), groups kept only if
+    they contain a TRAIN member, eval positions coalesced into maximal
+    islands (the substring-dedup run rule), spans of >= 16 tokens
+    aggregated per eval doc as (n_spans, n_overlap_tokens,
+    max_span_len). The decontamination pass Lee et al. run with the
+    ExactSubstr index, complementing the existing winnowing-fingerprint
+    route (split_leakage_report / doc_fingerprints_winnow): ranks are
+    collision-free where fingerprints are probabilistic, so this is
+    the audit-grade detector.
+
+    Corpus: _planted_substring_corpus — the planted copies (doc_id >=
+    {base}) are the 'eval' split, each carrying 24 tokens verbatim
+    from its train original behind 5 unique markers, so every eval doc
+    must report exactly its copied head (position-independence pinned
+    by the marker offset). Both engines replay planting, ranking, and
+    span algebra bit-for-bit.
+
+    100 TB shape: one doubling run at {rounds} rounds (log-depth,
+    position-sized state), the train-membership test is a group-bounded
+    aggregate join (never all-pairs), islands are a per-eval-doc window
+    at document grain. In production the eval set is the broadcast-size
+    side; here it rides the same ranked relation."""
+    corpus = _planted_substring_corpus(spark, sf_dir)
+    n = 1 << _CONTAM_ROUNDS
+    ranks = suffix_rank_frame(corpus, _CONTAM_ROUNDS)
+    lens = corpus.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    pos = (
+        ranks.join(lens, "doc_id")
+        .filter(F.col("idx") + n <= F.col("n_tokens"))
+        .select("r", "doc_id", "idx")
+    )
+    train_groups = (
+        pos.groupBy("r")
+        .agg(F.min("doc_id").alias("mn"))
+        .filter(F.col("mn") < _CONTAM_EVAL_BASE)
+        .select("r")
+    )
+    marked = (
+        pos.filter(F.col("doc_id") >= _CONTAM_EVAL_BASE)
+        .join(train_groups, "r")
+        .withColumn(
+            "g",
+            F.col("idx")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("idx")
+            ),
+        )
+    )
+    spans = (
+        marked.groupBy("doc_id", "g")
+        .agg(
+            (F.min("idx") + 1).alias("ss"),
+            (F.max("idx") + n).alias("se"),
+        )
+        .filter(F.col("se") - F.col("ss") + 1 >= 16)
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("se") - F.col("ss") + 1)
+        .cast("bigint")
+        .alias("n_overlap_tokens"),
+        F.max(F.col("se") - F.col("ss") + 1)
+        .cast("bigint")
+        .alias("max_span_len"),
+    ).select(
+        F.col("doc_id").cast("bigint"),
+        "n_spans",
+        "n_overlap_tokens",
+        "max_span_len",
+    )
+
+
+contamination_suffix_spans.__doc__ = contamination_suffix_spans.__doc__.format(
+    n=1 << _CONTAM_ROUNDS, base=_CONTAM_EVAL_BASE, rounds=_CONTAM_ROUNDS
 )

@@ -1226,6 +1226,74 @@ def test_substring_spans_agree_with_suffix_rank_route(spark):
     assert chain_spans  # non-vacuous: the planted repeats exist
 
 
+def test_contamination_suffix_spans_matches_python_ground_truth(spark):
+    """Independent replay of the exact-index decontamination report:
+    direct python 8-gram sets (no suffix machinery), cross-set
+    membership, island coalescing, per-eval-doc aggregation. Also pins
+    the expected planted signal: every eval doc whose train original
+    has >= 24 tokens reports its copied 24-token head (6..29) as one
+    contiguous contaminated span."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    got = {
+        int(r["doc_id"]): (
+            int(r["n_spans"]),
+            int(r["n_overlap_tokens"]),
+            int(r["max_span_len"]),
+        )
+        for r in registry.QUERIES["contamination_suffix_spans"](
+            spark, SF
+        ).collect()
+    }
+
+    rows = duckdb.sql(
+        "SELECT doc_id, string_split_regex(trim(text), '\\s+') FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    docs = {int(d): list(t) for d, t in rows}
+    eval_docs = {}
+    for d in [d for d in docs if d < 30]:
+        eval_docs[1_000_000_000 + d] = [
+            f"u{d}_{i}" for i in range(1, 6)
+        ] + docs[d][:24]
+
+    grams_of = defaultdict(set)  # gram -> {"train", "eval"} membership
+    for side, corpus in (("train", docs), ("eval", eval_docs)):
+        for d, toks in corpus.items():
+            for p in range(len(toks) - 7):
+                grams_of[tuple(toks[p : p + 8])].add(side)
+    want = {}
+    for d, toks in eval_docs.items():
+        marked = [
+            p
+            for p in range(len(toks) - 7)
+            if "train" in grams_of[tuple(toks[p : p + 8])]
+        ]
+        spans = []
+        run = []
+        for p in marked + [None]:
+            if p is None or (run and p != run[-1] + 1):
+                if run and (run[-1] + 8) - run[0] >= 16:
+                    spans.append(run[-1] + 8 - run[0])  # span length
+                run = []
+            if p is not None:
+                run.append(p)
+        if spans:
+            want[d] = (len(spans), sum(spans), max(spans))
+    assert got == want
+    # planted signal: originals with >= 24 tokens yield the full head
+    for d in range(30):
+        if len(docs.get(d, [])) >= 24:
+            assert got[1_000_000_000 + d] == (1, 24, 24) or got[
+                1_000_000_000 + d
+            ][1] >= 24
+
+
 def test_epoch_shuffle_decorrelates_epochs(spark):
     """Each epoch is a full permutation and consecutive epochs are NOT
     near-rotations of each other (the failure mode of mixing the epoch
