@@ -264,6 +264,7 @@ HEADLINE = [
     "repeated_span_powers_report",
     "repeated_ngram_spans_sharded",
     "contamination_suffix_spans",
+    "doc_memorization_profile",
 ]
 
 

@@ -5097,6 +5097,96 @@ repeated_span_powers_report.__doc__ = repeated_span_powers_report.__doc__.format
 )
 
 
+def _doc_memorization_oracle(rounds: int = _SA_ROUNDS) -> str:
+    lvls = []
+    for t in range(rounds + 1):
+        span = 1 << t
+        lvls.append(f"""
+    lvl{t} AS (
+      SELECT f.doc_id, f.idx, CAST({span} AS BIGINT) AS span
+      FROM r{t} f JOIN toks t2 ON t2.doc_id = f.doc_id
+      WHERE f.idx + {span} <= len(t2.ts)
+        AND f.r IN (
+          SELECT g.r FROM r{t} g JOIN toks t3 ON t3.doc_id = g.doc_id
+          WHERE g.idx + {span} <= len(t3.ts)
+          GROUP BY g.r HAVING count(*) >= 2
+        )
+    )""")
+    allu = "\n      UNION ALL ".join(
+        f"SELECT * FROM lvl{t}" for t in range(rounds + 1)
+    )
+    return f"""{_doubling_with_prefix(rounds)},
+    {",".join(lvls)},
+    allpos AS (
+      {allu}
+    ),
+    mx AS (
+      SELECT doc_id, max(span) AS max_span FROM allpos GROUP BY doc_id
+    )
+    SELECT CAST(m.doc_id AS BIGINT) AS doc_id,
+           CAST(m.max_span AS BIGINT) AS max_span,
+           CAST(count(*) AS BIGINT) AS n_pos_at_max
+    FROM mx m
+    JOIN allpos a ON a.doc_id = m.doc_id AND a.span = m.max_span
+    GROUP BY 1, 2
+    """
+
+
+@query("doc_memorization_profile", oracle=_doc_memorization_oracle())
+def doc_memorization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document memorization-risk score off the suffix index: for
+    every document, the LONGEST power-of-two token span it shares
+    verbatim with the corpus (anywhere, itself-elsewhere or another
+    doc) and how many of its positions sit in a repeated span of that
+    length — the per-document drill-down of the corpus-level
+    dedup-pressure profile (repeated_span_powers_report), the ranking
+    a curation pass uses to pick which documents ExactSubstr should
+    visit first.
+
+    DERIVED reader #3 of the session-memoized doubling run
+    (``suffix_rank_levels``): each level is one group-bounded tie
+    filter + per-doc aggregate over the captured (gid, r) frame —
+    the whole profile costs zero extra doubling rounds. Levels past
+    the early exit have no ties by construction (fully-distinct
+    ranks), matching the oracle's fixed-point unroll."""
+    lens = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    levels = suffix_rank_levels(spark, sf_dir)
+    parts = None
+    for t in range(-1, _SA_ROUNDS):
+        span = 1 << (t + 1)
+        frame = (
+            _unpack_gid(_level_frame(levels, t))
+            .join(lens, "doc_id")
+            .filter(F.col("idx") + span <= F.col("n_tokens"))
+            .select("r", "doc_id", "idx")
+        )
+        tied = (
+            frame.groupBy("r")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("r")
+        )
+        part = frame.join(tied, "r").select(
+            "doc_id", "idx", F.lit(span).cast("bigint").alias("span")
+        )
+        parts = part if parts is None else parts.unionByName(part)
+    mx = parts.groupBy("doc_id").agg(F.max("span").alias("max_span"))
+    return (
+        parts.join(mx, "doc_id")
+        .filter(F.col("span") == F.col("max_span"))
+        .groupBy("doc_id", "max_span")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pos_at_max"))
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.col("max_span").cast("bigint"),
+            "n_pos_at_max",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Long-document sharding for the suffix family (VERDICT r12 item 3)
 # ---------------------------------------------------------------------------

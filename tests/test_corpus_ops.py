@@ -1294,6 +1294,46 @@ def test_contamination_suffix_spans_matches_python_ground_truth(spark):
             ][1] >= 24
 
 
+def test_doc_memorization_profile_matches_python_ground_truth(spark):
+    """Independent replay: per document, the longest power-of-two span
+    occurring >= 2 times in the corpus and its position count, via
+    direct python gram counting — no suffix machinery, validating the
+    memoized-level reuse end-to-end."""
+    from collections import Counter
+
+    import duckdb
+
+    from etl_pipeline_orchestration_spark.plans import registry
+
+    registry.load_all()
+    got = {
+        int(r["doc_id"]): (int(r["max_span"]), int(r["n_pos_at_max"]))
+        for r in registry.QUERIES["doc_memorization_profile"](
+            spark, SF
+        ).collect()
+    }
+    rows = duckdb.sql(
+        "SELECT doc_id, string_split_regex(trim(text), '\\s+') FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    docs = {int(d): list(t) for d, t in rows}
+    want = {}
+    for span in (1, 2, 4, 8, 16, 32, 64, 128):
+        occ: Counter = Counter()
+        for toks in docs.values():
+            for p in range(len(toks) - span + 1):
+                occ[tuple(toks[p : p + span])] += 1
+        for d, toks in docs.items():
+            hits = sum(
+                1
+                for p in range(len(toks) - span + 1)
+                if occ[tuple(toks[p : p + span])] >= 2
+            )
+            if hits:
+                want[d] = (span, hits)  # later (larger) spans overwrite
+    assert got == want
+
+
 def test_epoch_shuffle_decorrelates_epochs(spark):
     """Each epoch is a full permutation and consecutive epochs are NOT
     near-rotations of each other (the failure mode of mixing the epoch
