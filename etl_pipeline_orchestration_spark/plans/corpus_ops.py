@@ -4962,11 +4962,17 @@ def repeated_ngram_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     yet), identical to a fresh {rounds}-round run because round t
     depends only on rounds < t and the early-exit fallback is the
     same fixed-point rule."""
-    n = 1 << _NGRAM_ROUNDS
     docs = load_table(spark, sf_dir, "documents")
-    ranks = _unpack_gid(
-        _level_frame(suffix_rank_levels(spark, sf_dir), _NGRAM_ROUNDS - 1)
-    )
+    return ngram_report_from_levels(docs, suffix_rank_levels(spark, sf_dir))
+
+
+def ngram_report_from_levels(docs: DataFrame, levels: dict) -> DataFrame:
+    """Core of repeated_ngram_spans_report over explicit (docs,
+    levels) — shared by the registered query (session-memoized levels)
+    and the streaming publisher (snapshot-derived levels,
+    streaming/suffix_stream.py), so the two surfaces cannot drift."""
+    n = 1 << _NGRAM_ROUNDS
+    ranks = _unpack_gid(_level_frame(levels, _NGRAM_ROUNDS - 1))
     lens = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
@@ -5061,15 +5067,21 @@ def repeated_span_powers_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubling run (``suffix_rank_levels`` — computed here only if no
     producer ran yet)."""
     docs = load_table(spark, sf_dir, "documents")
+    return span_powers_from_levels(docs, suffix_rank_levels(spark, sf_dir))
+
+
+def span_powers_from_levels(docs: DataFrame, levels: dict) -> DataFrame:
+    """Core of repeated_span_powers_report over explicit (docs,
+    levels) — shared by the registered query and the streaming
+    publisher (streaming/suffix_stream.py)."""
     lens = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     ).localCheckpoint(eager=True)
-    captured = suffix_rank_levels(spark, sf_dir)
     out = None
     for t in range(-1, _SA_ROUNDS):
         span = 1 << (t + 1)
-        frame = _level_frame(captured, t)
+        frame = _level_frame(levels, t)
         valid = (
             _unpack_gid(frame)
             .select("r", "doc_id", "idx")
@@ -5149,11 +5161,18 @@ def doc_memorization_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole profile costs zero extra doubling rounds. Levels past
     the early exit have no ties by construction (fully-distinct
     ranks), matching the oracle's fixed-point unroll."""
-    lens = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents")
+    return memorization_from_levels(docs, suffix_rank_levels(spark, sf_dir))
+
+
+def memorization_from_levels(docs: DataFrame, levels: dict) -> DataFrame:
+    """Core of doc_memorization_profile over explicit (docs, levels) —
+    shared by the registered query and the streaming publisher
+    (streaming/suffix_stream.py)."""
+    lens = docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
     ).localCheckpoint(eager=True)
-    levels = suffix_rank_levels(spark, sf_dir)
     parts = None
     for t in range(-1, _SA_ROUNDS):
         span = 1 << (t + 1)
