@@ -1127,8 +1127,22 @@ def deterministic_walks(
     by salting walk_id; one suffices for the deterministic variant).
 
     ``arcs`` must be the symmetric arc relation (both directions
-    present; every node has out-degree >= 1)."""
-    a = arcs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    present; every node has out-degree >= 1).
+
+    The arc relation is partitioned by the join key ONCE and pinned
+    with a checkpoint (LogicalRDD preserves outputPartitioning), so
+    every step's join shuffles only the node-sized walker state — at
+    scale the difference between 1 and ``steps`` edge shuffles (in
+    production: a bucketed edge table). Measured at sf0.1 this cut the
+    deepwalk query's total shuffle write 8x (158.8 -> 19.5 MB)."""
+    n_shuffle = int(
+        arcs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    a = (
+        arcs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .repartition(n_shuffle, "u")
+        .localCheckpoint(eager=True)
+    )
     cur = a.select(F.col("u").alias("walk_id")).distinct().select(
         "walk_id", F.col("walk_id").alias("node")
     ).localCheckpoint(eager=True)
