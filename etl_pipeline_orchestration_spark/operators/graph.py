@@ -589,7 +589,14 @@ def label_propagation(
     ).unionByName(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    sym = sym.localCheckpoint()
+    # Partition the symmetric arc relation by the per-round join key
+    # ONCE and pin it (LogicalRDD preserves outputPartitioning — the
+    # deterministic_walks discipline): each round then shuffles only
+    # the node-sized label state, never the edge relation.
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    sym = sym.repartition(n_shuffle, "dst").localCheckpoint(eager=True)
     labels = sym.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -631,11 +638,18 @@ def bfs_hops(
     distances), so each vertex is expanded exactly once and total work
     is O(E) across all rounds, not O(E x rounds); per-round eager
     localCheckpoint truncates the growing lineage exactly as pagerank
-    does. The settled-distance relation is node-sized."""
+    does. The settled-distance relation is node-sized. The undirected
+    arc relation is partitioned by the frontier-join key ONCE (the
+    deterministic_walks discipline) so each level shuffles only the
+    frontier."""
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     e = edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
     und = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
+        .repartition(n_shuffle, "s")
         .localCheckpoint(eager=True)
     )
     dist = (
@@ -686,19 +700,25 @@ def k_core(
     real graphs are few (each round removes a whole degree layer);
     the worst case is path-graph O(n), which no co-occurrence graph
     resembles."""
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     e = edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+    # Partitioned by "d" once (the deterministic_walks discipline) and
+    # the degree joins ordered d-first then s: per round, the only
+    # edge-sized shuffle left is the s-join, whose partitioning the
+    # groupBy then reuses — down from three edge-sized exchanges.
     und = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
+        .repartition(n_shuffle, "d")
         .localCheckpoint(eager=True)
     )
 
     def degrees(alive: DataFrame) -> DataFrame:
         return (
-            und.join(alive.withColumnRenamed("node", "s"), "s")
-            .join(
-                alive.select(F.col("node").alias("d")), "d"
-            )
+            und.join(alive.select(F.col("node").alias("d")), "d")
+            .join(alive.withColumnRenamed("node", "s"), "s")
             .groupBy(F.col("s").alias("node"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         )
@@ -750,6 +770,17 @@ def sssp_bounded(
     node-bounded, checkpointed per round (a per-round action on a lazy
     chain would re-execute the whole history each pass). All values
     are exact int64: no float ever enters the min."""
+    # One-time partition by the relaxation key (the deterministic_walks
+    # discipline): each round's frontier join leaves the edge relation
+    # in place and shuffles only the frontier.
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    edges = (
+        edges.select(src, dst, weight)
+        .repartition(n_shuffle, src)
+        .localCheckpoint(eager=True)
+    )
     if source_node is None:
         source_node = edges.agg(F.min(src)).collect()[0][0]
     dist = (
