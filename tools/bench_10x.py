@@ -212,6 +212,13 @@ FAMILIES = {
     # pagerank lane shape on the same 10x co-purchase graph.
     "graph_spectral": "spectral_bipartition_parts",
     "deepwalk_pairs": "deepwalk_skipgram_pairs",
+    # r13: the sharded doubling run (shard explode + the suffix_array
+    # shape at 4 rounds) and the train/eval contamination spans (3
+    # rounds + a group-bounded membership join + per-doc islands) —
+    # both run their OWN doubling loops (no memo), so the exponents
+    # measure the full operators.
+    "suffix_sharded": "repeated_ngram_spans_sharded",
+    "contamination_spans": "contamination_suffix_spans",
     # DELIBERATELY EXCLUDED (not a silent cap): entity_resolution_parts.
     # Its entity domain is the p_name VOCABULARY, which does not scale
     # with corpus size — a 10x part table would scale the name domain
@@ -355,6 +362,14 @@ def _clear_persistent_state(spark) -> None:
     jsc = spark.sparkContext._jsc
     for rdd in list(jsc.getPersistentRDDs().values()):
         rdd.unpersist()
+    # Unpersisting a localCheckpointed frame deletes its blocks while
+    # the session memos still hold references — a later family reading
+    # a memo would hit dead checkpoints. Clear the dicts WITH the
+    # blocks so memo readers recompute instead of crashing.
+    from etl_pipeline_orchestration_spark.plans import corpus_ops
+
+    corpus_ops._SPAN_MEMO.clear()
+    corpus_ops._SUFFIX_MEMO.clear()
 
 
 # Per-family pre-rep hooks: invalidate memo caches so min-of-reps times
