@@ -38,6 +38,12 @@ FORBIDDEN = {"HUGEINT", "UHUGEINT"}
 
 @pytest.fixture(scope="module")
 def con():
+    # Some pipeline oracles embed literal .landing/v1/oracle parquet
+    # paths; binding them requires the (idempotent, deterministic)
+    # landing zone to exist — a fresh checkout doesn't have it yet.
+    from etl_pipeline_orchestration_spark.sources.landing import ensure_landing
+
+    ensure_landing()
     c = duckdb.connect()
     for t in TABLES:
         c.execute(
