@@ -4659,17 +4659,13 @@ def suffix_array_ranks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-gram report, the span-power profile) reuse its captured levels
     — ``suffix_rank_levels`` / ``publish_suffix_ranks``."""
     docs = load_table(spark, sf_dir, "documents")
-    maxlen = docs.agg(
-        F.max(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-    ).first()[0]
-    if (1 << _SA_ROUNDS) < maxlen:
-        raise ValueError(
-            f"suffix_array_ranks_docs: {maxlen}-token document exceeds "
-            f"the 2^{_SA_ROUNDS} full-distinction budget — raise "
-            "_SA_ROUNDS and the oracle's unroll together"
-        )
     captured: dict = {}
-    ranks = suffix_rank_frame(docs, _SA_ROUNDS, capture=captured)
+    # full_distinction=True folds the 2^rounds >= maxlen guard into the
+    # frame's own length stats — the pre-r13 separate max(size(split))
+    # aggregate was a second full scan of the text column.
+    ranks = suffix_rank_frame(
+        docs, _SA_ROUNDS, capture=captured, full_distinction=True
+    )
     _suffix_memo_store(spark, sf_dir, captured)
     return ranks.select(
         F.col("doc_id").cast("bigint"),
@@ -4678,8 +4674,79 @@ def suffix_array_ranks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucketed_dense_rank(
+    staged_in: DataFrame,
+    order_cols: list[str],
+    bucket: F.Column,
+    n_eff: int,
+) -> tuple[DataFrame, int]:
+    """Global dense rank of ``order_cols`` over ``staged_in`` (which
+    must carry gid + the order columns) without a global window or a
+    distinct+join-back: partition by the monotone ``bucket`` column
+    (values 0..n_eff-1; equal order keys MUST bucket equal), dense_rank
+    within each bucket, localCheckpoint, then ONE B-row aggregate
+    (max local rank per bucket = the bucket's distinct count) collected
+    to the driver. Global rank = exclusive-prefix-sum offset + local
+    rank, attached as a literal-array lookup (broadcast-joined when B
+    is large) — a free projection over the checkpoint. Returns
+    ``(lazy (gid, r) frame, total distinct count)``; the total is what
+    the doubling loop's early exit needs, for free."""
+    w_bkt = Window.partitionBy("__bucket").orderBy(*order_cols)
+    staged = (
+        staged_in.withColumn("__bucket", bucket)
+        .select("gid", "__bucket", F.dense_rank().over(w_bkt).alias("__dr"))
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        int(row["__bucket"]): int(row["n"])
+        for row in staged.groupBy("__bucket")
+        .agg(F.max("__dr").alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    offs: list[int] = []
+    acc = 0
+    for b in range(n_eff):
+        offs.append(acc)
+        acc += counts.get(b, 0)
+    if n_eff <= 1024:
+        oarr = F.array(*[F.lit(o) for o in offs])
+        ranks = staged.select(
+            "gid",
+            (F.element_at(oarr, F.col("__bucket") + 1) + F.col("__dr"))
+            .cast("bigint")
+            .alias("r"),
+        )
+    else:  # large-B form: broadcast the B-row offset relation
+        off_df = staged.sparkSession.createDataFrame(
+            list(enumerate(offs)), "__bucket int, __off long"
+        )
+        ranks = staged.join(F.broadcast(off_df), "__bucket").select(
+            "gid",
+            (F.col("__off") + F.col("__dr")).cast("bigint").alias("r"),
+        )
+    return ranks, total
+
+
+def _bucket_expr(col: str, bounds: list[int]) -> F.Column:
+    """0-based bucket index of ``col`` under sorted ``bounds`` — a
+    codegen'd fold over the literal boundary array (the
+    assign_contiguous_ids_ordered bucketing, inlined)."""
+    if not bounds:
+        return F.lit(0)
+    barr = F.array(*[F.lit(b) for b in bounds])
+    return F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(col) > b, 1).otherwise(0),
+    )
+
+
 def suffix_rank_frame(
-    docs: DataFrame, rounds: int, capture: dict | None = None
+    docs: DataFrame,
+    rounds: int,
+    capture: dict | None = None,
+    full_distinction: bool = False,
 ) -> DataFrame:
     """(gid, doc_id, idx, r): token-suffix dense ranks after ``rounds``
     doubling rounds (prefixes of length 2^rounds compared) — the
@@ -4699,23 +4766,55 @@ def suffix_rank_frame(
     initial ranks (t = -1, single-token grain) and after each round t —
     consumers like the span-power histogram read every doubling level
     off ONE run. Early-exited rounds are absent; their ranks equal the
-    last captured frame (fully-distinct ranks reproduce themselves)."""
-    from etl_pipeline_orchestration_spark.plans.scale_primitives import (
-        assign_contiguous_ids_ordered,
-    )
+    last captured frame (fully-distinct ranks reproduce themselves).
 
+    ``full_distinction``: also enforce 2^rounds >= the longest
+    document (the suffix-ARRAY requirement — derived n-gram reports
+    legitimately run fewer rounds), off the same length stats instead
+    of a second scan of the text column.
+
+    Round shape (optimization r13 — was 4 jobs / ~7 exchanges per
+    round): TWO jobs and TWO data exchanges per round.
+    (1) the shifted partner rank comes from a ``lead(r, 2^t)`` window
+    over the document partition (positions are contiguous by
+    construction, so gid+k IS k rows ahead) — replacing the shifted
+    SELF-JOIN (two corpus-sized exchanges + join) with one exchange
+    and a bounded per-document sort; the same job then computes the
+    global dense rank of (r1, r2) via ``_bucketed_dense_rank``,
+    bucketing on a monotone equal-width cut of r1 RESCALED to the
+    previous round's rank count (so round 0's vocabulary-sized ranks
+    don't skew into the low buckets) — no distinct-pairs relation, no
+    join-back: duplicate pairs share a dense rank by definition.
+    (2) the helper's B-row count aggregate. The early exit (total
+    distinct == n_pos) falls out of those same B rows, removing the
+    old per-round max(r) job. rank_0 keeps the distinct-vocabulary
+    ranking (a direct bucketed window over the position-grain strings
+    measured ~6x slower — WindowExec buffers full rows, and the
+    vocabulary is tiny by comparison), with the vocabulary
+    checkpointed so its lazy plan isn't re-run inside the corpus
+    join."""
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
             "idx", "tk"
         ),
-    )
+    ).select(
+        "doc_id",
+        "idx",
+        (F.col("doc_id") * _SA_STRIDE + F.col("idx")).alias("gid"),
+        "tk",
+    ).localCheckpoint(eager=True)
+    # Stats off the checkpoint: one pass over the corpus total (the
+    # pre-r13 order paid the posexplode twice — once for the stats
+    # action, once for the checkpoint).
     stats = tok.agg(
         F.max("idx").alias("mx"), F.count(F.lit(1)).alias("n")
     ).first()
     maxlen, n_pos = int(stats["mx"]) + 1, int(stats["n"])
     # Deliberately partial comparisons (an n-gram report at small
-    # ``rounds``) are fine; the ALIASING bound is the hard one.
+    # ``rounds``) are fine; the ALIASING bound is the hard one. (The
+    # over-long gids a violating corpus just checkpointed are never
+    # read — we raise here.)
     if maxlen + (1 << (rounds - 1)) > _SA_STRIDE:
         raise ValueError(
             f"suffix_rank_frame: document of {maxlen} tokens exceeds "
@@ -4723,19 +4822,32 @@ def suffix_rank_frame(
             "cover doc length + the largest 2^(rounds-1) shift) — raise "
             "_SA_STRIDE and the oracle's unroll together"
         )
-    tok = tok.select(
-        "doc_id",
-        "idx",
-        (F.col("doc_id") * _SA_STRIDE + F.col("idx")).alias("gid"),
-        "tk",
-    ).localCheckpoint(eager=True)
+    if full_distinction and (1 << rounds) < maxlen:
+        raise ValueError(
+            f"suffix_array_ranks_docs: {maxlen}-token document exceeds "
+            f"the 2^{rounds} full-distinction budget — raise "
+            "_SA_ROUNDS and the oracle's unroll together"
+        )
+
+    # Scale-adaptive bucket count: ~2M rows per bucket at the 100 TB
+    # design point (bounded per-task sort state), floored at 32 so the
+    # local harness keeps its audited 32-bucket shape.
+    n_buckets = max(32, n_pos // 2_000_000)
 
     # rank_0: dense lexicographic rank of the token string, via ordered
     # contiguous ids over the DISTINCT vocabulary. Projection: first 7
     # chars packed base-257 with codepoints clamped at 256 — monotone
     # for any UTF-8 text (UTF-8 byte order == codepoint order), equal
-    # strings project equal.
-    vocab = tok.select("tk").distinct()
+    # strings project equal. The vocabulary is CHECKPOINTED before the
+    # rank machinery touches it (r13): vr is consumed lazily by the
+    # corpus join below, and an un-materialized vocabulary re-ran the
+    # full distinct + percentile pipeline inside that join's job —
+    # measured 13.2 s of the 31 s query at sf0.1, vs ~2 s checkpointed.
+    from etl_pipeline_orchestration_spark.plans.scale_primitives import (
+        assign_contiguous_ids_ordered,
+    )
+
+    vocab = tok.select("tk").distinct().localCheckpoint(eager=True)
     proj = F.expr(
         "aggregate(transform(sequence(1, 7),"
         " i -> least(coalesce(ascii(substring(tk, i, 1)), -1) + 1, 256)),"
@@ -4746,48 +4858,52 @@ def suffix_rank_frame(
     ).select("tk", (F.col("vid") + 1).alias("r"))
     # Loop state is (gid, r) ONLY — doc_id/idx are recovered from the
     # gid packing at the end, halving what every round checkpoints.
+    # Join strategy stays planner-chosen: a word-type vocabulary can
+    # exceed broadcast limits at the 100 TB point (AQE handles the
+    # Zipf-head skew).
     ranks = tok.join(vr, "tk").select("gid", "r").localCheckpoint(
         eager=True
     )
     if capture is not None:
         capture[-1] = ranks
+    # Rank count after round t-1 bounds round t's r1 domain and
+    # rescales the bucket cut; round 0's bound is the vocabulary size
+    # — a metadata-cheap count of the vocabulary checkpoint.
+    prev_max = vocab.count()
 
+    w_doc = Window.partitionBy(F.expr(f"gid div {_SA_STRIDE}L")).orderBy(
+        "gid"
+    )
     for t in range(rounds):
         k = 1 << t
-        nxt = ranks.select(
-            (F.col("gid") - k).alias("gid_l"), F.col("r").alias("r2")
+        # Equal-width monotone cut of r1 over [1, prev_max]; duplicate
+        # boundaries (tiny corpora) only create empty buckets, which
+        # the helper's exact offsets absorb.
+        bounds = sorted(
+            {prev_max * i // n_buckets for i in range(1, n_buckets)}
         )
-        pairs = (
-            ranks.join(nxt, ranks["gid"] == nxt["gid_l"], "left")
-            .select(
-                "gid",
-                F.col("r").alias("r1"),
-                F.coalesce("r2", F.lit(0)).cast("bigint").alias("r2"),
-            )
-            .localCheckpoint(eager=True)
+        pairs = ranks.select(
+            "gid",
+            F.col("r").alias("r1"),
+            F.coalesce(F.lead("r", k).over(w_doc), F.lit(0))
+            .cast("bigint")
+            .alias("r2"),
         )
-        # Dense ranks are near-uniform on [1, n_pos], so static
-        # equal-width boundaries balance the buckets without the
-        # per-round percentile scan (any placement is correct).
-        dr = assign_contiguous_ids_ordered(
-            pairs.select("r1", "r2").distinct(),
+        ranks, total = _bucketed_dense_rank(
+            pairs,
             ["r1", "r2"],
-            F.col("r1"),
-            id_col="nid",
-            bounds=[n_pos * i // 32 for i in range(1, 32)],
-        ).select("r1", "r2", (F.col("nid") + 1).alias("nr"))
-        ranks = (
-            pairs.join(dr, ["r1", "r2"])
-            .select("gid", F.col("nr").alias("r"))
-            .localCheckpoint(eager=True)
+            _bucket_expr("r1", bounds),
+            len(bounds) + 1,
         )
         if capture is not None:
             capture[t] = ranks
+        prev_max = total
         # Fully-distinct ranks reproduce themselves in every later
         # round (pairs sort by the unique r1, re-densify to the same
         # values), so the early exit is EXACTLY the fixed unroll the
-        # oracle runs — one cheap agg on the fresh checkpoint.
-        if ranks.agg(F.max("r")).first()[0] == n_pos:
+        # oracle runs — and the distinct total already fell out of the
+        # helper's B-row counts, so it costs no extra job.
+        if total == n_pos:
             break
     return _unpack_gid(ranks)
 
