@@ -502,6 +502,22 @@ def personalized_pagerank(
         n_dang = dang_nodes.count()
     n = nodes.count()
     bcast_ranks = n <= broadcast_ranks_max
+    if bcast_ranks:
+        # Below the gate the rank state joins BROADCAST, so the edge
+        # relation never shuffles for the join — relay it out
+        # hash-partitioned by the contribution GROUP key instead (d,
+        # aliased to node below): the per-iteration groupBy then needs
+        # no exchange at all (the HITS two-layout discipline; the
+        # broadcast join and the alias-aware projection both preserve
+        # the pinned partitioning). One extra edge-sized setup shuffle
+        # buys max_iter exchange-free aggregates (isolated A/B at
+        # sf0.1: 7.4 -> 5.9 s). Above the gate the state must shuffle
+        # to the edge layout, so hash(s) — the window's own output
+        # layout — remains the right pin.
+        n_shuffle = int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        e_w = e_w.repartition(n_shuffle, "d").localCheckpoint(eager=True)
     seed_mass = 1.0 - damping  # same float order as the oracle's 1.0-0.85
     sparse = spark.createDataFrame(
         [(int(restart_node), 1.0)], "node bigint, rank double"
@@ -1115,11 +1131,18 @@ def spectral_bisection(
         ).collect()[0]
         mean_q = _trunc_div_int(int(s_row["s"]), int(total_deg))
         m = max(int(s_row["mx"]) - mean_q, mean_q - int(s_row["mn"]), 1)
+        # The rescale is a FREE projection over the p checkpoint
+        # (mean_q/m are literals) — the pre-r13 per-round eager
+        # checkpoint of x was a whole extra job materializing the same
+        # node-sized rows a second time. (Pre-partitioning arcs by v
+        # was ALSO tried and measured ~0.5 s SLOWER at sf0.1 — the arc
+        # relation here is co-purchase-sized, far smaller than the
+        # node-pair relations where that discipline pays.)
         x = p.select(
             "node",
             "deg",
             F.expr(f"((p - {mean_q}L) * {scale}L) div {m}L").alias("x"),
-        ).localCheckpoint(eager=True)
+        )
     return x.select(
         "node",
         F.col("x").alias("v_q"),

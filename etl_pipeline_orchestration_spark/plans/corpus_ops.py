@@ -2289,7 +2289,15 @@ def substring_spans_of(
 
     Returns (doc_id, span_start, span_end, n_tokens), token positions
     1-based inclusive."""
-    pos_fp = position_fingerprints_of(corpus, window)
+    # Two consumers (the shared-fp aggregate and the mark join probe)
+    # with no shared exchange between them — ReusedExchange can't help,
+    # so without materialization the CPU-dominant per-char fingerprint
+    # fold runs twice (the jaccard_all_pairs_prefix lesson; measured
+    # 5.8 s -> 4.3 s at sf0.1). At cluster scale this is Lee et al.'s
+    # "write the fingerprint table once" step.
+    pos_fp = position_fingerprints_of(corpus, window).localCheckpoint(
+        eager=True
+    )
     shared = (
         pos_fp.groupBy("fp")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
@@ -2355,8 +2363,12 @@ def substring_spans_keep_first(
     arrival order is id order.
 
     Same scale shape as substring_spans_of: one fp-keyed aggregate
-    (min doc id per fp), one fp-keyed join, one per-doc window."""
-    pos_fp = position_fingerprints_of(corpus, window)
+    (min doc id per fp), one fp-keyed join, one per-doc window — and
+    the same single-compute materialization of the fingerprint
+    relation (two consumers, no shared exchange)."""
+    pos_fp = position_fingerprints_of(corpus, window).localCheckpoint(
+        eager=True
+    )
     first = pos_fp.groupBy("fp").agg(F.min("doc_id").alias("mn"))
     marked = (
         pos_fp.join(first, "fp")
