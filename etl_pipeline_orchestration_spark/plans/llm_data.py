@@ -1819,6 +1819,9 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(n >= 2)
         .select("doc_id", F.explode(bg_arr).alias("p"))
         .select("doc_id", "p.prev", "p.cur")
+        # THREE consumers pruning different columns — the explode ran
+        # three times without materialization (the kneser_ney lesson).
+        .localCheckpoint(eager=True)
     )
     bc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
     cc = bg.groupBy("prev").agg(F.count(F.lit(1)).alias("cc"))
@@ -1900,6 +1903,12 @@ def kneser_ney_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(n >= 2)
         .select("doc_id", F.explode(bg_arr).alias("p"))
         .select("doc_id", "p.prev", "p.cur")
+        # FIVE consumers pruning different columns — the explode ran
+        # five times without materialization (the kneser_ney lesson;
+        # wall-neutral at sf0.1 where the explode is cheap relative to
+        # the count_distinct aggregates, but at corpus scale the four
+        # saved text-normalize passes dominate).
+        .localCheckpoint(eager=True)
     )
     bc = bg.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("bc"))
     cc = bg.groupBy("prev").agg(
@@ -6036,6 +6045,12 @@ def kneser_ney_trigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(n >= 3)
         .select("doc_id", F.explode(tg_arr).alias("t"))
         .select("doc_id", "t.w1", "t.w2", "t.w3")
+        # SIX consumers (five count aggregates + the final join back)
+        # pruning different columns — ReusedExchange never fires on
+        # the narrow subtrees, so without materialization the
+        # normalize+zip_with+explode ran six times (the dsir lesson;
+        # isolated sf0.1 A/B: 2.8 -> 2.1 s).
+        .localCheckpoint(eager=True)
     )
     c3 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
     c2 = tg.groupBy("w1", "w2").agg(

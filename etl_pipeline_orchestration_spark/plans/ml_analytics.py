@@ -6857,7 +6857,16 @@ def _gbt_train_from(base: DataFrame, rounds: int = _GBT_ROUNDS):
     """The boosting loop over a caller-supplied (y, features) frame —
     split out so the conformal query can train on the TRAIN folds only
     (the split-conformal guarantee needs a model the calibration rows
-    never touched)."""
+    never touched).
+
+    The frame is checkpointed ONCE up front (r13): the loop issues
+    rounds+1 driver actions (the mean and one histogram head per
+    round) and the caller's output pass is one more — without
+    materialization each of them re-ran the fact join upstream of
+    ``base`` (the returned frame is the checkpoint, so caller lineage
+    reads it too). The materialized frame is (key, y, 4 small-int
+    bins) — far narrower than the fact tables it derives from."""
+    base = base.localCheckpoint(eager=True)
     m = base.agg(F.expr("sum(y) div count(1)").alias("mean_q")).head()
     if m is None or m["mean_q"] is None:
         raise ValueError("gbt: empty training frame")
