@@ -1,11 +1,15 @@
 """Headline benchmark: wall-clock per query at $SPARK_GRAFT_SF_DIR.
 
-Prints exactly ONE compact JSON line on stdout (the driver captures only
-a short stdout tail, so the line must stay well under ~1.5 KB):
+Prints exactly ONE JSON line on stdout:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"detail": "BENCH_DETAIL.json"}, "sf": <sf>, ...}
-The full per-query timing map is written to BENCH_DETAIL.json next to
-this script (committed per-round so every query's cost stays auditable).
+   "queries": {<name>: <sec>, ...}, "sf": <sf>, ...}
+Per-query seconds are INLINE in "queries" (r13 VERDICT item 2: the
+driver's round-over-round and 8-vs-32-core comparators read this field;
+the earlier {"detail": ...} indirection left PERF per_query empty).
+The full map incl. calibration ratios is ALSO written to
+BENCH_DETAIL.json next to this script (committed per-round so every
+query's cost stays auditable). Methodology unchanged: noop sink,
+min-of-reps, additions only.
 
 Each query is forced to full execution with the noop data-source write
 (runs the complete physical plan, materializes nothing on the driver),
@@ -369,18 +373,19 @@ def main() -> int:
         )
         f.write("\n")
 
-    # ONE compact line (< ~200 bytes) as the last stdout output.
+    # ONE line as the last stdout output, per-query seconds inline
+    # (compact separators keep 237 entries under ~8 KB).
     out = {
         "metric": "headline_queries_wallclock",
         "value": total,
         "unit": "sec",
-        "queries": {"detail": "BENCH_DETAIL.json"},
+        "queries": timings,
         "calibration_sec": calib,
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": n_failed,
     }
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
     return 0 if not n_failed else 1
 
 

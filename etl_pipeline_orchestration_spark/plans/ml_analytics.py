@@ -5730,6 +5730,9 @@ single_linkage_clusters_parts.__doc__ = (
 
 _HITS_ITERS = 8
 _HITS_SCALE = 1_000_000
+# Rounds fused per localCheckpoint job in hits_ratings (A/B knob for
+# the r13-VERDICT item-7 experiment; 1 = one checkpoint per round).
+_HITS_CKPT_EVERY = 1
 
 
 def _hits_oracle(iters: int = _HITS_ITERS, scale: int = _HITS_SCALE) -> str:
@@ -5917,7 +5920,20 @@ def hits_ratings(
                 ).alias("raw")
             ),
             "p",
-        ).localCheckpoint()
+        )
+        # Checkpoint cadence: every round. A two-rounds-per-job fusion
+        # (_HITS_CKPT_EVERY = 2) was A/B'd for r14 VERDICT item 7 and
+        # measured SLOWER — same-session ABAB at sf0.1: 5.2-5.4 s at
+        # cadence 1 vs 8.0-8.7 s at cadence 2 (see OPTIMIZATION_r14.md).
+        # Without the checkpoint, round k's raw-mass subtree is
+        # evaluated twice inside round k+1's job (once under the _norm
+        # max broadcast, once on the main path — ReusedExchange does
+        # not bridge the broadcast boundary across the extra round),
+        # costing more than the one job it saves.
+        if it % _HITS_CKPT_EVERY == _HITS_CKPT_EVERY - 1 or (
+            it == _HITS_ITERS - 1
+        ):
+            a = a.localCheckpoint()
     h = _norm(h_raw, "s")
     edges_s.unpersist()
     edges_p.unpersist()

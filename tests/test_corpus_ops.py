@@ -1598,6 +1598,54 @@ def test_suffix_array_ranks_match_python_suffix_sort(spark):
     assert got == want
 
 
+def test_bucketed_dense_rank_all_offset_paths_agree(spark):
+    """_BDR_COLLECT_CAP boundary guard (r13 VERDICT item 9): both
+    offset-attachment forms — collected literal array (B ≤ cap) and
+    the no-driver-collect distributed running sum (B > cap) — must
+    produce identical dense ranks and totals, checked against a plain
+    global dense_rank ground truth. (Also pins the distributed form
+    against the constraint-propagation defect the removed mid-B
+    createDataFrame form tripped — see _bucketed_dense_rank.)"""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from etl_pipeline_orchestration_spark.plans.corpus_ops import (
+        _BDR_COLLECT_CAP,
+        _bucket_expr,
+        _bucketed_dense_rank,
+    )
+
+    df = (
+        spark.range(5000)
+        .select(
+            F.col("id").alias("gid"),
+            F.pmod(F.xxhash64("id"), F.lit(97)).alias("k1"),
+            (F.col("id") % 7).alias("k2"),
+        )
+        .localCheckpoint()
+    )
+    want = {
+        int(r["gid"]): int(r["r"])
+        for r in df.select(
+            "gid",
+            F.dense_rank()
+            .over(Window.orderBy("k1", "k2"))
+            .cast("bigint")
+            .alias("r"),
+        ).collect()
+    }
+    n_distinct = df.select("k1", "k2").distinct().count()
+    # Monotone coarsening of the (k1, k2) order: bucket on the major
+    # key. Only ~10 buckets carry rows; the declared n_eff picks the
+    # offset path, empty buckets are absorbed by the exact offsets.
+    bucket = _bucket_expr("k1", [10 * i for i in range(1, 10)])
+    for n_eff in (10, _BDR_COLLECT_CAP, _BDR_COLLECT_CAP + 1, 70_000):
+        ranks, total = _bucketed_dense_rank(df, ["k1", "k2"], bucket, n_eff)
+        got = {int(r["gid"]): int(r["r"]) for r in ranks.collect()}
+        assert total == n_distinct, f"n_eff={n_eff}"
+        assert got == want, f"n_eff={n_eff}"
+
+
 def test_repeated_ngram_report_matches_direct_counts(spark):
     """Independent ground truth: the report's (gram, counts) rows must
     equal a direct python 16-gram count over the corpus — no suffix

@@ -88,10 +88,17 @@ def test_minhash_family_recall_at_10x_scale(spark, big_sf_dir):
 
 @pytest.mark.slow
 def test_ivf_topk_self_retrieval_at_10x_scale(spark, big_sf_dir):
+    # Contract since the r12 certification (fd5266d): integer-exact IVF
+    # returning (vec_id, list_j, dot_q) ordered by (dot_q desc, vec_id).
     rows = registry.QUERIES["embedding_topk_ivf"](spark, big_sf_dir).collect()
     assert len(rows) == 10
     assert rows[0]["vec_id"] == 0  # the query vector retrieves itself
-    assert rows[0]["cosine_sim"] == pytest.approx(1.0, abs=1e-6)
+    # Self-dot = |q|² is the maximum by a wide margin on this corpus;
+    # the declared ordering must carry it to the front.
+    assert rows[0]["dot_q"] > 0
+    assert rows[0]["dot_q"] == max(r["dot_q"] for r in rows)
+    dots = [r["dot_q"] for r in rows]
+    assert dots == sorted(dots, reverse=True)
 
 
 @pytest.mark.slow
