@@ -32,6 +32,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Node gate for shipping iterative-loop state BROADCAST instead of
+# shuffling it (the pagerank/hits bound: ~4M (long, long) rows ≈ 64 MB
+# framed, well under executor memory; above it the state must not hit
+# the driver). Shared by every loop that takes the r14 two-regime
+# layout; module-level so A/B harnesses can toggle one knob.
+_STATE_BCAST_MAX = 4_000_000
+
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Union-find over a collected edge list; returns (node, component)
@@ -122,7 +129,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     driver_threshold: int | None = None,
-    broadcast_labels_max: int = 4_000_000,
+    broadcast_labels_max: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component is the
     minimum node id reachable. Edges are treated as undirected.
@@ -174,6 +181,8 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    if broadcast_labels_max is None:
+        broadcast_labels_max = _STATE_BCAST_MAX
     bcast = labels.count() <= broadcast_labels_max
     if not bcast:
         # Shuffle regime: one more setup shuffle re-pins the edges by
@@ -357,9 +366,12 @@ def pagerank(
     # every pass (the old agg+join shape shuffled the edge list twice
     # and checkpointed it twice — measured ~40% of the 10x-scale cost).
     # partitionBy("s") is a keyed window — never a single-partition sort.
+    # persist (not localCheckpoint) so the hash(s)-layout copy can be
+    # RELEASED once the d-layout pin replaces it below the broadcast
+    # gate (the PPR r14 shape — see personalized_pagerank).
     e_w = e.withColumn(
         "out_deg", F.count(F.lit(1)).over(Window.partitionBy("s"))
-    ).localCheckpoint(eager=True)
+    ).persist()
     # deg reads off e_w's preserved hash(s) partitioning — no exchange.
     deg = e_w.groupBy("s").agg(F.first("out_deg").alias("out_deg"))
     if symmetric:
@@ -387,6 +399,21 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
         n_dang = dang_nodes.count()
+    if bcast_ranks:
+        # Below the gate the rank state ships broadcast, so the edge
+        # relation never shuffles for the join — relay it out pinned by
+        # the contribution GROUP key (d, aliased to node below): every
+        # per-iteration groupBy then runs exchange-free (the PPR r13
+        # layout, extended to pagerank in r14; PPR measured 7.4 -> 5.9 s
+        # for the same move). deg/nodes/dang_nodes are materialized by
+        # now, so the s-layout copy is released — one edge-sized
+        # relation stays resident through the loop.
+        n_shuffle = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        e_w2 = e_w.repartition(n_shuffle, "d").localCheckpoint(eager=True)
+        e_w.unpersist()
+        e_w = e_w2
 
     def densify(sparse, base):
         """Materialize full (node, rank): absent nodes have rank==base
@@ -638,7 +665,15 @@ def label_propagation(
     window over each node's neighbor-label histogram — partitioned by
     node, never global. localCheckpoint truncates per-round lineage
     exactly as pagerank does; state is one (node, label) row per node.
-    """
+
+    A broadcast-label two-regime variant (src-pinned arcs + broadcast
+    state, the k_core/connected_components r14 layout) was A/B'd and
+    REJECTED (interleaved min-of-3 at sf0.1: 2.9 s shuffle vs 3.2 s
+    broadcast): the count groupBy is already map-side-combined to
+    histogram-sized rows, so the broadcast only replaced the
+    node-sized state exchange while paying a per-round broadcast
+    build — the gate wins only where it removes edge-EXPANSION-sized
+    exchanges (see OPTIMIZATION_r14.md)."""
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
@@ -713,16 +748,21 @@ def bfs_hops(
         .localCheckpoint(eager=True)
     )
     frontier = dist.select("node")
+    n_front = 1
     for k in range(1, max_hops + 1):
+        # Broadcast the frontier while it stays small (r14): the
+        # emptiness check's action doubles as the exact per-level gate.
+        f = F.broadcast(frontier) if n_front <= _STATE_BCAST_MAX else frontier
         nxt = (
-            frontier.join(und, frontier.node == und.s)
+            f.join(und, frontier.node == und.s)
             .select(F.col("d").alias("node"))
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(k).cast("long"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        n_front = nxt.count()
+        if n_front == 0:
             break
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
@@ -735,6 +775,7 @@ def k_core(
     a: str = "a",
     b: str = "b",
     max_rounds: int = 12,
+    broadcast_nodes_max: int | None = None,
 ) -> DataFrame:
     """(node, core_degree) — the k-core: the maximal subgraph where
     every node keeps >= k neighbors INSIDE the subgraph, by the
@@ -759,29 +800,42 @@ def k_core(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     e = edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
-    # Partitioned by "d" once (the deterministic_walks discipline) and
-    # the degree joins ordered d-first then s: per round, the only
-    # edge-sized shuffle left is the s-join, whose partitioning the
-    # groupBy then reuses — down from three edge-sized exchanges.
+    # Two-regime layout (r14 — the CC/LPA discipline). Below the
+    # ``broadcast_nodes_max`` gate the alive set ships BROADCAST into
+    # both degree joins and the arcs are pinned by ``s``: the joins
+    # are narrow, hash(s) survives them and satisfies the groupBy(s)
+    # — ZERO exchanges per peel round. Above the gate (node-sized
+    # state must not hit the driver) the arcs are re-pinned by ``d``
+    # with the joins ordered d-first then s: the only edge-sized
+    # shuffle left is the s-join, whose partitioning the groupBy then
+    # reuses (the r13 shape).
     und = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .repartition(n_shuffle, "d")
+        .repartition(n_shuffle, "s")
         .localCheckpoint(eager=True)
     )
-
-    def degrees(alive: DataFrame) -> DataFrame:
-        return (
-            und.join(alive.select(F.col("node").alias("d")), "d")
-            .join(alive.withColumnRenamed("node", "s"), "s")
-            .groupBy(F.col("s").alias("node"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-        )
-
+    # Exchange-free on the s-partitioned checkpoint.
     alive = und.select(F.col("s").alias("node")).distinct().localCheckpoint(
         eager=True
     )
     n = alive.count()
+    if broadcast_nodes_max is None:
+        broadcast_nodes_max = _STATE_BCAST_MAX
+    bcast = n <= broadcast_nodes_max
+    if not bcast:
+        und = und.repartition(n_shuffle, "d").localCheckpoint(eager=True)
+
+    def _hint(state: DataFrame) -> DataFrame:
+        return F.broadcast(state) if bcast else state
+
+    def degrees(alive: DataFrame) -> DataFrame:
+        return (
+            und.join(_hint(alive.select(F.col("node").alias("d"))), "d")
+            .join(_hint(alive.withColumnRenamed("node", "s")), "s")
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        )
     for _ in range(max_rounds):
         nxt = (
             degrees(alive)
@@ -825,17 +879,26 @@ def sssp_bounded(
     node-bounded, checkpointed per round (a per-round action on a lazy
     chain would re-execute the whole history each pass). All values
     are exact int64: no float ever enters the min."""
-    # One-time partition by the relaxation key (the deterministic_walks
-    # discipline): each round's frontier join leaves the edge relation
-    # in place and shuffles only the frontier.
+    # Two-regime layout (r14 — the CC/LPA/k-core discipline). Below
+    # the gate the frontier ships BROADCAST and the edges are pinned
+    # by the relaxation TARGET key (dst): the join is narrow, hash(dst)
+    # survives it and satisfies the groupBy(node) min-merge — no
+    # edge-expansion-sized exchange per round. The gate is the EDGE
+    # count (edges >= nodes >= any frontier, so it conservatively
+    # bounds the broadcast; one cheap count on the checkpoint). Above
+    # the gate the r13 shape is kept: pinned by src, each round's
+    # frontier join leaves the edge relation in place and shuffles
+    # only the frontier.
     n_shuffle = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    e0 = edges.select(src, dst, weight).persist()
+    bcast = e0.count() <= _STATE_BCAST_MAX
     edges = (
-        edges.select(src, dst, weight)
-        .repartition(n_shuffle, src)
+        e0.repartition(n_shuffle, dst if bcast else src)
         .localCheckpoint(eager=True)
     )
+    e0.unpersist()
     if source_node is None:
         source_node = edges.agg(F.min(src)).collect()[0][0]
     dist = (
@@ -846,8 +909,9 @@ def sssp_bounded(
     )
     frontier = dist
     for _ in range(rounds):
+        f = F.broadcast(frontier) if bcast else frontier
         cand = (
-            frontier.join(edges, F.col("node") == F.col(src))
+            f.join(edges, F.col("node") == F.col(src))
             .select(
                 F.col(dst).alias("node"),
                 (F.col("dist") + F.col(weight)).alias("cdist"),
@@ -900,9 +964,18 @@ def multi_source_bfs(
     factor independent like bfs_hops' min-id rule; the seed is a
     k-row sorted limit (TakeOrdered), never a collect."""
     e = edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+    # Pinned by the frontier-join key ONCE (r14 — this sweep predated
+    # the deterministic_walks discipline: the un-pinned arc relation
+    # re-exchanged EVERY level); the per-level frontier additionally
+    # ships broadcast while it stays small (its exact row count is the
+    # emptiness check's own action, so the per-level gate is free).
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     und = (
         e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
+        .repartition(n_shuffle, "s")
         .localCheckpoint(eager=True)
     )
     dist = (
@@ -918,16 +991,19 @@ def multi_source_bfs(
         .localCheckpoint(eager=True)
     )
     frontier = dist.select("src", "node")
+    n_front = n_sources
     for k in range(1, max_hops + 1):
+        f = F.broadcast(frontier) if n_front <= _STATE_BCAST_MAX else frontier
         nxt = (
-            frontier.join(und, frontier.node == und.s)
+            f.join(und, frontier.node == und.s)
             .select("src", F.col("d").alias("node"))
             .distinct()
             .join(dist.select("src", "node"), ["src", "node"], "left_anti")
             .withColumn("hops", F.lit(k).cast("long"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        n_front = nxt.count()
+        if n_front == 0:
             break
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("src", "node")
@@ -1000,13 +1076,24 @@ def boruvka_msf(
         .select("node", F.col("node").alias("c"))
         .localCheckpoint(eager=True)
     )
+    # Below the node gate the component map ships BROADCAST into the
+    # per-round labeling joins (r14 — the CC/LPA/k-core discipline):
+    # the edge relation never re-shuffles (the r13 shape exchanged it
+    # by u AND by v every round, since comp changes each round). Above
+    # the gate the shuffle joins stay — node-sized state must not hit
+    # the driver.
+    bcast = comp.count() <= _STATE_BCAST_MAX
+
+    def _hint(state: DataFrame) -> DataFrame:
+        return F.broadcast(state) if bcast else state
+
     chosen_rounds = []
     for _ in range(max_rounds):
         lab = (
-            e.join(comp.select(F.col("node").alias("u"),
-                               F.col("c").alias("cu")), "u")
-            .join(comp.select(F.col("node").alias("v"),
-                              F.col("c").alias("cv")), "v")
+            e.join(_hint(comp.select(F.col("node").alias("u"),
+                                     F.col("c").alias("cu"))), "u")
+            .join(_hint(comp.select(F.col("node").alias("v"),
+                                    F.col("c").alias("cv"))), "v")
             .filter(F.col("cu") != F.col("cv"))
             .localCheckpoint(eager=True)  # feeds both argmin orientations
         )
@@ -1049,16 +1136,16 @@ def boruvka_msf(
             "dst",
         ).select(F.col("node").alias("c"), F.col("component").alias("nc"))
         comp = (
-            comp.join(mapping, "c", "left")
+            comp.join(_hint(mapping), "c", "left")
             .select("node", F.coalesce("nc", F.col("c")).alias("c"))
             .localCheckpoint(eager=True)
         )
     else:  # no break: round budget exhausted — probe for completeness
         remaining = (
-            e.join(comp.select(F.col("node").alias("u"),
-                               F.col("c").alias("cu")), "u")
-            .join(comp.select(F.col("node").alias("v"),
-                              F.col("c").alias("cv")), "v")
+            e.join(_hint(comp.select(F.col("node").alias("u"),
+                                     F.col("c").alias("cu"))), "u")
+            .join(_hint(comp.select(F.col("node").alias("v"),
+                                    F.col("c").alias("cv"))), "v")
             .filter(F.col("cu") != F.col("cv"))
             .limit(1)
             .count()
@@ -1239,6 +1326,14 @@ def deterministic_walks(
     cur = a.select(F.col("u").alias("walk_id")).distinct().select(
         "walk_id", F.col("walk_id").alias("node")
     ).localCheckpoint(eager=True)
+    # Broadcasting the walker state per step was A/B'd for r14 and
+    # REJECTED (interleaved min-of-3 at sf0.1: 3.2 s shuffle vs 4.8 s
+    # broadcast): the min_by groupBy is already map-side-combined to
+    # walk-sized rows and each walk's neighbors live in ONE
+    # u-partition, so the broadcast only replaced a tiny state
+    # exchange while paying a per-step broadcast build. The gate wins
+    # only where it removes edge-EXPANSION-sized exchanges (k_core,
+    # connected_components) — see OPTIMIZATION_r14.md.
     frames = [cur.select("walk_id", F.lit(0).alias("step"), "node")]
     for t in range(1, steps + 1):
         coin = (
